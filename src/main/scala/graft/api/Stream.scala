@@ -1,0 +1,286 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{broadcast => sparkBroadcast, _}
+import org.apache.spark.storage.StorageLevel
+
+/** A lazily-composed stream of `T` — the analog of the reference's
+  * `Stream<Op>` (reference: src/stream.rs:27-35). Wraps a Spark `Dataset[T]`:
+  * chaining operators extends the Catalyst logical plan (the reference's
+  * same-block operator fusion, src/stream.rs:120-126, is WholeStageCodegen
+  * here), and wide operators introduce shuffles (the reference's block splits,
+  * src/stream.rs:136-167, are Spark stages).
+  *
+  * The four reference routing strategies (src/block/next_strategy.rs:14-31)
+  * map directly: OnlyOne → narrow dependency (no-op), Random → [[shuffle]],
+  * GroupBy(hash) → [[groupBy]], All → [[StreamOps.broadcastJoinHint]].
+  */
+final class Stream[T](val ds: Dataset[T]) extends Serializable {
+  def spark: SparkSession = ds.sparkSession
+
+  // ---------------------------------------------------------------------
+  // §2.3 projections / filters / per-element transforms
+  // ---------------------------------------------------------------------
+
+  /** Reference: `map`, src/operator/mod.rs:551. */
+  def map[O: Encoder](f: T => O): Stream[O] = new Stream(ds.map(f))
+
+  /** Reference: `filter`, src/operator/mod.rs:409. */
+  def filter(p: T => Boolean): Stream[T] = new Stream(ds.filter(p))
+
+  /** Reference: `filter_map`, src/operator/mod.rs:384. */
+  def filterMap[O: Encoder](f: T => Option[O]): Stream[O] =
+    new Stream(ds.flatMap(x => f(x).iterator))
+
+  /** Reference: `flat_map`, src/operator/mod.rs:1158. */
+  def flatMap[O: Encoder](f: T => IterableOnce[O]): Stream[O] =
+    new Stream(ds.flatMap(f))
+
+  /** Reference: `flatten`, src/operator/mod.rs:1210. */
+  def flatten[O: Encoder](implicit ev: T <:< IterableOnce[O]): Stream[O] =
+    new Stream(ds.flatMap(x => ev(x)))
+
+  /** Side-effecting peek (debug). Reference: `inspect`, src/operator/mod.rs:1060. */
+  def inspect(f: T => Unit)(implicit e: Encoder[T]): Stream[T] =
+    new Stream(ds.map { x => f(x); x })
+
+  /** Stateful per-partition map: `init` is evaluated once per partition (the
+    * reference's per-replica `FnMut` closure, src/operator/mod.rs:524). State
+    * must be created inside the partition — safe by construction here. */
+  def richMap[S, O: Encoder](init: () => S)(f: (S, T) => O): Stream[O] =
+    new Stream(ds.mapPartitions { it => val s = init(); it.map(f(s, _)) })
+
+  /** Reference: `rich_flat_map`, src/operator/mod.rs:1104. */
+  def richFlatMap[S, O: Encoder](init: () => S)(f: (S, T) => IterableOnce[O]): Stream[O] =
+    new Stream(ds.mapPartitions { it => val s = init(); it.flatMap(f(s, _)) })
+
+  /** Reference: `rich_filter_map`, src/operator/mod.rs:461. */
+  def richFilterMap[S, O: Encoder](init: () => S)(f: (S, T) => Option[O]): Stream[O] =
+    new Stream(ds.mapPartitions { it => val s = init(); it.flatMap(x => f(s, x).iterator) })
+
+  /** Raw access to the upstream element iterator — the reference's
+    * `rich_map_custom` (src/operator/mod.rs:1132): the closure consumes the
+    * partition's iterator and emits an output iterator. */
+  def richMapCustom[O: Encoder](f: Iterator[T] => Iterator[O]): Stream[O] =
+    new Stream(ds.mapPartitions(f))
+
+  /** Memoized map with a bounded per-partition LRU cache.
+    * Reference: `map_memo_by`, src/operator/mod.rs:677, map_memo.rs:17-50. */
+  def mapMemoBy[K, O: Encoder](capacity: Int)(keyer: T => K)(f: T => O): Stream[O] =
+    new Stream(ds.mapPartitions { it =>
+      val cache = new java.util.LinkedHashMap[K, O](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, O]): Boolean =
+          size() > capacity
+      }
+      it.map { x =>
+        val k = keyer(x)
+        val cached = cache.get(k)
+        if (cached != null || cache.containsKey(k)) cached
+        else { val v = f(x); cache.put(k, v); v }
+      }
+    })
+
+  /** Reference: `map_memo`, src/operator/mod.rs:2410 (key = element itself). */
+  def mapMemo[O: Encoder](capacity: Int)(f: T => O): Stream[O] =
+    mapMemoBy[T, O](capacity)(identity)(f)
+
+  /** Batching is a transport concern the reference exposes (`batch_mode`,
+    * src/operator/mod.rs:361); Spark's vectorized exec makes it a no-op. */
+  def batchMode(): Stream[T] = this
+
+  // ---------------------------------------------------------------------
+  // §2.4 key / partitioning operators
+  // ---------------------------------------------------------------------
+
+  /** Hash-partition by key — the reference's `group_by`
+    * (src/operator/mod.rs:1377). Spark-first note: no eager shuffle is
+    * issued; downstream keyed aggregations shuffle exactly once on the key
+    * (partial/final HashAggregate), which strictly dominates the reference's
+    * eager-shuffle-then-fold. */
+  def groupBy[K: Encoder](keyer: T => K)(implicit e: Encoder[T], ke: Encoder[(K, T)]): KeyedStream[K, T] =
+    new KeyedStream(ds.map(x => (keyer(x), x)))
+
+  /** Tag with key WITHOUT shuffling (reference: `key_by`, src/operator/mod.rs:1039). */
+  def keyBy[K](keyer: T => K)(implicit e: Encoder[(K, T)]): KeyedStream[K, T] =
+    new KeyedStream(ds.map(x => (keyer(x), x)))
+
+  /** Random (round-robin) repartition. Reference: `shuffle`,
+    * src/operator/mod.rs:1943, NextStrategy::Random. */
+  def shuffle(partitions: Int = 0): Stream[T] =
+    new Stream(if (partitions > 0) ds.repartition(partitions) else ds.repartition())
+
+  /** Cap the parallelism of what follows (reference: `replication(r)`,
+    * src/operator/mod.rs:1761). `One` → `coalesce(1)`. */
+  def replication(n: Int): Stream[T] =
+    new Stream(if (n == 1) ds.coalesce(1) else ds.repartition(n))
+
+  /** Shuffle by a custom index (reference: `repartition_by`, src/operator/mod.rs:1786). */
+  def repartitionBy[K](n: Int, keyer: T => K)(implicit e: Encoder[(K, T)], et: Encoder[T]): Stream[T] =
+    new Stream(ds.map(x => (keyer(x), x)).repartition(n, col("_1")).map(_._2))
+
+  /** Duplicate the stream n ways. Spark's plan-DAG lets one DataFrame feed
+    * many consumers; we persist so the common prefix is computed once
+    * (reference: `split`, src/operator/mod.rs:1965). */
+  def split(n: Int): Seq[Stream[T]] = {
+    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    Seq.fill(n)(new Stream(cached))
+  }
+
+  /** Split one stream into N by predicates, first match wins (reference:
+    * `route()`, src/operator/mod.rs:1923, route.rs:33-93). Lowered to N
+    * filters over one cached plan; each filter also excludes earlier
+    * predicates to preserve first-match-wins. */
+  def route(predicates: (T => Boolean)*): Seq[Stream[T]] = {
+    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    predicates.zipWithIndex.map { case (p, i) =>
+      val earlier = predicates.take(i)
+      new Stream(cached.filter(x => p(x) && !earlier.exists(q => q(x))))
+    }
+  }
+
+  /** Union of two same-typed streams, order unspecified (reference: `merge`,
+    * src/operator/merge.rs:41). */
+  def merge(other: Stream[T]): Stream[T] = new Stream(ds.union(other.ds))
+
+  /** Pairwise zip of two streams. The reference forces both sides to
+    * parallelism 1 (src/operator/zip.rs:14-60); we keep it distributed via
+    * per-partition indexing + an index equi-join, documenting that pairing
+    * order is partition order. */
+  def zip[U](other: Stream[U])(implicit ctT: scala.reflect.ClassTag[T],
+      ctU: scala.reflect.ClassTag[U], ep: Encoder[(T, U)]): Stream[(T, U)] = {
+    val left = ds.rdd.zipWithIndex().map(_.swap)
+    val right = other.ds.rdd.zipWithIndex().map(_.swap)
+    val zipped = left.join(right).values
+    new Stream(spark.createDataset(zipped))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.5 aggregations (global)
+  // ---------------------------------------------------------------------
+
+  /** Non-associative sequential fold — single replica, like the reference's
+    * `fold` (src/operator/mod.rs:725 forces Replication::One). */
+  def fold[A: Encoder](init: A)(f: (A, T) => A): Stream[A] =
+    new Stream(ds.coalesce(1).mapPartitions(it => Iterator.single(it.foldLeft(init)(f))))
+
+  /** Two-phase fold: local partial per partition + global combine — the
+    * reference's `fold_assoc` (src/operator/mod.rs:771), i.e. Spark's
+    * partial/final aggregation done by hand at the typed level. */
+  def foldAssoc[A: Encoder](init: A)(local: (A, T) => A, global: (A, A) => A): Stream[A] = {
+    val partials = ds.mapPartitions(it => Iterator.single(it.foldLeft(init)(local)))
+    new Stream(partials.coalesce(1).mapPartitions(it =>
+      Iterator.single(it.foldLeft(init)(global))))
+  }
+
+  /** Reference: `reduce`, src/operator/mod.rs:1831. */
+  def reduce(f: (T, T) => T)(implicit e: Encoder[T]): Stream[T] =
+    new Stream(ds.coalesce(1).mapPartitions(it => it.reduceOption(f).iterator))
+
+  /** Associative reduce with map-side partials (reference: `reduce_assoc`,
+    * src/operator/mod.rs:1876). */
+  def reduceAssoc(f: (T, T) => T)(implicit e: Encoder[T]): Stream[T] = {
+    val partials = ds.mapPartitions(it => it.reduceOption(f).iterator)
+    new Stream(partials.coalesce(1).mapPartitions(it => it.reduceOption(f).iterator))
+  }
+
+  /** Distinct via local set → shuffle → global set (reference:
+    * `unique_assoc`, src/operator/mod.rs:951) — Spark's partial-agg distinct. */
+  def uniqueAssoc(): Stream[T] = new Stream(ds.distinct())
+
+  /** Two-pass scan: global aggregate over the whole stream, then map every
+    * element with it (reference: `fold_scan`, src/operator/mod.rs:856-907).
+    * Lowered to agg → broadcast cross-join → map, so the second pass is a
+    * narrow stage at any scale. */
+  def foldScan[A: Encoder, O: Encoder](init: A)(local: (A, T) => A, global: (A, A) => A)(
+      project: (A, T) => O)(implicit e: Encoder[T], ctA: scala.reflect.ClassTag[A]): Stream[O] = {
+    val acc = foldAssoc(init)(local, global).ds.head()
+    val accB = spark.sparkContext.broadcast(acc)
+    new Stream(ds.map(x => project(accB.value, x)))
+  }
+
+  /** Sugar over foldScan (reference: `reduce_scan`, src/operator/mod.rs:909-944). */
+  def reduceScan[A: Encoder, O: Encoder](firstMap: T => A)(combine: (A, A) => A)(
+      secondMap: (A, T) => O)(implicit e: Encoder[T], ctA: scala.reflect.ClassTag[A]): Stream[O] = {
+    val mapped = ds.map(firstMap)
+    val acc = new Stream(mapped).reduceAssoc(combine).ds.head()
+    val accB = spark.sparkContext.broadcast(acc)
+    new Stream(ds.map(x => secondMap(accB.value, x)))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.7 sorts / limits / top-k
+  // ---------------------------------------------------------------------
+
+  /** Full total-order sort (reference: `sorted_by`, src/operator/mod.rs:1243).
+    * Spark range-partitions then sorts per partition — distributed, unlike the
+    * reference's single blocking LimitSorted operator. */
+  def sortedBy[B](key: T => B)(implicit ord: Ordering[B],
+      ctB: scala.reflect.ClassTag[B], e: Encoder[T]): Stream[T] =
+    new Stream(spark.createDataset(ds.rdd.sortBy(key)))
+
+  /** Column-based sort — preferred lowering (Catalyst-visible). */
+  def sorted(cols: Column*): Stream[T] = new Stream(ds.sort(cols: _*))
+
+  /** limit + offset, order unspecified (reference: `limit`, src/operator/mod.rs:1276). */
+  def limit(n: Int, offset: Int = 0): Stream[T] =
+    new Stream(if (offset > 0) ds.offset(offset).limit(n) else ds.limit(n))
+
+  /** Top-k with offset (reference: `sorted_limit_by`, src/operator/mod.rs:1317).
+    * Spark plans TakeOrderedAndProject — per-partition top-k then merge, no
+    * global sort. */
+  def sortedLimitBy(n: Int, offset: Int, cols: Column*): Stream[T] =
+    new Stream(if (offset > 0) ds.sort(cols: _*).offset(offset).limit(n)
+               else ds.sort(cols: _*).limit(n))
+
+  // ---------------------------------------------------------------------
+  // sinks (§2.2)
+  // ---------------------------------------------------------------------
+
+  /** Reference: `collect_vec`, src/operator/mod.rs:2135. */
+  def collectVec(): Seq[T] = ds.collect().toSeq
+
+  /** Reference: `collect_count`, src/operator/mod.rs:2104. */
+  def collectCount(): Long = ds.count()
+
+  /** Stream results to the driver incrementally (reference:
+    * `collect_channel`, src/operator/mod.rs:2044). */
+  def collectIterator(): Iterator[T] = {
+    val it = ds.toLocalIterator()
+    new Iterator[T] { def hasNext = it.hasNext; def next() = it.next() }
+  }
+
+  /** Reference: `for_each`, src/operator/mod.rs:1181. */
+  def forEach(f: T => Unit): Unit = ds.foreach(x => f(x))
+
+  /** Per-replica CSV part files (reference: `write_csv_seq`, src/operator/sink/csv.rs:102). */
+  def writeCsv(path: String, header: Boolean = true): Unit =
+    ds.toDF().write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** Single-file CSV (reference `Replication::One` variant, sink/csv.rs:141). */
+  def writeCsvOne(path: String, header: Boolean = true): Unit =
+    ds.toDF().coalesce(1).write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** Reference: `write_parquet_seq`, src/operator/sink/parquet.rs:95. */
+  def writeParquet(path: String): Unit = ds.toDF().write.mode("overwrite").parquet(path)
+
+  /** Reference: `write_parquet_one`, src/operator/sink/parquet.rs:114. */
+  def writeParquetOne(path: String): Unit =
+    ds.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Avro sink (reference: src/operator/sink/avro.rs:93). */
+  def writeAvro(path: String): Unit =
+    ds.toDF().write.mode("overwrite").format("avro").save(path)
+
+  /** Materialize once, replay in later jobs (reference: `cache_vec` /
+    * `StreamCache`, src/operator/mod.rs:2264-2359). */
+  def cache(): Stream[T] = new Stream(ds.persist(StorageLevel.MEMORY_AND_DISK))
+
+  def unpersist(): Stream[T] = new Stream(ds.unpersist())
+
+  /** Escape hatch to the underlying frame. */
+  def toDF: DataFrame = ds.toDF()
+}
+
+object Stream {
+  def apply[T](ds: Dataset[T]): Stream[T] = new Stream(ds)
+}

@@ -1,0 +1,102 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+/** Entry point of the engine — the analog of the reference's `StreamContext`
+  * (reference: src/environment.rs:42-113). Where the reference owns a
+  * scheduler and network topology, we delegate scheduling, shuffles and
+  * fault-tolerance to Spark: a `StreamContext` is a thin wrapper over a
+  * [[SparkSession]] that builds [[Stream]]s (lazily-composed `Dataset`s).
+  *
+  * Everything is lazy: composing operators builds a Catalyst logical plan;
+  * nothing runs until a sink action (`collectVec`, `writeParquet`, ...) —
+  * exactly like the reference's graph-then-`execute_blocking()` lifecycle
+  * (reference: src/environment.rs:97).
+  */
+final class StreamContext(val spark: SparkSession) {
+  import spark.implicits._
+
+  /** In-memory source, single logical iterator.
+    * Reference: `stream_iter`, src/operator/source/iterator.rs:14. */
+  def streamIter[T: Encoder](data: Seq[T]): Stream[T] =
+    new Stream(spark.createDataset(data))
+
+  /** In-memory source split across `parallelism` partitions.
+    * Reference: `stream_par_iter`, src/operator/source/parallel_iterator.rs:129. */
+  def streamParIter[T: Encoder](data: Seq[T], parallelism: Int): Stream[T] =
+    new Stream(spark.createDataset(data).repartition(parallelism))
+
+  /** Replica-indexed generator source: `gen(replicaId, instances)` yields the
+    * items of that replica — the exact contract of the reference's
+    * `ParallelIteratorSource` generator (src/operator/source/parallel_iterator.rs:230-291). */
+  def streamParIterGen[T: Encoder](parallelism: Int)(
+      gen: (Int, Int) => Iterator[T]): Stream[T] = {
+    val ds = spark.range(parallelism.toLong)
+      .repartition(parallelism)
+      .flatMap(i => gen(i.toInt, parallelism))
+    new Stream(ds)
+  }
+
+  /** `0 until n` as a distributed range (replaces iterator sources in tests). */
+  def streamRange(n: Long, parallelism: Option[Int] = None): Stream[Long] = {
+    val r = parallelism.map(p => spark.range(0, n, 1, p)).getOrElse(spark.range(n))
+    new Stream(r.as[Long])
+  }
+
+  /** Line-by-line text file source. The reference splits the file in byte
+    * ranges per replica aligned to newlines (src/operator/source/file.rs:78-120);
+    * Hadoop input splits do the identical alignment for free. */
+  def streamFile(path: String): Stream[String] =
+    new Stream(spark.read.textFile(path))
+
+  /** CSV source (reference: `stream_csv`, src/operator/source/csv.rs:89).
+    * Returns an untyped frame; `.as[T]` for the serde-typed equivalent. */
+  def streamCsv(path: String, options: Map[String, String] = Map("header" -> "true")): DataFrame =
+    spark.read.options(options).csv(path)
+
+  /** Parquet source (reference: src/operator/source/parquet.rs:21). Spark's
+    * reader is already parallel + columnar; the reference's single-reader
+    * `Replication::One` restriction does not apply. */
+  def streamParquet(path: String): DataFrame = spark.read.parquet(path)
+
+  /** Typed parquet source — `stream_parquet_one().to_rows::<T>()`. */
+  def streamParquetAs[T: Encoder](path: String): Stream[T] =
+    new Stream(spark.read.parquet(path).as[T])
+
+  /** Avro source (reference: src/operator/source/avro.rs:49). */
+  def streamAvro(path: String): DataFrame = spark.read.format("avro").load(path)
+
+  /** Kafka source → Structured Streaming (reference: src/operator/source/kafka.rs:51). */
+  def streamKafka(bootstrap: String, topics: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .load()
+
+  /** Wrap an existing Dataset (escape hatch / interop). */
+  def fromDataset[T](ds: Dataset[T]): Stream[T] = new Stream(ds)
+
+  /** Convenience: a driver-testdata table. */
+  def table(sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
+
+object StreamContext {
+  def apply(spark: SparkSession): StreamContext = new StreamContext(spark)
+
+  /** Local session with the defaults this engine wants: shuffle partitions
+    * sized for the machine (not 200), AQE on for runtime re-planning (skew
+    * joins, partition coalescing — load-bearing at large scale), UTC. */
+  def localSession(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("renoirspark")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
