@@ -2,16 +2,20 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** The oracle-checked query catalog: one entry per operator family of
   * SURVEY.md §2 (plus the large-scale training-data operators). Each query
   * has a DuckDB-equivalent SQL in [[Queries.oracle]] unless the operator is
   * not SQL-expressible (then the driver records a rows-only check).
   *
-  * Numeric convention for exact oracle hashing: money/value aggregates are
-  * computed in DECIMAL (exact, order-independent) and cast to DOUBLE at the
-  * end, so Spark's partial/final aggregation order and DuckDB's scan order
-  * produce bit-identical results.
+  * Determinism conventions (so Spark's partial/final agg order and DuckDB's
+  * scan order hash identically):
+  *  - money/value sums computed in DECIMAL (exact, order-independent), cast
+  *    to DOUBLE at the end;
+  *  - integer outputs cast to BIGINT on both sides (pandas dtype parity);
+  *  - arg-min/arg-max tie-broken by a unique key via row_number;
+  *  - limit/offset always under a total ORDER BY.
   */
 object Queries {
 
@@ -20,22 +24,29 @@ object Queries {
 
   /** decimal-exact money expression */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private val one = lit(1).cast("decimal(18,2)")
+
+  /** events with the nano-precision `ts` converted exactly to a Spark
+    * TimestampType (µs) via integer division — the session reads
+    * TIMESTAMP(NANOS) parquet as epoch-nano longs (nanosAsLong). */
+  def events(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   // =====================================================================
-  // Aggregations (SURVEY §2.5)
+  // §2.5 aggregations
   // =====================================================================
 
-  /** group_by_sum / fold_assoc family — TPC-H Q1 shaped. */
+  /** group_by_fold / group_by_sum family — TPC-H Q1 shaped (partial+final
+    * HashAggregate; at scale: one shuffle of 6 rows per partition). */
   def q1_agg(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   private val q1_sql =
     """SELECT l_returnflag, l_linestatus,
@@ -43,19 +54,449 @@ object Queries {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** group_by_count (src/operator/mod.rs:1594). */
+  def q_group_count(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  private val q_group_count_sql =
+    "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority"
+
+  /** group_by_avg (src/operator/mod.rs:1531) — avg as exact decimal sum /
+    * count, both sides, for bit-identical doubles. */
+  def q_group_avg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").groupBy(col("o_orderpriority"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
+
+  private val q_group_avg_sql =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** min/max aggregations (exact on doubles, order-independent). */
+  def q_group_minmax(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").groupBy(col("o_orderstatus"))
+      .agg(min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"),
+           min(col("o_orderdate")).as("first_date"))
+
+  private val q_group_minmax_sql =
+    """SELECT o_orderstatus, min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price, min(o_orderdate) AS first_date
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** group_by_max_element (arg-max, src/operator/mod.rs:1418): customer with
+    * the max balance per segment, ties broken by smallest key — lowered to a
+    * window top-1 (TakeOrdered per group; no full sort). */
+  def q_max_element(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    tbl(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+  }
+
+  private val q_max_element_sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      |  FROM customer) WHERE rn = 1""".stripMargin
+
+  /** fold (non-assoc → single global row; src/operator/mod.rs:725). */
+  def q_fold_global(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").agg(
+      sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+      count(lit(1)).as("n"))
+
+  private val q_fold_global_sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n FROM lineitem""".stripMargin
+
+  /** reduce (global max element; src/operator/mod.rs:1831): the single order
+    * with the highest price, deterministic tie-break on key. */
+  def q_reduce_max(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(1)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  private val q_reduce_max_sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1""".stripMargin
+
+  /** unique_assoc / distinct (src/operator/mod.rs:951). */
+  def q_distinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  private val q_distinct_sql =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** fold_scan (two-pass global-aggregate-then-map, src/operator/mod.rs:856):
+    * each lineitem's share of total revenue. Lowered to agg →
+    * broadcast-cross-join → narrow map: the second pass never shuffles. */
+  def q_fold_scan(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val total = li.agg(sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+    li.crossJoin(broadcast(total))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("total")).as("price_share"))
+  }
+
+  private val q_fold_scan_sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER () AS DOUBLE) AS price_share
+      |FROM lineitem""".stripMargin
+
+  /** keyed fold_scan / reduce_scan (src/operator/mod.rs:2954): element vs its
+    * key's max — agg + same-key join (AQE broadcasts the tiny agg side). */
+  def q_reduce_scan_keyed(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val mx = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(max(col("l_extendedprice")).as("max_price"))
+    li.join(broadcast(mx), col("l_returnflag") === col("rf"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("max_price")).as("price_vs_key_max"))
+  }
+
+  private val q_reduce_scan_keyed_sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice / max(l_extendedprice) OVER (PARTITION BY l_returnflag) AS price_vs_key_max
+      |FROM lineitem""".stripMargin
+
+  // =====================================================================
+  // §2.3 per-element transforms
+  // =====================================================================
+
+  /** map / projection (src/operator/mod.rs:551) — stays inside one codegen
+    * stage, parquet scan prunes to 5 columns. */
+  def q_map(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("disc_price"),
+      (col("l_quantity") * col("l_tax")).as("qty_tax"))
+
+  private val q_map_sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price,
+      |  l_quantity * l_tax AS qty_tax
+      |FROM lineitem""".stripMargin
+
+  /** filter (src/operator/mod.rs:409) — predicate pushed to the parquet scan. */
+  def q_filter(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+        && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+
+  private val q_filter_sql =
+    """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_discount > 0.05""".stripMargin
+
+  /** filter_map (src/operator/mod.rs:384): Option-returning transform =
+    * filter + project in one pass. */
+  def q_filter_map(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "part")
+      .filter(col("p_size") >= 30)
+      .select(col("p_partkey"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        (dec(col("p_retailprice")) * lit(2).cast("decimal(18,2)")).cast("double").as("double_price"))
+
+  private val q_filter_map_sql =
+    """SELECT p_partkey, p_brand || '#' || p_type AS brand_type,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS DOUBLE) AS double_price
+      |FROM part WHERE p_size >= 30""".stripMargin
+
+  /** flat_map / flatten (src/operator/mod.rs:1158, :1210): wordcount over
+    * documents — explode stays map-side; the count is partial-aggregated. */
+  def q_flat_map(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  private val q_flat_map_sql =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  /** scalar-function surface (reference does this in plain closures; we lower
+    * to codegen'd Column functions): string + date + json in one pass. */
+  def q_scalar_funcs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      lower(col("o_orderpriority")).as("prio_lower"),
+      substring(col("o_orderstatus"), 1, 1).as("status1"),
+      length(col("o_orderpriority")).cast("long").as("prio_len"))
+
+  private val q_scalar_funcs_sql =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+      |  lower(o_orderpriority) AS prio_lower,
+      |  substr(o_orderstatus, 1, 1) AS status1,
+      |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+      |FROM orders""".stripMargin
+
+  /** JSON extraction over the events props column. */
+  def q_json(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  private val q_json_sql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  // =====================================================================
+  // §2.4 partitioning / merge / route
+  // =====================================================================
+
+  /** merge / union (src/operator/merge.rs:41). */
+  def q_merge(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("side"))
+    val su = tbl(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"), lit("supplier").as("side"))
+    c.union(su)
+  }
+
+  private val q_merge_sql =
+    """SELECT c_custkey AS id, c_name AS name, 'customer' AS side FROM customer
+      |UNION ALL
+      |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS side FROM supplier""".stripMargin
+
+  /** route (first-match-wins stream split, src/operator/route.rs:33-93):
+    * events routed into tiers by value; emitted as one frame tagged by route
+    * so the oracle can check the routing logic. */
+  def q_route(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      when(col("value") >= 50, "high")
+        .when(col("value") >= 10, "mid")
+        .otherwise("low").as("tier"))
+
+  private val q_route_sql =
+    """SELECT event_id,
+      |  CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS tier
+      |FROM events""".stripMargin
+
+  // =====================================================================
+  // §2.7 sorts / limits / top-k
+  // =====================================================================
+
+  /** sorted_limit_by → TakeOrderedAndProject (no global sort at scale). */
+  def q_top_k(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val q_top_k_sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
+  /** limit + offset under total order (src/operator/mod.rs:1276). */
+  def q_limit_offset(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .orderBy(col("o_orderkey").asc)
+      .offset(100).limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  private val q_limit_offset_sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey ASC LIMIT 10 OFFSET 100""".stripMargin
+
+  /** full sort (src/operator/mod.rs:1243) — range-partitioned distributed
+    * sort; output is the sorted permutation with its rank for verifiability. */
+  def q_sort(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)).cast("long"))
+      .select(col("rank"), col("c_custkey"), col("c_acctbal"))
+
+  private val q_sort_sql =
+    """SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rank,
+      |  c_custkey, c_acctbal FROM customer""".stripMargin
+
+  // =====================================================================
+  // §2.6 joins
+  // =====================================================================
+
+  /** inner equi-join chain with broadcast dims (ship_broadcast_right,
+    * join/ship.rs:45): revenue per nation. lineitem shuffles once on
+    * orderkey; nation/region/customer broadcast. */
+  def q_join_inner(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val c = tbl(s, dir, "customer")
+    val n = tbl(s, dir, "nation")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  private val q_join_inner_sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** left outer join (join/mod.rs:163): every customer with order count,
+    * zero for customers without orders. */
+  def q_join_left(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("total"))
+  }
+
+  private val q_join_left_sql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  /** full outer join (join/mod.rs:212) between two disjoint-ish aggregates;
+    * nulls normalized with coalesce so the hash compare is well-defined. */
+  def q_join_outer(s: SparkSession, dir: String): DataFrame = {
+    val perCust = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val bigCust = tbl(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    perCust.join(bigCust, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"))
+  }
+
+  private val q_join_outer_sql =
+    """SELECT coalesce(o_custkey, c_custkey) AS custkey,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(c_acctbal, -1.0) AS acctbal
+      |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+      |ON o_custkey = c_custkey""".stripMargin
+
+  /** left-semi join (additive beyond the reference, SURVEY §2.6 note):
+    * customers that placed at least one high-value order. */
+  def q_join_semi(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private val q_join_semi_sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+
+  /** left-anti join: customers with no orders at all. */
+  def q_join_anti(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private val q_join_anti_sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** explicit broadcast-right ship strategy (join/ship.rs:141): part (2k rows
+    * — a classic broadcast dim) against lineitem. */
+  def q_join_broadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val p = tbl(s, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  private val q_join_broadcast_sql =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
 
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1_agg _)
+    "q1_agg" -> (q1_agg _),
+    "q_group_count" -> (q_group_count _),
+    "q_group_avg" -> (q_group_avg _),
+    "q_group_minmax" -> (q_group_minmax _),
+    "q_max_element" -> (q_max_element _),
+    "q_fold_global" -> (q_fold_global _),
+    "q_reduce_max" -> (q_reduce_max _),
+    "q_distinct" -> (q_distinct _),
+    "q_fold_scan" -> (q_fold_scan _),
+    "q_reduce_scan_keyed" -> (q_reduce_scan_keyed _),
+    "q_map" -> (q_map _),
+    "q_filter" -> (q_filter _),
+    "q_filter_map" -> (q_filter_map _),
+    "q_flat_map" -> (q_flat_map _),
+    "q_scalar_funcs" -> (q_scalar_funcs _),
+    "q_json" -> (q_json _),
+    "q_merge" -> (q_merge _),
+    "q_route" -> (q_route _),
+    "q_top_k" -> (q_top_k _),
+    "q_limit_offset" -> (q_limit_offset _),
+    "q_sort" -> (q_sort _),
+    "q_join_inner" -> (q_join_inner _),
+    "q_join_left" -> (q_join_left _),
+    "q_join_outer" -> (q_join_outer _),
+    "q_join_semi" -> (q_join_semi _),
+    "q_join_anti" -> (q_join_anti _),
+    "q_join_broadcast" -> (q_join_broadcast _)
   )
 
   val oracle: Map[String, String] = Map(
-    "q1_agg" -> q1_sql
+    "q1_agg" -> q1_sql,
+    "q_group_count" -> q_group_count_sql,
+    "q_group_avg" -> q_group_avg_sql,
+    "q_group_minmax" -> q_group_minmax_sql,
+    "q_max_element" -> q_max_element_sql,
+    "q_fold_global" -> q_fold_global_sql,
+    "q_reduce_max" -> q_reduce_max_sql,
+    "q_distinct" -> q_distinct_sql,
+    "q_fold_scan" -> q_fold_scan_sql,
+    "q_reduce_scan_keyed" -> q_reduce_scan_keyed_sql,
+    "q_map" -> q_map_sql,
+    "q_filter" -> q_filter_sql,
+    "q_filter_map" -> q_filter_map_sql,
+    "q_flat_map" -> q_flat_map_sql,
+    "q_scalar_funcs" -> q_scalar_funcs_sql,
+    "q_json" -> q_json_sql,
+    "q_merge" -> q_merge_sql,
+    "q_route" -> q_route_sql,
+    "q_top_k" -> q_top_k_sql,
+    "q_limit_offset" -> q_limit_offset_sql,
+    "q_sort" -> q_sort_sql,
+    "q_join_inner" -> q_join_inner_sql,
+    "q_join_left" -> q_join_left_sql,
+    "q_join_outer" -> q_join_outer_sql,
+    "q_join_semi" -> q_join_semi_sql,
+    "q_join_anti" -> q_join_anti_sql,
+    "q_join_broadcast" -> q_join_broadcast_sql
   )
 }
