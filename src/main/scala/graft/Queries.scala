@@ -436,6 +436,181 @@ object Queries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
+  // =====================================================================
+  // §2.9 windows (Catalyst lowering — see graft.operators.WindowsDF)
+  // =====================================================================
+
+  /** event-time tumbling window (descr/event_time.rs tumbling): one shuffle
+    * on (window, key); map-side partial agg carries one row per group. */
+  def q_window_tumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 day").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("ws")).as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  private val q_window_tumbling_sql =
+    """SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** event-time sliding window (descr/event_time.rs sliding): Spark explodes
+    * each row into size/slide windows map-side then partial-aggregates. */
+  def q_window_sliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 day", "12 hours").getField("start").as("ws"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("ws")).as("w_start"), col("event_type"), col("n"))
+
+  private val q_window_sliding_sql =
+    """SELECT epoch_us(time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) - k * INTERVAL '12 hours') AS w_start,
+      |  event_type, count(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+      |GROUP BY 1, 2""".stripMargin
+
+  /** event-time session window, gap 4h (Spark session_window; reference
+    * SessionWindow is processing-time — documented divergence SURVEY §7.4). */
+  def q_window_session(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      // group by the full session_window column — grouping by its .start
+      // would bucket by each row's pre-merge [ts, ts+gap) and no sessions
+      // would ever merge
+      .groupBy(session_window(col("ts"), "4 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("w_start"), col("n"), col("sum_value"))
+
+  private val q_window_session_sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL '4 hours' THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, epoch_us(min(ts)) AS w_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** count-based tumbling windows of 10 per user (descr/count.rs, exact=true):
+    * row_number bucketing; the trailing partial window is dropped. */
+  def q_window_count(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("w_id", ((row_number().over(w) - 1) / 10).cast("long"))
+      .groupBy(col("user_id"), col("w_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("sum_value"),
+           min(col("event_id")).as("first_event"))
+      .filter(col("n") === 10)
+  }
+
+  private val q_window_count_sql =
+    """SELECT user_id, CAST(floor((rn - 1) / 10) AS BIGINT) AS w_id, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  min(event_id) AS first_event
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |GROUP BY user_id, w_id HAVING count(*) = 10""".stripMargin
+
+  /** last-k window, k=5 (descr/last_k.rs): one emitted row per element with
+    * the rolling frame aggregate — pure window frame, no extra shuffle. */
+  def q_window_lastk(s: SparkSession, dir: String): DataFrame = {
+    val spec = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    events(s, dir).select(
+      col("event_id"), col("user_id"),
+      sum(dec(col("value"))).over(spec).cast("double").as("roll_sum"),
+      count(lit(1)).over(spec).as("n_frame"))
+  }
+
+  private val q_window_lastk_sql =
+    """SELECT event_id, user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+      |  count(*) OVER w AS n_frame
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** window aggregator suite first/last/nth (aggr/first.rs,last.rs,nth.rs)
+    * over per-(user, day) windows. */
+  def q_window_first_last(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .withColumn("db", date_trunc("day", col("ts")))
+    val ordered = Window.partitionBy(col("user_id"), col("db"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base.select(
+        col("user_id"), unix_micros(col("db")).as("w_start"),
+        first_value(col("value")).over(ordered).as("first_v"),
+        last_value(col("value")).over(full).as("last_v"),
+        coalesce(nth_value(col("value"), 2).over(full), lit(-1.0)).as("second_v"))
+      .distinct()
+  }
+
+  private val q_window_first_last_sql =
+    """SELECT DISTINCT user_id, epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
+      |  first_value(value) OVER w1 AS first_v,
+      |  last_value(value) OVER w2 AS last_v,
+      |  coalesce(nth_value(value, 2) OVER w2, -1.0) AS second_v
+      |FROM events
+      |WINDOW
+      |  w1 AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id),
+      |  w2 AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  // =====================================================================
+  // §2.6 interval join + window join
+  // =====================================================================
+
+  /** interval_join (src/operator/interval_join.rs:20-200): click joined to
+    * purchases of the same user within ±2h. Equi on user + range on ts →
+    * sort-merge join on the equi key with the range as residual; epoch-micro
+    * arithmetic keeps bounds inclusive and exact. */
+  def q_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val a = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("us").as("a_us"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("us").as("b_us"))
+    a.join(b, col("a_user") === col("b_user")
+        && col("b_us") >= col("a_us") - lit(7200000000L)
+        && col("b_us") <= col("a_us") + lit(7200000000L))
+      .select(col("a_id"), col("b_id"), (col("b_us") - col("a_us")).as("delta_us"))
+  }
+
+  private val q_interval_join_sql =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+      |FROM events a JOIN events b
+      |ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'purchase'
+      |AND epoch_us(CAST(b.ts AS TIMESTAMP)) BETWEEN epoch_us(CAST(a.ts AS TIMESTAMP)) - 7200000000
+      |                                          AND epoch_us(CAST(a.ts AS TIMESTAMP)) + 7200000000""".stripMargin
+
+  /** window_join (src/operator/window/aggr/join.rs:79-99): per-(user, day
+    * window) cartesian of clicks × purchases — equi-join on (key, window). */
+  def q_window_join(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("w", date_trunc("day", col("ts")))
+    val a = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("a_user"), col("w").as("a_w"), col("event_id").as("a_id"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("w").as("b_w"), col("event_id").as("b_id"))
+    a.join(b, col("a_user") === col("b_user") && col("a_w") === col("b_w"))
+      .select(col("a_user").as("user_id"), unix_micros(col("a_w")).as("w_start"),
+        col("a_id"), col("b_id"))
+  }
+
+  private val q_window_join_sql =
+    """SELECT a.user_id, epoch_us(date_trunc('day', CAST(a.ts AS TIMESTAMP))) AS w_start,
+      |  a.event_id AS a_id, b.event_id AS b_id
+      |FROM events a JOIN events b
+      |ON a.user_id = b.user_id
+      |AND date_trunc('day', CAST(a.ts AS TIMESTAMP)) = date_trunc('day', CAST(b.ts AS TIMESTAMP))
+      |AND a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -467,7 +642,15 @@ object Queries {
     "q_join_outer" -> (q_join_outer _),
     "q_join_semi" -> (q_join_semi _),
     "q_join_anti" -> (q_join_anti _),
-    "q_join_broadcast" -> (q_join_broadcast _)
+    "q_join_broadcast" -> (q_join_broadcast _),
+    "q_window_tumbling" -> (q_window_tumbling _),
+    "q_window_sliding" -> (q_window_sliding _),
+    "q_window_session" -> (q_window_session _),
+    "q_window_count" -> (q_window_count _),
+    "q_window_lastk" -> (q_window_lastk _),
+    "q_window_first_last" -> (q_window_first_last _),
+    "q_interval_join" -> (q_interval_join _),
+    "q_window_join" -> (q_window_join _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -497,6 +680,14 @@ object Queries {
     "q_join_outer" -> q_join_outer_sql,
     "q_join_semi" -> q_join_semi_sql,
     "q_join_anti" -> q_join_anti_sql,
-    "q_join_broadcast" -> q_join_broadcast_sql
+    "q_join_broadcast" -> q_join_broadcast_sql,
+    "q_window_tumbling" -> q_window_tumbling_sql,
+    "q_window_sliding" -> q_window_sliding_sql,
+    "q_window_session" -> q_window_session_sql,
+    "q_window_count" -> q_window_count_sql,
+    "q_window_lastk" -> q_window_lastk_sql,
+    "q_window_first_last" -> q_window_first_last_sql,
+    "q_interval_join" -> q_interval_join_sql,
+    "q_window_join" -> q_window_join_sql
   )
 }

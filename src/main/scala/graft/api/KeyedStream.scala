@@ -154,6 +154,12 @@ final class KeyedStream[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     new KeyedStream(joined.map { case ((k, v), (_, a)) => (k, project(a, v)) })
   }
 
+  // --- windows (§2.9) ---
+
+  /** Attach a window descriptor (reference: `window()`, src/operator/window/mod.rs:311). */
+  def window(descr: WindowDescr[V]): WindowedStream[K, V] =
+    new WindowedStream(this, descr)
+
   // --- sinks ---
   def collectVec(): Seq[(K, V)] = ds.collect().toSeq
   def collectCount(): Long = ds.count()

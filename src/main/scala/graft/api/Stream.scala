@@ -154,6 +154,11 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
     new Stream(spark.createDataset(zipped))
   }
 
+  /** Window over the whole (un-keyed) stream — parallelism-1 key `()` like
+    * the reference's `window_all` (src/operator/window/mod.rs:353-362). */
+  def windowAll(descr: WindowDescr[T])(implicit e: Encoder[(Int, T)]): WindowedStream[Int, T] =
+    new WindowedStream(new KeyedStream(ds.map(x => (0, x))), descr)
+
   // ---------------------------------------------------------------------
   // §2.5 aggregations (global)
   // ---------------------------------------------------------------------

@@ -1,0 +1,249 @@
+package graft.api
+
+import org.apache.spark.sql.{Encoder, SparkSession}
+
+/** Window descriptors — the analogs of the reference's `WindowDescription`
+  * strategies (reference: src/operator/window/mod.rs:18-78). Each descriptor
+  * is a pure assignment function from a key's ordered elements to windows;
+  * the typed path runs it per key inside `flatMapGroups` (one shuffle on the
+  * key, bounded state per key — same memory model as the reference's
+  * per-key `WindowManager`).
+  *
+  * Scale note: event-time windows over huge keys should use the Catalyst
+  * lowering in [[graft.operators.WindowsDF]] (`groupBy(window(ts, ...))`),
+  * which streams through partial aggregation instead of materializing the
+  * key's elements. The typed path below exists for the descriptors Spark SQL
+  * cannot express (exact count windows, transaction windows, last-k
+  * per-element emission).
+  */
+sealed trait WindowDescr[V] extends Serializable {
+  /** Assign ordered elements of one key to windows (each window = its
+    * elements in order). */
+  def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]]
+}
+
+object WindowDescr {
+
+  /** Count-based windows: `size` elements, every `slide` elements; `exact`
+    * controls whether the trailing partial window is emitted
+    * (reference: descr/count.rs:99-137). `order` fixes the intra-key order
+    * (the reference relies on arrival order; batch needs it explicit). */
+  final case class CountWindow[V, B](size: Int, slide: Int, exact: Boolean,
+      order: V => B)(implicit val ord: Ordering[B]) extends WindowDescr[V] {
+    require(size > 0 && slide > 0)
+    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
+      val sorted = elems.sortBy(order)(ord)
+      val starts = Iterator.from(0, slide).takeWhile(_ < sorted.length)
+      val full = starts.map(s => sorted.slice(s, s + size))
+      if (exact) full.filter(_.length == size)
+      else {
+        // on terminate, the first incomplete window is emitted if present
+        var emittedPartial = false
+        full.filter { w =>
+          if (w.length == size) true
+          else if (!emittedPartial) { emittedPartial = true; true }
+          else false
+        }
+      }
+    }
+  }
+  object CountWindow {
+    def tumbling[V, B: Ordering](size: Int)(order: V => B): CountWindow[V, B] =
+      CountWindow(size, size, exact = true, order)
+    def sliding[V, B: Ordering](size: Int, slide: Int)(order: V => B): CountWindow[V, B] =
+      CountWindow(size, slide, exact = true, order)
+  }
+
+  /** A window per arriving element, holding the up-to-k most recent elements
+    * (reference: descr/last_k.rs:97-105). */
+  final case class LastKWindow[V, B](k: Int, order: V => B)(
+      implicit val ord: Ordering[B]) extends WindowDescr[V] {
+    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
+      val sorted = elems.sortBy(order)(ord)
+      sorted.indices.iterator.map(i => sorted.slice(math.max(0, i - k + 1), i + 1))
+    }
+  }
+
+  /** Event-time tumbling/sliding windows, epoch-aligned like Spark's
+    * `window()` (reference: descr/event_time.rs:112-130). `tsMillis` extracts
+    * the event time. */
+  final case class EventTimeWindow[V](sizeMs: Long, slideMs: Long, tsMillis: V => Long)
+      extends WindowDescr[V] {
+    require(sizeMs > 0 && slideMs > 0)
+    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
+      val sorted = elems.sortBy(tsMillis)
+      val byWindow = scala.collection.mutable.LinkedHashMap.empty[Long, scala.collection.mutable.ArrayBuffer[V]]
+      for (e <- sorted) {
+        val ts = tsMillis(e)
+        // windows with start in (ts - size, ts] aligned to slide
+        var start = math.floorDiv(ts, slideMs) * slideMs
+        while (start > ts - sizeMs) {
+          byWindow.getOrElseUpdate(start, scala.collection.mutable.ArrayBuffer.empty) += e
+          start -= slideMs
+        }
+      }
+      byWindow.valuesIterator.map(_.toIndexedSeq)
+    }
+  }
+  object EventTimeWindow {
+    def tumbling[V](sizeMs: Long)(ts: V => Long): EventTimeWindow[V] =
+      EventTimeWindow(sizeMs, sizeMs, ts)
+    def sliding[V](sizeMs: Long, slideMs: Long)(ts: V => Long): EventTimeWindow[V] =
+      EventTimeWindow(sizeMs, slideMs, ts)
+  }
+
+  /** Event-time session windows with a max-gap: a new session starts when
+    * the inter-event gap is >= `gapMs`. The reference's SessionWindow is
+    * processing-time (descr/session.rs:39-43); we use event time — the
+    * documented divergence (SURVEY §7.4), matching Spark's `session_window`. */
+  final case class SessionWindow[V](gapMs: Long, tsMillis: V => Long) extends WindowDescr[V] {
+    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
+      val sorted = elems.sortBy(tsMillis)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer(sorted.head))
+        for (e <- sorted.tail) {
+          if (tsMillis(e) - tsMillis(out.last.last) >= gapMs)
+            out += scala.collection.mutable.ArrayBuffer(e)
+          else out.last += e
+        }
+        out.iterator.map(_.toIndexedSeq)
+      }
+    }
+  }
+
+  /** One window over everything (reference: descr/all.rs:53-60). In batch,
+    * processing-time windows also collapse to this (a batch is one instant of
+    * wall-clock time; reference: descr/processing_time.rs). */
+  final case class AllWindow[V]() extends WindowDescr[V] {
+    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] =
+      if (elems.isEmpty) Iterator.empty else Iterator.single(elems)
+  }
+
+  /** Batch alias for ProcessingTimeWindow — see [[AllWindow]]. */
+  def processingTime[V](): WindowDescr[V] = AllWindow[V]()
+
+  /** User-signal transaction windows (reference: descr/transaction.rs:100-131,
+    * semantics at :99-113): one active window per key; `logic` decides per
+    * element: Continue, Commit (element included, output emitted), Discard
+    * (window dropped), CommitAfter(t) (commit once event time passes t —
+    * the watermark analog in batch is a later element's timestamp). */
+  sealed trait TransactionOp extends Serializable
+  case object Continue extends TransactionOp
+  case object Commit extends TransactionOp
+  case object Discard extends TransactionOp
+  final case class CommitAfter(tsMillis: Long) extends TransactionOp
+
+  final case class TransactionWindow[V, B](logic: V => TransactionOp,
+      tsMillis: V => Long, order: V => B)(implicit val ord: Ordering[B])
+      extends WindowDescr[V] {
+    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
+      val sorted = elems.sortBy(order)(ord)
+      val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[V]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[V]
+      var commitAt: Option[Long] = None
+      for (e <- sorted) {
+        // watermark passes: a pending CommitAfter fires before this element
+        if (commitAt.exists(t => tsMillis(e) > t)) {
+          if (cur.nonEmpty) out += cur.toIndexedSeq
+          cur = scala.collection.mutable.ArrayBuffer.empty[V]
+          commitAt = None
+        }
+        cur += e
+        logic(e) match {
+          case Continue => ()
+          case Commit =>
+            out += cur.toIndexedSeq
+            cur = scala.collection.mutable.ArrayBuffer.empty[V]
+            commitAt = None
+          case Discard =>
+            cur = scala.collection.mutable.ArrayBuffer.empty[V]
+            commitAt = None
+          case CommitAfter(t) => commitAt = Some(t)
+        }
+      }
+      if (commitAt.isDefined && cur.nonEmpty) out += cur.toIndexedSeq
+      out.iterator
+    }
+  }
+}
+
+/** A keyed stream with a window descriptor attached — the analog of the
+  * reference's `WindowedStream` (src/stream.rs:92-101). Aggregators mirror
+  * the reference's `WindowAccumulator` suite (src/operator/window/aggr/). */
+final class WindowedStream[K, V](val ks: KeyedStream[K, V], val descr: WindowDescr[V])
+    extends Serializable {
+
+  /** The general collect-then-map aggregator (reference: aggr/collect.rs:47):
+    * everything below is sugar over it. */
+  def mapWindow[O](f: IndexedSeq[V] => O)(
+      implicit ek: Encoder[K], ekv: Encoder[(K, V)], eko: Encoder[(K, O)]): Stream[(K, O)] =
+    new Stream(ks.ds.groupByKey(_._1).flatMapGroups { (k: K, it: Iterator[(K, V)]) =>
+      descr.assign(it.map(_._2).toIndexedSeq).map(w => (k, f(w)))
+    })
+
+  /** reference: aggr/fold.rs:126. */
+  def fold[A](init: A)(f: (A, V) => A)(
+      implicit ek: Encoder[K], ekv: Encoder[(K, V)], eka: Encoder[(K, A)]): Stream[(K, A)] =
+    mapWindow(w => w.foldLeft(init)(f))
+
+  /** reference: aggr/sum.rs:14. */
+  def sum[N](get: V => N)(implicit num: Numeric[N], ek: Encoder[K],
+      ekv: Encoder[(K, V)], ekn: Encoder[(K, N)]): Stream[(K, N)] =
+    mapWindow(w => w.iterator.map(get).sum)
+
+  /** reference: aggr/count.rs:30. */
+  def count(implicit ek: Encoder[K], ekv: Encoder[(K, V)],
+      ekl: Encoder[(K, Long)]): Stream[(K, Long)] =
+    mapWindow(_.length.toLong)
+
+  /** reference: aggr/max.rs:14 / min.rs:14. */
+  def max[B](get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],
+      ekv: Encoder[(K, V)], ekb: Encoder[(K, B)]): Stream[(K, B)] =
+    mapWindow(w => w.iterator.map(get).max)
+
+  def min[B](get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],
+      ekv: Encoder[(K, V)], ekb: Encoder[(K, B)]): Stream[(K, B)] =
+    mapWindow(w => w.iterator.map(get).min)
+
+  /** arg-max/arg-min by projection (reference: aggr/max.rs:31,43). */
+  def maxBy[B](get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],
+      ekv: Encoder[(K, V)]): Stream[(K, V)] = mapWindow(w => w.maxBy(get))
+
+  def minBy[B](get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],
+      ekv: Encoder[(K, V)]): Stream[(K, V)] = mapWindow(w => w.minBy(get))
+
+  /** reference: aggr/nth.rs:52,65 first.rs / last.rs. */
+  def first(implicit ek: Encoder[K], ekv: Encoder[(K, V)]): Stream[(K, V)] =
+    mapWindow(_.head)
+
+  def last(implicit ek: Encoder[K], ekv: Encoder[(K, V)]): Stream[(K, V)] =
+    mapWindow(_.last)
+
+  def nth(n: Int)(implicit ek: Encoder[K], ekv: Encoder[(K, V)],
+      eko: Encoder[(K, Option[V])]): Stream[(K, Option[V])] =
+    mapWindow(w => w.lift(n))
+
+  /** reference: aggr/collect_vec.rs:56. */
+  def toVec(implicit ek: Encoder[K], ekv: Encoder[(K, V)],
+      eks: Encoder[(K, Seq[V])]): Stream[(K, Seq[V])] =
+    mapWindow(w => w: Seq[V])
+
+  /** Per-key per-window cartesian product with another keyed stream sharing
+    * the same descriptor semantics (reference: window `join`,
+    * src/operator/window/aggr/join.rs:79-99). Implemented as a cogroup: both
+    * sides' elements of a key are windowed together by window index. */
+  def windowJoin[V2](other: KeyedStream[K, V2], descr2: WindowDescr[V2])(
+      implicit ek: Encoder[K], ekv: Encoder[(K, V)], ekv2: Encoder[(K, V2)],
+      eout: Encoder[(K, (V, V2))]): Stream[(K, (V, V2))] = {
+    val leftG = ks.ds.groupByKey(_._1)
+    val rightG = other.ds.groupByKey(_._1)
+    new Stream(leftG.cogroup(rightG) { (k, lit, rit) =>
+      val lw = descr.assign(lit.map(_._2).toIndexedSeq).toVector
+      val rw = descr2.assign(rit.map(_._2).toIndexedSeq).toVector
+      lw.zip(rw).iterator.flatMap { case (ws1, ws2) =>
+        for (a <- ws1.iterator; b <- ws2) yield (k, (a, b))
+      }
+    })
+  }
+}

@@ -1,0 +1,40 @@
+package graft.examples
+
+import graft.api._
+import graft.api.WindowDescr._
+
+/** Rolling hot-words over the events stream through the typed window façade —
+  * the analog of the reference's `examples/rolling_top_words_e2e.rs`: keyed
+  * count windows emitting the hottest key per window.
+  */
+object RollingTopWords {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = StreamContext.localSession(4)
+    val ctx = new StreamContext(spark)
+    import spark.implicits._
+
+    // (event_type, ts-millis) stream, keyed by type, 6h event-time tumbling
+    // windows, count per window, then hottest type per window start
+    val typed = ctx.streamParquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "ts div 1000000 as ms")
+      .as[(String, Long)]
+
+    val counts = ctx.fromDataset(typed)
+      .groupBy(_._1)
+      .window(EventTimeWindow.tumbling[(String, Long)](6L * 3600 * 1000)(_._2))
+      .mapWindow(w => (w.head._2 / (6L * 3600 * 1000), w.length))
+
+    val hottest = counts
+      .map { case (k, (win, n)) => (win, k, n) }
+      .groupBy(_._1)
+      .maxElement(v => (v._3, v._2))
+      .map(_._2)
+      .sortedBy(_._1)
+      .collectVec()
+
+    hottest.take(10).foreach { case (win, tpe, n) => println(s"window=$win\ttop=$tpe\tn=$n") }
+    println(s"TOTAL_WINDOWS=${hottest.size}")
+    spark.stop()
+  }
+}

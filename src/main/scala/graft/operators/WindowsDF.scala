@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window => W, WindowSpec}
+
+/** Catalyst lowering of the reference's window descriptors for the
+  * SQL-expressible cases (reference: src/operator/window/descr/). This is the
+  * scale path: everything stays in whole-stage codegen with partial
+  * aggregation — no per-key element materialization. Used by the oracle
+  * queries and Bench; the typed state-machine path for exotic descriptors
+  * lives in [[graft.api.WindowDescr]].
+  *
+  * All emit `w_start` as epoch micros (BIGINT) so results are
+  * dtype-stable across engines.
+  */
+object WindowsDF {
+
+  /** Event-time tumbling window (reference: descr/event_time.rs tumbling):
+    * one shuffle on (keys, window). */
+  def tumblingEventTime(df: DataFrame, ts: String, size: String, keys: Column*): DataFrame =
+    df.groupBy((window(col(ts), size).getField("start").as("w_start_ts") +: keys): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w_start", unix_micros(col("w_start_ts"))).drop("w_start_ts")
+
+  /** Grouped aggregation under an event-time tumbling window, caller supplies
+    * the aggregates. */
+  def tumblingAgg(df: DataFrame, ts: String, size: String, keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(ts), size).getField("start").as("w_start_ts") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("w_start", unix_micros(col("w_start_ts"))).drop("w_start_ts")
+
+  /** Event-time sliding window (reference: descr/event_time.rs sliding) —
+    * Spark's `window(ts, size, slide)` explodes each row into size/slide
+    * windows map-side, then partial-aggregates: the shuffle carries one row
+    * per (key, window), not per event. */
+  def slidingAgg(df: DataFrame, ts: String, size: String, slide: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(ts), size, slide).getField("start").as("w_start_ts") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("w_start", unix_micros(col("w_start_ts"))).drop("w_start_ts")
+
+  /** Event-time session window with max-gap (Spark `session_window`; the
+    * reference's SessionWindow is processing-time — documented divergence,
+    * SURVEY §7.4). */
+  def sessionAgg(df: DataFrame, ts: String, gap: String, keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy((session_window(col(ts), gap).getField("start").as("w_start_ts") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("w_start", unix_micros(col("w_start_ts"))).drop("w_start_ts")
+
+  /** Count-based tumbling windows (reference: descr/count.rs tumbling):
+    * row_number over a deterministic intra-key order, bucketed by
+    * `floor((rn-1)/size)`. `exact` drops the trailing partial window. */
+  def countTumbling(df: DataFrame, size: Int, keys: Seq[Column],
+      order: Seq[Column], exact: Boolean = true): DataFrame = {
+    val w = W.partitionBy(keys: _*).orderBy(order: _*)
+    val withWin = df
+      .withColumn("w_id", ((row_number().over(w) - 1) / size).cast("long"))
+    withWin
+  }
+
+  /** Last-k frame per arriving element (reference: descr/last_k.rs):
+    * `rowsBetween(-(k-1), 0)` — pure window function, no shuffle beyond the
+    * key partitioning. */
+  def lastKSpec(k: Int, keys: Seq[Column], order: Seq[Column]): WindowSpec =
+    W.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(k - 1), 0)
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form golden tests mirroring the reference's per-operator test style
+  * (reference: tests/aggregators.rs:6-52 etc. — sorted-collect equality
+  * against hand-computed values). */
+class FacadeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  lazy val ctx = new StreamContext(spark)
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  test("map / filter / flatMap / filterMap") {
+    val s = imp
+    import s._
+    val r = ctx.streamRange(10).map(_ * 2).filter(_ % 3 == 0).collectVec().sorted
+    assert(r == Seq(0L, 6L, 12L, 18L))
+    val fm = ctx.streamRange(3).flatMap(x => Seq(x, x + 10)).collectVec().sorted
+    assert(fm == Seq(0L, 1L, 2L, 10L, 11L, 12L))
+    val om = ctx.streamRange(5).filterMap(x => if (x % 2 == 0) Some(x * 100) else None)
+      .collectVec().sorted
+    assert(om == Seq(0L, 200L, 400L))
+  }
+
+  test("group_by_sum over 0..10 keyed by %2 — reference tests/aggregators.rs golden") {
+    val s = imp
+    import s._
+    val r = ctx.streamRange(10).groupBy(_ % 2).sum(identity[Long]).collectVec().sorted
+    assert(r == Seq((0L, 20L), (1L, 25L)))
+  }
+
+  test("keyed count / avg / maxElement / minElement") {
+    val s = imp
+    import s._
+    val ks = ctx.streamRange(10).groupBy(_ % 3)
+    assert(ks.count.collectVec().sorted == Seq((0L, 4L), (1L, 3L), (2L, 3L)))
+    val avg = ctx.streamRange(4).groupBy(_ % 2).avg(_.toDouble).collectVec().sorted
+    assert(avg == Seq((0L, 1.0), (1L, 2.0)))
+    val mx = ctx.streamRange(10).groupBy(_ % 2).maxElement(identity[Long]).collectVec().sorted
+    assert(mx == Seq((0L, 8L), (1L, 9L)))
+    val mn = ctx.streamRange(10).groupBy(_ % 2).minElement(identity[Long]).collectVec().sorted
+    assert(mn == Seq((0L, 0L), (1L, 1L)))
+  }
+
+  test("fold (sequential) and foldAssoc (partial+final) agree") {
+    val s = imp
+    import s._
+    val seqFold = ctx.streamRange(100).fold(0L)(_ + _).collectVec()
+    val assocFold = ctx.streamRange(100).foldAssoc(0L)(_ + _, _ + _).collectVec()
+    assert(seqFold == Seq(4950L) && assocFold == Seq(4950L))
+    val red = ctx.streamRange(100).reduceAssoc(math.max).collectVec()
+    assert(red == Seq(99L))
+  }
+
+  test("keyed fold via Aggregator (partial-agg path)") {
+    val s = imp
+    import s._
+    val r = ctx.streamRange(10).groupBy(_ % 2)
+      .fold(0L)((acc, v) => acc + v * v, _ + _)
+      .collectVec().sorted
+    assert(r == Seq((0L, 0L + 4 + 16 + 36 + 64), (1L, 1L + 9 + 25 + 49 + 81)))
+  }
+
+  test("foldScan: global aggregate then per-element map") {
+    val s = imp
+    import s._
+    val r = ctx.streamRange(5).foldScan(0L)(_ + _, _ + _)((total, x) => x.toDouble / total)
+      .collectVec().sorted
+    assert(r == Seq(0.0, 0.1, 0.2, 0.3, 0.4))
+  }
+
+  test("reduceScan") {
+    val s = imp
+    import s._
+    val r = ctx.streamRange(5).reduceScan(identity[Long])(math.max)((mx, x) => x - mx)
+      .collectVec().sorted
+    assert(r == Seq(-4L, -3L, -2L, -1L, 0L))
+  }
+
+  test("uniqueAssoc / merge / route") {
+    val s = imp
+    import s._
+    val u = ctx.streamIter(Seq(1, 1, 2, 3, 3, 3)).uniqueAssoc().collectVec().sorted
+    assert(u == Seq(1, 2, 3))
+    val m = ctx.streamIter(Seq(1, 2)).merge(ctx.streamIter(Seq(3))).collectVec().sorted
+    assert(m == Seq(1, 2, 3))
+    val routes = ctx.streamRange(10).route(_ < 3, _ < 7)
+    assert(routes(0).collectVec().sorted == Seq(0L, 1L, 2L))
+    assert(routes(1).collectVec().sorted == Seq(3L, 4L, 5L, 6L)) // first-match-wins
+  }
+
+  test("zip pairs in partition order") {
+    val s = imp
+    import s._
+    val z = ctx.streamIter(Seq("a", "b", "c")).zip(ctx.streamRange(3)).collectVec()
+    assert(z.map(_._1).sorted == Seq("a", "b", "c") && z.map(_._2).sorted == Seq(0L, 1L, 2L))
+  }
+
+  test("richMap per-partition state and mapMemo") {
+    val s = imp
+    import s._
+    // per-partition counter: every partition starts at 0 — state is created
+    // inside the partition, never serialized stale
+    val counts = ctx.streamRange(8, Some(2))
+      .richMap(() => new java.util.concurrent.atomic.AtomicLong())((st, _) => st.incrementAndGet())
+      .collectVec()
+    assert(counts.count(_ == 1L) == 2) // two partitions each saw a first element
+    val memo = ctx.streamIter(Seq(1, 1, 2, 2, 3)).mapMemo(10)(_ * 2).collectVec().sorted
+    assert(memo == Seq(2, 2, 4, 4, 6))
+  }
+
+  test("sortedBy / limit / sortedLimitBy") {
+    val s = imp
+    import s._
+    val sorted = ctx.streamIter(Seq(3, 1, 2)).sortedBy(identity[Int]).collectVec()
+    assert(sorted == Seq(1, 2, 3))
+    assert(ctx.streamRange(100).limit(5).collectVec().size == 5)
+    val top = ctx.streamRange(100)
+      .sortedLimitBy(3, 0, org.apache.spark.sql.functions.col("id").desc)
+      .collectVec()
+    assert(top == Seq(99L, 98L, 97L))
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import graft.api._
+import graft.api.WindowDescr._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the typed window descriptors, mirroring the reference's
+  * window tests (reference: tests/window/, src/operator/window/descr/ unit
+  * tests — closed-form expected window contents). */
+class WindowSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  lazy val ctx = new StreamContext(spark)
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  test("CountWindow.sliding(3,2) exact over 0..10 keyed by %2") {
+    val s = imp
+    import s._
+    val r = ctx.streamRange(10).groupBy(_ % 2)
+      .window(CountWindow.sliding[Long, Long](3, 2)(identity))
+      .sum(identity[Long])
+      .collectVec().sorted
+    // key 0: [0,2,4],[4,6,8] ; key 1: [1,3,5],[5,7,9]
+    assert(r == Seq((0L, 6L), (0L, 18L), (1L, 9L), (1L, 21L)))
+  }
+
+  test("CountWindow tumbling inexact emits first trailing partial window") {
+    val s = imp
+    import s._
+    val r = ctx.streamRange(10).groupBy(_ % 2)
+      .window(CountWindow[Long, Long](2, 2, exact = false, identity))
+      .sum(identity[Long])
+      .collectVec().sorted
+    // key 0: [0,2],[4,6],[8] ; key 1: [1,3],[5,7],[9]
+    assert(r == Seq((0L, 2L), (0L, 8L), (0L, 10L), (1L, 4L), (1L, 9L), (1L, 12L)))
+  }
+
+  test("LastKWindow(3) emits one window per element") {
+    val s = imp
+    import s._
+    val r = ctx.streamIter(Seq(0L, 2L, 4L, 6L, 8L)).groupBy(_ => 0)
+      .window(LastKWindow[Long, Long](3, identity))
+      .sum(identity[Long])
+      .collectVec().map(_._2).sorted
+    // [0],[0,2],[0,2,4],[2,4,6],[4,6,8]
+    assert(r == Seq(0L, 2L, 6L, 12L, 18L))
+  }
+
+  test("EventTimeWindow tumbling assigns by timestamp") {
+    val s = imp
+    import s._
+    val data = Seq((0L, 1.0), (5L, 2.0), (10L, 3.0), (14L, 4.0), (20L, 5.0))
+    val r = ctx.streamIter(data).groupBy(_ => 0)
+      .window(EventTimeWindow.tumbling[(Long, Double)](10)(_._1))
+      .sum(_._2)
+      .collectVec().map(_._2).sorted
+    assert(r == Seq(3.0, 5.0, 7.0)) // [0,5],[10,14],[20]
+  }
+
+  test("EventTimeWindow sliding(10,5) double-assigns") {
+    val s = imp
+    import s._
+    val data = Seq((0L, 1.0), (5L, 2.0), (12L, 3.0))
+    val r = ctx.streamIter(data).groupBy(_ => 0)
+      .window(EventTimeWindow.sliding[(Long, Double)](10, 5)(_._1))
+      .sum(_._2)
+      .collectVec().map(_._2)
+    // windows: start -5:[0], 0:[0,5], 5:[5,12], 10:[12]
+    assert(r.sorted == Seq(1.0, 3.0, 3.0, 5.0))
+  }
+
+  test("SessionWindow(gap=5) splits on gaps >= 5") {
+    val s = imp
+    import s._
+    val data = Seq(0L, 1L, 2L, 10L, 11L, 25L).map(t => (t, 1))
+    val r = ctx.streamIter(data).groupBy(_ => 0)
+      .window(SessionWindow[(Long, Int)](5, _._1))
+      .count
+      .collectVec().map(_._2).sorted
+    assert(r == Seq(1L, 2L, 3L))
+  }
+
+  test("AllWindow aggregates everything; first/last/nth/toVec/maxBy") {
+    val s = imp
+    import s._
+    val data = Seq((0L, "a"), (1L, "b"), (2L, "c"))
+    val ws = ctx.streamIter(data).groupBy(_ => 0)
+      .window(CountWindow.tumbling[(Long, String), Long](3)(_._1))
+    assert(ws.first.collectVec().map(_._2) == Seq((0L, "a")))
+    assert(ws.last.collectVec().map(_._2) == Seq((2L, "c")))
+    assert(ws.nth(1).collectVec().map(_._2) == Seq(Some((1L, "b"))))
+    assert(ws.toVec.collectVec().head._2.map(_._2) == Seq("a", "b", "c"))
+    assert(ws.maxBy(_._1).collectVec().map(_._2) == Seq((2L, "c")))
+    val all = ctx.streamRange(5).windowAll(AllWindow[Long]()).sum(identity[Long])
+      .collectVec().map(_._2)
+    assert(all == Seq(10L))
+  }
+
+  test("TransactionWindow: Commit / Discard / CommitAfter") {
+    val s = imp
+    import s._
+    // commit every time v % 5 == 4 → [0..4],[5..9]
+    val commits = ctx.streamRange(10).groupBy(_ => 0)
+      .window(TransactionWindow[Long, Long](
+        v => if (v % 5 == 4) Commit else Continue, identity, identity))
+      .sum(identity[Long]).collectVec().map(_._2).sorted
+    assert(commits == Seq(10L, 35L))
+
+    // discard at 3, commit at 9 → [4..9] only
+    val disc = ctx.streamRange(10).groupBy(_ => 0)
+      .window(TransactionWindow[Long, Long](
+        v => if (v == 3) Discard else if (v == 9) Commit else Continue, identity, identity))
+      .sum(identity[Long]).collectVec().map(_._2)
+    assert(disc == Seq(39L))
+
+    // CommitAfter(5) at v=2 → committed when 6 arrives: [0..5]
+    val after = ctx.streamRange(10).groupBy(_ => 0)
+      .window(TransactionWindow[Long, Long](
+        v => if (v == 2) CommitAfter(5L) else Continue, identity, identity))
+      .sum(identity[Long]).collectVec().map(_._2)
+    assert(after == Seq(15L))
+  }
+
+  test("windowJoin: per-window cartesian") {
+    val s = imp
+    import s._
+    val left = ctx.streamIter(Seq(1, 2, 3, 4)).groupBy(_ => 0)
+    val right = ctx.streamIter(Seq(10, 20, 30, 40)).groupBy(_ => 0)
+    val joined = left.window(CountWindow.tumbling[Int, Int](2)(identity))
+      .windowJoin(right, CountWindow.tumbling[Int, Int](2)(identity))
+      .collectVec().map(_._2).sorted
+    // window0: [1,2]x[10,20], window1: [3,4]x[30,40]
+    assert(joined == Seq((1, 10), (1, 20), (2, 10), (2, 20),
+                         (3, 30), (3, 40), (4, 30), (4, 40)))
+  }
+}
