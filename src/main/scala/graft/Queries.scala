@@ -611,6 +611,88 @@ object Queries {
       |AND date_trunc('day', CAST(a.ts AS TIMESTAMP)) = date_trunc('day', CAST(b.ts AS TIMESTAMP))
       |AND a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin
 
+  // =====================================================================
+  // §2.10 iteration (driver-loop fixpoints — graft.operators.Iteration)
+  // =====================================================================
+
+  /** nation chain edges: consecutive nations (by key) within each region —
+    * the small deterministic graph driving TC and PageRank. */
+  private def nationChain(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    tbl(s, dir, "nation")
+      .withColumn("next", lead(col("n_nationkey"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col("n_nationkey").cast("long").as("src"),
+              col("next").cast("long").as("dst"))
+  }
+
+  /** connected components via min-label propagation (reference:
+    * examples/connected_components.rs) on the bipartite customer–order graph.
+    * Oracle: each star's min label is its customer key. */
+  def q_connected_components(s: SparkSession, dir: String): DataFrame = {
+    val edges = tbl(s, dir, "orders").select(
+      col("o_custkey").as("src"),
+      (col("o_orderkey") + 10000000L).as("dst"))
+    graft.algorithms.Graph.connectedComponents(edges)
+  }
+
+  private val q_connected_components_sql =
+    """SELECT o_orderkey + 10000000 AS node, o_custkey AS component FROM orders
+      |UNION ALL
+      |SELECT DISTINCT o_custkey AS node, o_custkey AS component FROM orders""".stripMargin
+
+  /** transitive closure (reference: examples/transitive_closure.rs) of the
+    * nation chain: reachability = later nation in the same region. */
+  def q_transitive_closure(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.transitiveClosure(nationChain(s, dir))
+
+  private val q_transitive_closure_sql =
+    """SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
+      |FROM nation a JOIN nation b
+      |ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey""".stripMargin
+
+  /** PageRank, 3 rounds, d=0.85, no dangling redistribution (reference:
+    * examples/pagerank.rs). The chain graph has in-degree ≤ 1, so every FP
+    * operation has a fixed order on both engines — ranks match bitwise. */
+  def q_pagerank(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.pageRank(nationChain(s, dir), iterations = 3)
+
+  private val q_pagerank_sql =
+    """WITH E AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+      |         CAST(lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS BIGINT) AS dst
+      |  FROM nation QUALIFY dst IS NOT NULL),
+      |nodes AS (SELECT src AS node FROM E UNION SELECT dst FROM E),
+      |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |od AS (SELECT src, count(*) AS outdeg FROM E GROUP BY src),
+      |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM params) AS rank FROM nodes),
+      |r1 AS (SELECT nd.node,
+      |         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+      |         FROM E e JOIN od ON e.src = od.src JOIN r0 r ON r.node = e.src
+      |         GROUP BY e.dst) s ON nd.node = s.node),
+      |r2 AS (SELECT nd.node,
+      |         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+      |         FROM E e JOIN od ON e.src = od.src JOIN r1 r ON r.node = e.src
+      |         GROUP BY e.dst) s ON nd.node = s.node),
+      |r3 AS (SELECT nd.node,
+      |         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+      |         FROM E e JOIN od ON e.src = od.src JOIN r2 r ON r.node = e.src
+      |         GROUP BY e.dst) s ON nd.node = s.node)
+      |SELECT node, rank FROM r3""".stripMargin
+
+  /** k-means over the embeddings table (reference: examples/kmeans.rs via
+    * `replay`): deterministic init (lowest ids), 5 Lloyd rounds. Not
+    * SQL-expressible → rows-only driver check. */
+  def q_kmeans(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.KMeans.assign(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iterations = 5)
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -650,7 +732,11 @@ object Queries {
     "q_window_lastk" -> (q_window_lastk _),
     "q_window_first_last" -> (q_window_first_last _),
     "q_interval_join" -> (q_interval_join _),
-    "q_window_join" -> (q_window_join _)
+    "q_window_join" -> (q_window_join _),
+    "q_connected_components" -> (q_connected_components _),
+    "q_transitive_closure" -> (q_transitive_closure _),
+    "q_pagerank" -> (q_pagerank _),
+    "q_kmeans" -> (q_kmeans _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -688,6 +774,10 @@ object Queries {
     "q_window_lastk" -> q_window_lastk_sql,
     "q_window_first_last" -> q_window_first_last_sql,
     "q_interval_join" -> q_interval_join_sql,
-    "q_window_join" -> q_window_join_sql
+    "q_window_join" -> q_window_join_sql,
+    "q_connected_components" -> q_connected_components_sql,
+    "q_transitive_closure" -> q_transitive_closure_sql,
+    "q_pagerank" -> q_pagerank_sql
+    // q_kmeans: driver loop, not SQL-expressible → rows-only check
   )
 }

@@ -1,0 +1,88 @@
+package graft.algorithms
+
+import graft.operators.Iteration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms built on [[Iteration]] driver loops — the
+  * analogs of the reference's iteration examples
+  * (reference: examples/connected_components.rs, examples/pagerank.rs,
+  * examples/transitive_closure.rs), expressed as DataFrame joins so Catalyst
+  * plans every round (AQE re-plans each iteration since each is its own job).
+  *
+  * Scale notes: labels/ranks shuffle on the node id each round; edges are
+  * cached and reused; lineage is truncated by the loop's checkpointing. For
+  * power-law graphs the heavy keys are exactly AQE skew-join territory.
+  */
+object Graph {
+
+  /** Min-label propagation connected components.
+    * edges: (src: Long, dst: Long) undirected (both directions derived).
+    * Returns (node, component = min reachable node id). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val init = undirected.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+
+    val out = Iteration.loop(init, maxIter) { (labels, _) =>
+      // candidate = min over neighbors' labels and own label
+      val nbr = undirected
+        .join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .select(col("src").as("node"), col("component"))
+      nbr.union(labels)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+    } { (prev, next) =>
+      // converged when no label changed
+      val changed = next.as("n").join(prev.as("p"), Seq("node"))
+        .filter(col("n.component") =!= col("p.component")).limit(1).count()
+      changed == 0
+    }
+    undirected.unpersist()
+    out
+  }
+
+  /** PageRank without dangling-mass redistribution:
+    * rank'(n) = (1-d)/N + d * sum_{m->n} rank(m)/outdeg(m).
+    * edges: (src, dst) directed. Deterministic: per-node incoming sums in
+    * this dataset are tiny; formula structure matches the SQL oracle exactly. */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+
+    val init = nodes.withColumn("rank", lit(1.0 / n))
+    val out = Iteration.loop(init, iterations) { (ranks, _) =>
+      val contrib = e
+        .join(broadcast(outdeg), Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+      val incoming = contrib.groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      nodes.join(incoming, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("in_sum"), lit(0.0)))
+            .as("rank"))
+    } { (_, _) => false } // fixed iteration count
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    out
+  }
+
+  /** Transitive closure: iterate path extension until fixpoint
+    * (reference: examples/transitive_closure.rs). */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val base = edges.select(col("src"), col("dst")).distinct()
+    Iteration.loop(base, maxIter) { (paths, _) =>
+      val extended = paths.as("p")
+        .join(base.as("e"), col("p.dst") === col("e.src"))
+        .select(col("p.src").as("src"), col("e.dst").as("dst"))
+      paths.union(extended).distinct()
+    } { (prev, next) => next.count() == prev.count() }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.algorithms
+
+import graft.operators.Iteration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over an embedding column — the analog of the reference's
+  * replay-based kmeans (reference: examples/kmeans.rs: `replay` re-reads the
+  * cached points each round while only the centroid state evolves).
+  *
+  * Spark-first: points are cached once; each round is one aggregation job
+  * with the centroids broadcast (a few KB) — no shuffle of the points beyond
+  * the partial/final aggregate of per-cluster sums. This is exactly the shape
+  * that scales to 100 TB of vectors: the only reduced data is k × dim doubles
+  * per partition.
+  *
+  * Deterministic: init = the k points with the lowest ids; assignment breaks
+  * distance ties toward the lower cluster id (strict <).
+  */
+object KMeans {
+
+  /** df: (id: Long, vec: Array[Float|Double]).
+    * Returns (id, cluster) assignments after `iterations` rounds. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .persist()
+
+    val initCentroids: Array[Array[Double]] =
+      pts.orderBy(col("id")).limit(k).collect().map(_._2)
+
+    def nearest(centroids: Array[Array[Double]])(vec: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        val ctr = centroids(c)
+        while (i < vec.length) { val t = vec(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    val finalCentroids = Iteration.replay(pts.toDF(), iterations, initCentroids) {
+      (_, centroids) =>
+        val bc = spark.sparkContext.broadcast(centroids)
+        // per-cluster (sum vector, count) via typed partial aggregation
+        val agg = pts.mapPartitions { it =>
+          val ctr = bc.value
+          val sums = Array.fill(ctr.length)(new Array[Double](ctr.head.length))
+          val counts = new Array[Long](ctr.length)
+          it.foreach { case (_, v) =>
+            val cI = nearest(ctr)(v)
+            counts(cI) += 1
+            val s = sums(cI)
+            var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+          }
+          Iterator.tabulate(ctr.length)(cI => (cI, sums(cI), counts(cI)))
+        }.groupByKey(_._1)
+          .reduceGroups { (a, b) =>
+            val s = a._2.clone()
+            var i = 0; while (i < s.length) { s(i) += b._2(i); i += 1 }
+            (a._1, s, a._3 + b._3)
+          }
+          .map(_._2)
+          .collect()
+        val next = centroids.clone()
+        agg.foreach { case (cI, s, n) =>
+          if (n > 0) next(cI) = s.map(_ / n)
+        }
+        next
+    } { (_, _) => true }
+
+    val bc = spark.sparkContext.broadcast(finalCentroids)
+    val out = pts.map { case (id, v) => (id, nearest(bc.value)(v).toLong) }
+      .toDF("id", "cluster")
+    pts.unpersist()
+    out
+  }
+}

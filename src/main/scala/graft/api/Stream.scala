@@ -282,6 +282,28 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
 
   def unpersist(): Stream[T] = new Stream(ds.unpersist())
 
+  // ---------------------------------------------------------------------
+  // §2.10 iteration (driver loops — reference: src/operator/iteration/)
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point iteration with evolving dataset + state (reference:
+    * `iterate`, iteration/iterate.rs:363-545). Returns (final state, final
+    * stream) — the reference's two outputs. */
+  def iterate[S](maxIter: Int, init: S)(body: (Stream[T], S) => Stream[T])(
+      foldState: (Stream[T], S) => S)(cond: S => Boolean): (S, Stream[T]) = {
+    val (st, ds2) = graft.operators.Iteration.iterate(ds, maxIter, init)(
+      (d, s) => body(new Stream(d), s).ds)(
+      (d, s) => foldState(new Stream(d), s))(cond)
+    (st, new Stream(ds2))
+  }
+
+  /** Replay iteration: input re-read (from cache) each round, only state
+    * evolves (reference: `replay`, iteration/replay.rs:256-358). */
+  def replay[S](maxIter: Int, init: S)(round: (Stream[T], S) => S)(
+      cond: (S, S) => Boolean): S =
+    graft.operators.Iteration.replay(ds, maxIter, init)(
+      (d, s) => round(new Stream(d), s))(cond)
+
   /** Escape hatch to the underlying frame. */
   def toDF: DataFrame = ds.toDF()
 }
