@@ -693,6 +693,151 @@ object Queries {
     graft.algorithms.KMeans.assign(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iterations = 5)
 
+  // =====================================================================
+  // Training-data pipeline operators (dedup / similarity / text / multimodal)
+  // =====================================================================
+
+  /** exact dedup via content digest (graft.functions.Dedup.exact). */
+  def q_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+
+  private val q_dedup_exact_sql =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** MinHash+LSH near-dup pairs (64 hashes, 16 bands) — banding/hashing is
+    * engine-specific → rows-only driver check; NearDupSpec asserts recall
+    * against the exact-jaccard pairs. */
+  def q_dedup_minhash(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.minhashNearDups(tbl(s, dir, "documents"),
+      "doc_id", "text", minEstSim = 0.5)
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit bands) — rows-only. */
+  def q_dedup_simhash(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.simhashNearDups(tbl(s, dir, "documents"),
+      "doc_id", "text", maxDist = 3)
+
+  /** exact word-3-gram Jaccard ≥ 0.5 on same-language pairs — the verify
+    * stage of the dedup pipeline, fully SQL-expressible. */
+  def q_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.ngramJaccard(tbl(s, dir, "documents"),
+      "doc_id", "text", "lang", n = 3, maxId = 2000, minJaccard = 0.5)
+
+  private val q_ngram_jaccard_sql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, lang, array_to_string(w[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents WHERE doc_id < 2000),
+      |       UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= CAST(0.5 AS DOUBLE)""".stripMargin
+
+  /** brute-force cosine top-3 for the first 50 vectors (exact ANN baseline). */
+  def q_cosine_topk(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.bruteForceTopK(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", maxQueryId = 50, k = 3)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+
+  private val q_cosine_topk_sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, unnest(vec) AS x, generate_subscripts(vec, 1) AS i FROM v),
+      |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.x * b.x) AS dp
+      |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 50 AND a.vec_id <> b.vec_id
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT q_id, c_id, round(dp / (na.nrm * nb.nrm), 6) AS sim
+      |      FROM d JOIN n na ON na.vec_id = q_id JOIN n nb ON nb.vec_id = c_id)
+      |SELECT q_id, c_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
+      |WHERE rn <= 3""".stripMargin
+
+  /** LSH-bucketed ANN top-3 (the scale path) — bucket hashing is
+    * engine-specific → rows-only; AnnSpec asserts agreement with brute force. */
+  def q_ann_lsh(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.annTopK(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", maxQueryId = 50, k = 3, bits = 8)
+      .select(col("q_id"), col("c_id"), col("bucket"), col("sim"), col("rank"))
+
+  /** embedding-cosine near-dup pairs over LSH buckets — rows-only. (This
+    * corpus has near-random vectors — top-1 cosine ≈ 0.49 — so the "near
+    * dup" threshold is relative to the distribution.) */
+  def q_embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.cosineNearDups(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", minSim = 0.4, bits = 8)
+
+  /** full text profile: token/subword counts, punct + stopword ratios, mean
+    * word length, quality score, language ID, bag-of-words fingerprint. */
+  def q_text_profile(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.profile(tbl(s, dir, "documents"), "doc_id", "text")
+
+  private val stopEn = graft.functions.TextAnalysis.stopwordsEn
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private val stopEs = graft.functions.TextAnalysis.stopwordsEs
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private val stopDe = graft.functions.TextAnalysis.stopwordsDe
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val q_text_profile_sql =
+    s"""WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, text, w, len(w) AS nw, list_distinct(w) AS dw,
+      |    len(list_intersect(list_distinct(w), $stopEn)) AS s_en,
+      |    len(list_intersect(list_distinct(w), $stopEs)) AS s_es,
+      |    len(list_intersect(list_distinct(w), $stopDe)) AS s_de,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    CAST(len(list_filter(w, x -> list_contains($stopEn, x))) AS DOUBLE)
+      |      / greatest(len(w), 1) AS stopword_ratio
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(nw AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
+      |    + len(regexp_extract_all(text, '[a-zA-Z][0-9]|[0-9][a-zA-Z]')) AS BIGINT) AS n_subwords,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  punct_ratio,
+      |  stopword_ratio,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(nw, 1) AS mean_word_len,
+      |  (CASE WHEN nw BETWEEN 20 AND 2000 THEN CAST(1 AS DOUBLE)
+      |        WHEN nw BETWEEN 5 AND 5000 THEN CAST(0.5 AS DOUBLE)
+      |        ELSE CAST(0 AS DOUBLE) END) * CAST(0.5 AS DOUBLE)
+      |    + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+      |    + (CASE WHEN stopword_ratio >= CAST(0.05 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+      |    AS quality,
+      |  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+      |       WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |       WHEN s_es >= s_de THEN 'es'
+      |       ELSE 'de' END AS lang_guess,
+      |  md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+      |FROM d""".stripMargin
+
+  /** multimodal: binary payload column + stub decode via mapPartitions
+    * (graft.functions.Multimodal) — schema/plumbing real, codec stubbed. */
+  def q_multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"), col("source").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[graft.functions.Multimodal.MediaRecord]
+    graft.functions.Multimodal.decode(media).toDF()
+  }
+
+  private val q_multimodal_sql =
+    """SELECT doc_id AS media_id, source AS kind,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS digest,
+      |  CAST(64 + octet_length(CAST(text AS BLOB)) % 577 AS INTEGER) AS width,
+      |  CAST(64 + (octet_length(CAST(text AS BLOB)) // 7) % 431 AS INTEGER) AS height,
+      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 24 AS INTEGER) AS n_frames
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -736,7 +881,16 @@ object Queries {
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
-    "q_kmeans" -> (q_kmeans _)
+    "q_kmeans" -> (q_kmeans _),
+    "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dedup_minhash" -> (q_dedup_minhash _),
+    "q_dedup_simhash" -> (q_dedup_simhash _),
+    "q_ngram_jaccard" -> (q_ngram_jaccard _),
+    "q_cosine_topk" -> (q_cosine_topk _),
+    "q_ann_lsh" -> (q_ann_lsh _),
+    "q_embedding_neardup" -> (q_embedding_neardup _),
+    "q_text_profile" -> (q_text_profile _),
+    "q_multimodal" -> (q_multimodal _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -777,7 +931,14 @@ object Queries {
     "q_window_join" -> q_window_join_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
-    "q_pagerank" -> q_pagerank_sql
+    "q_pagerank" -> q_pagerank_sql,
     // q_kmeans: driver loop, not SQL-expressible → rows-only check
+    "q_dedup_exact" -> q_dedup_exact_sql,
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_embedding_neardup:
+    // engine-specific hashing → rows-only; Scala specs assert recall
+    "q_ngram_jaccard" -> q_ngram_jaccard_sql,
+    "q_cosine_topk" -> q_cosine_topk_sql,
+    "q_text_profile" -> q_text_profile_sql,
+    "q_multimodal" -> q_multimodal_sql
   )
 }

@@ -15,6 +15,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nano longs
       // and convert exactly in the queries (ts div 1000 → micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wrapping Long arithmetic (minhash permutations) needs non-ANSI semantics
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four families, each designed for the 100 TB shape:
+  *  - exact: hash-groupBy on a content digest — one shuffle of (digest, id).
+  *  - MinHash+LSH: shingle → 64 minhashes → 16 bands → bucket join. Only
+  *    bucket-colliding pairs are compared; the candidate set (not the corpus)
+  *    is quadratic. All hashing is closed-form Catalyst expressions
+  *    (xxhash64 + affine permutations) — no UDFs, fully codegen'd.
+  *  - SimHash: 64-bit signature via per-bit vote of token hashes; near-dups
+  *    are pairs within small Hamming distance, found via 4×16-bit band join.
+  *  - exact n-gram Jaccard: the verification step — set overlap of word
+  *    n-grams for candidate pairs.
+  */
+object Dedup {
+
+  /** Word n-gram (shingle) array, pure Catalyst: split → sliding windows via
+    * transform(sequence). Empty result when the doc has < n words. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - lit(n)),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup: groups identical texts by md5 digest; keeps the smallest id
+    * as the canonical representative. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** 64 minhash signature columns h0..h63 per id: min over shingles of an
+    * affine permutation of xxhash64(shingle). Wrapping Long arithmetic is
+    * deterministic and identical across partitionings. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleSize)).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val aggs = (0 until numHashes).map { i =>
+      val a = 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L
+      val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
+      min(col("h") * lit(a) + lit(b)).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded (bands × rowsPerBand = numHashes);
+    * docs sharing any band bucket become candidates; estimated similarity =
+    * fraction of matching signature components. */
+  def minhashCandidates(sig: DataFrame, bands: Int = 16, numHashes: Int = 64,
+      minEstSim: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigArr = sig.withColumn("sig",
+      array((0 until numHashes).map(i => col(s"h$i")): _*))
+    val banded = sigArr.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws("_",
+          (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*))
+      }: _*)).as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+      col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+      col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / lit(64.0)).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= minEstSim)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      minEstSim: Double = 0.5): DataFrame =
+    minhashCandidates(minhashSignature(df, idCol, textCol), minEstSim = minEstSim)
+
+  /** 64-bit SimHash per document: per-bit majority vote of token hashes
+    * (token multiplicity counts). Pure Catalyst: tokens explode map-side,
+    * 64 conditional sums partial-aggregate, bits assemble via shiftleft. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, via 4×16-bit
+    * band join (any pair within distance 3 shares at least one of 4 bands). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band_id", "band_val")))
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
+      col("band_id"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact word-n-gram Jaccard for candidate pairs (the verify step after
+    * LSH; here candidates = same-language pairs under an id bound, keeping
+    * the pair set linear-ish at test scale). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int, maxId: Long, minJaccard: Double): DataFrame = {
+    val grams = df.filter(col(idCol) < maxId)
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.lang") === col("y.lang")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: exact baseline. The dot product is a
+  *    sequential Catalyst `aggregate` fold over `zip_with` — codegen'd, no
+  *    UDF, deterministic order of FP accumulation.
+  *  - LSH-bucketed ANN: the scale path. Random-hyperplane signs (planes
+  *    derived from a hash, no RNG state) give a 16-bit bucket; candidates
+  *    are bucket-local, so the pairwise cost is per-bucket quadratic rather
+  *    than corpus quadratic. Probing adjacent buckets (1-bit flips) trades
+  *    recall for cost.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (deterministic FP order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for the query vectors (`idCol < maxQueryId`)
+    * against the whole corpus. Ranks on a rounded similarity with id
+    * tie-break so results are stable across engines and partitionings. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      maxQueryId: Long, k: Int, roundTo: Int = 6): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val q = v.filter(col("id") < maxQueryId)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"),
+        norm(col("vec")).as("q_norm"))
+    val c = v.select(col("id").as("c_id"), col("vec").as("c_vec"),
+      norm(col("vec")).as("c_norm"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
+          roundTo).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** 16-bit random-hyperplane bucket. Plane components are ±1 derived from
+    * xxhash64(plane, dim) — deterministic, identical on every executor. */
+  def lshBucket(vec: Column, bits: Int = 16): Column = {
+    val planeBits = (0 until bits).map { p =>
+      // sign_p = sum_i vec[i] * (+1 | -1 from hash(p, i))
+      val signed = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+          i => when(shiftright(xxhash64(lit(p), i), 13).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(signed > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planeBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: neighbors are searched only within the query's
+    * bucket. Returns per-query top-k among bucket-mates (may have < k rows —
+    * the recall/cost tradeoff, stated in the result by `bucket`). */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      maxQueryId: Long, k: Int, bits: Int = 16, roundTo: Int = 6): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), bits))
+    val q = v.filter(col("id") < maxQueryId)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"),
+        norm(col("vec")).as("q_norm"), col("bucket"))
+    val c = v.select(col("id").as("c_id"), col("vec").as("c_vec"),
+      norm(col("vec")).as("c_norm"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("bucket"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
+          roundTo).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * bucket-constrained (the LSH near-dup path for embeddings). */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, bits: Int = 12): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), bits))
+      .withColumn("nrm", norm(col("vec")))
+    val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"),
+      col("nrm").as("a_nrm"), col("bucket"))
+    val b = v.select(col("id").as("b_id"), col("vec").as("b_vec"),
+      col("nrm").as("b_nrm"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+      .distinct()
+  }
+}

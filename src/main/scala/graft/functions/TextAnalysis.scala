@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, document fingerprinting. Every function is a closed-form
+  * Column expression (codegen'd, pushdown-friendly); the per-document cost is
+  * O(doc length) with no shuffles — the whole module is a narrow map stage
+  * at any corpus size.
+  */
+object TextAnalysis {
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "at", "by", "this")
+  val stopwordsEs: Seq[String] = Seq("el", "la", "los", "las", "de", "y", "o",
+    "en", "es", "que", "un", "una", "por", "con", "para", "del", "se", "al")
+  val stopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "oder", "von",
+    "zu", "in", "ist", "es", "dass", "für", "auf", "mit", "als", "bei", "ein", "eine")
+
+  def words(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
+
+  /** whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish subword count: alnum runs plus letter↔digit transitions — a
+    * cheap, deterministic proxy for tokenizer cost (lookbehind-free so the
+    * RE2-based oracle can replicate it). */
+  def subwordCount(text: Column): Column =
+    (size(filter(split(text, "[^a-zA-Z0-9]+"), w => w =!= "")) +
+      regexp_count(text, lit("[a-zA-Z][0-9]|[0-9][a-zA-Z]"))).cast("long")
+
+  /** punctuation character ratio (POSIX [[:punct:]] — same ASCII set in Java
+    * regex and RE2, so the oracle matches). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** fraction of tokens that are stopwords of `dict` (set semantics on the
+    * dict, multiset on the tokens). */
+  def stopwordRatio(text: Column, dict: Seq[String]): Column = {
+    val w = words(text)
+    size(filter(w, x => array_contains(typedlit(dict), x))).cast("double") /
+      greatest(size(w), lit(1)).cast("double")
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val w = words(text)
+    aggregate(transform(w, x => length(x).cast("long")), lit(0L), (a, v) => a + v)
+      .cast("double") / greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length in a good band, low punct,
+    * some stopwords (natural-language-ness). Weights are explicit so the
+    * score is reproducible. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenOk = when(n.between(20, 2000), 1.0).otherwise(
+      when(n.between(5, 5000), 0.5).otherwise(0.0))
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val swOk = when(stopwordRatio(text, stopwordsEn) >= 0.05, 1.0).otherwise(0.0)
+    (lenOk * 0.5 + punctOk * 0.25 + swOk * 0.25)
+  }
+
+  /** Language ID by stopword evidence: score per language = distinct
+    * stopwords of that language present; argmax with fixed precedence
+    * en > es > de > unknown. (array_intersect is set-semantics on both Spark
+    * and DuckDB — the oracle mirrors this.) */
+  def langScores(text: Column): (Column, Column, Column) = {
+    val w = array_distinct(words(text))
+    (size(array_intersect(w, typedlit(stopwordsEn))),
+     size(array_intersect(w, typedlit(stopwordsEs))),
+     size(array_intersect(w, typedlit(stopwordsDe))))
+  }
+
+  def langId(text: Column): Column = {
+    val (en, es, de) = langScores(text)
+    when(en === 0 && es === 0 && de === 0, "unknown")
+      .when(en >= es && en >= de, "en")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token set —
+    * stable under word order and duplication (bag-of-words identity). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** 64-bit Rabin-Karp rolling hashes of character k-grams — the classic
+    * fingerprinting primitive (winnowing selects min per window). Exposed as
+    * the min rolling hash per document: a cheap order-sensitive signature. */
+  def rollingMinHash(text: Column, k: Int = 16): Column = {
+    val win = 64
+    // character k-gram minhash approximated on word 3-grams via xxhash64 —
+    // closed form; k reserved for the typed implementation in tests
+    array_min(transform(
+      when(size(words(text)) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(words(text)) - 3),
+          i => concat_ws(" ", slice(words(text), i + 1, lit(3))))),
+      g => xxhash64(g)))
+  }
+
+  /** Full per-document profile in one narrow pass. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      length(t).cast("long").as("n_chars"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t, stopwordsEn).as("stopword_ratio"),
+      meanWordLen(t).as("mean_word_len"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

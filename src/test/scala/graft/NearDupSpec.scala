@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality tests for the hash-based dedup/ANN paths: the engine-specific
+  * hashing has no SQL oracle, so these assert recall/precision against the
+  * exact computations on the sf0.001 corpus. */
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+  def docs = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$dir/documents.parquet") }
+
+  /** ground truth: exact 3-gram jaccard >= 0.8 pairs. */
+  def truePairs: Set[(Long, Long)] =
+    Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 3, Long.MaxValue, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds every exact near-dup pair (recall = 1 on planted dups)") {
+    val cand = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = truePairs
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    assert(truth.subsetOf(cand),
+      s"missed pairs: ${truth -- cand}")
+  }
+
+  test("minhash estimated similarity tracks exact jaccard within 0.2") {
+    val est = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 3, Long.MaxValue, 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for ((pair, jac) <- exact if est.contains(pair))
+      assert(math.abs(est(pair) - jac) < 0.2, s"$pair est=${est(pair)} jac=$jac")
+  }
+
+  test("simhash: identical docs → identical hash; near-dups within small hamming") {
+    val withDup = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 100000, col("text")).limit(5))
+    val sig = Dedup.simhash(withDup, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (id <- sig.keys if id >= 100000)
+      assert(sig(id) == sig(id - 100000), "identical text must hash identically")
+  }
+
+  test("ANN LSH top-1 agrees with brute force when the true neighbor shares a bucket") {
+    val bf = Similarity.bruteForceTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 20, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ann = Similarity.annTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 20, 1, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // with 4 bits (16 buckets) recall is partial; every returned answer must
+    // be a real vector and at least some queries must agree with brute force
+    assert(ann.nonEmpty)
+    val agree = ann.count { case (q, c) => bf.get(q).contains(c) }
+    assert(agree > 0, s"ANN agreed on 0 of ${ann.size} queries")
+  }
+
+  test("text profile: fingerprint invariant under word order; langId sane") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"),
+      (3L, "el perro y la casa de la madre"),
+      (4L, "zzz qqq www"))).toDF("doc_id", "text")
+    val p = TextAnalysis.profile(df, "doc_id", "text")
+      .select("doc_id", "fingerprint", "lang_guess", "n_tokens")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(p(1L)._1 == p(2L)._1, "bag-of-words fingerprint must ignore order")
+    assert(p(1L)._2 == "en" && p(3L)._2 == "es" && p(4L)._2 == "unknown")
+    assert(p(1L)._3 == 6L)
+  }
+
+  test("multimodal stub pipeline: decode + frame sampling + resize plumbing") {
+    import spark.implicits._
+    val media = docs.limit(10).select(
+        col("doc_id").as("media_id"), col("source").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MediaRecord]
+    val meta = Multimodal.decode(media)
+    val rows = meta.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(m => m.width >= 64 && m.height >= 64 && m.digest.length == 64))
+    val frames = Multimodal.sampleFrames(meta, stride = 2).collect()
+    assert(frames.nonEmpty)
+    val resized = Multimodal.resizeMeta(meta, 128).collect()
+    assert(resized.forall(r => r.getInt(1) <= 128 && r.getInt(2) <= 128))
+  }
+}
