@@ -1,0 +1,116 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured Streaming semantics tests via MemoryStream — watermark-driven
+  * window emission and the stateful window machines. Mirrors the reference's
+  * event-time tests (reference: tests/window/event_time.rs) and pins the
+  * documented late-data divergence (reference errors; Spark drops). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("tumbling windows emit on watermark; late rows are dropped (divergence pin)") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.tumblingCounts(
+      Streaming.withEventTime(in.toDF.toDF("ts", "k"), "ts", "5 seconds"),
+      "ts", "10 seconds", col("k"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumble").start()
+    try {
+      in.addData((ts(1), "a"), (ts(3), "a"), (ts(11), "a"))
+      q.processAllAvailable()
+      // watermark = 11-5 = 6 → window [0,10) not closed yet
+      assert(spark.table("tumble").count() == 0)
+      in.addData((ts(20), "a")) // watermark 15 → [0,10) closes with 2 rows
+      q.processAllAvailable()
+      val rows1 = spark.table("tumble").as[(Timestamp, Long, String)].collect()
+      assert(rows1.map(r => (r._1.getTime / 1000, r._2)).toSet == Set((0L, 2L)))
+      // late element at ts=2 (≤ watermark): reference errors, Spark drops
+      in.addData((ts(2), "a"), (ts(40), "a"))
+      q.processAllAvailable()
+      val rows2 = spark.table("tumble").as[(Timestamp, Long, String)].collect()
+      assert(!rows2.exists(r => r._1.getTime == 0 && r._2 != 2),
+        "late row must not reopen the closed window")
+    } finally q.stop()
+  }
+
+  test("streaming CountWindow.tumbling(3) emits exact windows per key") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val out = Streaming.countTumbling(in.toDS(), 3)(w => w.sum)
+    val q = out.toDF("k", "sum").writeStream.outputMode("append")
+      .format("memory").queryName("cnt3").start()
+    try {
+      in.addData(("a", 1), ("a", 2), ("b", 10))
+      q.processAllAvailable()
+      assert(spark.table("cnt3").count() == 0) // no window filled yet
+      in.addData(("a", 3), ("a", 4), ("b", 20), ("b", 30))
+      q.processAllAvailable()
+      val got = spark.table("cnt3").as[(String, Int)].collect().toSet
+      assert(got == Set(("a", 6), ("b", 60))) // [1,2,3] and [10,20,30]
+      in.addData(("a", 5), ("a", 6))
+      q.processAllAvailable()
+      val got2 = spark.table("cnt3").as[(String, Int)].collect().toSet
+      assert(got2 == Set(("a", 6), ("b", 60), ("a", 15))) // [4,5,6]
+    } finally q.stop()
+  }
+
+  test("streaming TransactionWindow: Commit and CommitAfter semantics") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    // logic: value 99 commits; value 50 arms CommitAfter(ts=60)
+    val out = Streaming.transactionWindow[String, Long, Long](
+      in.toDS(),
+      v => if (v == 99L) Streaming.TxCommit
+           else if (v == 50L) Streaming.TxCommitAfter(60L)
+           else Streaming.TxContinue,
+      v => v)(w => w.sum)
+    val q = out.toDF("k", "sum").writeStream.outputMode("append")
+      .format("memory").queryName("txw").start()
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("a", 99L))
+      q.processAllAvailable()
+      assert(spark.table("txw").as[(String, Long)].collect().toSet == Set(("a", 102L)))
+      // CommitAfter: arm at 50, then 55 (<=60) joins, 70 (>60) triggers commit first
+      in.addData(("b", 50L), ("b", 55L), ("b", 70L))
+      q.processAllAvailable()
+      val got = spark.table("txw").as[(String, Long)].collect().toSet
+      assert(got == Set(("a", 102L), ("b", 105L))) // [50,55] committed, 70 pending
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join with watermarks") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val l = MemoryStream[(Timestamp, String)]
+    val r = MemoryStream[(Timestamp, String)]
+    val left = Streaming.withEventTime(l.toDF.toDF("lts", "lk"), "lts", "10 seconds")
+    val right = Streaming.withEventTime(r.toDF.toDF("rts", "rk"), "rts", "10 seconds")
+    val joined = Streaming.intervalJoin(left, right,
+      col("lk") === col("rk"), col("lts"), col("rts"), "5 SECONDS", "5 SECONDS")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij").start()
+    try {
+      l.addData((ts(10), "x")); r.addData((ts(12), "x"), (ts(30), "x"))
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+      assert(got.length == 1, s"expected 1 join row, got ${got.length}")
+    } finally q.stop()
+  }
+}
