@@ -633,7 +633,8 @@ object Queries {
     val edges = tbl(s, dir, "orders").select(
       col("o_custkey").as("src"),
       (col("o_orderkey") + 10000000L).as("dst"))
-    graft.algorithms.Graph.connectedComponents(edges)
+    // orderkey is unique → the edge list is duplicate-free by construction
+    graft.algorithms.Graph.connectedComponents(edges, dedupeEdges = false)
   }
 
   private val q_connected_components_sql =
@@ -644,7 +645,8 @@ object Queries {
   /** transitive closure (reference: examples/transitive_closure.rs) of the
     * nation chain: reachability = later nation in the same region. */
   def q_transitive_closure(s: SparkSession, dir: String): DataFrame =
-    graft.algorithms.Graph.transitiveClosure(nationChain(s, dir))
+    // 25-node graph: single partition avoids per-round task-scheduling cost
+    graft.algorithms.Graph.transitiveClosure(nationChain(s, dir), parallelism = Some(1))
 
   private val q_transitive_closure_sql =
     """SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
@@ -655,7 +657,8 @@ object Queries {
     * examples/pagerank.rs). The chain graph has in-degree ≤ 1, so every FP
     * operation has a fixed order on both engines — ranks match bitwise. */
   def q_pagerank(s: SparkSession, dir: String): DataFrame =
-    graft.algorithms.Graph.pageRank(nationChain(s, dir), iterations = 3)
+    graft.algorithms.Graph.pageRank(nationChain(s, dir), iterations = 3,
+      parallelism = Some(1))
 
   private val q_pagerank_sql =
     """WITH E AS (

@@ -18,15 +18,27 @@ object Graph {
 
   /** Min-label propagation connected components.
     * edges: (src: Long, dst: Long) undirected (both directions derived).
-    * Returns (node, component = min reachable node id). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    val undirected = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    * Returns (node, component = min reachable node id).
+    *
+    * Convergence check exploits monotonicity: labels only ever decrease, so
+    * the label sum is strictly decreasing until fixpoint — one cheap agg per
+    * round instead of a prev⋈next join. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame = {
+    val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
+    val both = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // pre-partition on the join key: the cached relation keeps this
+    // partitioning, so the per-round join shuffles only the labels side
+    val undirected = (if (dedupeEdges) both.distinct() else both)
+      .repartition(col("dst"))
       .persist()
     val init = undirected.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
+
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).head().getLong(0)
+    var last = Long.MinValue
 
     val out = Iteration.loop(init, maxIter) { (labels, _) =>
       // candidate = min over neighbors' labels and own label
@@ -37,10 +49,11 @@ object Graph {
       nbr.union(labels)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
     } { (prev, next) =>
-      // converged when no label changed
-      val changed = next.as("n").join(prev.as("p"), Seq("node"))
-        .filter(col("n.component") =!= col("p.component")).limit(1).count()
-      changed == 0
+      if (last == Long.MinValue) last = labelSum(prev)
+      val nx = labelSum(next)
+      val done = nx == last
+      last = nx
+      done
     }
     undirected.unpersist()
     out
@@ -50,9 +63,10 @@ object Graph {
     * rank'(n) = (1-d)/N + d * sum_{m->n} rank(m)/outdeg(m).
     * edges: (src, dst) directed. Deterministic: per-node incoming sums in
     * this dataset are tiny; formula structure matches the SQL oracle exactly. */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      parallelism: Option[Int] = None): DataFrame = {
+    val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
+    val e = e0.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count().toDouble
@@ -76,8 +90,10 @@ object Graph {
 
   /** Transitive closure: iterate path extension until fixpoint
     * (reference: examples/transitive_closure.rs). */
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val base = edges.select(col("src"), col("dst")).distinct()
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 20,
+      parallelism: Option[Int] = None): DataFrame = {
+    val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
+    val base = e0.select(col("src"), col("dst")).distinct()
     Iteration.loop(base, maxIter) { (paths, _) =>
       val extended = paths.as("p")
         .join(base.as("e"), col("p.dst") === col("e.src"))
