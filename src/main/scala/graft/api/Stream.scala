@@ -283,6 +283,45 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   def unpersist(): Stream[T] = new Stream(ds.unpersist())
 
   // ---------------------------------------------------------------------
+  // §2.6 joins (strategy builder — see graft.api.Joins)
+  // ---------------------------------------------------------------------
+
+  /** Equi-join builder (reference: `join`, src/operator/join/mod.rs:115):
+    * `s1.joinWith(s2)(k1, k2).shipBroadcastRight.inner`. */
+  def joinWith[U, K](other: Stream[U])(k1: T => K, k2: U => K)(
+      implicit e1: Encoder[(K, T)], e2: Encoder[(K, U)]): JoinBuilder[T, U, K] =
+    Joins.joinWith(this, other)(k1, k2)
+
+  // ---------------------------------------------------------------------
+  // §2.8 set operations (distinct is uniqueAssoc above; intersect/except
+  // are additive beyond the reference — SURVEY §2.8)
+  // ---------------------------------------------------------------------
+
+  def intersect(other: Stream[T]): Stream[T] = new Stream(ds.intersect(other.ds))
+
+  def except(other: Stream[T]): Stream[T] = new Stream(ds.except(other.ds))
+
+  // ---------------------------------------------------------------------
+  // §2.9 event time (batch view; streaming in graft.streaming.Streaming)
+  // ---------------------------------------------------------------------
+
+  /** Tag each element with an event time (reference: `add_timestamps`,
+    * src/operator/mod.rs:329; watermark generation is implicit in Spark —
+    * max(ts) − delay). */
+  def addTimestamps(ts: T => Long)(implicit e: Encoder[(T, Long)]): Stream[(T, Long)] =
+    new Stream(ds.map(x => (x, ts(x))))
+
+  /** Reference: `drop_timestamps`, src/operator/mod.rs:342. */
+  def dropTimestamps[U](implicit ev: T <:< (U, Long), e: Encoder[U]): Stream[U] =
+    new Stream(ds.map(x => ev(x)._1))
+
+  /** Sort timestamped elements (reference: `reorder`, src/operator/reorder.rs:
+    * buffers until each watermark and releases sorted; a batch is one
+    * watermark-to-end segment, so this is a per-partition sort). */
+  def reorder[U](implicit ev: T <:< (U, Long), e: Encoder[T]): Stream[T] =
+    new Stream(ds.sortWithinPartitions(col("_2")))
+
+  // ---------------------------------------------------------------------
   // §2.10 iteration (driver loops — reference: src/operator/iteration/)
   // ---------------------------------------------------------------------
 

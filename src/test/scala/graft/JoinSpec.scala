@@ -1,0 +1,100 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden join tests mirroring the reference doctests
+  * (reference: src/operator/join/mod.rs:99-113, 149-161, 196-210:
+  * streams 0..5 and 0..4 with keyers n%2 — hand-computed pairs). */
+class JoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .getOrCreate()
+  lazy val ctx = new StreamContext(spark)
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  test("inner join with keyers (reference join doctest shape)") {
+    val s = imp
+    import s._
+    val a = ctx.streamIter(Seq(0, 1, 2, 3, 4))
+    val b = ctx.streamIter(Seq(0, 1, 2))
+    val r = a.joinWith(b)(_ % 2, _ % 2).inner.collectVec()
+      .map { case (k, (x, y)) => (k, x, y) }.sorted
+    // key 0: {0,2,4}×{0,2}; key 1: {1,3}×{1}
+    assert(r == Seq((0, 0, 0), (0, 0, 2), (0, 2, 0), (0, 2, 2), (0, 4, 0), (0, 4, 2),
+                    (1, 1, 1), (1, 3, 1)))
+  }
+
+  test("left outer join yields None for unmatched") {
+    val s = imp
+    import s._
+    val a = ctx.streamIter(Seq(1, 2))
+    val b = ctx.streamIter(Seq(4))
+    val r = a.joinWith(b)(_ % 2, _ % 2).leftOuter.collectVec()
+      .map { case (k, (x, oy)) => (k, x, oy) }.sortBy(t => (t._1, t._2))
+    assert(r == Seq((0, 2, Some(4)), (1, 1, None)))
+  }
+
+  test("full outer join yields None on both sides") {
+    val s = imp
+    import s._
+    val a = ctx.streamIter(Seq(1))     // key 1 only
+    val b = ctx.streamIter(Seq(2))     // key 0 only
+    val r = a.joinWith(b)(_ % 2, _ % 2).fullOuter.collectVec()
+      .map { case (k, (ox, oy)) => (k, ox, oy) }.sortBy(_._1)
+    assert(r == Seq((0, None, Some(2)), (1, Some(1), None)))
+  }
+
+  test("broadcast-right ship strategy gives identical results") {
+    val s = imp
+    import s._
+    val a = ctx.streamRange(20)
+    val b = ctx.streamRange(6)
+    val hash = a.joinWith(b)(_ % 3, _ % 3).shipHash.inner.collectVec().sorted
+    val bc = a.joinWith(b)(_ % 3, _ % 3).shipBroadcastRight.inner.collectVec().sorted
+    assert(hash == bc && hash.nonEmpty)
+  }
+
+  test("keyed co-partitioned join") {
+    val s = imp
+    import s._
+    val a = ctx.streamIter(Seq((1, "a"), (2, "b"))).keyBy(_._1).map(_._2)
+    val b = ctx.streamIter(Seq((1, 10), (3, 30))).keyBy(_._1).map(_._2)
+    val r = Joins.keyedJoin(a, b).collectVec()
+    assert(r == Seq((1, ("a", 10))))
+  }
+
+  test("interval join: ts2 in [ts1-lower, ts1+upper], output ts = max") {
+    val s = imp
+    import s._
+    val a = ctx.streamIter(Seq((0, ("x", 100L)))).keyBy(_._1).map(_._2)
+    val b = ctx.streamIter(Seq((0, ("near", 104L)), (0, ("far", 200L)),
+      (0, ("early", 96L)), (0, ("tooearly", 80L)))).keyBy(_._1).map(_._2)
+    val r = Joins.intervalJoin(a, b)(_._2, _._2)(5L, 5L).collectVec()
+      .map { case (k, (ts, x, y)) => (y._1, ts) }.sorted
+    assert(r == Seq(("early", 100L), ("near", 104L)))
+  }
+
+  test("intersect / except (additive set ops)") {
+    val s = imp
+    import s._
+    val a = ctx.streamIter(Seq(1, 2, 3, 4))
+    val b = ctx.streamIter(Seq(3, 4, 5))
+    assert(a.intersect(b).collectVec().sorted == Seq(3, 4))
+    assert(a.except(b).collectVec().sorted == Seq(1, 2))
+  }
+
+  test("addTimestamps / reorder / dropTimestamps round-trip") {
+    val s = imp
+    import s._
+    val tagged = ctx.streamIter(Seq("b", "a", "c")).addTimestamps {
+      case "a" => 1L; case "b" => 2L; case _ => 3L
+    }
+    val back = tagged.reorder.dropTimestamps.collectVec()
+    assert(back.sorted == Seq("a", "b", "c"))
+  }
+}
