@@ -84,6 +84,46 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   def mapMemo[O: Encoder](capacity: Int)(f: T => O): Stream[O] =
     mapMemoBy[T, O](capacity)(identity)(f)
 
+  /** Async map with bounded per-partition concurrency, preserving order
+    * (reference: `map_async`, src/operator/mod.rs:648, map_async.rs — tokio
+    * tasks with ordered output). Futures run `parallelism`-wide inside each
+    * partition; results emit in input order. */
+  def mapAsync[O: Encoder](parallelism: Int)(
+      f: T => scala.concurrent.Future[O]): Stream[O] =
+    new Stream(ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      it.grouped(math.max(1, parallelism)).flatMap { batch =>
+        Await.result(Future.sequence(batch.map(f)), Duration.Inf)
+      }
+    })
+
+  /** Async memoized map (reference: `map_async_memo_by`, src/operator/mod.rs:585). */
+  def mapAsyncMemoBy[K, O: Encoder](parallelism: Int, capacity: Int)(keyer: T => K)(
+      f: T => scala.concurrent.Future[O]): Stream[O] =
+    new Stream(ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cache = new java.util.LinkedHashMap[K, O](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, O]): Boolean =
+          size() > capacity
+      }
+      it.grouped(math.max(1, parallelism)).flatMap { batch =>
+        val results = batch.map { x =>
+          val k = keyer(x)
+          if (cache.containsKey(k)) Left(cache.get(k)) else Right((k, f(x)))
+        }
+        results.map {
+          case Left(v) => v
+          case Right((k, fut)) =>
+            val v = Await.result(fut, Duration.Inf)
+            cache.put(k, v); v
+        }
+      }
+    })
+
   /** Batching is a transport concern the reference exposes (`batch_mode`,
     * src/operator/mod.rs:361); Spark's vectorized exec makes it a no-op. */
   def batchMode(): Stream[T] = this
@@ -103,6 +143,11 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   /** Tag with key WITHOUT shuffling (reference: `key_by`, src/operator/mod.rs:1039). */
   def keyBy[K](keyer: T => K)(implicit e: Encoder[(K, T)]): KeyedStream[K, T] =
     new KeyedStream(ds.map(x => (keyer(x), x)))
+
+  /** Reinterpret a pair stream as keyed without shuffling (reference:
+    * `to_keyed`, src/stream.rs:311). */
+  def toKeyed[K, V](implicit ev: T <:< (K, V), e: Encoder[(K, V)]): KeyedStream[K, V] =
+    new KeyedStream(ds.map(x => ev(x)))
 
   /** Random (round-robin) repartition. Reference: `shuffle`,
     * src/operator/mod.rs:1943, NextStrategy::Random. */

@@ -116,6 +116,25 @@ class FacadeSpec extends AnyFunSuite {
     assert(memo == Seq(2, 2, 4, 4, 6))
   }
 
+  test("mapAsync preserves order; mapAsyncMemoBy caches") {
+    val s = imp
+    import s._
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val r = ctx.streamRange(20, Some(1)).mapAsync(4)(x => Future(x * 2)).collectVec()
+    assert(r == (0L until 20L).map(_ * 2))
+    val memo = ctx.streamIter(Seq(1, 1, 2, 2)).mapAsyncMemoBy(2, 10)(identity)(
+      x => Future(x * 10)).collectVec()
+    assert(memo.sorted == Seq(10, 10, 20, 20))
+  }
+
+  test("toKeyed reinterprets pairs without shuffle") {
+    val s = imp
+    import s._
+    val r = ctx.streamIter(Seq((1, "a"), (2, "b"))).toKeyed.count.collectVec().sorted
+    assert(r == Seq((1, 1L), (2, 1L)))
+  }
+
   test("sortedBy / limit / sortedLimitBy") {
     val s = imp
     import s._

@@ -1,0 +1,75 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source/sink round-trips (reference: §2.1/§2.2 — file/csv/parquet sources,
+  * write_csv/write_parquet sinks, sequential vs single-file variants). */
+class SourceSinkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  lazy val ctx = new StreamContext(spark)
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+  def tmp(): String = Files.createTempDirectory("graft").toString
+
+  test("parquet write/read round-trip (write_parquet_seq)") {
+    val s = imp; import s._
+    val dir = tmp() + "/p"
+    ctx.streamRange(100).map(x => (x, s"v$x")).writeParquet(dir)
+    val back = ctx.streamParquetAs[(Long, String)](dir).collectVec()
+    assert(back.sortBy(_._1).map(_._1) == (0L until 100L))
+  }
+
+  test("single-file parquet (write_parquet_one → one part file)") {
+    val s = imp; import s._
+    val dir = tmp() + "/p1"
+    ctx.streamRange(10).writeParquetOne(dir)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
+  test("csv write/read round-trip with header and typed schema") {
+    val s = imp; import s._
+    val dir = tmp() + "/c"
+    ctx.streamIter(Seq((1L, "a"), (2L, "b"))).writeCsv(dir)
+    val back = ctx.streamCsv(dir).selectExpr("CAST(_1 AS BIGINT)", "_2")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("text file source (stream_file) splits on lines") {
+    val s = imp; import s._
+    val f = tmp() + "/t.txt"
+    Files.writeString(java.nio.file.Path.of(f), "one\ntwo\nthree")
+    assert(ctx.streamFile(f).collectVec().sorted == Seq("one", "three", "two"))
+  }
+
+  test("parallel iterator source: replica-indexed generator covers all replicas") {
+    val s = imp; import s._
+    val r = ctx.streamParIterGen(4)((id, n) => Iterator.single((id, n)))
+      .collectVec().sorted
+    assert(r == Seq((0, 4), (1, 4), (2, 4), (3, 4)))
+  }
+
+  test("collectIterator streams results; forEach runs side effects") {
+    val s = imp; import s._
+    val it = ctx.streamRange(5).collectIterator()
+    assert(it.toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("avro sink/source API present (connector-dependent at deploy time)") {
+    val s = imp; import s._
+    val dir = tmp() + "/a"
+    // zero-egress container has no spark-avro connector; the API must fail
+    // with the standard missing-data-source error, not a library bug
+    val err = intercept[Exception] {
+      ctx.streamRange(3).writeAvro(dir)
+    }
+    assert(err.getMessage.toLowerCase.contains("avro"))
+  }
+}
