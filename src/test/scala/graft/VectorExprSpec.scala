@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.Similarity
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native DotProduct expression: bit-compatibility with the composed
+  * aggregate(zip_with) path, codegen + interpreted agreement, and a micro
+  * throughput comparison on the embeddings table. */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def emb = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") }
+
+  test("native dot equals composed aggregate(zip_with) bitwise") {
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val both = v.select(col("vec_id"),
+        Similarity.dot(col("vec"), col("vec")).as("composed"),
+        VectorExpressions.dotNative(col("vec"), col("vec")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
+  test("native dot works directly on array<float> (no cast in the plan)") {
+    val r = emb.select(col("vec_id"),
+        VectorExpressions.dotNative(col("embedding"), col("embedding")).as("d2"))
+      .orderBy("vec_id").limit(3).collect()
+    assert(r.forall(_.getDouble(1) > 0))
+    // interpreted path (codegen fallback) must agree
+    val interp = emb.select(col("vec_id"), col("embedding")).limit(3).collect().map { row =>
+      val arr = row.getSeq[Float](1)
+      arr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    }
+    r.map(_.getDouble(1)).zip(interp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+  }
+
+  test("cosineNative self-similarity is 1") {
+    val r = emb.select(
+      VectorExpressions.cosineNative(col("embedding"), col("embedding")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("micro-throughput: native >= composed on the pairwise score join") {
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val pairs = v.as("a").crossJoin(v.as("b"))
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warmup both
+    pairs.select(VectorExpressions.dotNative(col("a.embedding"), col("b.embedding"))).agg(count(lit(1))).head()
+    pairs.select(Similarity.dot(col("a.embedding").cast("array<double>"),
+      col("b.embedding").cast("array<double>"))).agg(count(lit(1))).head()
+    val tNative = time(pairs.select(VectorExpressions.dotNative(col("a.embedding"), col("b.embedding")).as("d")).agg(sum(col("d"))).head().getDouble(0).toLong)
+    val tComposed = time(pairs.select(Similarity.dot(col("a.embedding").cast("array<double>"),
+      col("b.embedding").cast("array<double>")).as("d")).agg(sum(col("d"))).head().getDouble(0).toLong)
+    info(f"native=$tNative%.2fs composed=$tComposed%.2fs speedup=${tComposed / tNative}%.1fx")
+    assert(tNative <= tComposed * 1.5, "native path should not be slower")
+  }
+}
