@@ -697,6 +697,144 @@ object Queries {
       tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iterations = 5)
 
   // =====================================================================
+  // NEXMark q1–q8 rebuilt over the events table (reference:
+  // examples/nexmark.rs:92-494 — the reference's own query set; events
+  // stand in for bids, user_id for auction/person keys, value for price).
+  // =====================================================================
+
+  /** q1 currency conversion — pure map, stays in one codegen stage. */
+  def nx_q1(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_id"), col("user_id"),
+      (col("value") * lit(0.908)).as("eur"))
+
+  private val nx_q1_sql =
+    "SELECT event_id, user_id, value * CAST(0.908 AS DOUBLE) AS eur FROM events"
+
+  /** q2 selection — filter pushed to the scan. */
+  def nx_q2(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  private val nx_q2_sql =
+    "SELECT event_id, user_id, value FROM events WHERE user_id % 20 = 0"
+
+  /** q3 local item suggestion — two filtered substreams equi-joined. */
+  def nx_q3(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val signup = e.filter(col("event_type") === "signup" && col("value") > 30)
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"))
+    signup.join(purchase, col("s_user") === col("p_user"))
+      .select(col("s_user").as("user_id"), col("s_id"), col("p_id"))
+  }
+
+  private val nx_q3_sql =
+    """SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id
+      |FROM events s JOIN events p ON s.user_id = p.user_id
+      |WHERE s.event_type = 'signup' AND s.value > 30 AND p.event_type = 'purchase'""".stripMargin
+
+  /** q4 average final price per seller: max purchase per (user, day) —
+    * the auction close — then per-user average of those maxima. */
+  def nx_q4(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(max(col("value")).as("final_price"))
+      .groupBy(col("user_id"))
+      .agg((sum(dec(col("final_price"))).cast("double") / count(lit(1))).as("avg_final"))
+
+  private val nx_q4_sql =
+    """SELECT user_id,
+      |  CAST(sum(CAST(final_price AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_final
+      |FROM (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+      |        max(value) AS final_price
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |GROUP BY user_id""".stripMargin
+
+  /** q5 hot items: the user with the most clicks per sliding window
+    * (1 day / 12 h), ties to the smaller user_id. */
+  def nx_q5(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir).filter(col("event_type") === "click")
+      .groupBy(window(col("ts"), "1 day", "12 hours").getField("start").as("ws"),
+               col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("ws")).orderBy(col("n").desc, col("user_id").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(unix_micros(col("ws")).as("w_start"), col("user_id"), col("n"))
+  }
+
+  private val nx_q5_sql =
+    """SELECT epoch_us(ws) AS w_start, user_id, n FROM (
+      |  SELECT ws, user_id, n, row_number() OVER (PARTITION BY ws ORDER BY n DESC, user_id) AS rn
+      |  FROM (SELECT time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) - k * INTERVAL '12 hours' AS ws,
+      |               user_id, count(*) AS n
+      |        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+      |        WHERE event_type = 'click' GROUP BY 1, 2))
+      |WHERE rn = 1""".stripMargin
+
+  /** q6 average of the last 10 purchases per user — frame aggregate, then
+    * the latest row per user. */
+  def nx_q6(s: SparkSession, dir: String): DataFrame = {
+    val purchases = events(s, dir).filter(col("event_type") === "purchase")
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+    val latest = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    purchases
+      .withColumn("avg10",
+        sum(dec(col("value"))).over(frame).cast("double") / count(lit(1)).over(frame))
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("avg10"))
+  }
+
+  private val nx_q6_sql =
+    """SELECT user_id, avg10 FROM (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS avg10,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      |WHERE rn = 1""".stripMargin
+
+  /** q7 highest bid per tumbling day — the event achieving the window max. */
+  def nx_q7(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(date_trunc("day", col("ts")))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("w_start"),
+        col("event_id"), col("user_id"), col("value"))
+  }
+
+  private val nx_q7_sql =
+    """SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
+      |  event_id, user_id, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
+      |    ORDER BY value DESC, event_id) AS rn FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /** q8 monitor new users: users with both a signup and a purchase in the
+    * same tumbling day. */
+  def nx_q8(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("d", date_trunc("day", col("ts")))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("d")).distinct()
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("d")).distinct()
+    signups.join(purchases, Seq("user_id", "d"))
+      .select(col("user_id"), unix_micros(col("d")).as("w_start"))
+  }
+
+  private val nx_q8_sql =
+    """SELECT s.user_id, epoch_us(s.d) AS w_start
+      |FROM (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      |      FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      |      FROM events WHERE event_type = 'purchase') p
+      |ON s.user_id = p.user_id AND s.d = p.d""".stripMargin
+
+  // =====================================================================
   // Training-data pipeline operators (dedup / similarity / text / multimodal)
   // =====================================================================
 
@@ -893,7 +1031,15 @@ object Queries {
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
     "q_text_profile" -> (q_text_profile _),
-    "q_multimodal" -> (q_multimodal _)
+    "q_multimodal" -> (q_multimodal _),
+    "nx_q1" -> (nx_q1 _),
+    "nx_q2" -> (nx_q2 _),
+    "nx_q3" -> (nx_q3 _),
+    "nx_q4" -> (nx_q4 _),
+    "nx_q5" -> (nx_q5 _),
+    "nx_q6" -> (nx_q6 _),
+    "nx_q7" -> (nx_q7 _),
+    "nx_q8" -> (nx_q8 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -942,6 +1088,14 @@ object Queries {
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
     "q_text_profile" -> q_text_profile_sql,
-    "q_multimodal" -> q_multimodal_sql
+    "q_multimodal" -> q_multimodal_sql,
+    "nx_q1" -> nx_q1_sql,
+    "nx_q2" -> nx_q2_sql,
+    "nx_q3" -> nx_q3_sql,
+    "nx_q4" -> nx_q4_sql,
+    "nx_q5" -> nx_q5_sql,
+    "nx_q6" -> nx_q6_sql,
+    "nx_q7" -> nx_q7_sql,
+    "nx_q8" -> nx_q8_sql
   )
 }
