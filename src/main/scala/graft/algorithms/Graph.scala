@@ -40,7 +40,8 @@ object Graph {
       df.agg(sum(col("component"))).head().getLong(0)
     var last = Long.MinValue
 
-    val out = Iteration.loop(init, maxIter) { (labels, _) =>
+    // materialize=false: labelSum IS the per-round action (one job per round)
+    val out = Iteration.loop(init, maxIter, materialize = false) { (labels, _) =>
       // candidate = min over neighbors' labels and own label
       val nbr = undirected
         .join(labels.withColumnRenamed("node", "dst2"),

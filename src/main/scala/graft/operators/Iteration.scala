@@ -26,18 +26,22 @@ object Iteration {
     * or `maxIter`. Handles caching + lineage truncation. The convergence
     * check receives (previous, next) — typically a count of changed rows
     * (one extra job per round, like the reference's leader fold). */
-  def loop[T](init: Dataset[T], maxIter: Int, checkpointEvery: Int = 5)(
+  /** When `materialize` is false, the `converged` callback is trusted to run
+    * an action on `next` (e.g. an aggregate) — one job per round instead of
+    * two. */
+  def loop[T](init: Dataset[T], maxIter: Int, checkpointEvery: Int = 5,
+      materialize: Boolean = true)(
       step: (Dataset[T], Int) => Dataset[T])(
       converged: (Dataset[T], Dataset[T]) => Boolean): Dataset[T] = {
     var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count() // materialize
+    if (materialize) cur.count()
     var i = 0
     var done = false
     while (i < maxIter && !done) {
       var next = step(cur, i)
       if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
       next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      if (materialize) next.count()
       done = converged(cur, next)
       cur.unpersist(false)
       cur = next
