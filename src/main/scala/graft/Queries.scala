@@ -315,13 +315,19 @@ object Queries {
       |ORDER BY o_orderkey ASC LIMIT 10 OFFSET 100""".stripMargin
 
   /** full sort (src/operator/mod.rs:1243) — range-partitioned distributed
-    * sort; output is the sorted permutation with its rank for verifiability. */
-  def q_sort(s: SparkSession, dir: String): DataFrame =
+    * sort; rank via zipWithIndex on the sorted partitions (a global
+    * `row_number() OVER (ORDER BY ...)` would funnel everything through one
+    * partition — the classic scale trap). */
+  def q_sort(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)).cast("long"))
-      .select(col("rank"), col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)]
+      .rdd.zipWithIndex()
+      .map { case ((k, bal), i) => (i + 1, k, bal) }
+      .toDF("rank", "c_custkey", "c_acctbal")
+  }
 
   private val q_sort_sql =
     """SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rank,

@@ -1,0 +1,97 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the algebraic contracts the engine relies on
+  * (SURVEY §5: "assoc/partial-agg equivalence") — if these hold, Catalyst's
+  * partial/final split and our two-phase folds are semantics-preserving for
+  * any partitioning. */
+class PropertySpec extends AnyFunSuite {
+  /** deterministic sampling (no scalatest-scalacheck bridge in the offline
+    * cache): 20 seeded samples per property */
+  def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 20).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+  def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 20).foreach { i =>
+      for (a <- g1.apply(Gen.Parameters.default, Seed(i.toLong));
+           b <- g2.apply(Gen.Parameters.default, Seed(i.toLong + 1000)))
+        f(a, b)
+    }
+  def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  lazy val ctx = new StreamContext(spark)
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  val smallInts: Gen[List[Int]] = Gen.listOfN(40, Gen.choose(-100, 100))
+
+  test("foldAssoc(local, global) == sequential fold for any data & partitioning") {
+    val s = imp
+    import s._
+    forAll(smallInts, Gen.choose(1, 6)) { (xs: List[Int], p: Int) =>
+      whenever(xs.nonEmpty) {
+        val dist = ctx.streamParIter(xs, p).foldAssoc(0L)(_ + _, _ + _).collectVec().head
+        assert(dist == xs.map(_.toLong).sum)
+      }
+    }
+  }
+
+  test("reduceAssoc(max) == sequential max for any partitioning") {
+    val s = imp
+    import s._
+    forAll(smallInts, Gen.choose(1, 6)) { (xs: List[Int], p: Int) =>
+      whenever(xs.nonEmpty) {
+        val dist = ctx.streamParIter(xs, p).reduceAssoc(math.max).collectVec().head
+        assert(dist == xs.max)
+      }
+    }
+  }
+
+  test("keyed fold via Aggregator == per-key sequential fold") {
+    val s = imp
+    import s._
+    forAll(smallInts) { (xs: List[Int]) =>
+      whenever(xs.nonEmpty) {
+        val dist = ctx.streamIter(xs).groupBy(_ % 3)
+          .fold(0L)((a, v) => a + v * v, _ + _).collectVec().toMap
+        val local = xs.groupBy(_ % 3).view
+          .mapValues(_.map(v => v.toLong * v).sum).toMap
+        assert(dist == local)
+      }
+    }
+  }
+
+  test("uniqueAssoc == Set semantics; merge == multiset union") {
+    val s = imp
+    import s._
+    forAll(smallInts, smallInts) { (xs: List[Int], ys: List[Int]) =>
+      val d = ctx.streamIter(xs).uniqueAssoc().collectVec().toSet
+      assert(d == xs.toSet)
+      val m = ctx.streamIter(xs).merge(ctx.streamIter(ys)).collectVec().sorted
+      assert(m == (xs ++ ys).sorted)
+    }
+  }
+
+  test("window CountWindow tumbling partitions the key's elements exactly") {
+    val s = imp
+    import s._
+    forAll(Gen.choose(1, 10), Gen.choose(1, 30)) { (size: Int, n: Int) =>
+      val xs = (0 until n).toList
+      val windows = ctx.streamIter(xs).groupBy(_ => 0)
+        .window(WindowDescr.CountWindow[Int, Int](size, size, exact = false, identity))
+        .toVec.collectVec().map(_._2)
+      // exact=false: all elements covered exactly once, in order
+      assert(windows.flatten.sorted == xs)
+      assert(windows.count(_.length < size) <= 1) // at most one partial
+    }
+  }
+}
