@@ -985,6 +985,33 @@ object Queries {
       |  CAST(1 + octet_length(CAST(text AS BLOB)) % 24 AS INTEGER) AS n_frames
       |FROM documents""".stripMargin
 
+  /** Flagship end-to-end training-data pipeline: profile → quality gate →
+    * bag-of-words dedup (keep lowest id per fingerprint) → per-language
+    * corpus stats. One narrow profiling stage, one dedup shuffle, one stats
+    * shuffle — the minimal-shuffle shape of a production cleaning job. */
+  def q_pipeline_clean(s: SparkSession, dir: String): DataFrame = {
+    val profiled = graft.functions.TextAnalysis.profile(
+      tbl(s, dir, "documents"), "doc_id", "text")
+    val gated = profiled.filter(col("quality") >= 0.75)
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val deduped = gated.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    deduped.groupBy(col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+  }
+
+  private val q_pipeline_clean_sql =
+    s"""WITH profiled AS (${q_text_profile_sql.replace("FROM d", "FROM d")}),
+      |gated AS (SELECT * FROM profiled WHERE quality >= CAST(0.75 AS DOUBLE)),
+      |deduped AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      |                 FROM gated) WHERE rn = 1)
+      |SELECT lang_guess, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+      |FROM deduped GROUP BY lang_guess""".stripMargin
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -1045,7 +1072,8 @@ object Queries {
     "nx_q5" -> (nx_q5 _),
     "nx_q6" -> (nx_q6 _),
     "nx_q7" -> (nx_q7 _),
-    "nx_q8" -> (nx_q8 _)
+    "nx_q8" -> (nx_q8 _),
+    "q_pipeline_clean" -> (q_pipeline_clean _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1102,6 +1130,7 @@ object Queries {
     "nx_q5" -> nx_q5_sql,
     "nx_q6" -> nx_q6_sql,
     "nx_q7" -> nx_q7_sql,
-    "nx_q8" -> nx_q8_sql
+    "nx_q8" -> nx_q8_sql,
+    "q_pipeline_clean" -> q_pipeline_clean_sql
   )
 }

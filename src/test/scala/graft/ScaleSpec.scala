@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Skew + bucketing machinery: salted aggregates must equal their unsalted
+  * counterparts; bucketed joins must plan WITHOUT a shuffle exchange. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-wh").toString)
+    // assert the raw plan shape: disable AQE so the exchange (or its
+    // absence) is visible in the executed plan string
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .getOrCreate()
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  test("saltedSum / saltedCount equal unsalted aggregation") {
+    val s = imp; import s._
+    // skewed: 90% of rows on key 0
+    val df = spark.range(10000).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 7).as("k"),
+      lit(1.0).as("v"))
+    val plain = df.groupBy(col("k")).agg(sum(col("v")).as("sum"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val ss = Scale.saltedSum(df, col("k"), col("v"), 8, "k", "sum")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val sc = Scale.saltedCount(df, col("k"), 8, "k", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ss == plain.view.mapValues(_._1).toMap)
+    assert(sc == plain.view.mapValues(_._2).toMap)
+  }
+
+  test("saltedJoin equals plain join on skewed data") {
+    val s = imp; import s._
+    val left = spark.range(5000).select(
+      when(col("id") % 5 > 0, 1L).otherwise(col("id") % 100).as("k"),
+      col("id").as("v"))
+    val right = spark.range(100).select(col("id").as("rk"), (col("id") * 10).as("rv"))
+    val plain = left.join(right, col("k") === col("rk")).agg(
+      count(lit(1)), sum(col("v") + col("rv"))).head()
+    val salted = Scale.saltedJoin(left, right, col("k"), col("rk"), 8).agg(
+      count(lit(1)), sum(col("v") + col("rv"))).head()
+    assert(plain == salted)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    val s = imp; import s._
+    val facts = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("a"))
+    val dims = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("b"))
+    Scale.writeBucketed(facts, "graft_facts", "k", 8)
+    Scale.writeBucketed(dims, "graft_dims", "k", 8)
+    val joined = Scale.readBucketed(spark, "graft_facts")
+      .join(Scale.readBucketed(spark, "graft_dims"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle; plan:\n$plan")
+    assert(joined.count() == 1000)
+  }
+
+  test("unbucketed baseline DOES shuffle (sanity for the assertion above)") {
+    val s = imp; import s._
+    val a = spark.range(1000).select(col("id").as("k"))
+    val b = spark.range(1000).select(col("id").as("k"))
+    val plan = a.join(b, Seq("k")).queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"))
+  }
+}
