@@ -13,7 +13,7 @@ import org.apache.spark.storage.StorageLevel
   *
   * The four reference routing strategies (src/block/next_strategy.rs:14-31)
   * map directly: OnlyOne → narrow dependency (no-op), Random → [[shuffle]],
-  * GroupBy(hash) → [[groupBy]], All → [[StreamOps.broadcastJoinHint]].
+  * GroupBy(hash) → [[groupBy]], All → [[broadcastHint]].
   */
 final class Stream[T](val ds: Dataset[T]) extends Serializable {
   def spark: SparkSession = ds.sparkSession
@@ -143,6 +143,11 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   /** Tag with key WITHOUT shuffling (reference: `key_by`, src/operator/mod.rs:1039). */
   def keyBy[K](keyer: T => K)(implicit e: Encoder[(K, T)]): KeyedStream[K, T] =
     new KeyedStream(ds.map(x => (keyer(x), x)))
+
+  /** Mark this stream for replication to every consumer task — the
+    * reference's `broadcast` (src/operator/mod.rs:1351, NextStrategy::All).
+    * In Spark the hint takes effect at the consuming join. */
+  def broadcastHint: Stream[T] = new Stream(sparkBroadcast(ds))
 
   /** Reinterpret a pair stream as keyed without shuffling (reference:
     * `to_keyed`, src/stream.rs:311). */
