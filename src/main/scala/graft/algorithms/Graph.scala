@@ -89,17 +89,20 @@ object Graph {
     out
   }
 
-  /** Transitive closure: iterate path extension until fixpoint
-    * (reference: examples/transitive_closure.rs). */
+  /** Transitive closure by path doubling — paths ⋈ paths instead of
+    * paths ⋈ edges converges in O(log diameter) rounds (reference:
+    * examples/transitive_closure.rs does edge-extension; doubling is the
+    * scale-correct variant). Count-stability is the convergence check, so
+    * each round is exactly one job. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 20,
       parallelism: Option[Int] = None): DataFrame = {
     val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
     val base = e0.select(col("src"), col("dst")).distinct()
-    Iteration.loop(base, maxIter) { (paths, _) =>
+    Iteration.loopFixpointByCount(base, maxIter) { (paths, _) =>
       val extended = paths.as("p")
-        .join(base.as("e"), col("p.dst") === col("e.src"))
-        .select(col("p.src").as("src"), col("e.dst").as("dst"))
+        .join(paths.as("q"), col("p.dst") === col("q.src"))
+        .select(col("p.src").as("src"), col("q.dst").as("dst"))
       paths.union(extended).distinct()
-    } { (prev, next) => next.count() == prev.count() }
+    }
   }
 }

@@ -50,6 +50,30 @@ object Iteration {
     cur
   }
 
+  /** Fixpoint driven by row-count stability: the materializing count() IS
+    * the convergence check — exactly one job per round. Correct whenever
+    * `step` is monotone (rows only ever get added, e.g. closure growth). */
+  def loopFixpointByCount[T](init: Dataset[T], maxIter: Int,
+      checkpointEvery: Int = 5)(
+      step: (Dataset[T], Int) => Dataset[T]): Dataset[T] = {
+    var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+    var prevCount = cur.count()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      var next = step(cur, i)
+      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
+      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val c = next.count()
+      done = c == prevCount
+      prevCount = c
+      cur.unpersist(false)
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
   /** replay: recompute state from the (cached) input each round.
     * `round` returns the new state; `cond(old, new)` continues while true. */
   def replay[T, S](input: Dataset[T], maxIter: Int, init: S)(

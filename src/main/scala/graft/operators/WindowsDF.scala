@@ -50,15 +50,15 @@ object WindowsDF {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("w_start", unix_micros(col("w_start_ts"))).drop("w_start_ts")
 
-  /** Count-based tumbling windows (reference: descr/count.rs tumbling):
+  /** Count-based tumbling window ids (reference: descr/count.rs tumbling):
     * row_number over a deterministic intra-key order, bucketed by
-    * `floor((rn-1)/size)`. `exact` drops the trailing partial window. */
+    * `floor((rn-1)/size)` into a `w_id` column. Callers aggregate on
+    * (keys, w_id); for exact windows filter the aggregate on `count = size`
+    * (the q_window_count query shows the full shape). */
   def countTumbling(df: DataFrame, size: Int, keys: Seq[Column],
-      order: Seq[Column], exact: Boolean = true): DataFrame = {
+      order: Seq[Column]): DataFrame = {
     val w = W.partitionBy(keys: _*).orderBy(order: _*)
-    val withWin = df
-      .withColumn("w_id", ((row_number().over(w) - 1) / size).cast("long"))
-    withWin
+    df.withColumn("w_id", ((row_number().over(w) - 1) / size).cast("long"))
   }
 
   /** Last-k frame per arriving element (reference: descr/last_k.rs):
