@@ -985,6 +985,30 @@ object Queries {
       |  CAST(1 + octet_length(CAST(text AS BLOB)) % 24 AS INTEGER) AS n_frames
       |FROM documents""".stripMargin
 
+  /** wordcount-assoc over a TEXT FILE — the reference's hero benchmark
+    * (README.md:62-96, benches/wordcount.rs): stream_file → flat_map →
+    * group_by_count. The file is materialized once per (sf, content hash)
+    * from the documents table so the oracle can check against the same rows. */
+  def q_wordcount_file(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val path = s"/tmp/graft_wordcount_$sfTag.txt"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val tmp = path + ".tmpdir"
+      tbl(s, dir, "documents").select(col("text"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    s.read.textFile(path)
+      .select(explode(split(col("value"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+  }
+
+  private val q_wordcount_file_sql = q_flat_map_sql // identical content
+
   /** Flagship end-to-end training-data pipeline: profile → quality gate →
     * bag-of-words dedup (keep lowest id per fingerprint) → per-language
     * corpus stats. One narrow profiling stage, one dedup shuffle, one stats
@@ -1073,7 +1097,8 @@ object Queries {
     "nx_q6" -> (nx_q6 _),
     "nx_q7" -> (nx_q7 _),
     "nx_q8" -> (nx_q8 _),
-    "q_pipeline_clean" -> (q_pipeline_clean _)
+    "q_pipeline_clean" -> (q_pipeline_clean _),
+    "q_wordcount_file" -> (q_wordcount_file _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1131,6 +1156,7 @@ object Queries {
     "nx_q6" -> nx_q6_sql,
     "nx_q7" -> nx_q7_sql,
     "nx_q8" -> nx_q8_sql,
-    "q_pipeline_clean" -> q_pipeline_clean_sql
+    "q_pipeline_clean" -> q_pipeline_clean_sql,
+    "q_wordcount_file" -> q_wordcount_file_sql
   )
 }

@@ -20,6 +20,13 @@ sealed trait WindowDescr[V] extends Serializable {
   /** Assign ordered elements of one key to windows (each window = its
     * elements in order). */
   def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]]
+
+  /** Windows tagged with a stable identity, used to pair windows across two
+    * streams in window joins. Positional by default (count-style windows);
+    * time-based descriptors override with the window start so empty windows
+    * on one side cannot shift the alignment. */
+  def assignWithId(elems: IndexedSeq[V]): Iterator[(Long, IndexedSeq[V])] =
+    assign(elems).zipWithIndex.map { case (w, i) => (i.toLong, w) }
 }
 
 object WindowDescr {
@@ -84,6 +91,19 @@ object WindowDescr {
       }
       byWindow.valuesIterator.map(_.toIndexedSeq)
     }
+    override def assignWithId(elems: IndexedSeq[V]): Iterator[(Long, IndexedSeq[V])] = {
+      val sorted = elems.sortBy(tsMillis)
+      val byWindow = scala.collection.mutable.LinkedHashMap.empty[Long, scala.collection.mutable.ArrayBuffer[V]]
+      for (e <- sorted) {
+        val ts = tsMillis(e)
+        var start = math.floorDiv(ts, slideMs) * slideMs
+        while (start > ts - sizeMs) {
+          byWindow.getOrElseUpdate(start, scala.collection.mutable.ArrayBuffer.empty) += e
+          start -= slideMs
+        }
+      }
+      byWindow.iterator.map { case (s, b) => (s, b.toIndexedSeq) }
+    }
   }
   object EventTimeWindow {
     def tumbling[V](sizeMs: Long)(ts: V => Long): EventTimeWindow[V] =
@@ -110,6 +130,8 @@ object WindowDescr {
         out.iterator.map(_.toIndexedSeq)
       }
     }
+    override def assignWithId(elems: IndexedSeq[V]): Iterator[(Long, IndexedSeq[V])] =
+      assign(elems).map(w => (tsMillis(w.head), w)) // session id = its start
   }
 
   /** One window over everything (reference: descr/all.rs:53-60). In batch,
@@ -239,10 +261,13 @@ final class WindowedStream[K, V](val ks: KeyedStream[K, V], val descr: WindowDes
     val leftG = ks.ds.groupByKey(_._1)
     val rightG = other.ds.groupByKey(_._1)
     new Stream(leftG.cogroup(rightG) { (k, lit, rit) =>
-      val lw = descr.assign(lit.map(_._2).toIndexedSeq).toVector
-      val rw = descr2.assign(rit.map(_._2).toIndexedSeq).toVector
-      lw.zip(rw).iterator.flatMap { case (ws1, ws2) =>
-        for (a <- ws1.iterator; b <- ws2) yield (k, (a, b))
+      // pair windows by identity, not position — an empty window on one
+      // side must not shift the alignment (time descriptors use the window
+      // start as id, count descriptors the window index)
+      val lw = descr.assignWithId(lit.map(_._2).toIndexedSeq).toMap
+      val rw = descr2.assignWithId(rit.map(_._2).toIndexedSeq).toMap
+      lw.keySet.intersect(rw.keySet).toSeq.sorted.iterator.flatMap { id =>
+        for (a <- lw(id).iterator; b <- rw(id)) yield (k, (a, b))
       }
     })
   }

@@ -125,6 +125,19 @@ class WindowSpec extends AnyFunSuite {
     assert(after == Seq(15L))
   }
 
+  test("windowJoin aligns event-time windows by identity, not position") {
+    val s = imp
+    import s._
+    // left has data in windows [0,10) and [20,30); right only in [20,30):
+    // positional pairing would wrongly join left-[0,10) with right-[20,30)
+    val left = ctx.streamIter(Seq((1L, "a"), (21L, "b"))).groupBy(_ => 0)
+    val right = ctx.streamIter(Seq((22L, "x"))).groupBy(_ => 0)
+    val joined = left.window(EventTimeWindow.tumbling[(Long, String)](10)(_._1))
+      .windowJoin(right, EventTimeWindow.tumbling[(Long, String)](10)(_._1))
+      .collectVec().map { case (_, (l, r)) => (l._2, r._2) }
+    assert(joined == Seq(("b", "x")))
+  }
+
   test("windowJoin: per-window cartesian") {
     val s = imp
     import s._
