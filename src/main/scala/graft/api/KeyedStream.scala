@@ -53,6 +53,24 @@ final class KeyedStream[K, V](val ds: Dataset[(K, V)]) extends Serializable {
       val s = init(); it.map { case (_, v) => (k, f(s, v)) }
     })
 
+  /** Reference: keyed `rich_flat_map`, src/operator/mod.rs:2753. */
+  def richFlatMapPerKey[S, O](init: () => S)(f: (S, V) => IterableOnce[O])(
+      implicit ek: Encoder[K], ekv: Encoder[(K, V)], e: Encoder[(K, O)]): KeyedStream[K, O] =
+    new KeyedStream(kvg.flatMapGroups { (k: K, it: Iterator[(K, V)]) =>
+      val s = init(); it.flatMap { case (_, v) => f(s, v).iterator.map((k, _)) }
+    })
+
+  /** Reference: keyed `rich_filter_map`, src/operator/mod.rs:2769. */
+  def richFilterMapPerKey[S, O](init: () => S)(f: (S, V) => Option[O])(
+      implicit ek: Encoder[K], ekv: Encoder[(K, V)], e: Encoder[(K, O)]): KeyedStream[K, O] =
+    new KeyedStream(kvg.flatMapGroups { (k: K, it: Iterator[(K, V)]) =>
+      val s = init(); it.flatMap { case (_, v) => f(s, v).map((k, _)).iterator }
+    })
+
+  /** Side-effecting peek (reference: keyed `inspect`, src/operator/mod.rs:2597). */
+  def inspect(f: ((K, V)) => Unit)(implicit ekv: Encoder[(K, V)]): KeyedStream[K, V] =
+    new KeyedStream(ds.map { kv => f(kv); kv })
+
   // --- key plumbing ---
 
   /** KeyedStream → Stream of pairs (reference: `unkey`, src/operator/mod.rs:2808). */

@@ -294,6 +294,11 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   /** Reference: `collect_vec`, src/operator/mod.rs:2135. */
   def collectVec(): Seq[T] = ds.collect().toSeq
 
+  /** Collect into an arbitrary collection (reference: `collect` with any
+    * `FromIterator`, src/operator/mod.rs:2195). */
+  def collectTo[C](implicit f: scala.collection.Factory[T, C]): C =
+    ds.collect().to(f)
+
   /** Reference: `collect_count`, src/operator/mod.rs:2104. */
   def collectCount(): Long = ds.count()
 
@@ -325,6 +330,16 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   /** Avro sink (reference: src/operator/sink/avro.rs:93). */
   def writeAvro(path: String): Unit =
     ds.toDF().write.mode("overwrite").format("avro").save(path)
+
+  /** Kafka producer sink (reference: `write_kafka`, src/operator/sink/kafka.rs:98):
+    * each element serialized to the `value` column. Requires a reachable
+    * broker at runtime. */
+  def writeKafka(bootstrap: String, topic: String): Unit =
+    ds.toDF().selectExpr("CAST(to_json(struct(*)) AS STRING) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
 
   /** Materialize once, replay in later jobs (reference: `cache_vec` /
     * `StreamCache`, src/operator/mod.rs:2264-2359). */

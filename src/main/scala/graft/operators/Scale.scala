@@ -57,13 +57,14 @@ object Scale {
 
   /** Write a bucketed+sorted table: joins and aggregations on `key` against
     * other tables bucketed the same way run WITHOUT a shuffle. Bucketing
-    * metadata needs the (local) catalog, so this materializes as a saved
-    * table under the session's warehouse dir. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
+    * metadata needs the (local) catalog; pass `path` to materialize as an
+    * external table at an explicit location (otherwise the session's
+    * warehouse dir). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

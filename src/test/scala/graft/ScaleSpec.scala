@@ -9,18 +9,28 @@ import java.nio.file.Files
 /** Skew + bucketing machinery: salted aggregates must equal their unsalted
   * counterparts; bucketed joins must plan WITHOUT a shuffle exchange. */
 class ScaleSpec extends AnyFunSuite {
+  // the suites share one JVM session (getOrCreate) — set the plan-shape
+  // configs at runtime and restore after, instead of builder configs that
+  // are silently ignored if another suite created the session first
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.warehouse.dir",
-      Files.createTempDirectory("graft-wh").toString)
-    // assert the raw plan shape: disable AQE so the exchange (or its
-    // absence) is visible in the executed plan string
-    .config("spark.sql.adaptive.enabled", "false")
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .getOrCreate()
   def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  def withPlanShapeConfs[A](f: => A): A = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // assert the raw plan shape: AQE off so the exchange (or its absence)
+    // is visible; broadcast off so the shuffle sanity-check join shuffles
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
 
   test("saltedSum / saltedCount equal unsalted aggregation") {
     val s = imp; import s._
@@ -53,23 +63,28 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed join plans without a shuffle exchange") {
     val s = imp; import s._
-    val facts = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("a"))
-    val dims = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("b"))
-    Scale.writeBucketed(facts, "graft_facts", "k", 8)
-    Scale.writeBucketed(dims, "graft_dims", "k", 8)
-    val joined = Scale.readBucketed(spark, "graft_facts")
-      .join(Scale.readBucketed(spark, "graft_dims"), Seq("k"))
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"bucketed join must not shuffle; plan:\n$plan")
-    assert(joined.count() == 1000)
+    withPlanShapeConfs {
+      val wh = Files.createTempDirectory("graft-wh").toString
+      val facts = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("a"))
+      val dims = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("b"))
+      Scale.writeBucketed(facts, "graft_facts", "k", 8, Some(s"$wh/facts"))
+      Scale.writeBucketed(dims, "graft_dims", "k", 8, Some(s"$wh/dims"))
+      val joined = Scale.readBucketed(spark, "graft_facts")
+        .join(Scale.readBucketed(spark, "graft_dims"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+      assert(joined.count() == 1000)
+    }
   }
 
   test("unbucketed baseline DOES shuffle (sanity for the assertion above)") {
     val s = imp; import s._
-    val a = spark.range(1000).select(col("id").as("k"))
-    val b = spark.range(1000).select(col("id").as("k"))
-    val plan = a.join(b, Seq("k")).queryExecution.executedPlan.toString
-    assert(plan.contains("Exchange"))
+    withPlanShapeConfs {
+      val a = spark.range(1000).select(col("id").as("k"))
+      val b = spark.range(1000).select(col("id").as("k"))
+      val plan = a.join(b, Seq("k")).queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"))
+    }
   }
 }
