@@ -883,6 +883,27 @@ object Queries {
       |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= CAST(0.5 AS DOUBLE)""".stripMargin
 
+  /** LSH candidates → exact verify, the end-to-end near-dup pipeline —
+    * oracle-checkable because the verified output equals the full exact
+    * pairwise jaccard at this threshold (miss probability ≈ 1e-12 for the
+    * planted ≥0.95 dups). */
+  def q_dedup_verified(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.nearDupPipeline(tbl(s, dir, "documents"),
+      "doc_id", "text", minJaccard = 0.8)
+
+  private val q_dedup_verified_sql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= CAST(0.8 AS DOUBLE)""".stripMargin
+
   /** brute-force cosine top-3 for the first 50 vectors (exact ANN baseline). */
   def q_cosine_topk(s: SparkSession, dir: String): DataFrame =
     graft.functions.Similarity.bruteForceTopK(tbl(s, dir, "embeddings"),
@@ -1084,6 +1105,7 @@ object Queries {
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
+    "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
@@ -1145,6 +1167,7 @@ object Queries {
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_embedding_neardup:
     // engine-specific hashing → rows-only; Scala specs assert recall
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
+    "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
     "q_text_profile" -> q_text_profile_sql,
     "q_multimodal" -> q_multimodal_sql,
