@@ -931,6 +931,12 @@ object Queries {
       "vec_id", "embedding", maxQueryId = 50, k = 3, bits = 8)
       .select(col("q_id"), col("c_id"), col("bucket"), col("sim"), col("rank"))
 
+  /** IVF ANN top-3 (k-means coarse quantizer, nprobe lists searched) —
+    * rows-only; AnnSpec asserts brute-force agreement. */
+  def q_ann_ivf(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.ivfTopK(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", maxQueryId = 50, k = 3, nlist = 8, nprobe = 3)
+
   /** embedding-cosine near-dup pairs over LSH buckets — rows-only. (This
     * corpus has near-random vectors — top-1 cosine ≈ 0.49 — so the "near
     * dup" threshold is relative to the distribution.) */
@@ -1108,6 +1114,7 @@ object Queries {
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_ann_lsh" -> (q_ann_lsh _),
+    "q_ann_ivf" -> (q_ann_ivf _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
     "q_text_profile" -> (q_text_profile _),
     "q_multimodal" -> (q_multimodal _),

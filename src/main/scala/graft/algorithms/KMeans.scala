@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Assignments plus the trained centroids (needed by IVF indexing). */
+  final case class Model(assignments: DataFrame, centroids: Array[Array[Double]])
+
   /** df: (id: Long, vec: Array[Float|Double]).
     * Returns (id, cluster) assignments after `iterations` rounds. */
   def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    assignWithCentroids(df, idCol, vecCol, k, iterations).assignments
+
+  /** Full model variant of [[assign]]. */
+  def assignWithCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): Model = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -81,6 +89,6 @@ object KMeans {
     val out = pts.map { case (id, v) => (id, nearest(bc.value)(v).toLong) }
       .toDF("id", "cluster")
     pts.unpersist()
-    out
+    Model(out, finalCentroids)
   }
 }

@@ -92,6 +92,61 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer assigns every vector
+    * to its nearest centroid's list; a query scores only the vectors in its
+    * `nprobe` nearest lists. The classic FAISS-style scale path: candidate
+    * cost is (nprobe/nlist) of the corpus, recall tunable via nprobe.
+    *
+    * Everything distributed: lists are a (cluster → vectors) partitioning,
+    * the probe set is computed per query against the broadcast centroids,
+    * and the scoring join shuffles on the cluster id. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      maxQueryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 5, roundTo: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // coarse quantizer: train on the corpus (deterministic init)
+    val assigned = graft.algorithms.KMeans.assignWithCentroids(
+      df, idCol, vecCol, nlist, kmeansIters)
+    val centroidsB = spark.sparkContext.broadcast(assigned.centroids)
+
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val lists = v.join(assigned.assignments.withColumnRenamed("id", "c_id0"),
+        col("id") === col("c_id0"))
+      .select(col("id").as("c_id"), col("vec").as("c_vec"),
+        norm(col("vec")).as("c_norm"), col("cluster"))
+
+    // per-query probe set: nprobe nearest centroids (tiny loop over nlist)
+    val queries = v.filter(col("id") < maxQueryId)
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, vec) =>
+        val ctr = centroidsB.value
+        val dists = ctr.indices.map { c =>
+          var d = 0.0; var i = 0
+          val cc = ctr(c)
+          while (i < vec.length) { val t = vec(i) - cc(i); d += t * t; i += 1 }
+          (c.toLong, d)
+        }
+        dists.sortBy(t => (t._2, t._1)).take(nprobe)
+          .map { case (c, _) => (id, vec, c) }
+      }
+      .toDF("q_id", "q_vec", "cluster")
+      .withColumn("q_norm", norm(col("q_vec")))
+
+    val scored = queries.join(lists, Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dotFast(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
+          roundTo).as("sim"))
+      .distinct() // a candidate can appear via several probed lists
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucket-constrained (the LSH near-dup path for embeddings). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

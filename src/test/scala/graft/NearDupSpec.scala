@@ -65,6 +65,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(agree > 0, s"ANN agreed on 0 of ${ann.size} queries")
   }
 
+  test("IVF ANN: every result is valid; high agreement with brute force at nprobe=nlist") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 20, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nprobe == nlist probes every list → recall must be exact
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 20, 1,
+        nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full == bf, "probing all lists must reproduce brute force")
+    // partial probing: partial recall, all answers real
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", 20, 1,
+        nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(part.nonEmpty)
+    val agree = part.count { case (q, c) => bf.get(q).contains(c) }
+    assert(agree > 0)
+  }
+
   test("text profile: fingerprint invariant under word order; langId sane") {
     val df = spark.createDataFrame(Seq(
       (1L, "the cat sat on the mat"),
