@@ -1019,15 +1019,16 @@ object Queries {
   def q_wordcount_file(s: SparkSession, dir: String): DataFrame = {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
     val path = s"/tmp/graft_wordcount_$sfTag.txt"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-      val tmp = path + ".tmpdir"
-      tbl(s, dir, "documents").select(col("text"))
-        .coalesce(1).write.mode("overwrite").text(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(path),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // always regenerate: a stale file from previously-generated test data
+    // would silently diverge from the oracle's parquet view
+    val tmp = path + ".tmpdir"
+    tbl(s, dir, "documents").select(col("text"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"text write produced no part file under $tmp"))
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     s.read.textFile(path)
       .select(explode(split(col("value"), " ")).as("word"))
       .filter(col("word") =!= "")

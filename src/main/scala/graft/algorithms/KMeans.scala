@@ -86,8 +86,12 @@ object KMeans {
     } { (_, _) => true }
 
     val bc = spark.sparkContext.broadcast(finalCentroids)
+    // materialize assignments before dropping the points cache — otherwise
+    // every downstream action would recompute the scan + assignment pass
     val out = pts.map { case (id, v) => (id, nearest(bc.value)(v).toLong) }
       .toDF("id", "cluster")
+      .persist()
+    out.count()
     pts.unpersist()
     Model(out, finalCentroids)
   }

@@ -177,14 +177,16 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   }
 
   /** Split one stream into N by predicates, first match wins (reference:
-    * `route()`, src/operator/mod.rs:1923, route.rs:33-93). Lowered to N
-    * filters over one cached plan; each filter also excludes earlier
-    * predicates to preserve first-match-wins. */
-  def route(predicates: (T => Boolean)*): Seq[Stream[T]] = {
-    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    predicates.zipWithIndex.map { case (p, i) =>
-      val earlier = predicates.take(i)
-      new Stream(cached.filter(x => p(x) && !earlier.exists(q => q(x))))
+    * `route()`, src/operator/mod.rs:1923, route.rs:33-93). The first-match
+    * index is computed ONCE per element and cached, so each branch is a
+    * cheap integer filter (not an O(branches²) predicate re-evaluation). */
+  def route(predicates: (T => Boolean)*)(implicit e: Encoder[(Int, T)]): Seq[Stream[T]] = {
+    val preds = predicates.toIndexedSeq
+    val indexed = ds.map { x =>
+      (preds.indexWhere(p => p(x)), x)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    predicates.indices.map { i =>
+      new Stream(indexed.filter(_._1 == i).map(_._2)(ds.encoder))
     }
   }
 
@@ -253,13 +255,17 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
     new Stream(ds.map(x => project(accB.value, x)))
   }
 
-  /** Sugar over foldScan (reference: `reduce_scan`, src/operator/mod.rs:909-944). */
+  /** Sugar over foldScan (reference: `reduce_scan`, src/operator/mod.rs:909-944).
+    * An empty input yields an empty stream (no accumulator exists). */
   def reduceScan[A: Encoder, O: Encoder](firstMap: T => A)(combine: (A, A) => A)(
       secondMap: (A, T) => O)(implicit e: Encoder[T], ctA: scala.reflect.ClassTag[A]): Stream[O] = {
     val mapped = ds.map(firstMap)
-    val acc = new Stream(mapped).reduceAssoc(combine).ds.head()
-    val accB = spark.sparkContext.broadcast(acc)
-    new Stream(ds.map(x => secondMap(accB.value, x)))
+    new Stream(mapped).reduceAssoc(combine).ds.collect().headOption match {
+      case None => new Stream(ds.limit(0).map(x => secondMap(null.asInstanceOf[A], x)))
+      case Some(acc) =>
+        val accB = spark.sparkContext.broadcast(acc)
+        new Stream(ds.map(x => secondMap(accB.value, x)))
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -77,25 +77,14 @@ object WindowDescr {
   final case class EventTimeWindow[V](sizeMs: Long, slideMs: Long, tsMillis: V => Long)
       extends WindowDescr[V] {
     require(sizeMs > 0 && slideMs > 0)
-    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
-      val sorted = elems.sortBy(tsMillis)
-      val byWindow = scala.collection.mutable.LinkedHashMap.empty[Long, scala.collection.mutable.ArrayBuffer[V]]
-      for (e <- sorted) {
-        val ts = tsMillis(e)
-        // windows with start in (ts - size, ts] aligned to slide
-        var start = math.floorDiv(ts, slideMs) * slideMs
-        while (start > ts - sizeMs) {
-          byWindow.getOrElseUpdate(start, scala.collection.mutable.ArrayBuffer.empty) += e
-          start -= slideMs
-        }
-      }
-      byWindow.valuesIterator.map(_.toIndexedSeq)
-    }
+    def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] =
+      assignWithId(elems).map(_._2)
     override def assignWithId(elems: IndexedSeq[V]): Iterator[(Long, IndexedSeq[V])] = {
       val sorted = elems.sortBy(tsMillis)
       val byWindow = scala.collection.mutable.LinkedHashMap.empty[Long, scala.collection.mutable.ArrayBuffer[V]]
       for (e <- sorted) {
         val ts = tsMillis(e)
+        // windows with start in (ts - size, ts] aligned to slide
         var start = math.floorDiv(ts, slideMs) * slideMs
         while (start > ts - sizeMs) {
           byWindow.getOrElseUpdate(start, scala.collection.mutable.ArrayBuffer.empty) += e

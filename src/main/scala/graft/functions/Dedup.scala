@@ -34,15 +34,11 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** 64 minhash signature columns h0..h63 per id: min over shingles of an
-    * affine permutation of xxhash64(shingle). Wrapping Long arithmetic is
-    * deterministic and identical across partitionings.
-    *
-    * Scale design: the signature is a PER-ROW closed form
-    * (`array_min(transform(shingles, ...))`) — a narrow map stage with zero
-    * shuffle. The naive explode→groupBy formulation shuffles every shingle
-    * of the corpus; at 100 TB that is the difference between a scan and a
-    * corpus-wide shuffle. */
+  /** `numHashes` minhash signature columns h0..hN per id: min over shingles
+    * of an affine permutation of xxhash64(shingle). Wrapping Long arithmetic
+    * is deterministic and identical across partitionings. See the
+    * formulation note below for why this is explode+groupBy and why that is
+    * both faster and shuffle-cheap. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleSize: Int = 5): DataFrame = {
     // Formulation note (measured at sf0.1): explode + groupBy with 64 min
@@ -69,6 +65,7 @@ object Dedup {
     * fraction of matching signature components. */
   def minhashCandidates(sig: DataFrame, bands: Int = 16, numHashes: Int = 64,
       minEstSim: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
     val sigArr = sig.withColumn("sig",
       array((0 until numHashes).map(i => col(s"h$i")): _*))
@@ -85,7 +82,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / lit(64.0)).as("est_sim"))
+          .cast("double") / lit(numHashes.toDouble)).as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= minEstSim)
   }
@@ -154,15 +151,23 @@ object Dedup {
     voted.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxDist, via 4×16-bit
-    * band join (any pair within distance 3 shares at least one of 4 bands). */
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, via a
+    * (maxDist+1)-band join: by pigeonhole, any pair within distance d shares
+    * at least one of d+1 bands untouched, so recall is exact for the given
+    * maxDist. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
+    val nBands = maxDist + 1
+    val width = 64 / nBands
     val sig = simhash(df, idCol, textCol)
     val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("band_id", "band_val")))
+      posexplode(array((0 until nBands).map { b =>
+        // last band takes the remainder bits
+        val w = if (b == nBands - 1) 64 - b * width else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        shiftright(col("simhash"), b * width).bitwiseAND(mask)
+      }: _*)).as(Seq("band_id", "band_val")))
     val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
       col("band_id"), col("band_val"))
     val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),

@@ -48,6 +48,19 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("ragged arrays → NULL in BOTH native and composed paths (semantics pinned)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),      // ragged
+      (2L, Seq(1.0, 2.0), Seq(3.0, 4.0))            // aligned
+    )).toDF("id", "a", "b")
+    val r = df.select(col("id"),
+        VectorExpressions.dotNative(col("a"), col("b")).as("native"),
+        Similarity.dot(col("a"), col("b")).as("composed"))
+      .collect().map(x => (x.getLong(0), (x.isNullAt(1), x.isNullAt(2)))).toMap
+    assert(r(1L) == ((true, true)), "ragged must be NULL on both paths")
+    assert(r(2L) == ((false, false)))
+  }
+
   test("cosineNative self-similarity is 1") {
     val r = emb.select(
       VectorExpressions.cosineNative(col("embedding"), col("embedding")).as("c"))
