@@ -116,6 +116,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(memo == Seq(2, 2, 4, 4, 6))
   }
 
+  test("keyed rich variants and collectTo") {
+    val s = imp
+    import s._
+    val ks = ctx.streamRange(6).keyBy(_ % 2)
+    // per-key running index: state is fresh per key
+    val fm = ks.richFlatMapPerKey(() => new java.util.concurrent.atomic.AtomicLong())(
+      (st, v) => Seq(st.getAndIncrement())).collectVec().sorted
+    assert(fm == Seq((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L), (1L, 2L)))
+    val filt = ks.richFilterMapPerKey(() => ())((_, v) => if (v >= 4) Some(v) else None)
+      .collectVec().sorted
+    assert(filt == Seq((0L, 4L), (1L, 5L)))
+    val set: Set[Long] = ctx.streamRange(3).collectTo[Set[Long]]
+    assert(set == Set(0L, 1L, 2L))
+  }
+
   test("mapAsync preserves order; mapAsyncMemoBy caches") {
     val s = imp
     import s._
