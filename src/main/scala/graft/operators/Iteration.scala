@@ -22,11 +22,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Iteration {
 
+  /** GRAFT_ITER_DEBUG=1 prints per-round timings to stderr. */
+  private val debug = sys.env.contains("GRAFT_ITER_DEBUG")
+  private def logRound(tag: String, i: Int, t0: Long): Unit =
+    if (debug) System.err.println(
+      f"[iter] $tag round=$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+
   /** Generic dataset fixpoint: evolve `ds` through `step` until `converged`
     * or `maxIter`. Handles caching + lineage truncation. The convergence
     * check receives (previous, next) — typically a count of changed rows
-    * (one extra job per round, like the reference's leader fold). */
-  /** When `materialize` is false, the `converged` callback is trusted to run
+    * (one extra job per round, like the reference's leader fold).
+    * When `materialize` is false, the `converged` callback is trusted to run
     * an action on `next` (e.g. an aggregate) — one job per round instead of
     * two. */
   def loop[T](init: Dataset[T], maxIter: Int, checkpointEvery: Int = 5,
@@ -38,6 +44,7 @@ object Iteration {
     var i = 0
     var done = false
     while (i < maxIter && !done) {
+      val t0 = System.nanoTime()
       var next = step(cur, i)
       if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
       next = next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -46,6 +53,7 @@ object Iteration {
       cur.unpersist(false)
       cur = next
       i += 1
+      logRound("loop", i, t0)
     }
     cur
   }
@@ -61,6 +69,7 @@ object Iteration {
     var i = 0
     var done = false
     while (i < maxIter && !done) {
+      val t0 = System.nanoTime()
       var next = step(cur, i)
       if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
       next = next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -70,6 +79,7 @@ object Iteration {
       cur.unpersist(false)
       cur = next
       i += 1
+      logRound("fixpoint", i, t0)
     }
     cur
   }
