@@ -695,12 +695,109 @@ object Queries {
       |         GROUP BY e.dst) s ON nd.node = s.node)
       |SELECT node, rank FROM r3""".stripMargin
 
+  /** Triangle count over the region cliques (the 5 nations of a region form
+    * a 5-clique → C(5,3)=10 triangles each) in the reference's fold shape
+    * (examples/triangles_fold.rs): group_by_fold adjacency → wedges → close
+    * with an edge join → fold_assoc count. */
+  def q_triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tbl(s, dir, "nation").as("a")
+      .join(tbl(s, dir, "nation").as("b"),
+        col("a.n_regionkey") === col("b.n_regionkey") &&
+          col("a.n_nationkey") < col("b.n_nationkey"))
+      .select(col("a.n_nationkey").cast("long"), col("b.n_nationkey").cast("long"))
+      .as[(Long, Long)]
+    graft.examples.Triangles.countStream(new graft.api.Stream(edges))
+      .ds.toDF("n_triangles")
+  }
+
+  private val q_triangles_sql =
+    """WITH e AS (SELECT CAST(a.n_nationkey AS BIGINT) AS a, CAST(b.n_nationkey AS BIGINT) AS b
+      |  FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey)
+      |SELECT count(*) AS n_triangles FROM e e1
+      |JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin
+
+  /** Incremental (delta) PageRank, 4 rounds on the nation chain — the
+    * reference's stateful pagerank (examples/pagerank_stateful.rs) on the
+    * true workset/solution-set operator (Iteration.deltaIterate). The chain
+    * has in-degree ≤ 1, so the increment recursion has a fixed FP order and
+    * the oracle unrolls the identical arithmetic. */
+  def q_pagerank_delta(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.pageRankDelta(nationChain(s, dir), maxIter = 4,
+      parallelism = Some(1))._1
+
+  private def q_pagerank_delta_sql: String = {
+    val rounds = 4
+    val sb = new StringBuilder
+    sb ++= """WITH E AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+             |         CAST(lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS BIGINT) AS dst
+             |  FROM nation QUALIFY dst IS NOT NULL),
+             |nodes AS (SELECT src AS node FROM E UNION SELECT dst FROM E),
+             |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |od AS (SELECT src, count(*) AS outdeg FROM E GROUP BY src),
+             |r0 AS (SELECT node, (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) AS rank FROM nodes),
+             |u0 AS (SELECT node, rank AS val FROM r0),
+             |""".stripMargin
+    for (t <- 1 to rounds) {
+      sb ++= s"""d$t AS (SELECT e.dst AS node, sum(u.val / od.outdeg) AS ds
+                |  FROM E e JOIN od ON e.src = od.src JOIN u${t - 1} u ON u.node = e.src
+                |  GROUP BY e.dst),
+                |r$t AS (SELECT r.node,
+                |    CASE WHEN d.node IS NULL THEN r.rank
+                |         ELSE r.rank + CAST(0.85 AS DOUBLE) * d.ds END AS rank
+                |  FROM r${t - 1} r LEFT JOIN d$t d ON r.node = d.node),
+                |u$t AS (SELECT d.node, CAST(0.85 AS DOUBLE) * d.ds AS val FROM d$t d),
+                |""".stripMargin
+    }
+    // drop the loop's trailing ",\n" before the final SELECT
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT node, rank FROM r$rounds"
+    sb.toString
+  }
+
   /** k-means over the embeddings table (reference: examples/kmeans.rs via
-    * `replay`): deterministic init (lowest ids), 5 Lloyd rounds. Not
-    * SQL-expressible → rows-only driver check. */
+    * `replay`): deterministic init (lowest ids), 5 Lloyd rounds. Centroids
+    * are rounded to 6 decimals per round and the argmin compares rounded
+    * distances, which makes the whole trajectory engine-independent — the
+    * oracle unrolls the same 5 Lloyd iterations in SQL. */
   def q_kmeans(s: SparkSession, dir: String): DataFrame =
     graft.algorithms.KMeans.assign(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iterations = 5)
+
+  private def q_kmeans_sql: String = {
+    val k = 4; val iters = 5; val dim = 64
+    // distance: sequential-order list_sum == Spark's sequential fold; both
+    // argmins compare round(dist, 6) with cluster-id tie-break, and each
+    // round's centroids are round(avg, 6) — identical trajectories.
+    def assignExpr(c: String) =
+      s"""SELECT vec_id, cl FROM (
+         |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> (e.v[i] - c.ctr[i]) * (e.v[i] - c.ctr[i]))), 6), c.cl) AS rn
+         |  FROM emb e CROSS JOIN $c c) WHERE rn = 1""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |           FROM embeddings),
+              |dims AS (SELECT unnest(range(1, ${dim + 1})) AS d),
+              |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cl, v AS ctr
+              |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k)),
+              |""".stripMargin
+    for (t <- 0 until iters) {
+      sb ++= s"a$t AS (${assignExpr(s"c$t")}),\n"
+      sb ++= s"""c${t + 1} AS (SELECT p.cl, coalesce(nw.ctr, p.ctr) AS ctr FROM c$t p LEFT JOIN (
+                |  SELECT cl, list(rv ORDER BY d) AS ctr FROM (
+                |    SELECT a.cl AS cl, dims.d AS d, round(avg(e.v[dims.d]), 6) AS rv
+                |    FROM a$t a JOIN emb e USING (vec_id) CROSS JOIN dims
+                |    GROUP BY a.cl, dims.d) GROUP BY cl) nw ON nw.cl = p.cl),
+                |""".stripMargin
+    }
+    sb ++= s"fin AS (${assignExpr(s"c$iters")})\n"
+    sb ++= "SELECT vec_id AS id, CAST(cl AS BIGINT) AS cluster FROM fin"
+    sb.toString
+  }
 
   // =====================================================================
   // NEXMark q1–q8 rebuilt over the events table (reference:
@@ -852,29 +949,80 @@ object Queries {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** MinHash+LSH near-dup pairs (64 hashes, 16 bands) — banding/hashing is
-    * engine-specific → rows-only driver check; NearDupSpec asserts recall
-    * against the exact-jaccard pairs. */
+  /** MinHash+LSH near-dup pairs (64 hashes, 16 bands), portable hashing —
+    * the oracle recomputes the SAME signatures/bands in SQL (md5-derived
+    * 60-bit hash + mod-p affine permutations), so the full banded pipeline is
+    * hash-checked, not rows-only. */
   def q_dedup_minhash(s: SparkSession, dir: String): DataFrame =
     graft.functions.Dedup.minhashNearDups(tbl(s, dir, "documents"),
-      "doc_id", "text", minEstSim = 0.5)
+      "doc_id", "text", minEstSim = 0.5, portable = true)
 
-  /** SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit bands) — rows-only. */
+  private def q_dedup_minhash_sql: String = {
+    val P = graft.functions.Dedup.PortableP
+    val minAggs = (0 until 64).map { i =>
+      val (a, b) = graft.functions.Dedup.portablePermConsts(i)
+      s"min((h * $a + $b) % $P) AS h$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 16).map { bnd =>
+      val cols = (bnd * 4 until bnd * 4 + 4).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $bnd AS band_id, concat_ws('_', $cols) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until 64).map(i =>
+      s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       UNNEST(range(1, len(w) - 3)) AS t(i)),
+       |hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS h FROM sh),
+       |sig AS (SELECT doc_id, $minAggs FROM hv GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, est_sim FROM (
+       |  SELECT a_id, b_id, CAST($matchSum AS DOUBLE) / 64 AS est_sim
+       |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
+       |WHERE est_sim >= CAST(0.5 AS DOUBLE)""".stripMargin
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 via 4-band pigeonhole), portable
+    * 60-bit signature. Banding recall is exact for the stated distance, so
+    * the oracle is the full pairwise Hamming filter over the same
+    * signatures — recomputed bit-for-bit in SQL. */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame =
     graft.functions.Dedup.simhashNearDups(tbl(s, dir, "documents"),
-      "doc_id", "text", maxDist = 3)
+      "doc_id", "text", maxDist = 3, portable = true)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
 
-  /** exact word-3-gram Jaccard ≥ 0.5 on same-language pairs — the verify
-    * stage of the dedup pipeline, fully SQL-expressible. */
+  private val q_dedup_simhash_sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |hv AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok WHERE w <> ''),
+      |votes AS (SELECT doc_id, b.b AS b,
+      |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hv, (SELECT unnest(range(60)) AS b) b GROUP BY doc_id, b.b),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS sh
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+
+  /** exact word-3-gram Jaccard ≥ 0.5 on same-language pairs with a
+    * document-frequency cap of 50 (boilerplate grams dropped from both
+    * sides — the lever that bounds the gram self-join at scale) — the
+    * verify stage of the dedup pipeline, fully SQL-expressible. */
   def q_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     graft.functions.Dedup.ngramJaccard(tbl(s, dir, "documents"),
-      "doc_id", "text", "lang", n = 3, maxId = 2000, minJaccard = 0.5)
+      "doc_id", "text", "lang", n = 3, maxId = 2000, minJaccard = 0.5,
+      maxDf = 50)
 
   private val q_ngram_jaccard_sql =
-    """WITH g AS (
+    """WITH g0 AS (
       |  SELECT DISTINCT doc_id, lang, array_to_string(w[i:i+2], ' ') AS g
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents WHERE doc_id < 2000),
       |       UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |keep AS (SELECT g FROM (SELECT g, count(*) AS c FROM g0 GROUP BY g) WHERE c <= 50),
+      |g AS (SELECT g0.* FROM g0 JOIN keep USING (g)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
       |  FROM g a JOIN g b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
@@ -924,25 +1072,91 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
       |WHERE rn <= 3""".stripMargin
 
-  /** LSH-bucketed ANN top-3 (the scale path) — bucket hashing is
-    * engine-specific → rows-only; AnnSpec asserts agreement with brute force. */
+  /** Shared oracle-SQL prelude recomputing the portable LSH bucket per
+    * vector: quantized integer votes against md5-derived ±1 hyperplanes —
+    * exact integer arithmetic, bit-identical to
+    * [[graft.functions.Similarity.lshBucketPortable]]. */
+  private def lshBucketSqlPrelude(bits: Int): String =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |      FROM embeddings),
+       |e AS (SELECT vec_id, unnest(vec) AS x, generate_subscripts(vec, 1) AS i FROM v),
+       |sgn AS (SELECT p.p AS p, d.i AS i,
+       |    CASE WHEN ('0x' || substr(md5(p.p || ':' || (d.i - 1)), 1, 15))::BIGINT & 1 = 1
+       |         THEN 1 ELSE -1 END AS sg
+       |  FROM (SELECT unnest(range($bits)) AS p) p, (SELECT DISTINCT i FROM e) d),
+       |votes AS (SELECT e.vec_id, sgn.p,
+       |    CAST(sum(floor(e.x * 1e6)::BIGINT * sgn.sg) AS BIGINT) AS vt
+       |  FROM e JOIN sgn ON e.i = sgn.i GROUP BY e.vec_id, sgn.p),
+       |bkt AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN vt > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM votes GROUP BY vec_id),
+       |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+       |m AS (SELECT e.vec_id, e.i, e.x, b.bucket, n.nrm
+       |      FROM e JOIN bkt b USING (vec_id) JOIN n USING (vec_id))""".stripMargin
+
+  /** LSH-bucketed ANN top-3 (the scale path: candidates are bucket-local,
+    * not corpus-quadratic), portable bucket hashing — the oracle recomputes
+    * the same buckets in SQL, so the bucketed algorithm itself is
+    * hash-checked. */
   def q_ann_lsh(s: SparkSession, dir: String): DataFrame =
     graft.functions.Similarity.annTopK(tbl(s, dir, "embeddings"),
-      "vec_id", "embedding", maxQueryId = 50, k = 3, bits = 8)
+      "vec_id", "embedding", maxQueryId = 50, k = 3, bits = 8, portable = true)
       .select(col("q_id"), col("c_id"), col("bucket"), col("sim"), col("rank"))
 
-  /** IVF ANN top-3 (k-means coarse quantizer, nprobe lists searched) —
-    * rows-only; AnnSpec asserts brute-force agreement. */
-  def q_ann_ivf(s: SparkSession, dir: String): DataFrame =
-    graft.functions.Similarity.ivfTopK(tbl(s, dir, "embeddings"),
-      "vec_id", "embedding", maxQueryId = 50, k = 3, nlist = 8, nprobe = 3)
+  private def q_ann_lsh_sql: String =
+    s"""WITH ${lshBucketSqlPrelude(8)},
+       |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, max(a.bucket) AS bucket,
+       |    round(sum(a.x * b.x) / (max(a.nrm) * max(b.nrm)), 6) AS sim
+       |  FROM m a JOIN m b ON a.i = b.i AND a.bucket = b.bucket
+       |    AND a.vec_id < 50 AND a.vec_id <> b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id)
+       |SELECT q_id, c_id, bucket, sim, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
+       |WHERE rn <= 3""".stripMargin
 
-  /** embedding-cosine near-dup pairs over LSH buckets — rows-only. (This
-    * corpus has near-random vectors — top-1 cosine ≈ 0.49 — so the "near
-    * dup" threshold is relative to the distribution.) */
+  /** IVF ANN (k-means coarse quantizer) run at full probe (nprobe = nlist):
+    * provably equivalent to brute force — which is exactly what makes the
+    * whole IVF machinery (train, assign, probe, list join) oracle-checkable
+    * against the exact top-k SQL. NearDupSpec covers the nprobe < nlist
+    * approximate operating point. k=5 to keep it distinct from
+    * q_cosine_topk. */
+  def q_ann_ivf(s: SparkSession, dir: String): DataFrame =
+    // kmeansIters=2: at full probe the quantizer cannot change the result
+    // (every list is scored), so extra Lloyd rounds are pure driver-loop cost
+    graft.functions.Similarity.ivfTopK(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", maxQueryId = 50, k = 5, nlist = 8, nprobe = 8,
+      kmeansIters = 2)
+
+  private val q_ann_ivf_sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, unnest(vec) AS x, generate_subscripts(vec, 1) AS i FROM v),
+      |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.x * b.x) AS dp
+      |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 50 AND a.vec_id <> b.vec_id
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT q_id, c_id, round(dp / (na.nrm * nb.nrm), 6) AS sim
+      |      FROM d JOIN n na ON na.vec_id = q_id JOIN n nb ON nb.vec_id = c_id)
+      |SELECT q_id, c_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
+      |WHERE rn <= 5""".stripMargin
+
+  /** embedding-cosine near-dup pairs over portable LSH buckets — oracle
+    * recomputes buckets + rounded cosine in SQL. (This corpus has
+    * near-random vectors — top-1 cosine ≈ 0.49 — so the "near dup"
+    * threshold is relative to the distribution.) */
   def q_embedding_neardup(s: SparkSession, dir: String): DataFrame =
     graft.functions.Similarity.cosineNearDups(tbl(s, dir, "embeddings"),
-      "vec_id", "embedding", minSim = 0.4, bits = 8)
+      "vec_id", "embedding", minSim = 0.4, bits = 8, portable = true)
+
+  private def q_embedding_neardup_sql: String =
+    s"""WITH ${lshBucketSqlPrelude(8)}
+       |SELECT a_id, b_id, sim FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      round(sum(a.x * b.x) / (max(a.nrm) * max(b.nrm)), 6) AS sim
+       |  FROM m a JOIN m b ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id)
+       |WHERE sim >= CAST(0.4 AS DOUBLE)""".stripMargin
 
   /** full text profile: token/subword counts, punct + stopword ratios, mean
     * word length, quality score, language ID, bag-of-words fingerprint. */
@@ -1018,27 +1232,28 @@ object Queries {
     * from the documents table so the oracle can check against the same rows. */
   def q_wordcount_file(s: SparkSession, dir: String): DataFrame = {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    val path = s"/tmp/graft_wordcount_$sfTag.txt"
     // stale-safety without a full rewrite per run: a cheap content
-    // fingerprint (count + char sum) gates regeneration, so regenerated
-    // test data can never silently diverge from the oracle's parquet view
+    // fingerprint (count + char sum, null-safe for an empty table) is part
+    // of the FILENAME — existence ⇔ matching content, and the single
+    // same-filesystem move below is atomic, so concurrent sessions can
+    // never observe a half-written file
     val fpRow = tbl(s, dir, "documents")
-      .agg(count(lit(1)), sum(col("n_chars"))).head()
+      .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L))).head()
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
-    val fpPath = java.nio.file.Paths.get(path + ".fp")
-    val stale = !java.nio.file.Files.exists(java.nio.file.Paths.get(path)) ||
-      !java.nio.file.Files.exists(fpPath) ||
-      java.nio.file.Files.readString(fpPath) != fp
-    if (stale) {
-      val tmp = path + ".tmpdir"
+    val path = s"/tmp/graft_wordcount_${sfTag}_$fp.txt"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val tmp = path + ".tmpdir." + java.util.UUID.randomUUID()
       tbl(s, dir, "documents").select(col("text"))
         .coalesce(1).write.mode("overwrite").text(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.startsWith("part-"))
         .getOrElse(sys.error(s"text write produced no part file under $tmp"))
       java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(path),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.writeString(fpPath, fp)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // best-effort cleanup of the temp write dir
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
     }
     s.read.textFile(path)
       .select(explode(split(col("value"), " ")).as("word"))
@@ -1118,6 +1333,8 @@ object Queries {
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
+    "q_pagerank_delta" -> (q_pagerank_delta _),
+    "q_triangles" -> (q_triangles _),
     "q_kmeans" -> (q_kmeans _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
@@ -1181,13 +1398,18 @@ object Queries {
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,
-    // q_kmeans: driver loop, not SQL-expressible → rows-only check
+    "q_pagerank_delta" -> q_pagerank_delta_sql,
+    "q_triangles" -> q_triangles_sql,
+    "q_kmeans" -> q_kmeans_sql,
     "q_dedup_exact" -> q_dedup_exact_sql,
-    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_embedding_neardup:
-    // engine-specific hashing → rows-only; Scala specs assert recall
+    "q_dedup_minhash" -> q_dedup_minhash_sql,
+    "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
+    "q_ann_lsh" -> q_ann_lsh_sql,
+    "q_ann_ivf" -> q_ann_ivf_sql,
+    "q_embedding_neardup" -> q_embedding_neardup_sql,
     "q_text_profile" -> q_text_profile_sql,
     "q_multimodal" -> q_multimodal_sql,
     "nx_q1" -> nx_q1_sql,

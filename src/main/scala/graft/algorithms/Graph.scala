@@ -89,6 +89,53 @@ object Graph {
     out
   }
 
+  /** Incremental (delta) PageRank on [[graft.operators.Iteration.deltaIterate]]
+    * — the reference's stateful-iteration pagerank
+    * (reference: examples/pagerank_stateful.rs:55-85) re-expressed as a true
+    * workset/solution-set iteration: ranks start at (1-d)/N, round 0 emits
+    * the initial rank, every later round propagates only rank INCREMENTS
+    * (d·δ) along out-edges. Keys whose increment is 0 leave the workset, so
+    * per-round cost tracks the changing frontier, not the graph — and the
+    * partial sums converge to the same fixpoint as [[pageRank]]:
+    * r = Σ_s (dA)^s·(1-d)/N.
+    *
+    * Returns (ranks, per-round workset sizes). */
+  def pageRankDelta(edges: DataFrame, maxIter: Int, damping: Double = 0.85,
+      eps: Double = 0.0, parallelism: Option[Int] = None): (DataFrame, Seq[Long]) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
+    val e = e0.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eod = e.join(broadcast(outdeg), Seq("src"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("outdeg"))
+      .persist()
+    eod.count()
+
+    val r0 = (1.0 - damping) / n
+    // state = (rank, pending increment to distribute next round)
+    val init = nodes.select(col("node").cast("long")).as[Long]
+      .map(nd => (nd, (r0, r0)))
+
+    val res = Iteration.deltaIterate[Long, (Double, Double), Double, Double, Double](
+      init, maxIter, numPartitions = parallelism) { (_, s, ds) =>
+      val inc = damping * ds.foldLeft(0.0)(_ + _)
+      (s._1 + inc, inc)
+    } { (_, s) => s._2 } { (_, s) => s._1 } { d => math.abs(d) > eps } { upd =>
+      upd.toDF("src", "delta").join(eod, Seq("src"))
+        .select(col("dst"), (col("delta") / col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("d"))
+        .as[(Long, Double)]
+    }
+    val out = res.output.toDF("node", "rank")
+    eod.unpersist(false)
+    (out, res.worksetSizes)
+  }
+
   /** Transitive closure by path doubling — paths ⋈ paths instead of
     * paths ⋈ edges converges in O(log diameter) rounds (reference:
     * examples/transitive_closure.rs does edge-extension; doubling is the

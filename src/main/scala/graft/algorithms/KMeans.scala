@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions._
   * per partition.
   *
   * Deterministic: init = the k points with the lowest ids; assignment breaks
-  * distance ties toward the lower cluster id (strict <).
+  * distance ties toward the lower cluster id (strict <). Centroids are
+  * rounded to 6 decimals each round and the argmin compares 6-decimal
+  * distances — this makes the whole trajectory independent of FP summation
+  * order (partitioning, engine), so the result is reproducible and
+  * oracle-checkable against a SQL re-implementation.
   */
-object KMeans {
+object KMeans extends Serializable {
+
+  /** Half-away-from-zero 6-decimal rounding of the exact binary double —
+    * matches Spark's `round(x, 6)` and DuckDB's `round(x, 6)`. */
+  private[graft] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Assignments plus the trained centroids (needed by IVF indexing). */
   final case class Model(assignments: DataFrame, centroids: Array[Array[Double]])
@@ -49,17 +58,18 @@ object KMeans {
         var d = 0.0; var i = 0
         val ctr = centroids(c)
         while (i < vec.length) { val t = vec(i) - ctr(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
+        val dr = round6(d) // suppress FP-order noise; ties → lower cluster
+        if (dr < bestD) { bestD = dr; best = c }
         c += 1
       }
       best
     }
 
-    val finalCentroids = Iteration.replay(pts.toDF(), iterations, initCentroids) {
-      (_, centroids) =>
+    val finalCentroids = Iteration.replay(pts, iterations, initCentroids) {
+      (data, centroids) =>
         val bc = spark.sparkContext.broadcast(centroids)
         // per-cluster (sum vector, count) via typed partial aggregation
-        val agg = pts.mapPartitions { it =>
+        val agg = data.mapPartitions { it =>
           val ctr = bc.value
           val sums = Array.fill(ctr.length)(new Array[Double](ctr.head.length))
           val counts = new Array[Long](ctr.length)
@@ -80,7 +90,7 @@ object KMeans {
           .collect()
         val next = centroids.clone()
         agg.foreach { case (cI, s, n) =>
-          if (n > 0) next(cI) = s.map(_ / n)
+          if (n > 0) next(cI) = s.map(x => round6(x / n))
         }
         next
     } { (_, _) => true }

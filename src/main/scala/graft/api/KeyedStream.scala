@@ -82,6 +82,15 @@ final class KeyedStream[K, V](val ds: Dataset[(K, V)]) extends Serializable {
   /** Random repartition, breaking keying (reference: keyed `shuffle`, src/operator/mod.rs:2950). */
   def shuffle: Stream[(K, V)] = new Stream(ds.repartition())
 
+  /** Physically co-locate each key's elements on one partition (the
+    * reference's eager `group_by` shuffle). Only needed before raw
+    * partition-level logic — keyed aggregations and per-key rich variants
+    * group correctly without it and shuffle less. */
+  def partitionByKey(numPartitions: Int = 0): KeyedStream[K, V] =
+    new KeyedStream(
+      if (numPartitions > 0) ds.repartition(numPartitions, org.apache.spark.sql.functions.col("_1"))
+      else ds.repartition(org.apache.spark.sql.functions.col("_1")))
+
   /** Union with another keyed stream (reference: keyed `merge`, src/operator/mod.rs:2912). */
   def merge(other: KeyedStream[K, V]): KeyedStream[K, V] =
     new KeyedStream(ds.union(other.ds))

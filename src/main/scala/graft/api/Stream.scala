@@ -15,7 +15,8 @@ import org.apache.spark.storage.StorageLevel
   * map directly: OnlyOne → narrow dependency (no-op), Random → [[shuffle]],
   * GroupBy(hash) → [[groupBy]], All → [[broadcastHint]].
   */
-final class Stream[T](val ds: Dataset[T]) extends Serializable {
+final class Stream[T](val ds: Dataset[T],
+    private[graft] val sharedCache: Option[Dataset[_]] = None) extends Serializable {
   def spark: SparkSession = ds.sparkSession
 
   // ---------------------------------------------------------------------
@@ -86,40 +87,63 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
 
   /** Async map with bounded per-partition concurrency, preserving order
     * (reference: `map_async`, src/operator/mod.rs:648, map_async.rs — tokio
-    * tasks with ordered output). Futures run `parallelism`-wide inside each
-    * partition; results emit in input order. */
-  def mapAsync[O: Encoder](parallelism: Int)(
+    * tasks with ordered output). A sliding window keeps `parallelism`
+    * futures in flight continuously (pipelined like the reference, not
+    * batch-barriered); awaiting the oldest caps the wait at `timeout` so a
+    * hung future fails the task instead of hanging the job forever. */
+  def mapAsync[O: Encoder](parallelism: Int,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(300, "s"))(
       f: T => scala.concurrent.Future[O]): Stream[O] =
     new Stream(ds.mapPartitions { it =>
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      it.grouped(math.max(1, parallelism)).flatMap { batch =>
-        Await.result(Future.sequence(batch.map(f)), Duration.Inf)
+      val window = math.max(1, parallelism)
+      val queue = scala.collection.mutable.Queue.empty[Future[O]]
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (queue.size < window && it.hasNext) queue.enqueue(f(it.next()))
+        def hasNext: Boolean = { fill(); queue.nonEmpty }
+        def next(): O = { fill(); Await.result(queue.dequeue(), timeout) }
       }
     })
 
-  /** Async memoized map (reference: `map_async_memo_by`, src/operator/mod.rs:585). */
-  def mapAsyncMemoBy[K, O: Encoder](parallelism: Int, capacity: Int)(keyer: T => K)(
+  /** Async memoized map (reference: `map_async_memo_by`, src/operator/mod.rs:585).
+    * Same sliding-window pipeline as [[mapAsync]]; duplicate keys already in
+    * flight share the pending future instead of launching redundant work. */
+  def mapAsyncMemoBy[K, O: Encoder](parallelism: Int, capacity: Int,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(300, "s"))(keyer: T => K)(
       f: T => scala.concurrent.Future[O]): Stream[O] =
     new Stream(ds.mapPartitions { it =>
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       val cache = new java.util.LinkedHashMap[K, O](16, 0.75f, true) {
         override def removeEldestEntry(e: java.util.Map.Entry[K, O]): Boolean =
           size() > capacity
       }
-      it.grouped(math.max(1, parallelism)).flatMap { batch =>
-        val results = batch.map { x =>
+      val window = math.max(1, parallelism)
+      val inFlight = scala.collection.mutable.Map.empty[K, Future[O]]
+      val queue = scala.collection.mutable.Queue.empty[(K, Either[O, Future[O]])]
+      new Iterator[O] {
+        private def enqueue(x: T): Unit = {
           val k = keyer(x)
-          if (cache.containsKey(k)) Left(cache.get(k)) else Right((k, f(x)))
+          if (cache.containsKey(k)) queue.enqueue((k, Left(cache.get(k))))
+          else inFlight.get(k) match {
+            case Some(fut) => queue.enqueue((k, Right(fut)))
+            case None =>
+              val fut = f(x); inFlight(k) = fut; queue.enqueue((k, Right(fut)))
+          }
         }
-        results.map {
-          case Left(v) => v
-          case Right((k, fut)) =>
-            val v = Await.result(fut, Duration.Inf)
-            cache.put(k, v); v
+        private def fill(): Unit =
+          while (queue.size < window && it.hasNext) enqueue(it.next())
+        def hasNext: Boolean = { fill(); queue.nonEmpty }
+        def next(): O = {
+          fill()
+          queue.dequeue() match {
+            case (_, Left(v)) => v
+            case (k, Right(fut)) =>
+              val v = Await.result(fut, timeout)
+              cache.put(k, v); inFlight.remove(k); v
+          }
         }
       }
     })
@@ -136,7 +160,11 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
     * (src/operator/mod.rs:1377). Spark-first note: no eager shuffle is
     * issued; downstream keyed aggregations shuffle exactly once on the key
     * (partial/final HashAggregate), which strictly dominates the reference's
-    * eager-shuffle-then-fold. */
+    * eager-shuffle-then-fold. CAVEAT: unlike the reference, this does NOT
+    * physically co-locate a key's elements — keyed aggregations and the
+    * per-key rich variants don't need it (they group via `groupByKey`), but
+    * raw partition-level logic (`richMapCustom`) does: call
+    * [[KeyedStream.partitionByKey]] first in that case. */
   def groupBy[K: Encoder](keyer: T => K)(implicit e: Encoder[T], ke: Encoder[(K, T)]): KeyedStream[K, T] =
     new KeyedStream(ds.map(x => (keyer(x), x)))
 
@@ -173,7 +201,7 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
     * (reference: `split`, src/operator/mod.rs:1965). */
   def split(n: Int): Seq[Stream[T]] = {
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    Seq.fill(n)(new Stream(cached))
+    Seq.fill(n)(new Stream(cached, sharedCache = Some(cached)))
   }
 
   /** Split one stream into N by predicates, first match wins (reference:
@@ -186,7 +214,8 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
       (preds.indexWhere(p => p(x)), x)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     predicates.indices.map { i =>
-      new Stream(indexed.filter(_._1 == i).map(_._2)(ds.encoder))
+      new Stream(indexed.filter(_._1 == i).map(_._2)(ds.encoder),
+        sharedCache = Some(indexed))
     }
   }
 
@@ -273,9 +302,17 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
   // ---------------------------------------------------------------------
 
   /** Full total-order sort (reference: `sorted_by`, src/operator/mod.rs:1243).
-    * Spark range-partitions then sorts per partition — distributed, unlike the
-    * reference's single blocking LimitSorted operator. */
-  def sortedBy[B](key: T => B)(implicit ord: Ordering[B],
+    * Lowered to a Catalyst Sort on a derived key column (range partition +
+    * codegen'd per-partition sort), so upstream pruning/pushdown survive —
+    * the key is computed once per row in a typed projection, sorted on, and
+    * dropped. Uses the key type's encoded (natural) ordering; for a custom
+    * `Ordering` use [[sortedByCustom]]. */
+  def sortedBy[B](key: T => B)(implicit e: Encoder[T], ebt: Encoder[(B, T)]): Stream[T] =
+    new Stream(ds.map(x => (key(x), x)).orderBy(col("_1")).map(_._2))
+
+  /** RDD-path sort for keys whose `Ordering` is not the encoded natural
+    * order (leaves Catalyst — prefer [[sortedBy]]). */
+  def sortedByCustom[B](key: T => B)(implicit ord: Ordering[B],
       ctB: scala.reflect.ClassTag[B], e: Encoder[T]): Stream[T] =
     new Stream(spark.createDataset(ds.rdd.sortBy(key)))
 
@@ -335,7 +372,13 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
 
   /** Avro sink (reference: src/operator/sink/avro.rs:93). */
   def writeAvro(path: String): Unit =
-    ds.toDF().write.mode("overwrite").format("avro").save(path)
+    try ds.toDF().write.mode("overwrite").format("avro").save(path)
+    catch {
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("Failed to find") =>
+        // no spark-avro connector on the classpath: avro-core fallback
+        graft.sources.AvroIO.write(ds.toDF(), path)
+    }
 
   /** Kafka producer sink (reference: `write_kafka`, src/operator/sink/kafka.rs:98):
     * each element serialized to the `value` column. Requires a reachable
@@ -351,7 +394,13 @@ final class Stream[T](val ds: Dataset[T]) extends Serializable {
     * `StreamCache`, src/operator/mod.rs:2264-2359). */
   def cache(): Stream[T] = new Stream(ds.persist(StorageLevel.MEMORY_AND_DISK))
 
-  def unpersist(): Stream[T] = new Stream(ds.unpersist())
+  def unpersist(): Stream[T] = {
+    // branches produced by split()/route() share a persisted prefix that is
+    // not this.ds — release it too, so long-lived sessions don't accumulate
+    // unreachable cached datasets
+    sharedCache.foreach(_.unpersist())
+    new Stream(ds.unpersist())
+  }
 
   // ---------------------------------------------------------------------
   // §2.6 joins (strategy builder — see graft.api.Joins)

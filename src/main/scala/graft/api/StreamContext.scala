@@ -63,8 +63,16 @@ final class StreamContext(val spark: SparkSession) {
   def streamParquetAs[T: Encoder](path: String): Stream[T] =
     new Stream(spark.read.parquet(path).as[T])
 
-  /** Avro source (reference: src/operator/source/avro.rs:49). */
-  def streamAvro(path: String): DataFrame = spark.read.format("avro").load(path)
+  /** Avro source (reference: src/operator/source/avro.rs:49). Uses the
+    * spark-avro connector when present; otherwise the built-in avro-core
+    * reader ([[graft.sources.AvroIO]]) for flat primitive records. */
+  def streamAvro(path: String): DataFrame =
+    try spark.read.format("avro").load(path)
+    catch {
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("Failed to find") =>
+        graft.sources.AvroIO.read(spark, path)
+    }
 
   /** Kafka source → Structured Streaming (reference: src/operator/source/kafka.rs:51). */
   def streamKafka(bootstrap: String, topics: String): DataFrame =
@@ -72,6 +80,30 @@ final class StreamContext(val spark: SparkSession) {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics)
       .load()
+
+  /** Async-producer streaming source (reference:
+    * src/operator/source/async_stream.rs — a futures `Stream` drained into
+    * the dataflow). Spark-first shape: a driver-side pump thread awaits the
+    * producer and feeds a `MemoryStream` micro-batch source; `None` ends the
+    * stream. The returned handle exposes the streaming Dataset plus the pump
+    * thread (join it to know the producer is drained). */
+  def streamAsync[T: Encoder](
+      poll: () => scala.concurrent.Future[Option[T]],
+      pollTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(300, "s")): StreamContext.AsyncSource[T] = {
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](
+      implicitly[Encoder[T]], spark.sqlContext)
+    val pumpThread = new Thread(() => {
+      var done = false
+      while (!done) scala.concurrent.Await.result(poll(), pollTimeout) match {
+        case Some(v) => ms.addData(v)
+        case None => done = true
+      }
+    }, "graft-async-source-pump")
+    pumpThread.setDaemon(true)
+    pumpThread.start()
+    StreamContext.AsyncSource(ms.toDS(), pumpThread)
+  }
 
   /** Wrap an existing Dataset (escape hatch / interop). */
   def fromDataset[T](ds: Dataset[T]): Stream[T] = new Stream(ds)
@@ -83,6 +115,9 @@ final class StreamContext(val spark: SparkSession) {
 
 object StreamContext {
   def apply(spark: SparkSession): StreamContext = new StreamContext(spark)
+
+  /** Handle returned by [[StreamContext.streamAsync]]. */
+  final case class AsyncSource[T](stream: Dataset[T], pump: Thread)
 
   /** Local session with the defaults this engine wants: shuffle partitions
     * sized for the machine (not 200), AQE on for runtime re-planning (skew

@@ -27,6 +27,15 @@ sealed trait WindowDescr[V] extends Serializable {
     * on one side cannot shift the alignment. */
   def assignWithId(elems: IndexedSeq[V]): Iterator[(Long, IndexedSeq[V])] =
     assign(elems).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+
+  /** Per-element window-id assignment, defined when an element's windows
+    * depend only on the element itself (event-time style descriptors) —
+    * None when assignment needs the whole key's ordering (count, session,
+    * transaction windows). Ids match [[assignWithId]]. This is what lets
+    * order-insensitive aggregators run incrementally with O(#windows)
+    * state per key instead of materializing O(#elements) (the reference's
+    * `WindowAccumulator` contract, src/operator/window/mod.rs:36-44). */
+  def elementWindows: Option[V => Iterator[Long]] = None
 }
 
 object WindowDescr {
@@ -93,6 +102,11 @@ object WindowDescr {
       }
       byWindow.iterator.map { case (s, b) => (s, b.toIndexedSeq) }
     }
+    override def elementWindows: Option[V => Iterator[Long]] = Some { e =>
+      val ts = tsMillis(e)
+      val first = math.floorDiv(ts, slideMs) * slideMs
+      Iterator.iterate(first)(_ - slideMs).takeWhile(_ > ts - sizeMs)
+    }
   }
   object EventTimeWindow {
     def tumbling[V](sizeMs: Long)(ts: V => Long): EventTimeWindow[V] =
@@ -129,6 +143,8 @@ object WindowDescr {
   final case class AllWindow[V]() extends WindowDescr[V] {
     def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] =
       if (elems.isEmpty) Iterator.empty else Iterator.single(elems)
+    override def elementWindows: Option[V => Iterator[Long]] =
+      Some(_ => Iterator.single(0L))
   }
 
   /** Batch alias for ProcessingTimeWindow — see [[AllWindow]]. */
@@ -193,7 +209,33 @@ final class WindowedStream[K, V](val ks: KeyedStream[K, V], val descr: WindowDes
       descr.assign(it.map(_._2).toIndexedSeq).map(w => (k, f(w)))
     })
 
-  /** reference: aggr/fold.rs:126. */
+  /** Incremental per-window fold for order-insensitive aggregators:
+    * O(#windows) state per key instead of O(#elements) — removes the
+    * hot-key OOM cliff of the collect path for descriptors that can assign
+    * per element (event-time, all). Seeds each window's accumulator from
+    * its first element; falls back to the collect path otherwise. Folds in
+    * arrival order, which is why only order-insensitive aggregators
+    * (sum/count/min/max) route here. */
+  private def aggWindow[A](seed: V => A, step: (A, V) => A,
+      whole: IndexedSeq[V] => A)(
+      implicit ek: Encoder[K], ekv: Encoder[(K, V)], eka: Encoder[(K, A)]): Stream[(K, A)] =
+    descr.elementWindows match {
+      case Some(ew) =>
+        new Stream(ks.ds.groupByKey(_._1).flatMapGroups { (k: K, it: Iterator[(K, V)]) =>
+          val accs = scala.collection.mutable.HashMap.empty[Long, A]
+          it.foreach { case (_, v) =>
+            ew(v).foreach { w =>
+              accs.update(w,
+                accs.get(w) match { case Some(a) => step(a, v); case None => seed(v) })
+            }
+          }
+          accs.toSeq.sortBy(_._1).iterator.map { case (_, a) => (k, a) }
+        })
+      case None => mapWindow(whole)
+    }
+
+  /** reference: aggr/fold.rs:126. (Stays on the collect path: an arbitrary
+    * fold is order-sensitive and the batch contract folds in key order.) */
   def fold[A](init: A)(f: (A, V) => A)(
       implicit ek: Encoder[K], ekv: Encoder[(K, V)], eka: Encoder[(K, A)]): Stream[(K, A)] =
     mapWindow(w => w.foldLeft(init)(f))
@@ -201,21 +243,21 @@ final class WindowedStream[K, V](val ks: KeyedStream[K, V], val descr: WindowDes
   /** reference: aggr/sum.rs:14. */
   def sum[N](get: V => N)(implicit num: Numeric[N], ek: Encoder[K],
       ekv: Encoder[(K, V)], ekn: Encoder[(K, N)]): Stream[(K, N)] =
-    mapWindow(w => w.iterator.map(get).sum)
+    aggWindow[N](get, (a, v) => num.plus(a, get(v)), w => w.iterator.map(get).sum)
 
   /** reference: aggr/count.rs:30. */
   def count(implicit ek: Encoder[K], ekv: Encoder[(K, V)],
       ekl: Encoder[(K, Long)]): Stream[(K, Long)] =
-    mapWindow(_.length.toLong)
+    aggWindow[Long](_ => 1L, (a, _) => a + 1L, _.length.toLong)
 
   /** reference: aggr/max.rs:14 / min.rs:14. */
   def max[B](get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],
       ekv: Encoder[(K, V)], ekb: Encoder[(K, B)]): Stream[(K, B)] =
-    mapWindow(w => w.iterator.map(get).max)
+    aggWindow[B](get, (a, v) => ord.max(a, get(v)), w => w.iterator.map(get).max)
 
   def min[B](get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],
       ekv: Encoder[(K, V)], ekb: Encoder[(K, B)]): Stream[(K, B)] =
-    mapWindow(w => w.iterator.map(get).min)
+    aggWindow[B](get, (a, v) => ord.min(a, get(v)), w => w.iterator.map(get).min)
 
   /** arg-max/arg-min by projection (reference: aggr/max.rs:31,43). */
   def maxBy[B](get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],

@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cross-engine-portable 60-bit hash: the first 15 hex chars of md5 read as
+    * an integer. Bit-identical in DuckDB as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`, which is what makes the
+    * probabilistic dedup queries oracle-checkable: the oracle recomputes the
+    * very same signatures instead of trusting a rows-only count. xxhash64
+    * stays the default for production paths (faster); the algorithm is
+    * identical either way. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Modulus for portable affine minhash permutations: 2^31-1 (prime).
+    * Keeping h, a, b < 2^31 bounds every product under 2^62 — no wraparound,
+    * so the arithmetic is exact in any engine regardless of ANSI/overflow
+    * semantics. */
+  val PortableP = 2147483647L
+
+  /** Per-permutation affine constants (a_i, b_i), identical literals on the
+    * Spark and oracle-SQL sides. */
+  def portablePermConsts(i: Int): (Long, Long) = {
+    val a0 = (2654435761L * (i + 1)) % PortableP
+    val a = if (a0 == 0L) 1L else a0
+    val b = (1013904223L * (i + 1)) % PortableP
+    (a, b)
+  }
+
   /** Word n-gram (shingle) array, pure Catalyst: split → sliding windows via
     * transform(sequence). Empty result when the doc has < n words. */
   def shingles(text: Column, n: Int): Column = {
@@ -40,7 +65,8 @@ object Dedup {
     * formulation note below for why this is explode+groupBy and why that is
     * both faster and shuffle-cheap. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleSize: Int = 5): DataFrame = {
+      numHashes: Int = 64, shingleSize: Int = 5,
+      portable: Boolean = false): DataFrame = {
     // Formulation note (measured at sf0.1): explode + groupBy with 64 min
     // aggregates beats a per-row array_min(transform(...)) closed form ~4×.
     // Higher-order functions are interpreted (no codegen) and allocate an
@@ -49,13 +75,20 @@ object Dedup {
     // crosses partitions, so map-side partial aggregation collapses to ONE
     // signature row per doc before the shuffle — the shuffle carries
     // exactly the output.
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleSize)).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
+    val sh0 = df.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleSize)).as("shingle"))
+    val sh =
+      if (portable) sh0.withColumn("h", portableHash60(col("shingle")) % PortableP)
+      else sh0.withColumn("h", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map { i =>
-      val a = 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L
-      val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
-      min(col("h") * lit(a) + lit(b)).as(s"h$i")
+      if (portable) {
+        val (a, b) = portablePermConsts(i)
+        min((col("h") * lit(a) + lit(b)) % PortableP).as(s"h$i")
+      } else {
+        val a = 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L
+        val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
+        min(col("h") * lit(a) + lit(b)).as(s"h$i")
+      }
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -64,16 +97,21 @@ object Dedup {
     * docs sharing any band bucket become candidates; estimated similarity =
     * fraction of matching signature components. */
   def minhashCandidates(sig: DataFrame, bands: Int = 16, numHashes: Int = 64,
-      minEstSim: Double = 0.5): DataFrame = {
+      minEstSim: Double = 0.5, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
     val sigArr = sig.withColumn("sig",
       array((0 until numHashes).map(i => col(s"h$i")): _*))
+    // portable: the band key is the joined signature string itself (what the
+    // oracle can recompute); default: xxhash64 of it (smaller shuffle key).
+    def bandKey(b: Int): Column = {
+      val joined = concat_ws("_",
+        (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+      if (portable) joined else xxhash64(joined)
+    }
     val banded = sigArr.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws("_",
-          (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*))
-      }: _*)).as(Seq("band_id", "band_hash")))
+      posexplode(array((0 until bands).map(bandKey): _*))
+        .as(Seq("band_id", "band_hash")))
     val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
       col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
@@ -89,8 +127,9 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      minEstSim: Double = 0.5): DataFrame =
-    minhashCandidates(minhashSignature(df, idCol, textCol), minEstSim = minEstSim)
+      minEstSim: Double = 0.5, portable: Boolean = false): DataFrame =
+    minhashCandidates(minhashSignature(df, idCol, textCol, portable = portable),
+      minEstSim = minEstSim, portable = portable)
 
   /** Exact-jaccard verification of candidate pairs: n-gram sets are built
     * ONLY for documents appearing in `cands` — the verify cost is
@@ -108,11 +147,20 @@ object Dedup {
       .join(grams.select(col("doc_id").as("b_id"), col("g").as("g2")), "b_id")
       .filter(col("g") === col("g2"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"), "b_id")
+    // left joins + coalesce: a candidate pair where either doc has no
+    // n-grams (< n words) scores an explicit jaccard of 0 instead of
+    // silently disappearing from the verified output
+    val union_ = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
+      coalesce(col("inter"), lit(0L))
+    cands.select(col("a_id"), col("b_id"))
+      .join(inter, Seq("a_id", "b_id"), "left_outer")
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"),
+        Seq("a_id"), "left_outer")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"),
+        Seq("b_id"), "left_outer")
       .select(col("a_id"), col("b_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        when(union_ === 0, lit(0.0))
+          .otherwise(coalesce(col("inter"), lit(0L)).cast("double") / union_)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
@@ -133,19 +181,24 @@ object Dedup {
   /** 64-bit SimHash per document: per-bit majority vote of token hashes
     * (token multiplicity counts). Per-row closed form — narrow map stage,
     * zero shuffle (see minhashSignature scale note). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
     // explode + codegen'd conditional-sum aggregates (same formulation
     // rationale as minhashSignature: partial agg collapses map-side, the
-    // shuffle carries one 64-vote row per doc)
-    val tok = df.select(col(idCol).as("doc_id"),
+    // shuffle carries one vote row per doc). Portable mode uses the 60-bit
+    // md5-derived token hash (oracle-recomputable) → a 60-bit signature.
+    val nBits = if (portable) 60 else 64
+    val tok0 = df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
-      .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map { i =>
+    val tok =
+      if (portable) tok0.withColumn("h", portableHash60(col("w")))
+      else tok0.withColumn("h", xxhash64(col("w")))
+    val votes = (0 until nBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until nBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     voted.select(col("doc_id"), sig.as("simhash"))
@@ -156,15 +209,16 @@ object Dedup {
     * at least one of d+1 bands untouched, so recall is exact for the given
     * maxDist. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, portable: Boolean = false): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
+    val nBits = if (portable) 60 else 64
     val nBands = maxDist + 1
-    val width = 64 / nBands
-    val sig = simhash(df, idCol, textCol)
+    val width = nBits / nBands
+    val sig = simhash(df, idCol, textCol, portable = portable)
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map { b =>
         // last band takes the remainder bits
-        val w = if (b == nBands - 1) 64 - b * width else width
+        val w = if (b == nBands - 1) nBits - b * width else width
         val mask = if (w >= 64) -1L else (1L << w) - 1
         shiftright(col("simhash"), b * width).bitwiseAND(mask)
       }: _*)).as(Seq("band_id", "band_val")))
@@ -181,13 +235,27 @@ object Dedup {
   }
 
   /** Exact word-n-gram Jaccard for candidate pairs (the verify step after
-    * LSH; here candidates = same-language pairs under an id bound, keeping
-    * the pair set linear-ish at test scale). */
+    * LSH; here candidates = same-language pairs under an id bound).
+    *
+    * `maxDf` is the scale lever: grams occurring in more than `maxDf`
+    * documents (boilerplate) are dropped from BOTH sides of the jaccard
+    * (set semantics preserved: sizes and intersections are computed on the
+    * filtered sets). That bounds the gram-equality self-join to at most
+    * maxDf candidates per gram — linear in the corpus for a fixed cap —
+    * instead of quadratic in the documents sharing a common gram. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      langCol: String, n: Int, maxId: Long, minJaccard: Double): DataFrame = {
-    val grams = df.filter(col(idCol) < maxId)
+      langCol: String, n: Int, maxId: Long, minJaccard: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val grams0 = df.filter(col(idCol) < maxId)
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val grams = if (maxDf == Int.MaxValue) grams0 else {
+      val keep = grams0.groupBy(col("g")).agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= maxDf).select(col("g"))
+      // shuffle-on-g join (the inter join below shuffles on g anyway);
+      // broadcasting the kept-gram list would not survive large corpora
+      grams0.join(keep, Seq("g"))
+    }
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("x").join(grams.as("y"),
         col("x.g") === col("y.g") && col("x.lang") === col("y.lang")

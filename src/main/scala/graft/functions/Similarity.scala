@@ -68,14 +68,37 @@ object Similarity {
     planeBits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Cross-engine-deterministic variant of [[lshBucket]]: coordinates are
+    * quantized to integers (`floor(x * 1e6)`) and the ±1 plane signs come
+    * from the portable md5-derived hash, so every vote is exact integer
+    * arithmetic — bit-identical in the DuckDB oracle, immune to FP
+    * summation order. Same algorithm (dense random hyperplanes), different
+    * hash source; quantization error is irrelevant to a hash. */
+  def lshBucketPortable(vec: Column, bits: Int): Column = {
+    val qv = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val planeBits = (0 until bits).map { p =>
+      val signs = transform(sequence(lit(0), size(vec) - 1), i =>
+        when(graft.functions.Dedup.portableHash60(
+            concat_ws(":", lit(p).cast("string"), i.cast("string")))
+          .bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      val v = aggregate(zip_with(qv, signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+      when(v > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planeBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** ANN via LSH buckets: neighbors are searched only within the query's
     * bucket. Returns per-query top-k among bucket-mates (may have < k rows —
     * the recall/cost tradeoff, stated in the result by `bucket`). */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
-      maxQueryId: Long, k: Int, bits: Int = 16, roundTo: Int = 6): DataFrame = {
+      maxQueryId: Long, k: Int, bits: Int = 16, roundTo: Int = 6,
+      portable: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), bits))
+      .withColumn("bucket",
+        if (portable) lshBucketPortable(col("vec"), bits)
+        else lshBucket(col("vec"), bits))
     val q = v.filter(col("id") < maxQueryId)
       .select(col("id").as("q_id"), col("vec").as("q_vec"),
         norm(col("vec")).as("q_norm"), col("bucket"))
@@ -150,10 +173,12 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucket-constrained (the LSH near-dup path for embeddings). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, bits: Int = 12): DataFrame = {
+      minSim: Double, bits: Int = 12, portable: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), bits))
+      .withColumn("bucket",
+        if (portable) lshBucketPortable(col("vec"), bits)
+        else lshBucket(col("vec"), bits))
       .withColumn("nrm", norm(col("vec")))
     val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"),
       col("nrm").as("a_nrm"), col("bucket"))

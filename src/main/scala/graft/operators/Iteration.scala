@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.storage.StorageLevel
+
+import scala.reflect.ClassTag
 
 /** Iterative fixed-point computation — the analog of the reference's
   * iteration operators (reference: src/operator/iteration/):
@@ -88,8 +92,12 @@ object Iteration {
     * `round` returns the new state; `cond(old, new)` continues while true. */
   def replay[T, S](input: Dataset[T], maxIter: Int, init: S)(
       round: (Dataset[T], S) => S)(cond: (S, S) => Boolean): S = {
-    val cached = input.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
+    // respect a caller-managed cache: persisting twice would double the
+    // memory and cost one wasted materialization job
+    val alreadyCached = input.storageLevel != StorageLevel.NONE
+    val cached =
+      if (alreadyCached) input else input.persist(StorageLevel.MEMORY_AND_DISK)
+    if (!alreadyCached) cached.count()
     var state = init
     var i = 0
     var go = true
@@ -99,8 +107,102 @@ object Iteration {
       state = next
       i += 1
     }
-    cached.unpersist(false)
+    if (!alreadyCached) cached.unpersist(false)
     state
+  }
+
+  /** Result of [[deltaIterate]]: the per-key outputs plus the per-round
+    * workset sizes (number of keys that received a delta), the delta
+    * iteration's defining telemetry — a healthy run shows it shrinking. */
+  final case class DeltaResult[KO](output: Dataset[KO], worksetSizes: Seq[Long])
+
+  /** Workset/solution-set incremental iteration — the reference's
+    * `delta_iterate` (reference: src/operator/iteration/iterate_delta.rs:104-192):
+    * a keyed solution set evolves in place; each round only the keys that
+    * received a delta run `processDelta` and emit an update into `body`,
+    * which computes the next round's deltas; the loop stops when no delta
+    * satisfies `condition` (the reference's `TerminationCond`) or after
+    * `maxIter` rounds.
+    *
+    * Spark-first shape: the solution set lives as a hash-partitioned pair
+    * RDD that NEVER re-shuffles — each round is a partitioner-aware
+    * `cogroup` (narrow on the solution side), so the only shuffled data is
+    * the workset itself, which shrinks as keys quiesce. This is the one
+    * operator family where dropping below the Dataset API is justified:
+    * Catalyst has no notion of a stable cross-job partitioning, and at
+    * 100 TB re-shuffling the solution set every round IS the bottleneck.
+    * `body` still receives a Dataset, so the per-round logic stays
+    * declarative/Catalyst-planned.
+    *
+    * Divergences from the reference (documented, semantics-preserving):
+    * `processDelta` folds all of a key's deltas functionally instead of
+    * mutating in place; delta arrival order within a key is unspecified in
+    * both engines, so the fold should be commutative (the reference has the
+    * same network nondeterminism). Two jobs per round: one count on the
+    * (small) deltas for termination, one materializing the merged solution.
+    */
+  def deltaIterate[K: ClassTag, S: ClassTag, U: ClassTag, D: ClassTag, O: ClassTag](
+      solution: Dataset[(K, S)], maxIter: Int,
+      numPartitions: Option[Int] = None, checkpointEvery: Int = 5)(
+      processDelta: (K, S, Iterator[D]) => S)(
+      makeUpdate: (K, S) => U)(
+      makeOutput: (K, S) => O)(
+      condition: D => Boolean)(
+      body: Dataset[(K, U)] => Dataset[(K, D)])(
+      implicit kuEnc: Encoder[(K, U)], koEnc: Encoder[(K, O)]): DeltaResult[(K, O)] = {
+    val spark = solution.sparkSession
+    val part = new HashPartitioner(
+      numPartitions.getOrElse(math.max(solution.rdd.getNumPartitions, 1)))
+
+    var sol: RDD[(K, S)] = solution.rdd.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sol.count()
+    // round 0: every key is in the workset (the reference's Msg::Init pass)
+    var updates: RDD[(K, U)] = sol.mapPartitions(
+      _.map { case (k, s) => (k, makeUpdate(k, s)) }, preservesPartitioning = true)
+    val worksets = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    var i = 0
+    var done = false
+    var prevMerged: RDD[_] = null
+    while (i < maxIter && !done) {
+      val t0 = System.nanoTime()
+      val deltas = body(spark.createDataset(updates)).rdd
+        .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = deltas.filter { case (_, d) => condition(d) }.count()
+      if (changed == 0) { done = true; deltas.unpersist(false) }
+      else {
+        val merged = sol.cogroup(deltas, part).mapPartitions(_.map {
+          case (k, (ss, ds)) =>
+            // a key can appear delta-only if body emits unseen keys; the
+            // reference folds onto Default::default() — we require the key
+            // to exist (solution sets are closed over their key domain)
+            val s = ss.head
+            if (ds.isEmpty) (k, (s, false))
+            else (k, (processDelta(k, s, ds.iterator), true))
+        }, preservesPartitioning = true)
+        val persisted =
+          if ((i + 1) % checkpointEvery == 0) { merged.localCheckpoint(); merged }
+          else merged.persist(StorageLevel.MEMORY_AND_DISK)
+        val wk = persisted.filter(_._2._2).count() // materializes too
+        worksets += wk
+        updates = persisted.mapPartitions(
+          _.collect { case (k, (s, true)) => (k, makeUpdate(k, s)) },
+          preservesPartitioning = true)
+        sol.unpersist(false)
+        if (prevMerged != null) prevMerged.unpersist(false)
+        prevMerged = persisted
+        sol = persisted.mapPartitions(
+          _.map { case (k, (s, _)) => (k, s) }, preservesPartitioning = true)
+        deltas.unpersist(false)
+      }
+      i += 1
+      logRound("delta", i, t0)
+    }
+    val out = spark.createDataset(
+      sol.mapPartitions(_.map { case (k, s) => (k, makeOutput(k, s)) },
+        preservesPartitioning = true))
+    DeltaResult(out, worksets.toSeq)
   }
 
   /** iterate: evolve BOTH a dataset and a state; the state is folded from

@@ -63,14 +63,52 @@ object Streaming {
       .flatMapGroupsWithState[Seq[V], (K, O)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: K, rows: Iterator[(K, V)], state: GroupState[Seq[V]]) =>
-          var buf = state.getOption.getOrElse(Seq.empty[V])
+          // mutable buffer within the batch: appending to an immutable Seq
+          // per element is O(n²) on large windows
+          val buf = scala.collection.mutable.ArrayBuffer.empty[V]
+          buf ++= state.getOption.getOrElse(Seq.empty[V])
           val out = scala.collection.mutable.ArrayBuffer.empty[(K, O)]
           rows.foreach { case (_, v) =>
-            buf = buf :+ v
-            if (buf.size == size) { out += ((key, agg(buf))); buf = Seq.empty[V] }
+            buf += v
+            if (buf.size == size) { out += ((key, agg(buf.toSeq))); buf.clear() }
           }
-          state.update(buf)
+          state.update(buf.toSeq)
           out.iterator
+      }
+
+  /** Streaming ProcessingTimeWindow.tumbling per key (reference:
+    * descr/processing_time.rs:92-107): elements buffer in keyed state; a
+    * wall-clock timeout of `sizeMs`, armed when the window opens (first
+    * element), emits the window's aggregate. As with all processing-time
+    * semantics the exact cut points are wall-clock-dependent; the invariants
+    * (buffer-until-timeout, emit-once, re-arm on next element) are what the
+    * spec pins. Note Structured Streaming fires timeouts at the NEXT
+    * micro-batch after the deadline; run with a throttled trigger (e.g.
+    * `Trigger.ProcessingTime`) — with the default ASAP trigger the pending
+    * timeouts busy-loop no-data batches. Don't synchronize on
+    * `processAllAvailable()`: pending timeouts keep scheduling no-data
+    * batches, so its no-new-data signal never fires — poll the sink. */
+  def processingTimeTumbling[K, V, O](ds: Dataset[(K, V)], sizeMs: Long)(
+      agg: Seq[V] => O)(
+      implicit ek: Encoder[K], ev: Encoder[Seq[V]], eo: Encoder[(K, O)],
+      ekv: Encoder[(K, V)]): Dataset[(K, O)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[V], (K, O)](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[Seq[V]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(Seq.empty[V])
+            state.remove()
+            if (buf.nonEmpty) Iterator.single((key, agg(buf))) else Iterator.empty
+          } else {
+            val hadWindow = state.exists
+            val buf = scala.collection.mutable.ArrayBuffer.empty[V]
+            buf ++= state.getOption.getOrElse(Seq.empty[V])
+            rows.foreach { case (_, v) => buf += v }
+            state.update(buf.toSeq)
+            if (!hadWindow) state.setTimeoutDuration(sizeMs)
+            Iterator.empty
+          }
       }
 
   /** Streaming TransactionWindow (reference descr/transaction.rs — the
@@ -94,24 +132,28 @@ object Streaming {
       .flatMapGroupsWithState[TxState[V], (K, O)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: K, rows: Iterator[(K, V)], state: GroupState[TxState[V]]) =>
-          var st = state.getOption.getOrElse(TxState[V](Seq.empty, None))
+          val init = state.getOption.getOrElse(TxState[V](Seq.empty, None))
+          // mutable buffer within the batch (O(n) appends), immutable in state
+          val buf = scala.collection.mutable.ArrayBuffer.empty[V]
+          buf ++= init.buf
+          var commitAt = init.commitAt
           val out = scala.collection.mutable.ArrayBuffer.empty[(K, O)]
           rows.foreach { v0 =>
             val v = v0._2
-            if (st.commitAt.exists(t => tsMillis(v) > t)) {
-              if (st.buf.nonEmpty) out += ((key, agg(st.buf)))
-              st = TxState(Seq.empty, None)
+            if (commitAt.exists(t => tsMillis(v) > t)) {
+              if (buf.nonEmpty) out += ((key, agg(buf.toSeq)))
+              buf.clear(); commitAt = None
             }
-            st = st.copy(buf = st.buf :+ v)
+            buf += v
             logic(v) match {
               case TxContinue => ()
               case TxCommit =>
-                out += ((key, agg(st.buf))); st = TxState(Seq.empty, None)
-              case TxDiscard => st = TxState(Seq.empty, None)
-              case TxCommitAfter(t) => st = st.copy(commitAt = Some(t))
+                out += ((key, agg(buf.toSeq))); buf.clear(); commitAt = None
+              case TxDiscard => buf.clear(); commitAt = None
+              case TxCommitAfter(t) => commitAt = Some(t)
             }
           }
-          state.update(st)
+          state.update(TxState(buf.toSeq, commitAt))
           out.iterator
       }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Iteration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Workset/solution-set iteration (reference:
+  * src/operator/iteration/iterate_delta.rs): the defining property is that
+  * only keys receiving deltas do work — the workset SHRINKS as keys
+  * quiesce — and that early termination fires when no delta passes the
+  * condition. */
+class DeltaIterateSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  test("delta pagerank on a chain: workset shrinks every round, ranks converge") {
+    val s = imp; import s._
+    // 3 chains of 5 nodes: 0→1→2→3→4, 10→11→…, 20→21→…
+    val edges = (0 until 3).flatMap { c =>
+      (0 until 4).map(i => (c * 10 + i.toLong, c * 10 + i + 1L))
+    }.toDF("src", "dst")
+
+    val (ranks, worksets) = graft.algorithms.Graph.pageRankDelta(
+      edges, maxIter = 10, parallelism = Some(2))
+
+    // the change frontier moves down the chains: 12 → 9 → 6 → 3, then the
+    // tails emit nothing and the loop terminates early (< maxIter rounds)
+    assert(worksets == Seq(12L, 9L, 6L, 3L))
+    assert(worksets.sliding(2).forall { case Seq(a, b) => b < a; case _ => true })
+
+    // converged exactly (deltas die out): result == closed-form fixpoint
+    // r(depth k) = Σ_{j≤k} d^j (1-d)/N  (in-degree ≤ 1, outdeg 1)
+    val n = 15.0
+    val d = 0.85
+    val expect = (0 until 5).map(k =>
+      (0 to k).map(j => math.pow(d, j) * (1.0 - d) / n).sum)
+    val got = ranks.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    for (c <- 0 until 3; k <- 0 until 5)
+      assert(math.abs(got(c * 10 + k) - expect(k)) < 1e-12,
+        s"node ${c * 10 + k}: ${got(c * 10 + k)} vs ${expect(k)}")
+  }
+
+  test("deltaIterate terminates immediately when no delta passes the condition") {
+    val s = imp; import s._
+    val init = Seq((1L, 0L), (2L, 0L)).toDS()
+    val res = Iteration.deltaIterate[Long, Long, Long, Long, Long](
+      init, maxIter = 5) { (_, st, ds) => st + ds.sum } { (_, st) => st } {
+      (_, st) => st } { _ => false } { upd => upd } // no delta ever "counts"
+    assert(res.worksetSizes.isEmpty)
+    assert(res.output.collect().toMap == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("deltaIterate respects maxIter on a non-quiescing body") {
+    val s = imp; import s._
+    val init = Seq((1L, 0L), (2L, 100L)).toDS()
+    // body always re-emits a delta of 1 for key 1 only → workset stays {1}
+    val res = Iteration.deltaIterate[Long, Long, Long, Long, Long](
+      init, maxIter = 3) { (_, st, ds) => st + ds.sum } { (_, st) => st } {
+      (_, st) => st } { _ => true } { upd =>
+      upd.filter(col("_1") === 1L).select(col("_1"), lit(1L).as("_2")).as[(Long, Long)]
+    }
+    assert(res.worksetSizes == Seq(1L, 1L, 1L))
+    val out = res.output.collect().toMap
+    assert(out(1L) == 3L) // three rounds of +1
+    assert(out(2L) == 100L) // untouched key keeps its solution state
+  }
+}

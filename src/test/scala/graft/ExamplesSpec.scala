@@ -1,0 +1,58 @@
+package graft
+
+import graft.api.StreamContext
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end example workloads with closed-form expectations —
+  * triangles_fold (keyed-fold path) and logistic regression (replay path),
+  * mirroring reference/examples/triangles_fold.rs and the intent of the
+  * (disabled) logistic_regression.rs. */
+class ExamplesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  test("triangles_fold: cliques and triangle-free graphs, closed forms") {
+    val s = imp; import s._
+    val ctx = new StreamContext(spark)
+    // K4 has C(4,3) = 4 triangles; two disjoint K4s → 8
+    val twoCliques = for (c <- 0 to 1; i <- 0 to 3; j <- 0 until i)
+      yield (c * 10 + j.toLong, c * 10 + i.toLong)
+    assert(graft.examples.Triangles.count(ctx.streamIter(twoCliques)) == 8L)
+    // edges given in arbitrary orientation are normalized
+    val k3 = Seq((2L, 0L), (0L, 1L), (1L, 2L))
+    assert(graft.examples.Triangles.count(ctx.streamIter(k3)) == 1L)
+    // bipartite graph (no odd cycles) → 0
+    val bip = for (a <- 0 to 2; b <- 10 to 12) yield (a.toLong, b.toLong)
+    assert(graft.examples.Triangles.count(ctx.streamIter(bip)) == 0L)
+  }
+
+  test("logistic regression via replay: cost decreases, separable data fits") {
+    val s = imp; import s._
+    val pts = spark.range(1000).map { i =>
+      val x1 = (i % 101).toDouble / 50.0 - 1.0
+      val x2 = ((i * 7) % 103).toDouble / 51.0 - 1.0
+      val y = if (2 * x1 - x2 + 0.5 > 0) 1.0 else 0.0
+      (y, Array(1.0, x1, x2))
+    }
+    val m = graft.examples.LogisticRegression.train(pts, iterations = 60, lr = 0.5)
+    assert(m.costs.length == 60)
+    // batch GD on a smooth convex loss with a stable step: monotone descent
+    m.costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-12, s"cost increased: $a -> $b")
+    case _ => ()
+    }
+    assert(m.costs.last < 0.35, s"final cost ${m.costs.last}")
+    // the fitted separator classifies the training set well
+    val data = pts.collect()
+    val acc = data.count { case (y, x) =>
+      val z = m.weights.zip(x).map { case (w, v) => w * v }.sum
+      (if (z > 0) 1.0 else 0.0) == y
+    }.toDouble / data.length
+    assert(acc >= 0.95, s"accuracy $acc")
+  }
+}

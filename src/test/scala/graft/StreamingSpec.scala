@@ -95,6 +95,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ProcessingTimeWindow: buffer until wall-clock timeout, emit once, re-arm") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    // 300 ms tumbling processing-time window per key
+    val out = graft.streaming.Streaming.processingTimeTumbling(in.toDS(), 300L)(_.sum)
+    // a throttled trigger matters: with the default ASAP trigger a
+    // ProcessingTimeTimeout query busy-loops no-data batches
+    val q = out.toDF("k", "sum").writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ptw").toString)
+      .format("memory").queryName("ptw").start()
+    // wall-clock semantics → poll with a deadline instead of processAllAvailable
+    def rowsNow(): Map[String, Int] =
+      spark.table("ptw").as[(String, Int)].collect().toMap
+    def awaitKeys(keys: Set[String], deadlineMs: Long = 30000): Map[String, Int] = {
+      val end = System.currentTimeMillis() + deadlineMs
+      var m = rowsNow()
+      while (!keys.subsetOf(m.keySet) && System.currentTimeMillis() < end) {
+        Thread.sleep(200); m = rowsNow()
+      }
+      m
+    }
+    try {
+      // NOTE: processAllAvailable() must not be used here — with
+      // ProcessingTimeTimeout each batch schedules another no-data batch to
+      // fire future timeouts, so the no-new-data signal never comes; the
+      // poll-with-deadline IS the correct synchronization for wall-clock
+      // semantics.
+      in.addData(("a", 1), ("a", 2), ("b", 10))
+      // no-data batches fire the timeouts once 300 ms of wall clock pass
+      val m1 = awaitKeys(Set("a", "b"))
+      assert(m1.get("a").contains(3), s"a window should aggregate 1+2: $m1")
+      assert(m1.get("b").contains(10), s"$m1")
+      // a later key opens a fresh window (re-arm) and times out independently
+      in.addData(("c", 100))
+      val m2 = awaitKeys(Set("c"))
+      assert(m2.get("c").contains(100), s"$m2")
+    } finally q.stop()
+  }
+
+  test("async-producer source: pump drains the producer into the stream") {
+    val s = spark; import s.implicits._
+    import scala.concurrent.Future
+    val ctx = new graft.api.StreamContext(spark)
+    val items = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    (1 to 50).foreach(items.add(_))
+    val src = ctx.streamAsync[Int](() => Future.successful(Option(items.poll())))
+    val q = src.stream.toDF("v").writeStream.outputMode("append")
+      .format("memory").queryName("async_src").start()
+    try {
+      src.pump.join(30000)
+      assert(!src.pump.isAlive, "pump must terminate on None")
+      q.processAllAvailable()
+      val got = spark.table("async_src").as[Int].collect().sorted.toSeq
+      assert(got == (1 to 50))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext

@@ -125,6 +125,33 @@ class WindowSpec extends AnyFunSuite {
     assert(after == Seq(15L))
   }
 
+  test("incremental event-time accumulators: hot key, results equal the collect path") {
+    val s = imp
+    import s._
+    // one hot key with 200k elements across 20 sliding windows: the
+    // incremental path holds O(#windows) accumulators, not the 200k
+    // elements the collect path would materialize
+    val n = 200000L
+    val descr = EventTimeWindow.sliding[Long](20000, 10000)(identity)
+    assert(descr.elementWindows.isDefined)
+    val ks = ctx.streamRange(n).groupBy(_ => 0L)
+    val inc = ks.window(descr).sum(identity[Long]).collectVec().sorted
+    // collect-path equivalent via the order-preserving general fold
+    val ref = ks.window(descr).fold(0L)(_ + _).collectVec().sorted
+    assert(inc == ref)
+    val incMin = ks.window(descr).min(identity[Long]).collectVec().sorted
+    val incMax = ks.window(descr).max(identity[Long]).collectVec().sorted
+    val incCnt = ks.window(descr).count.collectVec().sorted
+    // closed forms: window [s, s+20000) holds ids s..s+19999 (clamped)
+    val starts = (0L until n by 10000L) ++ Seq(-10000L)
+    def ids(st: Long) = (math.max(0L, st) until math.min(n, st + 20000L))
+    val expMin = starts.filter(st => ids(st).nonEmpty).map(st => (0L, ids(st).head)).sorted
+    val expMax = starts.filter(st => ids(st).nonEmpty).map(st => (0L, ids(st).last)).sorted
+    val expCnt = starts.filter(st => ids(st).nonEmpty)
+      .map(st => (0L, ids(st).size.toLong)).sorted
+    assert(incMin == expMin && incMax == expMax && incCnt == expCnt)
+  }
+
   test("windowJoin aligns event-time windows by identity, not position") {
     val s = imp
     import s._
