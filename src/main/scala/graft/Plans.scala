@@ -25,7 +25,8 @@ object Plans {
     sb.append(s"Generated against `$sfDir` (driver-loop queries show their per-round shape via the first round).\n")
     // iteration queries execute driver loops on .explain-triggered analysis;
     // skip the loops themselves and document the building blocks instead
-    val skip = Set("q_connected_components", "q_transitive_closure", "q_pagerank", "q_kmeans")
+    val skip = Set("q_connected_components", "q_transitive_closure", "q_pagerank",
+      "q_kmeans", "q_pagerank_delta")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         try {

@@ -134,8 +134,12 @@ object Dedup {
   /** Exact-jaccard verification of candidate pairs: n-gram sets are built
     * ONLY for documents appearing in `cands` — the verify cost is
     * candidate-bound, not corpus-bound (the production LSH→verify shape). */
-  def verifyCandidates(df: DataFrame, cands: DataFrame, idCol: String,
+  def verifyCandidates(df: DataFrame, cands0: DataFrame, idCol: String,
       textCol: String, n: Int, minJaccard: Double): DataFrame = {
+    // the candidate plan (LSH banding) feeds three branches below
+    // (candidate-doc set, intersection base, output base) — persist it or
+    // the whole signature+banding pipeline re-executes per branch
+    val cands = cands0.persist()
     val candDocs = cands.select(col("a_id").as("_cand_id"))
       .union(cands.select(col("b_id").as("_cand_id"))).distinct()
     val grams = df.join(candDocs, df(idCol) === candDocs("_cand_id"))
@@ -172,9 +176,13 @@ object Dedup {
   def nearDupPipeline(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, verifyNgram: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
+    // est-sim cushion 0.4: for the j ≥ 0.8 targets this verifies,
+    // P(est < 0.4 | j = 0.8) = P(Binom(64, .8) ≤ 25) ≈ 0 (11σ below mean) —
+    // banding recall (≈2e-4 at j=0.8, ≈3e-12 at j≥0.95) is the binding
+    // constraint either way, and the verify join halves vs a 0.3 cushion
     val cands = minhashCandidates(
       minhashSignature(df, idCol, textCol, shingleSize = shingleSize),
-      minEstSim = 0.3)
+      minEstSim = 0.4)
     verifyCandidates(df, cands, idCol, textCol, verifyNgram, minJaccard)
   }
 

@@ -74,14 +74,26 @@ object Similarity {
     * arithmetic — bit-identical in the DuckDB oracle, immune to FP
     * summation order. Same algorithm (dense random hyperplanes), different
     * hash source; quantization error is irrelevant to a hash. */
+  /** Driver-side twin of the oracle's sign derivation:
+    * `('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT & 1` — the plane
+    * matrix is data-independent, so it is computed ONCE here and embedded as
+    * array literals instead of re-hashing per (row × plane × dim). */
+  private def md5Sign(p: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1L else -1L
+  }
+
+  /** Max dimensionality the pre-built portable sign matrix covers. */
+  private val PortableMaxDim = 512
+
   def lshBucketPortable(vec: Column, bits: Int): Column = {
     val qv = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
     val planeBits = (0 until bits).map { p =>
-      val signs = transform(sequence(lit(0), size(vec) - 1), i =>
-        when(graft.functions.Dedup.portableHash60(
-            concat_ws(":", lit(p).cast("string"), i.cast("string")))
-          .bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      val v = aggregate(zip_with(qv, signs, (x, s) => x * s),
+      val signs: Seq[Long] = (0 until PortableMaxDim).map(i => md5Sign(p, i))
+      // slice to the vector length so zip_with stays null-free
+      val signCol = slice(typedlit(signs), lit(1), size(vec))
+      val v = aggregate(zip_with(qv, signCol, (x, s) => x * s),
         lit(0L), (acc, x) => acc + x)
       when(v > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
