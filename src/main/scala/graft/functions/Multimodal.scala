@@ -8,9 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed by per-partition batch functions — the
   * Scala analog of `mapInPandas` batch UDFs.
   *
-  * The decode step is a STUB (this container has no image/audio codecs): a
-  * clearly-marked deterministic fake that parses dimensions from the payload
-  * bytes. Everything around it — schema, batching, partition sizing, the
+  * Decode support is split honestly in two:
+  *  - REAL pure-JVM decoders for self-describing formats — WAV/PCM16, PPM
+  *    (P6), BMP 24bpp — extracting dimensions, sample rate, duration, mean
+  *    luma, RMS amplitude ([[decodeMedia]], MultimodalSpec golden tests).
+  *  - a clearly-marked STUB for codec-requiring formats (JPEG/PNG/MP4 — no
+  *    codec libraries in this container), kept deterministic so the
+  *    distributed plumbing is testable end-to-end.
+  * Everything around them — schema, batching, partition sizing, the
   * mapPartitions plumbing — is the real shape a decode pipeline has at
   * scale: payloads stay off the driver, metadata flows as columns, the
   * decode stage is a narrow map over binary blobs.
@@ -58,6 +63,146 @@ object Multimodal {
         DecodedMeta(r.media_id, r.kind, r.payload.length.toLong, digest, w, h, f)
       }
     }
+  }
+
+  // -------------------------------------------------------------------
+  // REAL decoders for self-describing formats (pure JVM, no codec libs):
+  // WAV/PCM, PPM (P6), BMP (24bpp). Formats that need codec libraries
+  // (JPEG/PNG/MP4) stay on the stub path, clearly reported as "unknown".
+  // -------------------------------------------------------------------
+
+  /** Decoded media features — the real article for WAV/PPM/BMP payloads. */
+  case class MediaInfo(format: String, width: Int, height: Int,
+      sampleRate: Int, channels: Int, nSamples: Long, durationMs: Long,
+      meanLuma: Double, rmsAmplitude: Double)
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  def sniffFormat(p: Array[Byte]): String =
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+      && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
+    else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') "ppm"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else "unknown"
+
+  /** RIFF/WAVE with a PCM16 `fmt ` + `data` chunk: sample rate, channels,
+    * sample count, duration and RMS amplitude (normalized to [0,1]). */
+  def decodeWav(p: Array[Byte]): MediaInfo = {
+    var off = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= p.length) {
+      val id = new String(p.slice(off, off + 4), "US-ASCII")
+      val len = u32le(p, off + 4)
+      if (id == "fmt ") {
+        channels = u16le(p, off + 10)
+        rate = u32le(p, off + 12).toInt
+        bits = u16le(p, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && dataOff >= 0, "not a PCM WAV")
+    require(bits == 16, s"only PCM16 supported, got $bits-bit")
+    val nFrames = dataLen / (2 * channels)
+    var i = dataOff
+    var sumSq = 0.0
+    val end = math.min(dataOff + dataLen, p.length.toLong).toInt
+    while (i + 1 < end) {
+      val s = (u16le(p, i).toShort).toDouble / 32768.0
+      sumSq += s * s
+      i += 2
+    }
+    val nS = (end - dataOff) / 2
+    MediaInfo("wav", 0, 0, rate, channels, nFrames,
+      if (rate > 0) nFrames * 1000L / rate else 0L, 0.0,
+      if (nS > 0) math.sqrt(sumSq / nS) else 0.0)
+  }
+
+  /** Binary PPM (P6): width/height and mean pixel value over all RGB bytes. */
+  def decodePpm(p: Array[Byte]): MediaInfo = {
+    var off = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && off < p.length) {
+        if (p(off) == '#') while (off < p.length && p(off) != '\n') off += 1
+        else if (Character.isWhitespace(p(off))) off += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      while (off < p.length && p(off) >= '0' && p(off) <= '9') {
+        v = v * 10 + (p(off) - '0'); off += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxV = readInt()
+    off += 1 // single whitespace after maxval
+    require(w > 0 && h > 0 && maxV > 0, "not a P6 PPM")
+    var sum = 0.0
+    val end = math.min(off + 3L * w * h, p.length.toLong).toInt
+    var i = off
+    while (i < end) { sum += (p(i) & 0xff); i += 1 }
+    val n = end - off
+    MediaInfo("ppm", w, h, 0, 0, 0, 0,
+      if (n > 0) sum / n / maxV else 0.0, 0.0)
+  }
+
+  /** BMP (BITMAPINFOHEADER, uncompressed 24bpp): dimensions + mean luma. */
+  def decodeBmp(p: Array[Byte]): MediaInfo = {
+    val pixOff = u32le(p, 10).toInt
+    val w = u32le(p, 18).toInt
+    val h = u32le(p, 22).toInt
+    val bpp = u16le(p, 28)
+    require(w > 0 && h != 0 && bpp == 24, s"only uncompressed 24bpp BMP (got $bpp)")
+    val rows = math.abs(h)
+    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    var sum = 0.0; var n = 0L
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      val base = pixOff + r * rowBytes
+      while (c < w && base + c * 3 + 2 < p.length) {
+        // stored BGR; mean over all channels
+        sum += (p(base + c * 3) & 0xff) + (p(base + c * 3 + 1) & 0xff) +
+          (p(base + c * 3 + 2) & 0xff)
+        n += 3
+        c += 1
+      }
+      r += 1
+    }
+    MediaInfo("bmp", w, rows, 0, 0, 0, 0, if (n > 0) sum / n / 255.0 else 0.0, 0.0)
+  }
+
+  /** Dispatch on magic bytes; unknown formats return a stub-shaped record
+    * (format = "unknown") rather than failing the batch. */
+  def decodeMedia(p: Array[Byte]): MediaInfo = sniffFormat(p) match {
+    case "wav" => decodeWav(p)
+    case "ppm" => decodePpm(p)
+    case "bmp" => decodeBmp(p)
+    case _ =>
+      val (w, h, _) = stubDecode(p)
+      MediaInfo("unknown", w, h, 0, 0, 0, 0, 0.0, 0.0)
+  }
+
+  case class DecodedMedia(media_id: Long, format: String, width: Int,
+      height: Int, sample_rate: Int, channels: Int, n_samples: Long,
+      duration_ms: Long, mean_luma: Double, rms_amplitude: Double)
+
+  /** Real decode as a per-partition batch: payloads never leave the
+    * executors, failures surface per record (not per partition). */
+  def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    implicit val enc: Encoder[DecodedMedia] = Encoders.product[DecodedMedia]
+    ds.mapPartitions(_.map { r =>
+      val m = decodeMedia(r.payload)
+      DecodedMedia(r.media_id, m.format, m.width, m.height, m.sampleRate,
+        m.channels, m.nSamples, m.durationMs, m.meanLuma, m.rmsAmplitude)
+    })
   }
 
   /** Frame sampling stub: every `stride`-th frame index of a decoded video —

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.Multimodal
+import graft.functions.Multimodal.MediaRecord
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the real multimodal decoders (WAV/PPM/BMP are
+  * self-describing — no codec libraries needed) and the unknown-format
+  * stub fallback, run through the distributed decodeFeatures path. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** PCM16 mono WAV with constant amplitude `amp`. */
+  private def wavBytes(rate: Int, nSamples: Int, amp: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+    b ++= "RIFF".getBytes; b ++= le32(36L + dataLen); b ++= "WAVE".getBytes
+    b ++= "fmt ".getBytes; b ++= le32(16)
+    b ++= le16(1); b ++= le16(1) // PCM, mono
+    b ++= le32(rate); b ++= le32(rate * 2L)
+    b ++= le16(2); b ++= le16(16) // block align, bits
+    b ++= "data".getBytes; b ++= le32(dataLen)
+    (0 until nSamples).foreach(_ => b ++= le16(amp))
+    b.toArray
+  }
+
+  private def ppmBytes(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+    val hdr = s"P6\n# test comment\n$w $h\n255\n".getBytes("US-ASCII")
+    hdr ++ Array.fill(w * h)(Array(rgb._1.toByte, rgb._2.toByte, rgb._3.toByte)).flatten
+  }
+
+  private def bmpBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val pixOff = 54
+    val size = pixOff + rowBytes * h
+    val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+    b ++= "BM".getBytes; b ++= le32(size); b ++= le32(0); b ++= le32(pixOff)
+    b ++= le32(40); b ++= le32(w); b ++= le32(h)
+    b ++= le16(1); b ++= le16(24); b ++= le32(0); b ++= le32(rowBytes * h.toLong)
+    b ++= le32(2835); b ++= le32(2835); b ++= le32(0); b ++= le32(0)
+    (0 until h).foreach { _ =>
+      (0 until w).foreach(_ => b ++= Array(gray.toByte, gray.toByte, gray.toByte))
+      (w * 3 until rowBytes).foreach(_ => b += 0.toByte)
+    }
+    b.toArray
+  }
+
+  test("decodeFeatures: WAV/PPM/BMP parsed exactly; unknown falls back to stub") {
+    val s = imp; import s._
+    val recs = Seq(
+      MediaRecord(1L, "audio", wavBytes(8000, 4000, 16384)),
+      MediaRecord(2L, "image", ppmBytes(3, 2, (100, 150, 200))),
+      MediaRecord(3L, "image", bmpBytes(2, 2, 128)),
+      MediaRecord(4L, "video", Array[Byte](1, 2, 3, 4, 5)))
+    val out = Multimodal.decodeFeatures(recs.toDS())
+      .collect().map(d => d.media_id -> d).toMap
+
+    val wav = out(1L)
+    assert(wav.format == "wav" && wav.sample_rate == 8000 && wav.channels == 1)
+    assert(wav.n_samples == 4000 && wav.duration_ms == 500)
+    assert(math.abs(wav.rms_amplitude - 16384.0 / 32768.0) < 1e-9)
+
+    val ppm = out(2L)
+    assert(ppm.format == "ppm" && ppm.width == 3 && ppm.height == 2)
+    assert(math.abs(ppm.mean_luma - 150.0 / 255.0) < 1e-9)
+
+    val bmp = out(3L)
+    assert(bmp.format == "bmp" && bmp.width == 2 && bmp.height == 2)
+    assert(math.abs(bmp.mean_luma - 128.0 / 255.0) < 1e-9)
+
+    assert(out(4L).format == "unknown")
+  }
+}
