@@ -26,10 +26,14 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame = {
     val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
-    val both = e0.select(col("src"), col("dst"))
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    // pre-partition on the join key: the cached relation keeps this
-    // partitioning, so the per-round join shuffles only the labels side
+    // both directions from ONE pass over the edge source (a union of two
+    // projections would scan it twice), then pre-partition on the join key:
+    // the cached relation keeps this partitioning, so the per-round join
+    // shuffles only the labels side
+    val both = e0.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
     val undirected = (if (dedupeEdges) both.distinct() else both)
       .repartition(col("dst"))
       .persist()
