@@ -38,6 +38,29 @@ object Triangles {
     if (counts.isEmpty) 0L else counts.head
   }
 
+  /** The reference's other formulation (reference:
+    * examples/triangles_rich_map.rs): wedges emitted INCREMENTALLY by a
+    * stateful per-key rich map — each arriving neighbor pairs with the
+    * neighbors seen so far — instead of folding the whole adjacency first.
+    * Same wedge multiset, same count; exercises the keyed rich-state path. */
+  def countRichMap(edges: Stream[(Long, Long)]): Long = {
+    val s = edges.spark
+    import s.implicits._
+    val norm = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val Seq(e1, e2) = norm.split(2)
+    val wedges = e1.toKeyed[Long, Long]
+      .richFlatMapPerKey(() => scala.collection.mutable.ArrayBuffer.empty[Long]) {
+        (seen, v) =>
+          val out = seen.map(u => (math.min(u, v), math.max(u, v))).toSeq
+          seen += v
+          out
+      }
+      .dropKey
+    val closed = Joins.joinWith(wedges, e2)(identity, identity).inner
+    val counts = closed.foldAssoc(0L)((n, _) => n + 1L, _ + _).collectVec()
+    if (counts.isEmpty) 0L else counts.head
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

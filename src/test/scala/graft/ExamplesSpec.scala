@@ -29,6 +29,29 @@ class ExamplesSpec extends AnyFunSuite {
     // bipartite graph (no odd cycles) → 0
     val bip = for (a <- 0 to 2; b <- 10 to 12) yield (a.toLong, b.toLong)
     assert(graft.examples.Triangles.count(ctx.streamIter(bip)) == 0L)
+    // rich_map formulation (incremental per-key wedges) agrees
+    assert(graft.examples.Triangles.countRichMap(ctx.streamIter(twoCliques)) == 8L)
+    assert(graft.examples.Triangles.countRichMap(ctx.streamIter(k3)) == 1L)
+  }
+
+  test("car_accidents: three reference queries, closed forms") {
+    val s = imp; import s._
+    val ctx = new StreamContext(spark)
+    import graft.examples.CarAccidents
+    val src = ctx.streamIter(CarAccidents.sample)
+    // weeks: 01/03→(2024,0), 01/05→(2024,0), 01/10→(2024,1), 01/12→(2024,1),
+    // 02/01→(2024,4); lethal: rows 2, 4, 5
+    assert(CarAccidents.lethalPerWeek(src).toMap ==
+      Map((2024, 0) -> 1L, (2024, 1) -> 1L, (2024, 4) -> 1L))
+    // per-factor (deduped within record): Speeding in rows 1,2,5 (2 lethal);
+    // Alcohol rows 2,4 (2 lethal); Distraction rows 3,5 (1 lethal)
+    assert(CarAccidents.perFactor(src).map(t => t._1 -> ((t._2, t._3))).toMap ==
+      Map("Speeding" -> ((3L, 2L)), "Alcohol" -> ((2L, 2L)),
+        "Distraction" -> ((2L, 1L))))
+    val q3 = CarAccidents.perBoroughWeek(src).toMap
+    assert(q3(("QUEENS", 2024, 0)) == ((2L, 1L, 50.0)))
+    assert(q3(("BRONX", 2024, 1)) == ((2L, 1L, 50.0)))
+    assert(q3(("QUEENS", 2024, 4)) == ((1L, 1L, 100.0)))
   }
 
   test("logistic regression via replay: cost decreases, separable data fits") {
