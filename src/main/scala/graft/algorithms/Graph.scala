@@ -98,10 +98,12 @@ object Graph {
     * (reference: examples/pagerank_stateful.rs:55-85) re-expressed as a true
     * workset/solution-set iteration: ranks start at (1-d)/N, round 0 emits
     * the initial rank, every later round propagates only rank INCREMENTS
-    * (d·δ) along out-edges. Keys whose increment is 0 leave the workset, so
-    * per-round cost tracks the changing frontier, not the graph — and the
-    * partial sums converge to the same fixpoint as [[pageRank]]:
-    * r = Σ_s (dA)^s·(1-d)/N.
+    * (d·δ) along out-edges. Nodes receiving no contributions drop out of
+    * the workset (their upstream quiesced), so per-round cost tracks the
+    * changing frontier, not the graph — and the partial sums converge to
+    * the same fixpoint as [[pageRank]]: r = Σ_s (dA)^s·(1-d)/N. `eps`
+    * gates global termination (a round whose every delta is ≤ eps ends the
+    * loop), matching the reference's TerminationCond semantics.
     *
     * Returns (ranks, per-round workset sizes). */
   def pageRankDelta(edges: DataFrame, maxIter: Int, damping: Double = 0.85,

@@ -93,16 +93,25 @@ final class StreamContext(val spark: SparkSession) {
         scala.concurrent.duration.Duration(300, "s")): StreamContext.AsyncSource[T] = {
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](
       implicitly[Encoder[T]], spark.sqlContext)
+    val handle = new StreamContext.AsyncSource[T](ms.toDS())
     val pumpThread = new Thread(() => {
-      var done = false
-      while (!done) scala.concurrent.Await.result(poll(), pollTimeout) match {
-        case Some(v) => ms.addData(v)
-        case None => done = true
+      try {
+        var done = false
+        while (!done) scala.concurrent.Await.result(poll(), pollTimeout) match {
+          case Some(v) => ms.addData(v)
+          case None => done = true
+        }
+      } catch {
+        // a failed/timed-out producer future must be observable: record it
+        // so the caller can distinguish clean completion from mid-stream
+        // death (pump.join alone cannot)
+        case e: Throwable => handle.failed = Some(e)
       }
     }, "graft-async-source-pump")
     pumpThread.setDaemon(true)
+    handle.pump = pumpThread
     pumpThread.start()
-    StreamContext.AsyncSource(ms.toDS(), pumpThread)
+    handle
   }
 
   /** Wrap an existing Dataset (escape hatch / interop). */
@@ -116,8 +125,14 @@ final class StreamContext(val spark: SparkSession) {
 object StreamContext {
   def apply(spark: SparkSession): StreamContext = new StreamContext(spark)
 
-  /** Handle returned by [[StreamContext.streamAsync]]. */
-  final case class AsyncSource[T](stream: Dataset[T], pump: Thread)
+  /** Handle returned by [[StreamContext.streamAsync]]: the streaming
+    * Dataset, the pump thread (join it to await the producer), and — after
+    * the pump ends — whether it ended because the producer failed. */
+  final class AsyncSource[T](val stream: Dataset[T]) {
+    @volatile private[api] var pump: Thread = _
+    @volatile var failed: Option[Throwable] = None
+    def pumpThread: Thread = pump
+  }
 
   /** Local session with the defaults this engine wants: shuffle partitions
     * sized for the machine (not 200), AQE on for runtime re-planning (skew

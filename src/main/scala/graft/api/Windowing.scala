@@ -240,10 +240,17 @@ final class WindowedStream[K, V](val ks: KeyedStream[K, V], val descr: WindowDes
       implicit ek: Encoder[K], ekv: Encoder[(K, V)], eka: Encoder[(K, A)]): Stream[(K, A)] =
     mapWindow(w => w.foldLeft(init)(f))
 
-  /** reference: aggr/sum.rs:14. */
+  /** reference: aggr/sum.rs:14. Fractional sums stay on the (key-ordered)
+    * collect path: the incremental fold adds in arrival order, which is
+    * nondeterministic across runs for floating point — integral sums are
+    * order-exact and take the bounded-memory path. */
   def sum[N](get: V => N)(implicit num: Numeric[N], ek: Encoder[K],
       ekv: Encoder[(K, V)], ekn: Encoder[(K, N)]): Stream[(K, N)] =
-    aggWindow[N](get, (a, v) => num.plus(a, get(v)), w => w.iterator.map(get).sum)
+    num match {
+      case _: Fractional[_] => mapWindow(w => w.iterator.map(get).sum)
+      case _ =>
+        aggWindow[N](get, (a, v) => num.plus(a, get(v)), w => w.iterator.map(get).sum)
+    }
 
   /** reference: aggr/count.rs:30. */
   def count(implicit ek: Encoder[K], ekv: Encoder[(K, V)],

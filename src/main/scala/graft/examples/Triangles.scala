@@ -16,12 +16,17 @@ import org.apache.spark.sql.SparkSession
 object Triangles {
 
   /** The count as a (lazy) single-element stream — usable as a catalog
-    * query or collected by [[count]]. */
+    * query or collected by [[count]]. Feeds the normalized edges to both
+    * consumers WITHOUT split()'s cache: a lazy result cannot release a
+    * persist, and re-running one narrow map beats leaking session cache
+    * ([[countRichMap]] demonstrates the reference's split(2) shape, where
+    * eager collection lets it unpersist). */
   def countStream(edges: Stream[(Long, Long)]): Stream[Long] = {
     val s = edges.spark
     import s.implicits._
     val norm = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
-    val Seq(e1, e2) = norm.split(2)
+    val e1 = norm
+    val e2 = norm
     val wedges = e1.toKeyed[Long, Long]
       .groupByFold(Seq.empty[Long])((acc, v) => v +: acc, _ ++ _)
       .flatMap { case (_, nbrs0) =>
@@ -58,6 +63,7 @@ object Triangles {
       .dropKey
     val closed = Joins.joinWith(wedges, e2)(identity, identity).inner
     val counts = closed.foldAssoc(0L)((n, _) => n + 1L, _ + _).collectVec()
+    norm.unpersist() // release split()'s shared cache (result is collected)
     if (counts.isEmpty) 0L else counts.head
   }
 

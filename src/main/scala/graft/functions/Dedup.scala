@@ -176,14 +176,22 @@ object Dedup {
   def nearDupPipeline(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, verifyNgram: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
-    // est-sim cushion 0.4: for the j ≥ 0.8 targets this verifies,
-    // P(est < 0.4 | j = 0.8) = P(Binom(64, .8) ≤ 25) ≈ 0 (11σ below mean) —
-    // banding recall (≈2e-4 at j=0.8, ≈3e-12 at j≥0.95) is the binding
-    // constraint either way, and the verify join halves vs a 0.3 cushion
+    // est-sim cushion derived from the caller's threshold: est_sim has
+    // σ = sqrt(j(1-j)/64) ≤ 0.0625, so a 0.25 (≥4σ) margin makes
+    // P(est < cushion | j ≥ minJaccard) negligible at ANY threshold —
+    // banding recall (≈2e-4 at j=0.8, ≈3e-12 at j≥0.95) binds instead —
+    // while still pruning the verify join to near-threshold candidates
     val cands = minhashCandidates(
       minhashSignature(df, idCol, textCol, shingleSize = shingleSize),
-      minEstSim = 0.4)
-    verifyCandidates(df, cands, idCol, textCol, verifyNgram, minJaccard)
+      minEstSim = math.max(0.0, minJaccard - 0.25))
+    // the verify output is small (near-dup pairs): persist + materialize it,
+    // so the candidate cache below can be RELEASED instead of leaking for
+    // the session lifetime
+    val out = verifyCandidates(df, cands, idCol, textCol, verifyNgram, minJaccard)
+      .persist()
+    out.count()
+    cands.unpersist()
+    out
   }
 
   /** 64-bit SimHash per document: per-bit majority vote of token hashes
@@ -218,9 +226,11 @@ object Dedup {
     * maxDist. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, portable: Boolean = false): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
     val nBits = if (portable) 60 else 64
     val nBands = maxDist + 1
+    // every band needs >= 1 bit or banding degenerates to a cross join
+    require(maxDist >= 0 && nBands <= nBits,
+      s"maxDist=$maxDist out of range for $nBits-bit signatures")
     val width = nBits / nBands
     val sig = simhash(df, idCol, textCol, portable = portable)
     val banded = sig.select(col("doc_id"), col("simhash"),

@@ -97,7 +97,13 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
       when(v > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    planeBits.reduce((a, b) => a.bitwiseOR(b))
+    val bucket = planeBits.reduce((a, b) => a.bitwiseOR(b))
+    // beyond PortableMaxDim the sign slice would null-pad and every vote
+    // would go null → bucket 0 for all rows; fail loudly instead
+    when(size(vec) <= PortableMaxDim, bucket)
+      .otherwise(raise_error(concat(lit(
+        s"lshBucketPortable supports dim <= $PortableMaxDim, got "),
+        size(vec).cast("string"))).cast("long"))
   }
 
   /** ANN via LSH buckets: neighbors are searched only within the query's

@@ -122,7 +122,11 @@ object Iteration {
     * received a delta run `processDelta` and emit an update into `body`,
     * which computes the next round's deltas; the loop stops when no delta
     * satisfies `condition` (the reference's `TerminationCond`) or after
-    * `maxIter` rounds.
+    * `maxIter` rounds. As in the reference, `condition` gates TERMINATION
+    * only: every delivered delta is still applied, and a key stays in the
+    * workset as long as it receives any delta rows — keys leave the workset
+    * when upstream stops sending to them, not when their deltas go
+    * sub-threshold.
     *
     * Spark-first shape: the solution set lives as a hash-partitioned pair
     * RDD that NEVER re-shuffles — each round is a partitioner-aware
@@ -165,6 +169,7 @@ object Iteration {
     var i = 0
     var done = false
     var prevMerged: RDD[_] = null
+    var prevCheckpointed = false
     while (i < maxIter && !done) {
       val t0 = System.nanoTime()
       val deltas = body(spark.createDataset(updates)).rdd
@@ -181,8 +186,9 @@ object Iteration {
             if (ds.isEmpty) (k, (s, false))
             else (k, (processDelta(k, s, ds.iterator), true))
         }, preservesPartitioning = true)
+        val checkpointed = (i + 1) % checkpointEvery == 0
         val persisted =
-          if ((i + 1) % checkpointEvery == 0) { merged.localCheckpoint(); merged }
+          if (checkpointed) { merged.localCheckpoint(); merged }
           else merged.persist(StorageLevel.MEMORY_AND_DISK)
         val wk = persisted.filter(_._2._2).count() // materializes too
         worksets += wk
@@ -190,8 +196,12 @@ object Iteration {
           _.collect { case (k, (s, true)) => (k, makeUpdate(k, s)) },
           preservesPartitioning = true)
         sol.unpersist(false)
-        if (prevMerged != null) prevMerged.unpersist(false)
+        // NEVER unpersist a locally-checkpointed RDD while descendants may
+        // still need it — its blocks are the only copy (lineage truncated);
+        // dropping the reference lets the ContextCleaner reclaim it safely
+        if (prevMerged != null && !prevCheckpointed) prevMerged.unpersist(false)
         prevMerged = persisted
+        prevCheckpointed = checkpointed
         sol = persisted.mapPartitions(
           _.map { case (k, (s, _)) => (k, s) }, preservesPartitioning = true)
         deltas.unpersist(false)

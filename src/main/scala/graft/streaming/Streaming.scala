@@ -88,25 +88,33 @@ object Streaming {
     * timeouts busy-loop no-data batches. Don't synchronize on
     * `processAllAvailable()`: pending timeouts keep scheduling no-data
     * batches, so its no-new-data signal never fires — poll the sink. */
+  final case class PtWindowState[V](buf: Seq[V], deadlineMs: Long)
+
   def processingTimeTumbling[K, V, O](ds: Dataset[(K, V)], sizeMs: Long)(
       agg: Seq[V] => O)(
-      implicit ek: Encoder[K], ev: Encoder[Seq[V]], eo: Encoder[(K, O)],
+      implicit ek: Encoder[K], ev: Encoder[PtWindowState[V]], eo: Encoder[(K, O)],
       ekv: Encoder[(K, V)]): Dataset[(K, O)] =
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[V], (K, O)](
+      .flatMapGroupsWithState[PtWindowState[V], (K, O)](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (key: K, rows: Iterator[(K, V)], state: GroupState[Seq[V]]) =>
+        (key: K, rows: Iterator[(K, V)], state: GroupState[PtWindowState[V]]) =>
           if (state.hasTimedOut) {
-            val buf = state.getOption.getOrElse(Seq.empty[V])
+            val buf = state.getOption.map(_.buf).getOrElse(Seq.empty[V])
             state.remove()
             if (buf.nonEmpty) Iterator.single((key, agg(buf))) else Iterator.empty
           } else {
-            val hadWindow = state.exists
+            // Spark clears the timeout on EVERY invocation for a key, so it
+            // must be re-armed each time; the window's ABSOLUTE deadline
+            // (open time + size) is kept in state so later batches don't
+            // slide it
+            val now = state.getCurrentProcessingTimeMs()
+            val prev = state.getOption
+            val deadline = prev.map(_.deadlineMs).getOrElse(now + sizeMs)
             val buf = scala.collection.mutable.ArrayBuffer.empty[V]
-            buf ++= state.getOption.getOrElse(Seq.empty[V])
+            prev.foreach(buf ++= _.buf)
             rows.foreach { case (_, v) => buf += v }
-            state.update(buf.toSeq)
-            if (!hadWindow) state.setTimeoutDuration(sizeMs)
+            state.update(PtWindowState(buf.toSeq, deadline))
+            state.setTimeoutDuration(math.max(1L, deadline - now))
             Iterator.empty
           }
       }

@@ -125,7 +125,11 @@ class StreamingSpec extends AnyFunSuite {
       // fire future timeouts, so the no-new-data signal never comes; the
       // poll-with-deadline IS the correct synchronization for wall-clock
       // semantics.
-      in.addData(("a", 1), ("a", 2), ("b", 10))
+      in.addData(("a", 1), ("b", 10))
+      // second batch for key 'a' BEFORE its deadline: the invocation clears
+      // the Spark timeout, so the window must RE-ARM against its absolute
+      // deadline or it would buffer forever (regression coverage)
+      in.addData(("a", 2))
       // no-data batches fire the timeouts once 300 ms of wall clock pass
       val m1 = awaitKeys(Set("a", "b"))
       assert(m1.get("a").contains(3), s"a window should aggregate 1+2: $m1")
@@ -147,12 +151,20 @@ class StreamingSpec extends AnyFunSuite {
     val q = src.stream.toDF("v").writeStream.outputMode("append")
       .format("memory").queryName("async_src").start()
     try {
-      src.pump.join(30000)
-      assert(!src.pump.isAlive, "pump must terminate on None")
+      src.pumpThread.join(30000)
+      assert(!src.pumpThread.isAlive, "pump must terminate on None")
+      assert(src.failed.isEmpty, s"clean drain must not record a failure: ${src.failed}")
       q.processAllAvailable()
       val got = spark.table("async_src").as[Int].collect().sorted.toSeq
       assert(got == (1 to 50))
     } finally q.stop()
+
+    // a failing producer future must be OBSERVABLE on the handle, not a
+    // silent pump death
+    val bad = ctx.streamAsync[Int](() =>
+      Future.failed(new RuntimeException("producer broke")))
+    bad.pumpThread.join(30000)
+    assert(bad.failed.exists(_.getMessage.contains("producer broke")))
   }
 
   test("stream-stream interval join with watermarks") {
