@@ -33,6 +33,44 @@ class NearDupSpec extends AnyFunSuite {
       s"missed pairs: ${truth -- cand}")
   }
 
+  test("portable hash modes: same recall and same bands behavior as the defaults") {
+    // the portable (md5-derived, oracle-recomputable) hash mode is a hash
+    // SWAP, not an algorithm change: it must find every planted dup the
+    // default xxhash64 mode finds
+    val truth = truePairs
+    val portable = Dedup.minhashNearDups(docs, "doc_id", "text",
+      minEstSim = 0.5, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(portable), s"portable minhash missed: ${truth -- portable}")
+    // simhash measures a DIFFERENT similarity than jaccard (a j=0.8 pair may
+    // legitimately exceed hamming 3 under either hash) — the mode-invariant
+    // guarantee is: identical texts hash identically (hamming 0), near-pure
+    // overlaps land within the distance, in BOTH modes
+    val s = spark
+    import s.implicits._
+    val synth = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and once"),
+      (4L, "completely different text about distributed dataflow engines")
+    ).toDF("doc_id", "text")
+    for (p <- Seq(false, true)) {
+      val sigs = Dedup.simhash(synth, "doc_id", "text", portable = p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs(1L) == sigs(2L),
+        s"simhash(portable=$p): identical docs must hash identically")
+      assert(sigs(1L) != sigs(4L),
+        s"simhash(portable=$p): different docs should differ")
+      val sim = Dedup.simhashNearDups(synth, "doc_id", "text",
+        maxDist = 3, portable = p)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      assert(sim.get((1L, 2L)).contains(0),
+        s"simhash(portable=$p): identical docs must be a hamming-0 pair: $sim")
+      assert(!sim.keySet.exists { case (a, b) => a == 4L || b == 4L },
+        s"simhash(portable=$p): unrelated doc must not pair: $sim")
+    }
+  }
+
   test("minhash estimated similarity tracks exact jaccard within 0.2") {
     val est = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
