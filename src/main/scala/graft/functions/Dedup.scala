@@ -64,33 +64,42 @@ object Dedup {
     * is deterministic and identical across partitionings. See the
     * formulation note below for why this is explode+groupBy and why that is
     * both faster and shuffle-cheap. */
+  /** Default-mode affine constants (wrapping 64-bit arithmetic). */
+  def defaultPermConsts(i: Int): (Long, Long) =
+    (0x9E3779B97F4A7C15L * (2 * i + 1) | 1L, 0xC2B2AE3D27D4EB4FL * (i + 1))
+
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleSize: Int = 5,
-      portable: Boolean = false): DataFrame = {
-    // Formulation note (measured at sf0.1): explode + groupBy with 64 min
-    // aggregates beats a per-row array_min(transform(...)) closed form ~4×.
-    // Higher-order functions are interpreted (no codegen) and allocate an
-    // array per permutation per row; the aggregate path hashes each shingle
-    // once and runs codegen'd min updates. It also scales: the explode never
-    // crosses partitions, so map-side partial aggregation collapses to ONE
-    // signature row per doc before the shuffle — the shuffle carries
-    // exactly the output.
+      portable: Boolean = false, fused: Boolean = true): DataFrame = {
+    // Formulation notes (measured at sf0.1): explode + groupBy aggregation
+    // beats a per-row array_min(transform(...)) closed form ~4× (HOFs are
+    // interpreted and allocate per row), and the explode never crosses
+    // partitions, so map-side partial aggregation collapses to ONE
+    // signature row per doc before the shuffle. Within that shape, the
+    // fused single-buffer aggregate (plans.MinHashAgg: one long[64] update
+    // per shingle) replaces 64 separate codegen'd min slots — bit-identical
+    // values, one expression eval per row instead of 64.
     val sh0 = df.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), shingleSize)).as("shingle"))
     val sh =
       if (portable) sh0.withColumn("h", portableHash60(col("shingle")) % PortableP)
       else sh0.withColumn("h", xxhash64(col("shingle")))
-    val aggs = (0 until numHashes).map { i =>
-      if (portable) {
-        val (a, b) = portablePermConsts(i)
-        min((col("h") * lit(a) + lit(b)) % PortableP).as(s"h$i")
-      } else {
-        val a = 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L
-        val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
-        min(col("h") * lit(a) + lit(b)).as(s"h$i")
+    val consts = (0 until numHashes).map(i =>
+      if (portable) portablePermConsts(i) else defaultPermConsts(i))
+    if (fused) {
+      val (as, bs) = consts.unzip
+      sh.groupBy(col("doc_id"))
+        .agg(graft.plans.MinHashAgg.signature(col("h"), as, bs,
+          if (portable) PortableP else -1L).as("sig"))
+        .select(col("doc_id") +:
+          (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
+    } else {
+      val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
+        if (portable) min((col("h") * lit(a) + lit(b)) % PortableP).as(s"h$i")
+        else min(col("h") * lit(a) + lit(b)).as(s"h$i")
       }
+      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand = numHashes);
@@ -116,12 +125,17 @@ object Dedup {
       col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
       col("band_id"), col("band_hash"))
+    // dedupe (a pair collides once per shared band) BEFORE the est_sim
+    // evaluation: the position-match fold is an interpreted higher-order
+    // function, so it should run once per candidate pair, not once per
+    // band hit
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
       .select(col("a_id"), col("b_id"),
         (expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / lit(numHashes.toDouble)).as("est_sim"))
-      .distinct()
       .filter(col("est_sim") >= minEstSim)
   }
 
