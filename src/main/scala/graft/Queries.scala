@@ -19,6 +19,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Queries {
 
+  /** Hash-mode switch for the probabilistic dedup/ANN queries. `true` selects
+    * the portable (md5-derived, oracle-recomputable) hashing that the DuckDB
+    * oracle checks bit-for-bit; `false` (the default) selects the xxhash64
+    * production paths. Verify sets it to `true` so correctness stays fully
+    * hash-checked; Bench leaves it `false` so BENCH measures what production
+    * runs — the two concerns round 2 accidentally coupled. */
+  @volatile var portableMode: Boolean = false
+
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -585,12 +593,15 @@ object Queries {
     a.join(b, col("a_user") === col("b_user")
         && col("b_us") >= col("a_us") - lit(7200000000L)
         && col("b_us") <= col("a_us") + lit(7200000000L))
-      .select(col("a_id"), col("b_id"), (col("b_us") - col("a_us")).as("delta_us"))
+      .select(col("a_id"), col("b_id"), (col("b_us") - col("a_us")).as("delta_us"),
+        // output timestamp = max of the pair (interval_join.rs:113-120)
+        greatest(col("a_us"), col("b_us")).as("pair_us"))
   }
 
   private val q_interval_join_sql =
     """SELECT a.event_id AS a_id, b.event_id AS b_id,
-      |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us,
+      |  greatest(epoch_us(CAST(a.ts AS TIMESTAMP)), epoch_us(CAST(b.ts AS TIMESTAMP))) AS pair_us
       |FROM events a JOIN events b
       |ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'purchase'
       |AND epoch_us(CAST(b.ts AS TIMESTAMP)) BETWEEN epoch_us(CAST(a.ts AS TIMESTAMP)) - 7200000000
@@ -955,7 +966,7 @@ object Queries {
     * hash-checked, not rows-only. */
   def q_dedup_minhash(s: SparkSession, dir: String): DataFrame =
     graft.functions.Dedup.minhashNearDups(tbl(s, dir, "documents"),
-      "doc_id", "text", minEstSim = 0.5, portable = true)
+      "doc_id", "text", minEstSim = 0.5, portable = portableMode)
 
   private def q_dedup_minhash_sql: String = {
     val P = graft.functions.Dedup.PortableP
@@ -990,7 +1001,7 @@ object Queries {
     * signatures — recomputed bit-for-bit in SQL. */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame =
     graft.functions.Dedup.simhashNearDups(tbl(s, dir, "documents"),
-      "doc_id", "text", maxDist = 3, portable = true)
+      "doc_id", "text", maxDist = 3, portable = portableMode)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
 
   private val q_dedup_simhash_sql =
@@ -1100,7 +1111,8 @@ object Queries {
     * hash-checked. */
   def q_ann_lsh(s: SparkSession, dir: String): DataFrame =
     graft.functions.Similarity.annTopK(tbl(s, dir, "embeddings"),
-      "vec_id", "embedding", maxQueryId = 50, k = 3, bits = 8, portable = true)
+      "vec_id", "embedding", maxQueryId = 50, k = 3, bits = 8,
+      portable = portableMode)
       .select(col("q_id"), col("c_id"), col("bucket"), col("sim"), col("rank"))
 
   private def q_ann_lsh_sql: String =
@@ -1147,7 +1159,7 @@ object Queries {
     * threshold is relative to the distribution.) */
   def q_embedding_neardup(s: SparkSession, dir: String): DataFrame =
     graft.functions.Similarity.cosineNearDups(tbl(s, dir, "embeddings"),
-      "vec_id", "embedding", minSim = 0.4, bits = 8, portable = true)
+      "vec_id", "embedding", minSim = 0.4, bits = 8, portable = portableMode)
 
   private def q_embedding_neardup_sql: String =
     s"""WITH ${lshBucketSqlPrelude(8)}
@@ -1232,13 +1244,17 @@ object Queries {
     * from the documents table so the oracle can check against the same rows. */
   def q_wordcount_file(s: SparkSession, dir: String): DataFrame = {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    // stale-safety without a full rewrite per run: a cheap content
-    // fingerprint (count + char sum, null-safe for an empty table) is part
-    // of the FILENAME — existence ⇔ matching content, and the single
-    // same-filesystem move below is atomic, so concurrent sessions can
-    // never observe a half-written file
+    // stale-safety without a full rewrite per run: a CONTENT-hash
+    // fingerprint (row count + order-independent sum of per-row md5
+    // prefixes, each < 2^31 so the sum of any realistic corpus cannot
+    // overflow a long) is part of the FILENAME — a regenerated corpus gets
+    // a different name instead of silently reusing a stale file — and the
+    // single same-filesystem move below is atomic, so concurrent sessions
+    // can never observe a half-written file
     val fpRow = tbl(s, dir, "documents")
-      .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L))).head()
+      .agg(count(lit(1)), coalesce(sum(
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % lit(2147483647L)), lit(0L))).head()
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     val path = s"/tmp/graft_wordcount_${sfTag}_$fp.txt"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {

@@ -16,7 +16,7 @@ import org.apache.spark.storage.StorageLevel
   * GroupBy(hash) → [[groupBy]], All → [[broadcastHint]].
   */
 final class Stream[T](val ds: Dataset[T],
-    private[graft] val sharedCache: Option[Dataset[_]] = None) extends Serializable {
+    private[graft] val sharedCache: Option[Stream.SharedCacheHandle] = None) extends Serializable {
   def spark: SparkSession = ds.sparkSession
 
   // ---------------------------------------------------------------------
@@ -201,7 +201,8 @@ final class Stream[T](val ds: Dataset[T],
     * (reference: `split`, src/operator/mod.rs:1965). */
   def split(n: Int): Seq[Stream[T]] = {
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    Seq.fill(n)(new Stream(cached, sharedCache = Some(cached)))
+    val handles = Stream.SharedCacheHandle.forBranches(cached, n)
+    handles.map(h => new Stream(cached, sharedCache = Some(h)))
   }
 
   /** Split one stream into N by predicates, first match wins (reference:
@@ -213,9 +214,10 @@ final class Stream[T](val ds: Dataset[T],
     val indexed = ds.map { x =>
       (preds.indexWhere(p => p(x)), x)
     }.persist(StorageLevel.MEMORY_AND_DISK)
+    val handles = Stream.SharedCacheHandle.forBranches(indexed, preds.length)
     predicates.indices.map { i =>
       new Stream(indexed.filter(_._1 == i).map(_._2)(ds.encoder),
-        sharedCache = Some(indexed))
+        sharedCache = Some(handles(i)))
     }
   }
 
@@ -396,9 +398,13 @@ final class Stream[T](val ds: Dataset[T],
 
   def unpersist(): Stream[T] = {
     // branches produced by split()/route() share a persisted prefix that is
-    // not this.ds — release it too, so long-lived sessions don't accumulate
-    // unreachable cached datasets
-    sharedCache.foreach(_.unpersist())
+    // not this.ds — RELEASE this branch's reference on it. The prefix is
+    // actually unpersisted only when every sibling branch has released
+    // (reference-counted), so unpersisting a finished branch while siblings
+    // are still consumed does not silently degrade them to full upstream
+    // recompute. Each handle is one-shot: double unpersist on one branch
+    // cannot steal a sibling's reference.
+    sharedCache.foreach(_.release())
     new Stream(ds.unpersist())
   }
 
@@ -469,4 +475,23 @@ final class Stream[T](val ds: Dataset[T],
 
 object Stream {
   def apply[T](ds: Dataset[T]): Stream[T] = new Stream(ds)
+
+  /** One branch's one-shot reference on a split()/route() shared cached
+    * prefix: the underlying dataset is unpersisted only when EVERY branch
+    * has released (so one finished branch cannot evict data its siblings
+    * still read), and a branch releasing twice decrements only once. */
+  private[graft] final class SharedCacheHandle(
+      counter: java.util.concurrent.atomic.AtomicInteger, cached: Dataset[_]) {
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true) && counter.decrementAndGet() == 0)
+        cached.unpersist()
+  }
+
+  private[graft] object SharedCacheHandle {
+    def forBranches(cached: Dataset[_], n: Int): Seq[SharedCacheHandle] = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(n)
+      Seq.fill(n)(new SharedCacheHandle(counter, cached))
+    }
+  }
 }

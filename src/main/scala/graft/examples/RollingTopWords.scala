@@ -8,6 +8,28 @@ import graft.api.WindowDescr._
   * count windows emitting the hottest key per window.
   */
 object RollingTopWords {
+
+  /** Hottest word per tumbling event-time window: keyed count per
+    * (word, window), then per-window arg-max with (count, word) tie-break —
+    * the reference pipeline's shape (rolling_top_words_e2e.rs: window →
+    * count → global top). Returns (windowIndex, word, count) ordered by
+    * window. */
+  def topPerWindow(ctx: StreamContext, typed: org.apache.spark.sql.Dataset[(String, Long)],
+      windowMs: Long): Seq[(Long, String, Int)] = {
+    val sp = typed.sparkSession
+    import sp.implicits._
+    ctx.fromDataset(typed)
+      .groupBy(_._1)
+      .window(EventTimeWindow.tumbling[(String, Long)](windowMs)(_._2))
+      .mapWindow(w => (w.head._2 / windowMs, w.length))
+      .map { case (k, (win, n)) => (win, k, n) }
+      .groupBy(_._1)
+      .maxElement(v => (v._3, v._2))
+      .map(_._2)
+      .sortedBy(_._1)
+      .collectVec()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = StreamContext.localSession(4)
@@ -20,19 +42,7 @@ object RollingTopWords {
       .selectExpr("event_type", "ts div 1000000 as ms")
       .as[(String, Long)]
 
-    val counts = ctx.fromDataset(typed)
-      .groupBy(_._1)
-      .window(EventTimeWindow.tumbling[(String, Long)](6L * 3600 * 1000)(_._2))
-      .mapWindow(w => (w.head._2 / (6L * 3600 * 1000), w.length))
-
-    val hottest = counts
-      .map { case (k, (win, n)) => (win, k, n) }
-      .groupBy(_._1)
-      .maxElement(v => (v._3, v._2))
-      .map(_._2)
-      .sortedBy(_._1)
-      .collectVec()
-
+    val hottest = topPerWindow(ctx, typed, 6L * 3600 * 1000)
     hottest.take(10).foreach { case (win, tpe, n) => println(s"window=$win\ttop=$tpe\tn=$n") }
     println(s"TOTAL_WINDOWS=${hottest.size}")
     spark.stop()

@@ -104,13 +104,22 @@ object Dedup {
 
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand = numHashes);
     * docs sharing any band bucket become candidates; estimated similarity =
-    * fraction of matching signature components. */
+    * fraction of matching signature components.
+    *
+    * Shuffle shape (the 100 TB concern): band rows carry ONLY
+    * (band_id, band_hash, doc_id) — full signatures do NOT ride the band-join
+    * shuffle. (Round 2 put the 64-long array on every banded row: ~8 KB moved
+    * per doc where ~0.5 KB suffices, 16× amplification.) Candidate pairs are
+    * deduped as bare (a_id, b_id) and only then join back to the one-row-per-
+    * doc signature table twice for est_sim (NearDupSpec pins the scalar-only
+    * band-join inputs). All three consumers of `sig` contain the identical
+    * signature-aggregate subplan ending in an exchange, which Spark's
+    * exchange reuse materializes once — the shingle explode + hashing below
+    * it does not re-run per consumer. */
   def minhashCandidates(sig: DataFrame, bands: Int = 16, numHashes: Int = 64,
       minEstSim: Double = 0.5, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
-    val sigArr = sig.withColumn("sig",
-      array((0 until numHashes).map(i => col(s"h$i")): _*))
     // portable: the band key is the joined signature string itself (what the
     // oracle can recompute); default: xxhash64 of it (smaller shuffle key).
     def bandKey(b: Int): Column = {
@@ -118,21 +127,22 @@ object Dedup {
         (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
       if (portable) joined else xxhash64(joined)
     }
-    val banded = sigArr.select(col("doc_id"), col("sig"),
+    val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bandKey): _*))
         .as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-      col("band_id"), col("band_hash"))
-    // dedupe (a pair collides once per shared band) BEFORE the est_sim
-    // evaluation: the position-match fold is an interpreted higher-order
-    // function, so it should run once per candidate pair, not once per
-    // band hit
-    a.join(b, Seq("band_id", "band_hash"))
+    val a = banded.select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band_id"), col("band_hash"))
+    // dedupe (a pair collides once per shared band) BEFORE fetching
+    // signatures, so the est_sim fold — an interpreted higher-order
+    // function — runs once per candidate pair, not once per band hit
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sigs = sig.select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
         (expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / lit(numHashes.toDouble)).as("est_sim"))

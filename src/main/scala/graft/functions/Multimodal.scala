@@ -95,7 +95,8 @@ object Multimodal {
     var off = 12
     var rate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0L
-    while (off + 8 <= p.length) {
+    var walking = true
+    while (walking && off + 8 <= p.length) {
       val id = new String(p.slice(off, off + 4), "US-ASCII")
       val len = u32le(p, off + 4)
       if (id == "fmt ") {
@@ -103,7 +104,11 @@ object Multimodal {
         rate = u32le(p, off + 12).toInt
         bits = u16le(p, off + 22)
       } else if (id == "data") { dataOff = off + 8; dataLen = len }
-      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      // hostile/malformed chunk length (>= 2^31 truncates negative) must
+      // fail the record, not hang the executor in a non-advancing or
+      // backwards loop; len == 0 is legal and still advances by 8
+      if (len.toInt < 0) walking = false
+      else off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     require(rate > 0 && dataOff >= 0, "not a PCM WAV")
     require(bits == 16, s"only PCM16 supported, got $bits-bit")

@@ -54,18 +54,39 @@ object Similarity {
   }
 
   /** 16-bit random-hyperplane bucket. Plane components are ±1 derived from
-    * xxhash64(plane, dim) — deterministic, identical on every executor. */
+    * xxhash64(plane, dim) — deterministic, identical on every executor.
+    *
+    * The plane matrix is data-independent, so the ±1 signs are computed ONCE
+    * here on the driver (reproducing Spark's xxhash64 chain exactly via
+    * catalyst's XXH64) and embedded as array literals — round 2 re-hashed
+    * per (row × plane × dim) through interpreted higher-order functions,
+    * which dominated the ANN queries' runtime. Values are bit-identical to
+    * that formulation (same signs, same fold order; NearDupSpec pins it). */
   def lshBucket(vec: Column, bits: Int = 16): Column = {
     val planeBits = (0 until bits).map { p =>
       // sign_p = sum_i vec[i] * (+1 | -1 from hash(p, i))
-      val signed = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
-          i => when(shiftright(xxhash64(lit(p), i), 13).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-          (x, h) => x * h),
+      val signs: Seq[Double] = (0 until MaxSignDim).map(i => xxSign(p, i))
+      // slice to the vector length so zip_with stays null-free
+      val signCol = slice(typedlit(signs), lit(1), size(vec))
+      val signed = aggregate(zip_with(vec, signCol, (x, s) => x * s),
         lit(0.0), (acc, v) => acc + v)
       when(signed > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    planeBits.reduce((a, b) => a.bitwiseOR(b))
+    val bucket = planeBits.reduce((a, b) => a.bitwiseOR(b))
+    // beyond MaxSignDim the sign slice would null-pad and every vote would
+    // go null → bucket 0 for all rows; fail loudly instead
+    when(size(vec) <= MaxSignDim, bucket)
+      .otherwise(raise_error(concat(lit(
+        s"lshBucket supports dim <= $MaxSignDim, got "),
+        size(vec).cast("string"))).cast("long"))
+  }
+
+  /** Driver-side twin of `xxhash64(lit(p), i)` bit 13 → ±1: Spark folds the
+    * children left-to-right from seed 42, each via XXH64.hashInt. */
+  private def xxSign(p: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
+    if (((h >> 13) & 1L) == 1L) 1.0 else -1.0
   }
 
   /** Cross-engine-deterministic variant of [[lshBucket]]: coordinates are
@@ -84,13 +105,13 @@ object Similarity {
     if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1L else -1L
   }
 
-  /** Max dimensionality the pre-built portable sign matrix covers. */
-  private val PortableMaxDim = 512
+  /** Max dimensionality the pre-built sign matrices cover (both hash modes). */
+  private val MaxSignDim = 512
 
   def lshBucketPortable(vec: Column, bits: Int): Column = {
     val qv = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
     val planeBits = (0 until bits).map { p =>
-      val signs: Seq[Long] = (0 until PortableMaxDim).map(i => md5Sign(p, i))
+      val signs: Seq[Long] = (0 until MaxSignDim).map(i => md5Sign(p, i))
       // slice to the vector length so zip_with stays null-free
       val signCol = slice(typedlit(signs), lit(1), size(vec))
       val v = aggregate(zip_with(qv, signCol, (x, s) => x * s),
@@ -98,11 +119,11 @@ object Similarity {
       when(v > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     val bucket = planeBits.reduce((a, b) => a.bitwiseOR(b))
-    // beyond PortableMaxDim the sign slice would null-pad and every vote
+    // beyond MaxSignDim the sign slice would null-pad and every vote
     // would go null → bucket 0 for all rows; fail loudly instead
-    when(size(vec) <= PortableMaxDim, bucket)
+    when(size(vec) <= MaxSignDim, bucket)
       .otherwise(raise_error(concat(lit(
-        s"lshBucketPortable supports dim <= $PortableMaxDim, got "),
+        s"lshBucketPortable supports dim <= $MaxSignDim, got "),
         size(vec).cast("string"))).cast("long"))
   }
 

@@ -122,11 +122,13 @@ object Iteration {
     * received a delta run `processDelta` and emit an update into `body`,
     * which computes the next round's deltas; the loop stops when no delta
     * satisfies `condition` (the reference's `TerminationCond`) or after
-    * `maxIter` rounds. As in the reference, `condition` gates TERMINATION
-    * only: every delivered delta is still applied, and a key stays in the
-    * workset as long as it receives any delta rows — keys leave the workset
-    * when upstream stops sending to them, not when their deltas go
-    * sub-threshold.
+    * `maxIter` rounds. As in the reference, `condition` gates TERMINATION,
+    * not delivery: a key stays in the workset as long as it receives any
+    * delta rows — keys leave the workset when upstream stops sending to
+    * them, not when their deltas go sub-threshold. Note that when NO delta
+    * of a round satisfies `condition`, the loop stops and that terminating
+    * round's deltas are DISCARDED unapplied (the reference's last_iteration
+    * behavior) — callers with eps > 0 should fold that into their epsilon.
     *
     * Spark-first shape: the solution set lives as a hash-partitioned pair
     * RDD that NEVER re-shuffles — each round is a partitioner-aware
@@ -181,7 +183,12 @@ object Iteration {
           case (k, (ss, ds)) =>
             // a key can appear delta-only if body emits unseen keys; the
             // reference folds onto Default::default() — we require the key
-            // to exist (solution sets are closed over their key domain)
+            // to exist (solution sets are closed over their key domain).
+            // Named error: a bare NoSuchElementException from ss.head would
+            // surface as an inscrutable stage failure at scale.
+            require(ss.nonEmpty,
+              s"deltaIterate: delta for unknown key $k — the solution set is " +
+                "closed over its key domain; body must not emit new keys")
             val s = ss.head
             if (ds.isEmpty) (k, (s, false))
             else (k, (processDelta(k, s, ds.iterator), true))

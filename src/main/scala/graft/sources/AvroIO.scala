@@ -89,7 +89,15 @@ object AvroIO {
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val fs = FileSystem.get(new java.net.URI(path), serConf.value)
-      val out = fs.create(new Path(path, f"part-$pid%05d.avro"), true)
+      // task-attempt commit protocol: write to an attempt-unique temp name,
+      // rename into place on success. A speculative or zombie attempt racing
+      // a retry can then never leave a torn final file — the loser's rename
+      // fails (destination exists) and its temp is deleted. Readers skip the
+      // dot-prefixed temps.
+      val finalPath = new Path(path, f"part-$pid%05d.avro")
+      val tmpPath = new Path(path,
+        f".part-$pid%05d.avro.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmpPath, true)
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       writer.create(schema, out)
       var n = 0L
@@ -100,6 +108,7 @@ object AvroIO {
         n += 1
       }
       writer.close()
+      if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
       Iterator.single(n)
     }.count()
   }

@@ -44,12 +44,16 @@ object Streaming {
 
   /** Stream-stream interval join (reference interval_join,
     * src/operator/interval_join.rs): right.ts ∈ [left.ts − lower,
-    * left.ts + upper]; both sides need watermarks for state cleanup. */
+    * left.ts + upper]; both sides need watermarks for state cleanup.
+    * Each joined pair is stamped with `pair_ts = max(left.ts, right.ts)` —
+    * the reference's output timestamp (interval_join.rs:113-120) — so a
+    * downstream window op consumes the join output directly. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCond: Column,
       leftTs: Column, rightTs: Column, lower: String, upper: String): DataFrame =
     left.join(right, keyCond
       && rightTs >= leftTs - expr(s"INTERVAL $lower")
       && rightTs <= leftTs + expr(s"INTERVAL $upper"))
+      .withColumn("pair_ts", greatest(leftTs, rightTs))
 
   /** Streaming CountWindow.tumbling(size) per key (reference descr/count.rs
     * on unbounded keys — SURVEY §7.4 names this as the

@@ -55,6 +55,25 @@ class DeltaIterateSpec extends AnyFunSuite {
     assert(res.output.collect().toMap == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("deltaIterate fails with a NAMED error when body emits a delta for an unknown key") {
+    val s = imp; import s._
+    val init = Seq((1L, 0L)).toDS()
+    val ex = intercept[Exception] {
+      Iteration.deltaIterate[Long, Long, Long, Long, Long](
+        init, maxIter = 3) { (_, st, ds) => st + ds.sum } { (_, st) => st } {
+        (_, st) => st } { _ => true } { upd =>
+        // emits key 99, which is not in the solution set
+        upd.select(lit(99L).as("_1"), lit(1L).as("_2")).as[(Long, Long)]
+      }
+    }
+    // the require message must survive Spark's task-failure wrapping so the
+    // user sees WHICH key broke the closed-key-domain contract, not a bare
+    // NoSuchElementException from deep inside a stage
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("unknown key 99"), s"got: $msgs")
+  }
+
   test("deltaIterate respects maxIter on a non-quiescing body") {
     val s = imp; import s._
     val init = Seq((1L, 0L), (2L, 100L)).toDS()

@@ -54,6 +54,19 @@ class ExamplesSpec extends AnyFunSuite {
     assert(q3(("QUEENS", 2024, 4)) == ((1L, 1L, 100.0)))
   }
 
+  test("rolling_top_words: hottest key per tumbling window, closed form") {
+    val s = imp; import s._
+    val ctx = new StreamContext(spark)
+    // 10 ms windows — window 0: a×3 beats b×2; window 1: b×2 beats a×1;
+    // window 2: c×2 ties d×2, (count, word) arg-max tie-breaks to d
+    val typed = Seq(
+      ("a", 1L), ("a", 3L), ("a", 9L), ("b", 2L), ("b", 5L),
+      ("b", 12L), ("b", 17L), ("a", 13L),
+      ("c", 21L), ("c", 25L), ("d", 22L), ("d", 28L)).toDS()
+    val got = graft.examples.RollingTopWords.topPerWindow(ctx, typed, 10L)
+    assert(got == Seq((0L, "a", 3), (1L, "b", 2), (2L, "d", 2)))
+  }
+
   test("logistic regression via replay: cost decreases, separable data fits") {
     val s = imp; import s._
     val pts = spark.range(1000).map { i =>

@@ -71,6 +71,49 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH band join moves only (band_id, band_hash, doc_id) — no signature arrays") {
+    // the 100 TB shuffle-shape pin: round 2 carried the full 64-long
+    // signature on every banded row (16× amplification); the band-key
+    // equi-join's inputs must now be scalar-only, with signatures fetched
+    // per deduped candidate pair afterwards
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.ArrayType
+    val cands = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
+    val bandJoins = cands.queryExecution.optimizedPlan.collect {
+      case j: Join if j.children.forall(_.output.exists(_.name == "band_hash")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected the band-key equi-join in the plan")
+    for (j <- bandJoins; c <- j.children)
+      assert(!c.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"band-join input carries an array column: " +
+          c.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+  }
+
+  test("lshBucket literal sign matrix is bit-identical to the per-row hash formulation") {
+    // the round-3 default path precomputes the ±1 plane matrix driver-side;
+    // this pins it against the round-2 formulation that re-hashed per
+    // (row × plane × dim) — same signs, same fold order, same buckets
+    import org.apache.spark.sql.Column
+    def legacy(vec: Column, bits: Int): Column = {
+      val planeBits = (0 until bits).map { p =>
+        val signed = aggregate(
+          zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+            i => when(shiftright(xxhash64(lit(p), i), 13).bitwiseAND(1) === 1, 1.0)
+              .otherwise(-1.0)),
+            (x, h) => x * h),
+          lit(0.0), (acc, v) => acc + v)
+        when(signed > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      planeBits.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val diff = emb.select(Similarity.lshBucket(col("vec"), 16).as("fast"),
+        legacy(col("vec"), 16).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, s"$diff rows bucketed differently")
+  }
+
   test("minhash estimated similarity tracks exact jaccard within 0.2") {
     val est = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

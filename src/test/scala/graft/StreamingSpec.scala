@@ -183,6 +183,8 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("ij").collect()
       assert(got.length == 1, s"expected 1 join row, got ${got.length}")
+      // output timestamp = max of the pair (reference interval_join.rs:113-120)
+      assert(got(0).getAs[Timestamp]("pair_ts") == ts(12))
     } finally q.stop()
   }
 }
