@@ -43,9 +43,17 @@ object Dedup {
     (a, b)
   }
 
-  /** Word n-gram (shingle) array, pure Catalyst: split → sliding windows via
-    * transform(sequence). Empty result when the doc has < n words. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram (shingle) array. Empty result when the doc has < n words.
+    * Native single-pass expression (graft.plans.WordShingles) — the composed
+    * split→transform→slice→concat_ws form below walks four interpreted
+    * higher-order functions per document and was the dominant cost of the
+    * whole minhash family; TextExprSpec pins the two equal string-for-string. */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.wordShingles(text, n)
+
+  /** The composed-builtin reference formulation of [[shingles]] (kept as the
+    * semantic spec the native expression is pinned against). */
+  def shinglesComposed(text: Column, n: Int): Column = {
     val words = split(text, " ")
     when(size(words) < n, array().cast("array<string>"))
       .otherwise(transform(
@@ -112,10 +120,11 @@ object Dedup {
     * per doc where ~0.5 KB suffices, 16× amplification.) Candidate pairs are
     * deduped as bare (a_id, b_id) and only then join back to the one-row-per-
     * doc signature table twice for est_sim (NearDupSpec pins the scalar-only
-    * band-join inputs). All three consumers of `sig` contain the identical
-    * signature-aggregate subplan ending in an exchange, which Spark's
-    * exchange reuse materializes once — the shingle explode + hashing below
-    * it does not re-run per consumer. */
+    * band-join inputs). The `sig` input feeds four consumers here and Spark's
+    * exchange reuse does NOT dedupe them (measured: 0 reused exchanges, the
+    * signature aggregate re-ran per consumer) — callers should pass a
+    * persisted signature table, as [[minhashNearDups]] / [[nearDupPipeline]]
+    * do. */
   def minhashCandidates(sig: DataFrame, bands: Int = 16, numHashes: Int = 64,
       minEstSim: Double = 0.5, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
@@ -149,11 +158,26 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
-  /** Full MinHash+LSH near-dup pipeline. */
+  /** Full MinHash+LSH near-dup pipeline.
+    *
+    * The signature table feeds FOUR consumers in the candidates plan (two
+    * banded sides, two est_sim signature fetches); Spark's exchange reuse
+    * does not dedupe them (measured: 0 reused exchanges at sf0.1, the
+    * signature aggregate ran per consumer), so the signatures are persisted
+    * for the duration of the run — one ~520-byte row per document, the
+    * standard LSH-pipeline materialization point at any scale — and released
+    * once the (small) near-dup pair output is materialized. The output stays
+    * persisted: it IS the result; callers release it. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      minEstSim: Double = 0.5, portable: Boolean = false): DataFrame =
-    minhashCandidates(minhashSignature(df, idCol, textCol, portable = portable),
-      minEstSim = minEstSim, portable = portable)
+      minEstSim: Double = 0.5, portable: Boolean = false): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, portable = portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = minhashCandidates(sig, minEstSim = minEstSim, portable = portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sig.unpersist()
+    out
+  }
 
   /** Exact-jaccard verification of candidate pairs: n-gram sets are built
     * ONLY for documents appearing in `cands` — the verify cost is
@@ -204,17 +228,21 @@ object Dedup {
     // σ = sqrt(j(1-j)/64) ≤ 0.0625, so a 0.25 (≥4σ) margin makes
     // P(est < cushion | j ≥ minJaccard) negligible at ANY threshold —
     // banding recall (≈2e-4 at j=0.8, ≈3e-12 at j≥0.95) binds instead —
-    // while still pruning the verify join to near-threshold candidates
-    val cands = minhashCandidates(
-      minhashSignature(df, idCol, textCol, shingleSize = shingleSize),
+    // while still pruning the verify join to near-threshold candidates.
+    // Signatures persisted for the same multi-consumer reason as
+    // minhashNearDups (exchange reuse measurably does not dedupe them).
+    val sig = minhashSignature(df, idCol, textCol, shingleSize = shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidates(sig,
       minEstSim = math.max(0.0, minJaccard - 0.25))
     // the verify output is small (near-dup pairs): persist + materialize it,
-    // so the candidate cache below can be RELEASED instead of leaking for
-    // the session lifetime
+    // so the candidate + signature caches below can be RELEASED instead of
+    // leaking for the session lifetime
     val out = verifyCandidates(df, cands, idCol, textCol, verifyNgram, minJaccard)
       .persist()
     out.count()
     cands.unpersist()
+    sig.unpersist()
     out
   }
 

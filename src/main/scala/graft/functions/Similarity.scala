@@ -63,22 +63,14 @@ object Similarity {
     * which dominated the ANN queries' runtime. Values are bit-identical to
     * that formulation (same signs, same fold order; NearDupSpec pins it). */
   def lshBucket(vec: Column, bits: Int = 16): Column = {
-    val planeBits = (0 until bits).map { p =>
-      // sign_p = sum_i vec[i] * (+1 | -1 from hash(p, i))
-      val signs: Seq[Double] = (0 until MaxSignDim).map(i => xxSign(p, i))
-      // slice to the vector length so zip_with stays null-free
-      val signCol = slice(typedlit(signs), lit(1), size(vec))
-      val signed = aggregate(zip_with(vec, signCol, (x, s) => x * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(signed > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    val bucket = planeBits.reduce((a, b) => a.bitwiseOR(b))
-    // beyond MaxSignDim the sign slice would null-pad and every vote would
-    // go null → bucket 0 for all rows; fail loudly instead
-    when(size(vec) <= MaxSignDim, bucket)
-      .otherwise(raise_error(concat(lit(
-        s"lshBucket supports dim <= $MaxSignDim, got "),
-        size(vec).cast("string"))).cast("long"))
+    val signs: Seq[Seq[Double]] = (0 until bits).map(p =>
+      (0 until MaxSignDim).map(i => xxSign(p, i)))
+    // fused single-pass vote loop (graft.plans.LshBucket) — bit-identical to
+    // the composed aggregate(zip_with(...)) folds (NearDupSpec pins it
+    // against the original per-row-hash formulation), but stays in codegen
+    // with zero per-row allocation: this is the scan cost of bucketing the
+    // corpus, the dominant term of the ANN queries before fusing
+    graft.plans.VectorExpressions.lshBucketNative(vec, signs)
   }
 
   /** Driver-side twin of `xxhash64(lit(p), i)` bit 13 → ±1: Spark folds the

@@ -4,9 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the similarity hot path: a fused
   * dot-product over two `array<float>` (or `array<double>`) columns.
@@ -95,6 +97,95 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** Fused random-hyperplane LSH bucket: all `bits` plane votes in ONE pass
+  * over the vector, with the ±1 plane matrix baked in driver-side.
+  *
+  * Bit-identical to the composed literal-matrix formulation in
+  * [[graft.functions.Similarity.lshBucket]] (and therefore to the original
+  * per-row-hash formulation NearDupSpec pins): per plane the signed sum
+  * accumulates ascending-index (`acc + vec[i] * sign[p][i]`, from 0.0), a
+  * null element nulls every plane's vote so the bucket is 0, and a vector
+  * longer than the matrix raises the same named error. The composed form
+  * walks `bits` interpreted higher-order folds per row — this is the scan
+  * cost of bucketing a 100 TB corpus, so it gets the fused loop. */
+case class LshBucket(child: Expression, signs: Seq[Seq[Double]])
+    extends Expression with UnaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bucket needs an array<float|double> input, got $other")
+    }
+
+  @transient private lazy val signArr: Array[Array[Double]] =
+    signs.map(_.toArray).toArray
+
+  private def bucketOf(a: ArrayData): Long = {
+    val n = a.numElements()
+    val bits = signArr.length
+    val maxDim = signArr(0).length
+    if (n > maxDim)
+      throw new IllegalArgumentException(s"lshBucket supports dim <= $maxDim, got $n")
+    val isF = elemIsFloat
+    var i = 0
+    while (i < n) { // a null element nulls every plane's vote → bucket 0
+      if (a.isNullAt(i)) return 0L
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val s = signArr(p)
+      var acc = 0.0
+      i = 0
+      while (i < n) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        acc += x * s(i)
+        i += 1
+      }
+      if (acc > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else bucketOf(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lshBucketExpr", this, classOf[LshBucket].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+            |${childGen.code}
+            |boolean ${ev.isNull} = ${childGen.isNull};
+            |long ${ev.value} = -1L;
+            |if (!${ev.isNull}) {
+            |  ${ev.value} = $self.bucketOfPublic(${childGen.value});
+            |}
+       """.stripMargin)
+  }
+
+  /** Codegen entry point (doGenCode calls through the reference object). */
+  def bucketOfPublic(a: ArrayData): Long = bucketOf(a)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column): Expression = ColumnBridge.expr(c)
   private def column(e: Expression): Column = ColumnBridge.column(e)
@@ -109,4 +200,8 @@ object VectorExpressions {
   /** Fused cosine similarity. */
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (normNative(a) * normNative(b))
+
+  /** Fused LSH bucket over a baked-in ±1 plane matrix (see [[LshBucket]]). */
+  def lshBucketNative(vec: Column, signs: Seq[Seq[Double]]): Column =
+    column(LshBucket(expr(vec), signs))
 }

@@ -78,7 +78,13 @@ class NearDupSpec extends AnyFunSuite {
     // per deduped candidate pair afterwards
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.types.ArrayType
-    val cands = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
+    // the pure candidates builder: minhashNearDups persists+materializes its
+    // output, which collapses its own optimizedPlan to a cache scan — and a
+    // still-cached output from an earlier test would be substituted into
+    // this plan the same way, so drop all caches first
+    spark.sharedState.cacheManager.clearCache()
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignature(docs, "doc_id", "text"), minEstSim = 0.5)
     val bandJoins = cands.queryExecution.optimizedPlan.collect {
       case j: Join if j.children.forall(_.output.exists(_.name == "band_hash")) => j
     }

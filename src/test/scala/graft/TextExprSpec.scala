@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native WordShingles expression: string-for-string equality with the
+  * composed split→transform→slice→concat_ws formulation it replaced, on the
+  * real corpus and on the whitespace edge cases (empty words are KEPT by
+  * split's limit=-1, so shingles can contain doubled spaces). */
+class TextExprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def docs = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") }
+
+  test("native shingles equal composed shingles on the corpus (n=5 and n=3)") {
+    for (n <- Seq(3, 5)) {
+      val diff = docs.select(
+          Dedup.shingles(col("text"), n).as("fast"),
+          Dedup.shinglesComposed(col("text"), n).as("slow"))
+        .filter(not(col("fast") <=> col("slow"))).count()
+      assert(diff == 0, s"n=$n: $diff docs shingled differently")
+    }
+  }
+
+  test("native shingles equal composed shingles on whitespace edge cases") {
+    val s = spark; import s.implicits._
+    val edge = Seq(
+      "",                      // empty text → one empty word
+      "one",                   // fewer words than n
+      "a b",                   // exactly n words
+      "a b c d",               // normal
+      "a  b c",                // doubled space → empty word kept
+      " a b c",                // leading space
+      "a b c ",                // trailing space (split limit=-1 keeps it)
+      "  ",                    // only spaces
+      "über naïve 文字 x y z"  // multibyte UTF-8
+    ).toDF("text")
+    val rows = edge.select(col("text"),
+        Dedup.shingles(col("text"), 2).as("fast"),
+        Dedup.shinglesComposed(col("text"), 2).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"text='${r.getString(0)}': ${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
+    }
+  }
+
+  test("shingle count is words - n + 1") {
+    val s = spark; import s.implicits._
+    val got = Seq("w1 w2 w3 w4 w5 w6").toDF("text")
+      .select(size(Dedup.shingles(col("text"), 4))).head().getInt(0)
+    assert(got == 3)
+  }
+}

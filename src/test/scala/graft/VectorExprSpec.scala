@@ -68,6 +68,49 @@ class VectorExprSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("fused LshBucket: codegen and interpreted paths agree, floats and doubles agree") {
+    val bits = 8
+    val buckets = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding").cast("array<double>"), bits).as("bd"),
+        Similarity.lshBucket(col("embedding"), bits).as("bf"))
+      .collect()
+    assert(buckets.nonEmpty)
+    // float input follows the same code path with a widening cast per element
+    buckets.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"vec ${r.getLong(0)}: double-input bucket ${r.getLong(1)} != float-input ${r.getLong(2)}"))
+    // interpreted eval (collect on a local Dataset forces the same expression
+    // through the non-codegen path via a filter that disables WSCG is not
+    // reliable; instead call eval directly)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val signs = (0 until bits).map(p => (0 until 512).map(i => {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      if (((XXH64.hashInt(i, XXH64.hashInt(p, 42L)) >> 13) & 1L) == 1L) 1.0 else -1.0
+    }))
+    val e = graft.plans.LshBucket(
+      BoundReference(0, ArrayType(DoubleType), nullable = false), signs)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val byId = buckets.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val interp = e.eval(InternalRow(new GenericArrayData(v))).asInstanceOf[Long]
+      assert(interp == byId(id), s"vec $id: interpreted $interp != codegen ${byId(id)}")
+    }
+  }
+
+  test("fused LshBucket raises a named error beyond the sign-matrix dim") {
+    val s = spark; import s.implicits._
+    val big = Seq(Array.fill(600)(1.0)).toDF("vec")
+    val ex = intercept[Exception] {
+      big.select(Similarity.lshBucket(col("vec"), 4)).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("dim <= 512"), s"got: $msgs")
+  }
+
   test("micro-throughput: native >= composed on the pairwise score join") {
     val v = emb.select(col("vec_id"), col("embedding"))
     val pairs = v.as("a").crossJoin(v.as("b"))
