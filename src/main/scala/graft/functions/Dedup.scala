@@ -251,10 +251,13 @@ object Dedup {
     * zero shuffle (see minhashSignature scale note). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
-    // explode + codegen'd conditional-sum aggregates (same formulation
+    // explode + fused single-buffer vote aggregate (same formulation
     // rationale as minhashSignature: partial agg collapses map-side, the
-    // shuffle carries one vote row per doc). Portable mode uses the 60-bit
-    // md5-derived token hash (oracle-recomputable) → a 60-bit signature.
+    // shuffle carries one vote buffer per doc; plans.SimHashAgg updates all
+    // per-bit counters in one pass instead of nBits separate conditional-sum
+    // slots — bit-identical signatures, pinned by the oracle which
+    // recomputes them in SQL). Portable mode uses the 60-bit md5-derived
+    // token hash (oracle-recomputable) → a 60-bit signature.
     val nBits = if (portable) 60 else 64
     val tok0 = df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))
@@ -262,14 +265,8 @@ object Dedup {
     val tok =
       if (portable) tok0.withColumn("h", portableHash60(col("w")))
       else tok0.withColumn("h", xxhash64(col("w")))
-    val votes = (0 until nBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until nBits).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    voted.select(col("doc_id"), sig.as("simhash"))
+    tok.groupBy(col("doc_id"))
+      .agg(graft.plans.SimHashAgg.signature(col("h"), nBits).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, via a

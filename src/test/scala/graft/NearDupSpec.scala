@@ -120,6 +120,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows bucketed differently")
   }
 
+  test("fused SimHashAgg equals the per-bit conditional-sum formulation") {
+    // the fused single-buffer vote aggregate must reproduce the 64 separate
+    // sum(when(bit,1,-1)) slots it replaced, signature-for-signature
+    def composed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val tok = df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").withColumn("h", xxhash64(col("w")))
+      val votes = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+      }
+      val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val sig = (0 until 64).map { i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      voted.select(col("doc_id"), sig.as("simhash"))
+    }
+    val fused = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = composed(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == slow)
+  }
+
   test("minhash estimated similarity tracks exact jaccard within 0.2") {
     val est = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
