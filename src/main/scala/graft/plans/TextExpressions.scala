@@ -75,8 +75,67 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Per-ROW SimHash signature: one pass over the document's words, no
+  * explode/groupBy. Bit-identical to the batch explode+vote-aggregate
+  * formulation in [[graft.functions.Dedup.simhash]] (default xxhash64 mode):
+  * same word split (single space, empty words skipped), same per-word
+  * xxhash64 (seed 42, identical to the `xxhash64` Column function on the
+  * word), same order-independent ±1 vote per bit, same `> 0` threshold —
+  * StreamingSpec pins signature equality against the batch aggregate.
+  *
+  * This is the streaming-shaped variant: a stateful streaming operator needs
+  * the signature ON the record (one row in, one signature out), where the
+  * batch path amortizes via partial aggregation of exploded tokens. */
+case class SimHashExpr(child: Expression, nBits: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val votes = new Array[Long](nBits)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { // empty words are skipped, as in the batch filter
+          val w = UTF8String.fromBytes(bytes, start, i - start)
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(w, StringType, 42L)
+          var b = 0
+          while (b < nBits) {
+            votes(b) += (((h >> b) & 1L) << 1) - 1L
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Native shingle array (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expr(text), n))
+
+  /** Per-row SimHash signature (see [[SimHashExpr]]). */
+  def simhashRow(text: Column, nBits: Int = 64): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expr(text), nBits))
 }

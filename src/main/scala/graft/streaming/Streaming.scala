@@ -123,6 +123,105 @@ object Streaming {
           }
       }
 
+  /** Streaming exact dedup: keeps the FIRST record per distinct text (by md5
+    * digest) across micro-batches. Without a watermark the digest state grows
+    * with the distinct-document count — the batch-equivalent semantics; pass
+    * `withinWatermark = Some((tsCol, delay))` to bound state to the watermark
+    * horizon (`dropDuplicatesWithinWatermark`), the production shape for
+    * unbounded streams. */
+  def dedupExactStream(df: DataFrame, textCol: String,
+      withinWatermark: Option[(String, String)] = None): DataFrame = {
+    val digested = df.withColumn("digest", md5(col(textCol)))
+    withinWatermark match {
+      case Some((tsCol, delay)) =>
+        digested.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("digest")
+      case None => digested.dropDuplicates("digest")
+    }
+  }
+
+  /** One band's state for [[simhashNearDupPairs]]: every (id, signature)
+    * seen in the band bucket so far. */
+  final case class BandState(docs: Seq[(Long, Long)])
+
+  /** Streaming SimHash near-dup PAIR detection — the streaming twin of
+    * [[graft.functions.Dedup.simhashNearDups]] (StreamingSpec pins set
+    * equality of the emitted pairs against the batch output on the same
+    * documents).
+    *
+    * Shape: per-row signature (native [[graft.plans.SimHashExpr]] — no
+    * explode/groupBy on a stream), exploded into the same (maxDist+1)-band
+    * pigeonhole buckets as the batch path, then one `flatMapGroupsWithState`
+    * keyed by (band_id, band_val) holding the (id, sig) pairs seen in that
+    * bucket. A new arrival emits (a_id, b_id, hamming) against every stored
+    * near match.
+    *
+    * Exactly-once pair emission WITHOUT a second stateful operator: both
+    * full signatures are in state, so each band recomputes the pair's
+    * colliding-band set and only the LOWEST colliding band emits. (The batch
+    * path gets the same dedupe via `.distinct()`; chaining a streaming
+    * distinct after a flatMapGroupsWithState would be a second stateful op.)
+    *
+    * State is per-bucket linear in the documents seen — the same unbounded
+    * growth as any dedup-against-history; production bounds it by keying the
+    * band value with a coarse time bucket or TTL-ing via timeouts. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBits = 64
+    val nBands = maxDist + 1
+    require(maxDist >= 0 && nBands <= nBits,
+      s"maxDist=$maxDist out of range for $nBits-bit signatures")
+    val width = nBits / nBands
+
+    def bandValOf(sig: Long, b: Int): Long = {
+      val w = if (b == nBands - 1) nBits - b * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      (sig >>> (b * width)) & mask
+    }
+
+    val sig = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.plans.TextExpressions.simhashRow(col(textCol), nBits).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until nBands).map { b =>
+        val w = if (b == nBands - 1) nBits - b * width else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        shiftright(col("sig"), b * width).bitwiseAND(mask)
+      }: _*)).as(Seq("band_id", "band_val")))
+      .as[(Long, Long, Int, Long)]
+
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BandState, (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[BandState]) =>
+          val bandId = key._1
+          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          rows.foreach { case (id, s, _, _) =>
+            seen.foreach { case (oid, os) =>
+              if (oid != id) {
+                val ham = java.lang.Long.bitCount(s ^ os)
+                if (ham <= maxDist) {
+                  // emit only from the lowest band where the pair collides
+                  val minBand = (0 until nBands)
+                    .find(b => bandValOf(s, b) == bandValOf(os, b)).get
+                  if (minBand == bandId) {
+                    val (a, b) = if (id < oid) (id, oid) else (oid, id)
+                    out += ((a, b, ham))
+                  }
+                }
+              }
+            }
+            seen += ((id, s))
+          }
+          state.update(BandState(seen.toSeq))
+          out.iterator
+      }
+  }
+
   /** Streaming TransactionWindow (reference descr/transaction.rs — the
     * NEXMark q4 auction-close shape): per-key single active window driven by
     * a user signal; CommitAfter arms an event-time timer (processing

@@ -48,6 +48,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps the first record per distinct text across batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = Streaming.dedupExactStream(in.toDF.toDF("id", "text"), "text")
+      .select("id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_exact").start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // a later batch repeating an already-seen text must stay suppressed
+      in.addData((4L, "alpha"), (5L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_exact").as[(Long, String)].collect().toSet
+      assert(got.map(_._2) == Set("alpha", "beta", "gamma"))
+      assert(got.count(_._2 == "alpha") == 1)
+    } finally q.stop()
+  }
+
+  test("streaming simhash near-dup pairs equal the batch pairs on the same docs") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and once"),
+      (4L, "completely different text about distributed dataflow engines"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again today"))
+    // per-row native signature ≡ batch explode+vote aggregate, doc for doc
+    val rowSigs = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.plans.TextExpressions.simhashRow(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchSigs = graft.functions.Dedup.simhash(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowSigs == batchSigs)
+
+    val batchPairs = graft.functions.Dedup.simhashNearDups(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batchPairs.nonEmpty, "fixture should contain near-dups")
+
+    val in = MemoryStream[(Long, String)]
+    val out = Streaming.simhashNearDupPairs(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text", maxDist = 3)
+    val q = out.toDF("a_id", "b_id", "hamming").writeStream
+      .outputMode("append").format("memory").queryName("nd_pairs").start()
+    try {
+      // split across micro-batches: later arrivals must pair against
+      // earlier batches' state
+      in.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      in.addData(docs(2), docs(3))
+      q.processAllAvailable()
+      in.addData(docs(4))
+      q.processAllAvailable()
+      val got = spark.table("nd_pairs").as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size, s"pair emitted twice: ${got.toList}")
+      assert(got.toSet == batchPairs,
+        s"stream=${got.toSet} batch=$batchPairs")
+    } finally q.stop()
+  }
+
   test("streaming CountWindow.tumbling(3) emits exact windows per key") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
