@@ -62,9 +62,13 @@ object Similarity {
     * per (row × plane × dim) through interpreted higher-order functions,
     * which dominated the ANN queries' runtime. Values are bit-identical to
     * that formulation (same signs, same fold order; NearDupSpec pins it). */
+  /** The default-mode ±1 plane matrix for `bits` planes (shared with the
+    * SQL-function registration in [[graft.plans.GraftExtensions]]). */
+  private[graft] def xxSignMatrix(bits: Int): Seq[Seq[Double]] =
+    (0 until bits).map(p => (0 until MaxSignDim).map(i => xxSign(p, i)))
+
   def lshBucket(vec: Column, bits: Int = 16): Column = {
-    val signs: Seq[Seq[Double]] = (0 until bits).map(p =>
-      (0 until MaxSignDim).map(i => xxSign(p, i)))
+    val signs: Seq[Seq[Double]] = xxSignMatrix(bits)
     // fused single-pass vote loop (graft.plans.LshBucket) — bit-identical to
     // the composed aggregate(zip_with(...)) folds (NearDupSpec pins it
     // against the original per-row-hash formulation), but stays in codegen

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions entry point: registers the library's native
+  * Catalyst expressions as SQL functions, so a pure-SQL user (spark-sql,
+  * Thrift server, `spark.sql(...)`) gets the same fused hot paths as the
+  * Column API — the build-preference path (c) registration point.
+  *
+  * Use either
+  *  - `--conf spark.sql.extensions=graft.plans.GraftExtensions` (cluster
+  *    submit / session builder), or
+  *  - [[GraftExtensions.register]] on an already-running session.
+  *
+  * | SQL | Column API |
+  * |---|---|
+  * | `graft_dot(a, b)` | `VectorExpressions.dotNative` |
+  * | `graft_lsh_bucket(vec, bits)` | `Similarity.lshBucket` |
+  * | `graft_word_shingles(text, n)` | `Dedup.shingles` |
+  * | `graft_simhash(text)` | per-row [[SimHashExpr]] (≡ batch `Dedup.simhash`) |
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+
+  /** (identifier, info, builder) triples for every registered function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - fused dot product over two float/double arrays"),
+      { args =>
+        require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(vec, bits) - random-hyperplane LSH bucket (bits planes)"),
+      { args =>
+        require(args.length == 2, s"graft_lsh_bucket expects 2 arguments, got ${args.length}")
+        LshBucket(args(0),
+          graft.functions.Similarity.xxSignMatrix(litInt(args(1), "graft_lsh_bucket", "bits")))
+      }),
+    (FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles",
+        "graft_word_shingles(text, n) - array of n-word shingles"),
+      { args =>
+        require(args.length == 2, s"graft_word_shingles expects 2 arguments, got ${args.length}")
+        WordShingles(args(0), litInt(args(1), "graft_word_shingles", "n"))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(text) - 64-bit per-document SimHash signature"),
+      { args =>
+        require(args.length == 1, s"graft_simhash expects 1 argument, got ${args.length}")
+        SimHashExpr(args(0), 64)
+      }))
+
+  /** Inject the functions into an already-running session (the
+    * extensions-config path only applies at session construction). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

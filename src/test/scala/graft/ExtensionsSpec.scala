@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import graft.plans.{GraftExtensions, VectorExpressions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-function registration of the native expressions: both the
+  * already-running-session path (GraftExtensions.register) and the
+  * `spark.sql.extensions` construction path must expose functions whose
+  * results are identical to the Column API. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def emb = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") }
+
+  test("registered SQL functions equal the Column API") {
+    GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      """SELECT vec_id,
+        |  graft_dot(embedding, embedding) AS d,
+        |  graft_lsh_bucket(CAST(embedding AS ARRAY<DOUBLE>), 8) AS b
+        |FROM emb_ext""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val viaCol = emb.select(col("vec_id"),
+        VectorExpressions.dotNative(col("embedding"), col("embedding")).as("d"),
+        Similarity.lshBucket(col("embedding").cast("array<double>"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(viaSql == viaCol)
+
+    val shSql = spark.sql(
+      "SELECT graft_word_shingles('a b c d', 2) AS s, graft_simhash('a b c') AS h")
+      .head()
+    assert(shSql.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    val s = spark; import s.implicits._
+    val hBatch = Dedup.simhash(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text").head().getLong(1)
+    assert(shSql.getLong(1) == hBatch)
+  }
+
+  test("spark.sql.extensions construction path registers the functions") {
+    // getOrCreate returns an existing session without applying extensions,
+    // so clear the active/default handles to force a genuinely new session
+    // (same SparkContext), then restore them. spark.sql.extensions is a
+    // STATIC conf read from the SparkContext conf at session construction —
+    // unreachable once the shared test context exists — so do exactly what
+    // Spark's loader does with the conf value: instantiate the class by
+    // name through its zero-arg constructor and apply it to the builder
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val byName = Class.forName("graft.plans.GraftExtensions")
+      .getConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(byName)
+        .getOrCreate()
+      assert(fresh ne prev, "must be a new session for extensions to apply")
+      val r = fresh.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .head().getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("non-literal size argument fails with a named error") {
+    GraftExtensions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles('a b', CAST(rand()*3 AS INT))").collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("integer literal"), s"got: $msgs")
+  }
+}
