@@ -153,7 +153,10 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        // fused match count (plans.ArrayMatchCount): runs once per candidate
+        // pair — billions at 100 TB — where the composed zip_with fold is
+        // interpreted; integer-identical (NearDupSpec pins it)
+        (graft.plans.VectorExpressions.matchCountNative(col("a_sig"), col("b_sig"))
           .cast("double") / lit(numHashes.toDouble)).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
   }

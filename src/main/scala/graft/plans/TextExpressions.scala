@@ -130,6 +130,75 @@ case class SimHashExpr(child: Expression, nBits: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Per-ROW minhash signature: shingle the document and fold all affine
+  * minima in one pass — no explode/groupBy. Bit-identical to the batch
+  * [[graft.functions.Dedup.minhashSignature]] default mode: same shingles
+  * (see [[WordShingles]] — each shingle is a contiguous byte range), same
+  * per-shingle xxhash64 (seed 42, ≡ the `xxhash64` Column function), same
+  * wrapping affine permutations, same minima (StreamingSpec pins row ≡ batch
+  * signature equality). NULL when the document has fewer than `n` words —
+  * the batch explode never produces a signature row for those either.
+  *
+  * The streaming-shaped variant: a stateful streaming dedup needs the
+  * signature ON the record, where batch amortizes via partial aggregation. */
+case class MinHashRowExpr(child: Expression, n: Int, as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  require(as.length == bs.length && as.nonEmpty)
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    if (nWords < n) return null
+    val starts = new Array[Int](nWords + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1
+    val mins = Array.fill(aArr.length)(Long.MaxValue)
+    var s = 0
+    while (s <= nWords - n) {
+      val from = starts(s)
+      val until = starts(s + n) - 1
+      val shingle = UTF8String.fromBytes(bytes, from, until - from)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(shingle, StringType, 42L)
+      var k = 0
+      while (k < mins.length) {
+        val p = h * aArr(k) + bArr(k) // wrapping, matches non-ANSI Long math
+        if (p < mins(k)) mins(k) = p
+        k += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashRowExpr =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Native shingle array (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
@@ -138,4 +207,9 @@ object TextExpressions {
   /** Per-row SimHash signature (see [[SimHashExpr]]). */
   def simhashRow(text: Column, nBits: Int = 64): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expr(text), nBits))
+
+  /** Per-row minhash signature (see [[MinHashRowExpr]]); default-mode affine
+    * constants come from [[graft.functions.Dedup.defaultPermConsts]]. */
+  def minhashRow(text: Column, shingleSize: Int, as: Seq[Long], bs: Seq[Long]): Column =
+    ColumnBridge.column(MinHashRowExpr(ColumnBridge.expr(text), shingleSize, as, bs))
 }

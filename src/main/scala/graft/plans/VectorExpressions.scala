@@ -97,6 +97,63 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** Position-wise match count of two long arrays — the minhash est_sim
+  * numerator. Semantics match the composed
+  * `aggregate(zip_with(a, b, (x,y) -> IF(x=y,1,0)), 0, +)` exactly: the
+  * count runs over the shorter length (zip_with's null padding makes IF
+  * yield 0 there), a null element compares unequal. At 100 TB the candidate
+  * set is billions of pairs and this runs once per pair — the fused loop
+  * replaces an interpreted higher-order fold (NearDupSpec pins equality). */
+case class ArrayMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"array_match_count needs array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ArrayMatchCount = copy(left = newLeft, right = newRight)
+}
+
 /** Fused random-hyperplane LSH bucket: all `bits` plane votes in ONE pass
   * over the vector, with the ±1 plane matrix baked in driver-side.
   *
@@ -204,4 +261,8 @@ object VectorExpressions {
   /** Fused LSH bucket over a baked-in ±1 plane matrix (see [[LshBucket]]). */
   def lshBucketNative(vec: Column, signs: Seq[Seq[Double]]): Column =
     column(LshBucket(expr(vec), signs))
+
+  /** Position-wise match count of two long arrays (see [[ArrayMatchCount]]). */
+  def matchCountNative(a: Column, b: Column): Column =
+    column(ArrayMatchCount(expr(a), expr(b)))
 }

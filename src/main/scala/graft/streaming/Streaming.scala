@@ -222,6 +222,91 @@ object Streaming {
       }
   }
 
+  /** One band bucket's state for [[minhashNearDupPairs]]: the (id, full
+    * signature) pairs seen in the bucket. Signatures ride the state because
+    * est_sim and the exactly-once band election need BOTH signatures at
+    * arrival time (the batch path fetches them with a join; inside one
+    * stateful operator there is no second lookup). Production variants
+    * bound this with TTL timeouts or store a doc reference + side lookup. */
+  final case class MinHashBandState(docs: Seq[(Long, Seq[Long])])
+
+  /** Streaming MinHash+LSH near-dup PAIR detection — the streaming twin of
+    * [[graft.functions.Dedup.minhashNearDups]] (StreamingSpec pins set
+    * equality of (a_id, b_id, est_sim) against the batch output on the same
+    * documents).
+    *
+    * Shape: per-row signature (native [[graft.plans.MinHashRowExpr]] — no
+    * explode/groupBy on a stream; documents with fewer than `shingleSize`
+    * words produce no signature, as in batch), banded with the SAME band
+    * hashes as the batch path (xxhash64 over the joined signature slice),
+    * then one `flatMapGroupsWithState` keyed by (band_id, band_hash). A new
+    * arrival emits (a_id, b_id, est_sim) for every stored bucket-mate with
+    * est_sim ≥ `minEstSim`; only the LOWEST colliding band emits, so each
+    * pair surfaces exactly once without a second stateful operator. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      minEstSim: Double = 0.5, bands: Int = 16, numHashes: Int = 64,
+      shingleSize: Int = 5): Dataset[(Long, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+    val consts = (0 until numHashes).map(graft.functions.Dedup.defaultPermConsts)
+    val (as, bs) = consts.unzip
+
+    // driver-side twin of the batch band key: xxhash64(seed 42) of the
+    // "_"-joined decimal signature slice (Long.toString ≡ Spark's long→string
+    // cast inside concat_ws)
+    def bandHashOf(sig: Seq[Long], b: Int): Long = {
+      val joined = (b * rows until (b + 1) * rows).map(sig).mkString("_")
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(joined),
+        org.apache.spark.sql.types.StringType, 42L)
+    }
+
+    val sig = docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.TextExpressions.minhashRow(col(textCol), shingleSize, as, bs)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws("_",
+          (b * rows until (b + 1) * rows).map(i => col("sig").getItem(i)): _*))
+      }: _*)).as(Seq("band_id", "band_hash")))
+      .as[(Long, Seq[Long], Int, Long)]
+
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[MinHashBandState, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rowsIt: Iterator[(Long, Seq[Long], Int, Long)],
+         state: GroupState[MinHashBandState]) =>
+          val bandId = key._1
+          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+          seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          rowsIt.foreach { case (id, s, _, _) =>
+            seen.foreach { case (oid, os) =>
+              if (oid != id) {
+                var m = 0
+                var i = 0
+                while (i < numHashes) { if (s(i) == os(i)) m += 1; i += 1 }
+                val est = m.toDouble / numHashes
+                if (est >= minEstSim) {
+                  val minBand = (0 until bands)
+                    .find(b => bandHashOf(s, b) == bandHashOf(os, b)).get
+                  if (minBand == bandId) {
+                    val (a, b) = if (id < oid) (id, oid) else (oid, id)
+                    out += ((a, b, est))
+                  }
+                }
+              }
+            }
+            seen += ((id, s))
+          }
+          state.update(MinHashBandState(seen.toSeq))
+          out.iterator
+      }
+  }
+
   /** Streaming TransactionWindow (reference descr/transaction.rs — the
     * NEXMark q4 auction-close shape): per-key single active window driven by
     * a user signal; CommitAfter arms an event-time timer (processing

@@ -120,6 +120,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows bucketed differently")
   }
 
+  test("fused ArrayMatchCount equals the composed zip_with fold on signatures") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        array((0 until 64).map(i => col(s"h$i")): _*).as("sig"))
+    val pairs = sig.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+      .crossJoin(sig.select(col("doc_id").as("b_id"), col("sig").as("b_sig")))
+      .filter(col("a_id") < col("b_id")).limit(2000)
+    val diff = pairs.select(
+        graft.plans.VectorExpressions.matchCountNative(col("a_sig"), col("b_sig")).as("fast"),
+        expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)").as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+
   test("fused SimHashAgg equals the per-bit conditional-sum formulation") {
     // the fused single-buffer vote aggregate must reproduce the 64 separate
     // sum(when(bit,1,-1)) slots it replaced, signature-for-signature

@@ -113,6 +113,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup pairs equal the batch pairs on the same docs") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and once"),
+      (4L, "completely different text about distributed dataflow engines with many words"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (6L, "shorty")) // < shingleSize words → no signature, as in batch
+    // per-row native signature ≡ batch explode+aggregate signature, doc for doc
+    val (as, bs) = (0 until 64).map(graft.functions.Dedup.defaultPermConsts).unzip
+    val rowSigs = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.plans.TextExpressions.minhashRow(col("text"), 5, as, bs).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    val batchSigs = graft.functions.Dedup.minhashSignature(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i))).toMap
+    assert(rowSigs(6L) == null && !batchSigs.contains(6L))
+    batchSigs.foreach { case (id, sig) => assert(rowSigs(id) == sig, s"doc $id") }
+
+    val batch = graft.functions.Dedup.minhashNearDups(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minEstSim = 0.5)
+    val batchPairs = batch
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    batch.unpersist()
+    assert(batchPairs.nonEmpty, "fixture should contain near-dups")
+
+    val in = MemoryStream[(Long, String)]
+    val out = Streaming.minhashNearDupPairs(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text", minEstSim = 0.5)
+    val q = out.toDF("a_id", "b_id", "est_sim").writeStream
+      .outputMode("append").format("memory").queryName("mh_pairs").start()
+    try {
+      in.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      in.addData(docs(2), docs(3), docs(5))
+      q.processAllAvailable()
+      in.addData(docs(4))
+      q.processAllAvailable()
+      val got = spark.table("mh_pairs").as[(Long, Long, Double)].collect()
+      assert(got.length == got.toSet.size, s"pair emitted twice: ${got.toList}")
+      assert(got.toSet == batchPairs, s"stream=${got.toSet} batch=$batchPairs")
+    } finally q.stop()
+  }
+
   test("streaming CountWindow.tumbling(3) emits exact windows per key") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
