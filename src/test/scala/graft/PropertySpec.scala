@@ -81,6 +81,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native WordShingles == composed formulation on random space-heavy strings") {
+    import org.apache.spark.sql.functions.{col, not}
+    val s = imp; import s._
+    // alphabet biased toward spaces so empty words, runs of separators and
+    // boundary cases are well-represented
+    val texts: Gen[List[String]] = Gen.listOfN(30,
+      Gen.listOfN(25, Gen.frequency(
+        (3, Gen.const(' ')), (5, Gen.alphaChar), (1, Gen.const('ü'))))
+        .map(_.mkString))
+    forAll(texts, Gen.choose(1, 4)) { (ts: List[String], n: Int) =>
+      whenever(ts.nonEmpty) {
+        val df = ts.toDF("text")
+        val diff = df.select(
+            graft.functions.Dedup.shingles(col("text"), n).as("fast"),
+            graft.functions.Dedup.shinglesComposed(col("text"), n).as("slow"))
+          .filter(not(col("fast") <=> col("slow"))).count()
+        assert(diff == 0, s"n=$n texts=$ts")
+      }
+    }
+  }
+
   test("window CountWindow tumbling partitions the key's elements exactly") {
     val s = imp
     import s._
