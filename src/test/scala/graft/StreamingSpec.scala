@@ -161,6 +161,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cleaning pipeline: profile + quality gate + exact dedup on a doc stream") {
+    // the batch q_pipeline_clean shape on an unbounded stream: the
+    // TextAnalysis profile columns are stateless (narrow), so they lower to
+    // a streaming plan unchanged; the fingerprint dedup becomes the stateful
+    // dropDuplicates stage
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val profiled = graft.functions.TextAnalysis.profile(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val cleaned = profiled.filter(col("quality") >= 0.5)
+      .dropDuplicates("fingerprint")
+      .select("doc_id", "lang_guess", "n_tokens")
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("clean_stream").start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog and keeps running ahead"
+      in.addData((1L, good), (2L, "@@@@ #### !!!! %%%% ^^^^"))
+      q.processAllAvailable()
+      // word-order permutation shares the (order-invariant) fingerprint →
+      // suppressed as a dup
+      in.addData((3L, "the quick brown fox jumps over the lazy dog and running keeps ahead"))
+      q.processAllAvailable()
+      val got = spark.table("clean_stream").as[(Long, String, Long)].collect()
+      assert(got.map(_._1).toSet == Set(1L),
+        s"low-quality and duplicate docs must be dropped: ${got.toList}")
+      assert(got.head._3 == 13)
+    } finally q.stop()
+  }
+
   test("streaming CountWindow.tumbling(3) emits exact windows per key") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
