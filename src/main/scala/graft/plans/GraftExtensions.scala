@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.IntegerType
   * | `graft_lsh_bucket(vec, bits)` | `Similarity.lshBucket` |
   * | `graft_word_shingles(text, n)` | `Dedup.shingles` |
   * | `graft_simhash(text)` | per-row [[SimHashExpr]] (≡ batch `Dedup.simhash`) |
+  * | `graft_minhash(text, n)` | per-row [[MinHashRowExpr]] (≡ batch `Dedup.minhashSignature`) |
+  * | `graft_match_count(a, b)` | [[ArrayMatchCount]] (minhash est_sim numerator) |
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -68,6 +70,22 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, s"graft_simhash expects 1 argument, got ${args.length}")
         SimHashExpr(args(0), 64)
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(text, shingleSize) - 64-hash per-document minhash signature " +
+          "(default-mode affine constants; NULL below shingleSize words)"),
+      { args =>
+        require(args.length == 2, s"graft_minhash expects 2 arguments, got ${args.length}")
+        val (as, bs) = (0 until 64).map(graft.functions.Dedup.defaultPermConsts).unzip
+        MinHashRowExpr(args(0), litInt(args(1), "graft_minhash", "shingleSize"), as, bs)
+      }),
+    (FunctionIdentifier("graft_match_count"),
+      info("graft_match_count",
+        "graft_match_count(a, b) - position-wise match count of two bigint arrays"),
+      { args =>
+        require(args.length == 2, s"graft_match_count expects 2 arguments, got ${args.length}")
+        ArrayMatchCount(args(0), args(1))
       }))
 
   /** Inject the functions into an already-running session (the

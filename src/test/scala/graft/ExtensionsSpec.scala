@@ -42,6 +42,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val hBatch = Dedup.simhash(Seq((1L, "a b c")).toDF("doc_id", "text"),
       "doc_id", "text").head().getLong(1)
     assert(shSql.getLong(1) == hBatch)
+
+    // the whole minhash est_sim chain in pure SQL
+    val mh = spark.sql(
+      """SELECT graft_match_count(graft_minhash('a b c d e f', 3),
+        |                         graft_minhash('a b c d e f', 3)) AS m,
+        |       graft_minhash('one two', 3) AS below""".stripMargin).head()
+    assert(mh.getInt(0) == 64, "identical docs must match on all 64 hashes")
+    assert(mh.isNullAt(1), "sub-shingle docs must yield NULL, as in batch")
   }
 
   test("spark.sql.extensions construction path registers the functions") {
