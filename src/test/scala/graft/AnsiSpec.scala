@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANSI-mode robustness: Spark 4 defaults to spark.sql.ansi.enabled=true,
+  * where overflowing Column arithmetic THROWS instead of wrapping. The
+  * dedup/ANN hot paths do their arithmetic inside native expressions and
+  * typed aggregates (JVM wrapping semantics, ANSI-independent), so a user on
+  * stock Spark 4 defaults must get bit-identical results to the ansi-off
+  * sessions Verify/Bench run — pinned here by running the same inputs
+  * through both session modes. */
+class AnsiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  /** Runs `f` in a sibling session (same SparkContext) with ANSI ON. */
+  def inAnsiSession[A](f: SparkSession => A): A = {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ansi = prev.newSession()
+      ansi.conf.set("spark.sql.ansi.enabled", "true")
+      ansi.conf.set("spark.sql.shuffle.partitions", "4")
+      SparkSession.setActiveSession(ansi)
+      SparkSession.setDefaultSession(ansi)
+      assert(ansi.conf.get("spark.sql.ansi.enabled") == "true")
+      f(ansi)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("minhash near-dups are identical under ANSI mode (wrapping math is JVM-side)") {
+    spark.sparkContext.setLogLevel("WARN")
+    def run(s: SparkSession): Set[(Long, Long, Double)] = {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val out = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
+      val res = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      out.unpersist()
+      res
+    }
+    val off = run(spark)
+    val on = inAnsiSession(run)
+    assert(off.nonEmpty && off == on)
+  }
+
+  test("simhash near-dups and ANN buckets are identical under ANSI mode") {
+    def runSim(s: SparkSession): Set[(Long, Long)] =
+      Dedup.simhashNearDups(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def runAnn(s: SparkSession): Set[(Long, Long, Long)] =
+      Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", maxQueryId = 20, k = 3, bits = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(runSim(spark) == inAnsiSession(runSim))
+    val annOff = runAnn(spark)
+    assert(annOff.nonEmpty && annOff == inAnsiSession(runAnn))
+  }
+}
