@@ -182,6 +182,77 @@ object Dedup {
     out
   }
 
+  /** Empty signature table with the [[minhashSignature]] schema — the seed
+    * for [[minhashNearDupsIncremental]] on a fresh corpus. */
+  def emptySignatures(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 64): DataFrame = {
+    val fields = org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      (0 until numHashes).map(i => org.apache.spark.sql.types.StructField(
+        s"h$i", org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** Incremental MinHash+LSH near-dup detection: dedup a NEW batch of
+    * documents against a stored signature corpus — the production crawl
+    * cycle (sign today's increment, pair it against everything signed so
+    * far, append its signatures). Emits pairs where at least one side is
+    * new: new×existing and new×new, never existing×existing (already
+    * reported in earlier increments). Result pairs over increments compose
+    * to the full-corpus [[minhashNearDups]] output (pinned in NearDupSpec).
+    *
+    * 100 TB shape: the band join is (new bands) ⋈ (all bands) — per
+    * increment the shuffled probe side is the increment, not the corpus;
+    * the corpus side ships only (band_id, band_hash, doc_id) band rows and
+    * one signature row per candidate doc, both linear in corpus size with
+    * bucket-bounded join fan-out. `existingSigs` is typically a bucketed
+    * parquet table maintained by the caller from `newSigs` unions.
+    *
+    * Returns (pairs, newSigs): append `newSigs` to the store after the
+    * pairs are consumed. */
+  def minhashNearDupsIncremental(newDocs: DataFrame, existingSigs: DataFrame,
+      idCol: String, textCol: String, minEstSim: Double = 0.5,
+      bands: Int = 16, numHashes: Int = 64,
+      portable: Boolean = false): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+    val newSigs = minhashSignature(newDocs, idCol, textCol,
+        numHashes = numHashes, portable = portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allSigs = existingSigs.union(newSigs)
+
+    def bandKey(b: Int): Column = {
+      val joined = concat_ws("_",
+        (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+      if (portable) joined else xxhash64(joined)
+    }
+    def banded(sig: DataFrame) = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bandKey): _*))
+        .as(Seq("band_id", "band_hash")))
+
+    // probe side = the increment; build side = the whole corpus' band rows
+    val pairs = banded(newSigs)
+      .select(col("doc_id").as("n_id"), col("band_id"), col("band_hash"))
+      .join(banded(allSigs)
+        .select(col("doc_id").as("o_id"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+      .distinct()
+    val sigs = allSigs.select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val scored = pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (graft.plans.VectorExpressions.matchCountNative(col("a_sig"), col("b_sig"))
+          .cast("double") / lit(numHashes.toDouble)).as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+    (scored, newSigs)
+  }
+
   /** Exact-jaccard verification of candidate pairs: n-gram sets are built
     * ONLY for documents appearing in `cands` — the verify cost is
     * candidate-bound, not corpus-bound (the production LSH→verify shape). */

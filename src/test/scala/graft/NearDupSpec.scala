@@ -120,6 +120,29 @@ class NearDupSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows bucketed differently")
   }
 
+  test("incremental minhash dedup over two increments composes to the full-corpus pairs") {
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", minEstSim = 0.5)
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    full.unpersist()
+    assert(expected.nonEmpty)
+
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head()
+      .get(0).toString.toDouble.toLong
+    val inc1 = docs.filter(col("doc_id") <= mid)
+    val inc2 = docs.filter(col("doc_id") > mid)
+    val (p1, sigs1) = Dedup.minhashNearDupsIncremental(
+      inc1, Dedup.emptySignatures(spark), "doc_id", "text", minEstSim = 0.5)
+    val got1 = p1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (p2, sigs2) = Dedup.minhashNearDupsIncremental(
+      inc2, sigs1, "doc_id", "text", minEstSim = 0.5)
+    val got2 = p2.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sigs1.unpersist(); sigs2.unpersist()
+    assert((got1 & got2).isEmpty, "a pair must be reported in exactly one increment")
+    assert((got1 | got2) == expected,
+      s"missing=${expected -- got1 -- got2} extra=${(got1 | got2) -- expected}")
+  }
+
   test("fused ArrayMatchCount equals the composed zip_with fold on signatures") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text")
       .select(col("doc_id"),
