@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF (inverted-file) ANN index — the build-once / query-many
+  * production shape of [[Similarity.ivfTopK]] (which trains per call).
+  *
+  * On disk the index is:
+  *  - `<path>/lists/` — the corpus vectors with norms, parquet PARTITIONED BY
+  *    `cluster`: a query probing `nprobe` lists scans only those directories
+  *    (partition pruning — IvfIndexSpec asserts the pruned scan), the
+  *    FAISS-on-disk shape. At 100 TB this is the difference between reading
+  *    nprobe/nlist of the corpus and reading all of it.
+  *  - `<path>/centroids/` — the k × dim coarse quantizer (tiny; broadcast at
+  *    query time).
+  *
+  * Queries compose to exactly what [[Similarity.ivfTopK]] computes for the
+  * same quantizer (same rounded-distance probe selection, same scoring,
+  * same tie-breaks) — pinned by IvfIndexSpec build/save/load/query ≡ direct.
+  */
+object IvfIndex {
+
+  /** An in-memory handle: cluster-assigned corpus + the quantizer. */
+  final case class Built(lists: DataFrame, centroids: Array[Array[Double]])
+
+  /** Train the coarse quantizer and assign every vector to its list. */
+  def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int = 16,
+      kmeansIters: Int = 5): Built = {
+    val assigned = graft.algorithms.KMeans.assignWithCentroids(
+      df, idCol, vecCol, nlist, kmeansIters)
+    val v = df.select(col(idCol).cast("long").as("c_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val lists = v.join(assigned.assignments.withColumnRenamed("id", "c_id0"),
+        col("c_id") === col("c_id0"))
+      .select(col("c_id"), col("c_vec"),
+        Similarity.norm(col("c_vec")).as("c_norm"), col("cluster"))
+    Built(lists, assigned.centroids)
+  }
+
+  /** Persist the index: lists partitioned by cluster + the quantizer. */
+  def save(built: Built, path: String): Unit = {
+    built.lists.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/lists")
+    val spark = built.lists.sparkSession
+    import spark.implicits._
+    built.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reopen a saved index. */
+  def load(spark: SparkSession, path: String): Built = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    Built(lists, centroids)
+  }
+
+  /** Top-k cosine neighbors for the query vectors against the index,
+    * probing each query's `nprobe` nearest lists. Identical probe selection
+    * and scoring to [[Similarity.ivfTopK]] (rounded distances, id
+    * tie-breaks), so results are deterministic and engine-independent. */
+  def query(built: Built, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val spark = built.lists.sparkSession
+    import spark.implicits._
+    val centroidsB = spark.sparkContext.broadcast(built.centroids)
+    val probes = queries
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, vec) =>
+        val ctr = centroidsB.value
+        val dists = ctr.indices.map { c =>
+          var d = 0.0; var i = 0
+          val cc = ctr(c)
+          while (i < vec.length) { val t = vec(i) - cc(i); d += t * t; i += 1 }
+          (c.toLong, d)
+        }
+        dists.sortBy(t => (t._2, t._1)).take(nprobe)
+          .map { case (c, _) => (id, vec, c) }
+      }
+      .toDF("q_id", "q_vec", "cluster")
+      .withColumn("q_norm", Similarity.norm(col("q_vec")))
+    val scored = probes.join(built.lists, Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(Similarity.dotFast(col("q_vec"), col("c_vec"))
+          / (col("q_norm") * col("c_norm")), roundTo).as("sim"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

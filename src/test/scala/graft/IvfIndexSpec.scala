@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.{IvfIndex, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistent IVF index: save/load round-trip is exact, queries match the
+  * per-call ivfTopK, and probing prunes the partitioned list scan. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def emb = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") }
+
+  def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+    df.select("q_id", "c_id", "sim", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("build/save/load/query equals direct ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8, kmeansIters = 3)
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq,
+      "centroids must round-trip exactly")
+
+    val queries = emb.filter(col("vec_id") < 20)
+    val viaIndex = asSet(IvfIndex.query(loaded, queries, "vec_id", "embedding",
+      k = 3, nprobe = 2))
+    val direct = asSet(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      maxQueryId = 20, k = 3, nlist = 8, nprobe = 2, kmeansIters = 3))
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("probing a saved index prunes the partitioned list scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_prune").toString
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8, kmeansIters = 2)
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    // a cluster-filtered scan of the saved lists must show a partition
+    // filter (directory pruning), the on-disk nprobe/nlist read bound
+    val pruned = loaded.lists.filter(col("cluster") === 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"expected a partition filter on cluster, got:\n$scan")
+  }
+}
