@@ -995,6 +995,37 @@ object Queries {
        |WHERE est_sim >= CAST(0.5 AS DOUBLE)""".stripMargin
   }
 
+  /** Incremental (crawl-cycle) minhash dedup: the corpus split at
+    * max(doc_id)/2 into two increments, each deduped only against the
+    * signatures stored so far. The oracle recomputes the full-corpus banded
+    * pipeline AND the reporting increment (a pair surfaces in the increment
+    * of its LATER doc), so both the pair set and the
+    * exactly-once-per-increment contract are hash-checked. */
+  def q_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val (p1, sigs1) = graft.functions.Dedup.minhashNearDupsIncremental(
+      docs.filter(col("doc_id") <= mid),
+      graft.functions.Dedup.emptySignatures(s),
+      "doc_id", "text", minEstSim = 0.5, portable = portableMode)
+    val (p2, _) = graft.functions.Dedup.minhashNearDupsIncremental(
+      docs.filter(col("doc_id") > mid), sigs1,
+      "doc_id", "text", minEstSim = 0.5, portable = portableMode)
+    p1.withColumn("inc", lit(1L)).union(p2.withColumn("inc", lit(2L)))
+  }
+
+  private def q_dedup_incremental_sql: String = {
+    // same full-corpus pipeline as q_dedup_minhash, plus the reporting
+    // increment: 2 iff the pair's later doc is past the split point. A pair
+    // reported twice (or in the wrong increment) breaks the row/hash match.
+    val base = q_dedup_minhash_sql
+    s"""WITH full_pairs AS ($base)
+       |SELECT a_id, b_id, est_sim,
+       |  CAST(CASE WHEN b_id > (SELECT max(doc_id) // 2 FROM documents)
+       |       THEN 2 ELSE 1 END AS BIGINT) AS inc
+       |FROM full_pairs""".stripMargin
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 3 via 4-band pigeonhole), portable
     * 60-bit signature. Banding recall is exact for the stated distance, so
     * the oracle is the full pairwise Hamming filter over the same
@@ -1354,6 +1385,7 @@ object Queries {
     "q_kmeans" -> (q_kmeans _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
+    "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
@@ -1419,6 +1451,7 @@ object Queries {
     "q_kmeans" -> q_kmeans_sql,
     "q_dedup_exact" -> q_dedup_exact_sql,
     "q_dedup_minhash" -> q_dedup_minhash_sql,
+    "q_dedup_incremental" -> q_dedup_incremental_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,

@@ -134,10 +134,15 @@ class NearDupSpec extends AnyFunSuite {
     val (p1, sigs1) = Dedup.minhashNearDupsIncremental(
       inc1, Dedup.emptySignatures(spark), "doc_id", "text", minEstSim = 0.5)
     val got1 = p1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the production cycle stores signatures between increments: round-trip
+    // increment 1's signatures through parquet before deduping increment 2
+    val store = java.nio.file.Files.createTempDirectory("sig_store").toString
+    sigs1.write.mode("overwrite").parquet(store)
+    sigs1.unpersist()
     val (p2, sigs2) = Dedup.minhashNearDupsIncremental(
-      inc2, sigs1, "doc_id", "text", minEstSim = 0.5)
+      inc2, spark.read.parquet(store), "doc_id", "text", minEstSim = 0.5)
     val got2 = p2.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    sigs1.unpersist(); sigs2.unpersist()
+    sigs2.unpersist()
     assert((got1 & got2).isEmpty, "a pair must be reported in exactly one increment")
     assert((got1 | got2) == expected,
       s"missing=${expected -- got1 -- got2} extra=${(got1 | got2) -- expected}")
