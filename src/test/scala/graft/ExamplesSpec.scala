@@ -67,6 +67,20 @@ class ExamplesSpec extends AnyFunSuite {
     assert(got == Seq((0L, "a", 3), (1L, "b", 2), (2L, "d", 2)))
   }
 
+  test("training pipeline composition: monotone filtering, stats consistent") {
+    val s = graft.examples.TrainingPipeline.run(spark, "/root/testdata/sf0.001")
+    assert(s.total > 0)
+    // each stage only removes documents
+    assert(s.qualityGated <= s.total)
+    assert(s.exactDeduped <= s.qualityGated)
+    assert(s.nearDeduped <= s.exactDeduped)
+    assert(s.nearDeduped > 0, "pipeline must not drop everything")
+    // the corpus has planted near-dups → the near-dup stage removes some
+    assert(s.nearDeduped < s.exactDeduped, "planted near-dups should be dropped")
+    assert(s.langs.values.sum == s.nearDeduped, "language histogram covers the cleaned set")
+    assert(s.annResults > 0)
+  }
+
   test("logistic regression via replay: cost decreases, separable data fits") {
     val s = imp; import s._
     val pts = spark.range(1000).map { i =>
