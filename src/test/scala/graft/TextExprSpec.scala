@@ -51,6 +51,17 @@ class TextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("null text yields null shingles on both paths") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, Some("a b c")), (2, None)).toDF("id", "text")
+    val rows = df.select(col("id"),
+        Dedup.shingles(col("text"), 2).as("fast"),
+        Dedup.shinglesComposed(col("text"), 2).as("slow"))
+      .collect().map(r => r.getInt(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(rows(1) == ((false, false)))
+    assert(rows(2) == ((true, true)))
+  }
+
   test("shingle count is words - n + 1") {
     val s = spark; import s.implicits._
     val got = Seq("w1 w2 w3 w4 w5 w6").toDF("text")
