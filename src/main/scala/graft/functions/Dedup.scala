@@ -268,10 +268,13 @@ object Dedup {
       .select(df(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), n))).as("g"))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // intersection via a COMPOUND (b_id, g) equi-join: probing by b_id alone
+    // with g-equality as a residual condition evaluates |grams(a)|×|grams(b)|
+    // comparisons per pair (per-pair quadratic — the dominant verify cost);
+    // hashing on (b_id, g) makes it linear in the matching grams
     val inter = cands.select(col("a_id"), col("b_id"))
       .join(grams.select(col("doc_id").as("a_id"), col("g")), "a_id")
-      .join(grams.select(col("doc_id").as("b_id"), col("g").as("g2")), "b_id")
-      .filter(col("g") === col("g2"))
+      .join(grams.select(col("doc_id").as("b_id"), col("g")), Seq("b_id", "g"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
     // left joins + coalesce: a candidate pair where either doc has no
     // n-grams (< n words) scores an explicit jaccard of 0 instead of
