@@ -205,6 +205,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Incremental embedding near-dup: pair a NEW batch of vectors against a
+    * stored (id, vec, bucket, norm) corpus — the embedding-side twin of
+    * [[graft.functions.Dedup.minhashNearDupsIncremental]]. Emits
+    * new×existing and new×new pairs above `minSim`, never
+    * existing×existing; increments compose to the full-corpus
+    * [[cosineNearDups]] (pinned in NearDupSpec). Returns (pairs, newSide):
+    * append `newSide` to the store after the pairs are consumed.
+    *
+    * 100 TB shape: the bucket join probes with the increment only; the
+    * corpus side ships one row per vector, bucket-bounded fan-out.
+    * `existing` is typically a parquet table partitioned by `bucket`. */
+  def cosineNearDupsIncremental(newDf: DataFrame, existing: DataFrame,
+      idCol: String, vecCol: String, minSim: Double, bits: Int = 12,
+      portable: Boolean = false): (DataFrame, DataFrame) = {
+    val newSide = newDf.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket",
+        if (portable) lshBucketPortable(col("vec"), bits)
+        else lshBucket(col("vec"), bits))
+      .withColumn("nrm", norm(col("vec")))
+    val allSide = existing.union(newSide)
+    val pairs = newSide
+      .select(col("id").as("n_id"), col("vec").as("n_vec"),
+        col("nrm").as("n_nrm"), col("bucket"))
+      .join(allSide.select(col("id").as("o_id"), col("vec").as("o_vec"),
+        col("nrm").as("o_nrm"), col("bucket")), Seq("bucket"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"),
+        round(dotFast(col("n_vec"), col("o_vec")) / (col("n_nrm") * col("o_nrm")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+      .distinct()
+    (pairs, newSide)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucket-constrained (the LSH near-dup path for embeddings). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

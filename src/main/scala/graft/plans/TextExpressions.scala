@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * limit -1: empty words from doubled/leading/trailing spaces are KEPT),
   * then each window of `n` consecutive words joined by a single space;
   * fewer than `n` words → empty array. TextExprSpec pins the equivalence
-  * on the real corpus plus the whitespace edge cases.
+  * on the real corpus plus the whitespace edge cases. NULL text → NULL
+  * (the composed form's null result is conf-dependent — empty array under
+  * legacy sizeOfNull i.e. ANSI off, null under ANSI — but both explode to
+  * zero rows, the only consumer).
   *
   * Why an Expression: the composed form routes every document through four
   * interpreted higher-order functions (`transform(sequence, slice,

@@ -148,6 +148,30 @@ class NearDupSpec extends AnyFunSuite {
       s"missing=${expected -- got1 -- got2} extra=${(got1 | got2) -- expected}")
   }
 
+  test("incremental embedding near-dup composes to the full-corpus pairs") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // threshold low enough that the fixture yields pairs
+    val expected = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+        minSim = 0.3, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture should contain embedding near-dups at 0.3")
+    val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val (p1, side1) = Similarity.cosineNearDupsIncremental(
+      emb.filter(col("vec_id") <= mid),
+      emb.limit(0).select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"),
+        lit(0L).as("bucket"), lit(0.0).as("nrm")),
+      "vec_id", "embedding", minSim = 0.3, bits = 8)
+    val got1 = p1.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (p2, _) = Similarity.cosineNearDupsIncremental(
+      emb.filter(col("vec_id") > mid), side1,
+      "vec_id", "embedding", minSim = 0.3, bits = 8)
+    val got2 = p2.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert((got1 & got2).isEmpty, "a pair must be reported in exactly one increment")
+    assert((got1 | got2) == expected,
+      s"missing=${expected -- got1 -- got2} extra=${(got1 | got2) -- expected}")
+  }
+
   test("fused ArrayMatchCount equals the composed zip_with fold on signatures") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text")
       .select(col("doc_id"),
