@@ -378,6 +378,44 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Incremental SimHash near-dup detection: pair a NEW batch against a
+    * stored (doc_id, simhash) signature table — same increment contract as
+    * [[minhashNearDupsIncremental]] (new×existing and new×new pairs only;
+    * increments compose to the full-corpus [[simhashNearDups]], pinned in
+    * NearDupSpec). Returns (pairs, newSigs); append `newSigs` to the store. */
+  def simhashNearDupsIncremental(newDocs: DataFrame, existingSigs: DataFrame,
+      idCol: String, textCol: String, maxDist: Int = 3,
+      portable: Boolean = false): (DataFrame, DataFrame) = {
+    val nBits = if (portable) 60 else 64
+    val nBands = maxDist + 1
+    require(maxDist >= 0 && nBands <= nBits,
+      s"maxDist=$maxDist out of range for $nBits-bit signatures")
+    val width = nBits / nBands
+    val newSigs = simhash(newDocs, idCol, textCol, portable = portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allSigs = existingSigs.union(newSigs)
+    def banded(sig: DataFrame) = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map { b =>
+        val w = if (b == nBands - 1) nBits - b * width else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        shiftright(col("simhash"), b * width).bitwiseAND(mask)
+      }: _*)).as(Seq("band_id", "band_val")))
+    val pairs = banded(newSigs)
+      .select(col("doc_id").as("n_id"), col("simhash").as("n_sim"),
+        col("band_id"), col("band_val"))
+      .join(banded(allSigs)
+        .select(col("doc_id").as("o_id"), col("simhash").as("o_sim"),
+          col("band_id"), col("band_val")),
+        Seq("band_id", "band_val"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"),
+        bit_count(col("n_sim").bitwiseXOR(col("o_sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+    (pairs, newSigs)
+  }
+
   /** Exact word-n-gram Jaccard for candidate pairs (the verify step after
     * LSH; here candidates = same-language pairs under an id bound).
     *

@@ -148,6 +148,24 @@ class NearDupSpec extends AnyFunSuite {
       s"missing=${expected -- got1 -- got2} extra=${(got1 | got2) -- expected}")
   }
 
+  test("incremental simhash near-dup composes to the full-corpus pairs") {
+    val expected = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty)
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val empty = Dedup.simhash(docs.limit(0), "doc_id", "text")
+    val (p1, sigs1) = Dedup.simhashNearDupsIncremental(
+      docs.filter(col("doc_id") <= mid), empty, "doc_id", "text", maxDist = 3)
+    val got1 = p1.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (p2, sigs2) = Dedup.simhashNearDupsIncremental(
+      docs.filter(col("doc_id") > mid), sigs1, "doc_id", "text", maxDist = 3)
+    val got2 = p2.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    sigs1.unpersist(); sigs2.unpersist()
+    assert((got1 & got2).isEmpty)
+    assert((got1 | got2) == expected,
+      s"missing=${expected -- got1 -- got2} extra=${(got1 | got2) -- expected}")
+  }
+
   test("incremental embedding near-dup composes to the full-corpus pairs") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     // threshold low enough that the fixture yields pairs
