@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *  - exact: hash-groupBy on a content digest — one shuffle of (digest, id).
   *  - MinHash+LSH: shingle → 64 minhashes → 16 bands → bucket join. Only
   *    bucket-colliding pairs are compared; the candidate set (not the corpus)
-  *    is quadratic. All hashing is closed-form Catalyst expressions
-  *    (xxhash64 + affine permutations) — no UDFs, fully codegen'd.
+  *    is quadratic. No UDFs anywhere: hashing runs in native hot-path
+  *    expressions (graft.plans: WordShingles, MinHashAgg, ArrayMatchCount)
+  *    or closed-form Catalyst expressions (xxhash64 band keys).
   *  - SimHash: 64-bit signature via per-bit vote of token hashes; near-dups
   *    are pairs within small Hamming distance, found via 4×16-bit band join.
   *  - exact n-gram Jaccard: the verification step — set overlap of word

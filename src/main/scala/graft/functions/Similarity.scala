@@ -125,18 +125,29 @@ object Similarity {
 
   /** ANN via LSH buckets: neighbors are searched only within the query's
     * bucket. Returns per-query top-k among bucket-mates (may have < k rows —
-    * the recall/cost tradeoff, stated in the result by `bucket`). */
+    * the recall/cost tradeoff, stated in the result by `bucket`).
+    *
+    * `multiprobe = true` additionally probes every 1-bit-flip neighbor of
+    * the query's bucket (the standard LSH recall lever: a near neighbor that
+    * disagrees on ONE hyperplane is still found). Cost scales the QUERY side
+    * by bits+1 — the corpus side is untouched, so at 100 TB the probe count
+    * multiplies only the small side of the join. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       maxQueryId: Long, k: Int, bits: Int = 16, roundTo: Int = 6,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, multiprobe: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("bucket",
         if (portable) lshBucketPortable(col("vec"), bits)
         else lshBucket(col("vec"), bits))
-    val q = v.filter(col("id") < maxQueryId)
+    val q0 = v.filter(col("id") < maxQueryId)
       .select(col("id").as("q_id"), col("vec").as("q_vec"),
         norm(col("vec")).as("q_norm"), col("bucket"))
+    val q =
+      if (!multiprobe) q0
+      else q0.select(col("q_id"), col("q_vec"), col("q_norm"),
+        explode(array(col("bucket") +: (0 until bits).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
     val c = v.select(col("id").as("c_id"), col("vec").as("c_vec"),
       norm(col("vec")).as("c_norm"), col("bucket"))
     val scored = q.join(c, Seq("bucket"))

@@ -256,6 +256,16 @@ class NearDupSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
     val agree = ann.count { case (q, c) => bf.get(q).contains(c) }
     assert(agree > 0, s"ANN agreed on 0 of ${ann.size} queries")
+    // 1-bit-flip multiprobe widens the searched buckets: recall vs brute
+    // force must be at least the single-probe recall, and every single-probe
+    // candidate set is a subset of the multiprobe one
+    val mp = Similarity.annTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 20, 1, bits = 4, multiprobe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agreeMp = mp.count { case (q, c) => bf.get(q).contains(c) }
+    assert(agreeMp >= agree,
+      s"multiprobe recall $agreeMp < single-probe recall $agree")
+    assert(mp.size >= ann.size, "multiprobe must answer at least as many queries")
   }
 
   test("IVF ANN: every result is valid; high agreement with brute force at nprobe=nlist") {
