@@ -307,6 +307,60 @@ object Streaming {
       }
   }
 
+  /** One LSH bucket's state for [[embeddingNearDupPairs]]. */
+  final case class VecBucketState(docs: Seq[(Long, Seq[Double], Double)])
+
+  /** Streaming embedding near-dup pairs — the streaming twin of
+    * [[graft.functions.Similarity.cosineNearDups]] (StreamingSpec pins set
+    * equality against the batch output). Each vector's LSH bucket is a
+    * stateless Column (the fused [[graft.plans.LshBucket]]), so the stream
+    * plan is: bucket per row → one `flatMapGroupsWithState` per bucket
+    * holding (id, vec, norm) history → emit (a_id, b_id, sim) for new
+    * arrivals against bucket-mates with sim ≥ `minSim`. A vector has exactly
+    * ONE bucket, so each pair can only ever surface once — no band election
+    * needed. Same state-growth caveat as the other streaming dedups. */
+  def embeddingNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, bits: Int = 12): Dataset[(Long, Long, Double)] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bucketed = vecs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", graft.functions.Similarity.lshBucket(col("vec"), bits))
+      .as[(Long, Seq[Double], Long)]
+    bucketed.groupByKey(_._3)
+      .flatMapGroupsWithState[VecBucketState, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Seq[Double], Long)],
+         state: GroupState[VecBucketState]) =>
+          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Double)]
+          seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          rows.foreach { case (id, v, _) =>
+            // sequential ascending-index fold = the batch dot/norm FP order
+            var nrm = 0.0
+            var i = 0
+            while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+            nrm = math.sqrt(nrm)
+            seen.foreach { case (oid, ov, onrm) =>
+              if (oid != id) {
+                var d = 0.0
+                i = 0
+                while (i < v.length && i < ov.length) { d += v(i) * ov(i); i += 1 }
+                val sim = BigDecimal(d / (nrm * onrm))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (sim >= minSim) {
+                  val (a, b) = if (id < oid) (id, oid) else (oid, id)
+                  out += ((a, b, sim))
+                }
+              }
+            }
+            seen += ((id, v, nrm))
+          }
+          state.update(VecBucketState(seen.toSeq))
+          out.iterator
+      }
+  }
+
   /** Streaming TransactionWindow (reference descr/transaction.rs — the
     * NEXMark q4 auction-close shape): per-key single active window driven by
     * a user signal; CommitAfter arms an event-time timer (processing

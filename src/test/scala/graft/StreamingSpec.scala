@@ -191,6 +191,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup pairs equal the batch pairs on the same vectors") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val batch = graft.functions.Similarity.cosineNearDups(
+        emb, "vec_id", "embedding", minSim = 0.3, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture should contain embedding near-dups at 0.3")
+
+    val rows = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val (half1, half2) = rows.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = Streaming.embeddingNearDupPairs(
+      in.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      minSim = 0.3, bits = 8)
+    val q = out.toDF("a_id", "b_id", "sim").writeStream
+      .outputMode("append").format("memory").queryName("emb_pairs").start()
+    try {
+      in.addData(half1.toSeq)
+      q.processAllAvailable()
+      in.addData(half2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("emb_pairs").as[(Long, Long, Double)].collect()
+      assert(got.length == got.toSet.size, s"pair emitted twice")
+      assert(got.toSet == batch, s"stream=${got.toSet} batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming CountWindow.tumbling(3) emits exact windows per key") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
