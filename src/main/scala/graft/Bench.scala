@@ -49,7 +49,8 @@ object Bench {
     // so a regression in either is visible in BENCH_r{N}
     Queries.portableMode = true
     val portables = Seq(
-      "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_embedding_neardup")
+      "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_embedding_neardup",
+      "q_dedup_incremental")
     val results = results0 ++ portables.map(n =>
       time(n + "_portable", SparkEntry.queries(n)))
     Queries.portableMode = false
