@@ -1157,6 +1157,31 @@ object Queries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
        |WHERE rn <= 3""".stripMargin
 
+  /** Multiprobe LSH ANN: each query also probes every 1-bit-flip neighbor
+    * of its bucket (the standard recall lever; query side ×(bits+1), corpus
+    * side untouched). The oracle recomputes the probe set in SQL — the
+    * multiprobe machinery itself is hash-checked, not rows-only. */
+  def q_ann_multiprobe(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.annTopK(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", maxQueryId = 50, k = 3, bits = 8,
+      portable = portableMode, multiprobe = true)
+      .select(col("q_id"), col("c_id"), col("bucket"), col("sim"), col("rank"))
+
+  private def q_ann_multiprobe_sql: String =
+    s"""WITH ${lshBucketSqlPrelude(8)},
+       |qp AS (SELECT vec_id AS q_id,
+       |    unnest([bucket] || list_transform(range(8), p -> xor(bucket, 1::BIGINT << p))) AS probe
+       |  FROM bkt WHERE vec_id < 50),
+       |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, max(b.bucket) AS bucket,
+       |    round(sum(a.x * b.x) / (max(a.nrm) * max(b.nrm)), 6) AS sim
+       |  FROM qp JOIN m b ON b.bucket = qp.probe
+       |          JOIN m a ON a.vec_id = qp.q_id AND a.i = b.i
+       |  WHERE a.vec_id <> b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id)
+       |SELECT q_id, c_id, bucket, sim, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
+       |WHERE rn <= 3""".stripMargin
+
   /** IVF ANN (k-means coarse quantizer) run at full probe (nprobe = nlist):
     * provably equivalent to brute force — which is exactly what makes the
     * whole IVF machinery (train, assign, probe, list join) oracle-checkable
@@ -1391,6 +1416,7 @@ object Queries {
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_ann_lsh" -> (q_ann_lsh _),
+    "q_ann_multiprobe" -> (q_ann_multiprobe _),
     "q_ann_ivf" -> (q_ann_ivf _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
     "q_text_profile" -> (q_text_profile _),
@@ -1457,6 +1483,7 @@ object Queries {
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
     "q_ann_lsh" -> q_ann_lsh_sql,
+    "q_ann_multiprobe" -> q_ann_multiprobe_sql,
     "q_ann_ivf" -> q_ann_ivf_sql,
     "q_embedding_neardup" -> q_embedding_neardup_sql,
     "q_text_profile" -> q_text_profile_sql,
