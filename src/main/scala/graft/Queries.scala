@@ -1008,10 +1008,17 @@ object Queries {
       docs.filter(col("doc_id") <= mid),
       graft.functions.Dedup.emptySignatures(s),
       "doc_id", "text", minEstSim = 0.5, portable = portableMode)
-    val (p2, _) = graft.functions.Dedup.minhashNearDupsIncremental(
+    val (p2, sigs2) = graft.functions.Dedup.minhashNearDupsIncremental(
       docs.filter(col("doc_id") > mid), sigs1,
       "doc_id", "text", minEstSim = 0.5, portable = portableMode)
-    p1.withColumn("inc", lit(1L)).union(p2.withColumn("inc", lit(2L)))
+    // materialize the (small) pair output, then RELEASE both increments'
+    // persisted signature tables — without this every invocation (Verify +
+    // both Bench modes) would leak two cached datasets for the session
+    val out = p1.withColumn("inc", lit(1L)).union(p2.withColumn("inc", lit(2L)))
+      .persist()
+    out.count()
+    sigs1.unpersist(); sigs2.unpersist()
+    out
   }
 
   private def q_dedup_incremental_sql: String = {

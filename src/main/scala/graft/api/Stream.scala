@@ -397,15 +397,19 @@ final class Stream[T](val ds: Dataset[T],
   def cache(): Stream[T] = new Stream(ds.persist(StorageLevel.MEMORY_AND_DISK))
 
   def unpersist(): Stream[T] = {
-    // branches produced by split()/route() share a persisted prefix that is
-    // not this.ds — RELEASE this branch's reference on it. The prefix is
-    // actually unpersisted only when every sibling branch has released
+    // branches produced by split()/route() share a persisted prefix —
+    // RELEASE this branch's reference on it; the prefix is actually
+    // unpersisted only when every sibling branch has released
     // (reference-counted), so unpersisting a finished branch while siblings
     // are still consumed does not silently degrade them to full upstream
     // recompute. Each handle is one-shot: double unpersist on one branch
-    // cannot steal a sibling's reference.
-    sharedCache.foreach(_.release())
-    new Stream(ds.unpersist())
+    // cannot steal a sibling's reference. CRUCIALLY, when a handle exists,
+    // ds must NOT be unpersisted directly: for split() branches ds IS the
+    // shared cached prefix, and evicting it here would bypass the count.
+    sharedCache match {
+      case Some(h) => h.release(); new Stream(ds, sharedCache = None)
+      case None => new Stream(ds.unpersist())
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -481,7 +485,8 @@ object Stream {
     * has released (so one finished branch cannot evict data its siblings
     * still read), and a branch releasing twice decrements only once. */
   private[graft] final class SharedCacheHandle(
-      counter: java.util.concurrent.atomic.AtomicInteger, cached: Dataset[_]) {
+      counter: java.util.concurrent.atomic.AtomicInteger, cached: Dataset[_])
+      extends Serializable {
     private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     def release(): Unit =
       if (released.compareAndSet(false, true) && counter.decrementAndGet() == 0)

@@ -101,8 +101,13 @@ object Similarity {
     if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1L else -1L
   }
 
-  /** Max dimensionality the pre-built sign matrices cover (both hash modes). */
-  private val MaxSignDim = 512
+  /** Max dimensionality the pre-built sign matrices cover (both hash modes).
+    * 2048 spans every common embedding size (768/1024/1536/2048); the matrix
+    * stays a driver-side constant (16 planes × 2048 doubles ≈ 256 KB) and
+    * vectors are sliced to their actual length, so small dims pay nothing.
+    * Signs beyond index 511 extend the same hash chains, so buckets for
+    * dims ≤ 512 are unchanged. */
+  private val MaxSignDim = 2048
 
   def lshBucketPortable(vec: Column, bits: Int): Column = {
     val qv = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))

@@ -108,7 +108,19 @@ object AvroIO {
         n += 1
       }
       writer.close()
-      if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+      if (!fs.rename(tmpPath, finalPath)) {
+        // rename failure is benign ONLY when a sibling attempt already
+        // committed this partition; anything else (transient FS error,
+        // deleted parent, permissions) must FAIL the task — silently
+        // deleting the data would drop the partition while reporting success
+        if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+        else {
+          fs.delete(tmpPath, false)
+          throw new java.io.IOException(
+            s"AvroIO.write: rename $tmpPath -> $finalPath failed and no " +
+              "committed file exists; failing the task so it retries")
+        }
+      }
       Iterator.single(n)
     }.count()
   }

@@ -84,6 +84,28 @@ class FacadeSpec extends AnyFunSuite {
     assert(r == Seq(-4L, -3L, -2L, -1L, 0L))
   }
 
+  test("split: unpersisting one branch keeps the shared cache for siblings") {
+    import org.apache.spark.storage.StorageLevel
+    val s = imp; import s._
+    val branches = ctx.streamRange(100).map(_ * 2).split(3)
+    val cachedDs = branches.head.ds // split branches share ONE persisted ds
+    assert(branches.head.collectVec().size == 100)
+    // releasing two of three branches must NOT evict the shared prefix —
+    // for split() the branch ds IS the cached dataset, so a direct
+    // ds.unpersist() here would silently degrade the remaining sibling
+    branches(0).unpersist()
+    branches(1).unpersist()
+    assert(cachedDs.storageLevel != StorageLevel.NONE,
+      "shared cache evicted while a sibling branch is still live")
+    assert(branches(2).collectVec().size == 100)
+    // double-unpersist on an already-released branch must not steal the
+    // last reference either
+    branches(0).unpersist()
+    assert(cachedDs.storageLevel != StorageLevel.NONE)
+    branches(2).unpersist() // last reference → actually released
+    assert(cachedDs.storageLevel == StorageLevel.NONE)
+  }
+
   test("uniqueAssoc / merge / route") {
     val s = imp
     import s._

@@ -85,7 +85,7 @@ class VectorExprSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
-    val signs = (0 until bits).map(p => (0 until 512).map(i => {
+    val signs = (0 until bits).map(p => (0 until 2048).map(i => {
       import org.apache.spark.sql.catalyst.expressions.XXH64
       if (((XXH64.hashInt(i, XXH64.hashInt(p, 42L)) >> 13) & 1L) == 1L) 1.0 else -1.0
     }))
@@ -100,15 +100,42 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("lshBucket buckets 768-dim vectors (production embedding size) like the hash-chain form") {
+    // the baked sign matrix must cover common production dims (768/1024/...),
+    // not just the fixture's 64 — and beyond index 511 the signs must
+    // continue the same xxhash64 chain the original per-row formulation used
+    val s = spark; import s.implicits._
+    def legacy(vec: org.apache.spark.sql.Column, bits: Int) = {
+      val planeBits = (0 until bits).map { p =>
+        val signed = aggregate(
+          zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+            i => when(shiftright(xxhash64(lit(p), i), 13).bitwiseAND(1) === 1, 1.0)
+              .otherwise(-1.0)),
+            (x, h) => x * h),
+          lit(0.0), (acc, v) => acc + v)
+        when(signed > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      planeBits.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Array.fill(768)(rnd.nextDouble() - 0.5)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val diff = vecs.toDF("id", "vec")
+      .select(Similarity.lshBucket(col("vec"), 8).as("fast"),
+        legacy(col("vec"), 8).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+
   test("fused LshBucket raises a named error beyond the sign-matrix dim") {
     val s = spark; import s.implicits._
-    val big = Seq(Array.fill(600)(1.0)).toDF("vec")
+    val big = Seq(Array.fill(2100)(1.0)).toDF("vec")
     val ex = intercept[Exception] {
       big.select(Similarity.lshBucket(col("vec"), 4)).collect()
     }
     val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(msgs.contains("dim <= 512"), s"got: $msgs")
+    assert(msgs.contains("dim <= 2048"), s"got: $msgs")
   }
 
   test("micro-throughput: native >= composed on the pairwise score join") {
