@@ -40,9 +40,16 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a subset — an iteration
+    // aid while tuning a single query; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
     // catalog pass in production mode: portableMode stays false, so the
     // dedup/ANN queries run their xxhash64 default paths — what a user ships
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
       .map { case (name, fn) => time(name, fn) }
     // second pass over the hash-mode-sensitive queries in portable (oracle)
     // mode, as distinct keys: both modes stay observable round-over-round,
@@ -50,15 +57,21 @@ object Bench {
     Queries.portableMode = true
     val portables = Seq(
       "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_embedding_neardup",
-      "q_dedup_incremental")
+      "q_dedup_incremental").filter(n => selected(n + "_portable"))
     val results = results0 ++ portables.map(n =>
       time(n + "_portable", SparkEntry.queries(n)))
     Queries.portableMode = false
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision is plenty for wall-clock timings, and it keeps
+    // the whole JSON line short enough to survive the driver's bounded tail
+    // capture intact (full-precision doubles pushed the line past the buffer
+    // in rounds 1-3, truncating its head and defeating the driver's parse)
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sf = sfDir.split("/").last.stripPrefix("sf")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 import scala.reflect.ClassTag
@@ -26,6 +26,28 @@ import scala.reflect.ClassTag
   */
 object Iteration {
 
+  /** AQE re-plans every shuffle stage of every per-round job. For a
+    * driver-loop iteration the round plans are shape-stable and each round
+    * is its own small job, so the replan + extra stage-scheduling overhead
+    * dominates: measured at sf0.1 local[32], a warm connected-components
+    * round is ~0.17 s with AQE off vs ~1.9 s with it on (~10x). Every loop
+    * in this object therefore runs with AQE disabled and restores the
+    * previous setting on exit. Rounds whose joins are badly skewed at
+    * cluster scale are the one case where AQE's skew-join splitting can be
+    * worth the per-round overhead — opt back in with
+    * `spark.conf.set("graft.iteration.adaptive", "true")`.
+    *
+    * The override is session-wide while the loop runs (Spark reads the conf
+    * at execution), so concurrent queries on the same session observe it;
+    * loops are driver-blocking, making that window explicit. */
+  private def withLoopConf[A](spark: SparkSession)(f: => A): A = {
+    val keepAqe = spark.conf.get("graft.iteration.adaptive", "false").toBoolean
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if (!keepAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f
+    finally if (!keepAqe) spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** GRAFT_ITER_DEBUG=1 prints per-round timings to stderr. */
   private val debug = sys.env.contains("GRAFT_ITER_DEBUG")
   private def logRound(tag: String, i: Int, t0: Long): Unit =
@@ -42,74 +64,77 @@ object Iteration {
   def loop[T](init: Dataset[T], maxIter: Int, checkpointEvery: Int = 5,
       materialize: Boolean = true)(
       step: (Dataset[T], Int) => Dataset[T])(
-      converged: (Dataset[T], Dataset[T]) => Boolean): Dataset[T] = {
-    var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
-    if (materialize) cur.count()
-    var i = 0
-    var done = false
-    while (i < maxIter && !done) {
-      val t0 = System.nanoTime()
-      var next = step(cur, i)
-      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      if (materialize) next.count()
-      done = converged(cur, next)
-      cur.unpersist(false)
-      cur = next
-      i += 1
-      logRound("loop", i, t0)
+      converged: (Dataset[T], Dataset[T]) => Boolean): Dataset[T] =
+    withLoopConf(init.sparkSession) {
+      var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+      if (materialize) cur.count()
+      var i = 0
+      var done = false
+      while (i < maxIter && !done) {
+        val t0 = System.nanoTime()
+        var next = step(cur, i)
+        if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
+        next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        if (materialize) next.count()
+        done = converged(cur, next)
+        cur.unpersist(false)
+        cur = next
+        i += 1
+        logRound("loop", i, t0)
+      }
+      cur
     }
-    cur
-  }
 
   /** Fixpoint driven by row-count stability: the materializing count() IS
     * the convergence check — exactly one job per round. Correct whenever
     * `step` is monotone (rows only ever get added, e.g. closure growth). */
   def loopFixpointByCount[T](init: Dataset[T], maxIter: Int,
       checkpointEvery: Int = 5)(
-      step: (Dataset[T], Int) => Dataset[T]): Dataset[T] = {
-    var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
-    var prevCount = cur.count()
-    var i = 0
-    var done = false
-    while (i < maxIter && !done) {
-      val t0 = System.nanoTime()
-      var next = step(cur, i)
-      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      val c = next.count()
-      done = c == prevCount
-      prevCount = c
-      cur.unpersist(false)
-      cur = next
-      i += 1
-      logRound("fixpoint", i, t0)
+      step: (Dataset[T], Int) => Dataset[T]): Dataset[T] =
+    withLoopConf(init.sparkSession) {
+      var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+      var prevCount = cur.count()
+      var i = 0
+      var done = false
+      while (i < maxIter && !done) {
+        val t0 = System.nanoTime()
+        var next = step(cur, i)
+        if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
+        next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        val c = next.count()
+        done = c == prevCount
+        prevCount = c
+        cur.unpersist(false)
+        cur = next
+        i += 1
+        logRound("fixpoint", i, t0)
+      }
+      cur
     }
-    cur
-  }
 
   /** replay: recompute state from the (cached) input each round.
     * `round` returns the new state; `cond(old, new)` continues while true. */
   def replay[T, S](input: Dataset[T], maxIter: Int, init: S)(
-      round: (Dataset[T], S) => S)(cond: (S, S) => Boolean): S = {
-    // respect a caller-managed cache: persisting twice would double the
-    // memory and cost one wasted materialization job
-    val alreadyCached = input.storageLevel != StorageLevel.NONE
-    val cached =
-      if (alreadyCached) input else input.persist(StorageLevel.MEMORY_AND_DISK)
-    if (!alreadyCached) cached.count()
-    var state = init
-    var i = 0
-    var go = true
-    while (i < maxIter && go) {
-      val next = round(cached, state)
-      go = cond(state, next)
-      state = next
-      i += 1
+      round: (Dataset[T], S) => S)(cond: (S, S) => Boolean): S =
+    withLoopConf(input.sparkSession) {
+      // respect a caller-managed cache: persisting twice would double the
+      // memory and cost one wasted materialization job
+      val alreadyCached = input.storageLevel != StorageLevel.NONE
+      val cached =
+        if (alreadyCached) input else input.persist(StorageLevel.MEMORY_AND_DISK)
+      if (!alreadyCached) cached.count()
+      var state = init
+      var i = 0
+      var go = true
+      while (i < maxIter && go) {
+        val next = round(cached, state)
+        go = cond(state, next)
+        state = next
+        i += 1
+      }
+      if (!alreadyCached) cached.unpersist(false)
+      state
     }
-    if (!alreadyCached) cached.unpersist(false)
-    state
-  }
 
   /** Result of [[deltaIterate]]: the per-key outputs plus the per-round
     * workset sizes (number of keys that received a delta), the delta
@@ -155,7 +180,8 @@ object Iteration {
       makeOutput: (K, S) => O)(
       condition: D => Boolean)(
       body: Dataset[(K, U)] => Dataset[(K, D)])(
-      implicit kuEnc: Encoder[(K, U)], koEnc: Encoder[(K, O)]): DeltaResult[(K, O)] = {
+      implicit kuEnc: Encoder[(K, U)], koEnc: Encoder[(K, O)]): DeltaResult[(K, O)] =
+    withLoopConf(solution.sparkSession) {
     val spark = solution.sparkSession
     val part = new HashPartitioner(
       numPartitions.getOrElse(math.max(solution.rdd.getNumPartitions, 1)))
@@ -220,7 +246,7 @@ object Iteration {
       sol.mapPartitions(_.map { case (k, s) => (k, makeOutput(k, s)) },
         preservesPartitioning = true))
     DeltaResult(out, worksets.toSeq)
-  }
+    }
 
   /** iterate: evolve BOTH a dataset and a state; the state is folded from
     * the round's output (the reference's leader global_fold) and the loop
@@ -230,23 +256,24 @@ object Iteration {
       checkpointEvery: Int = 5)(
       body: (Dataset[T], S) => Dataset[T])(
       foldState: (Dataset[T], S) => S)(
-      cond: S => Boolean): (S, Dataset[T]) = {
-    var cur = input.persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
-    var state = init
-    var i = 0
-    var go = true
-    while (i < maxIter && go) {
-      var next = body(cur, state)
-      if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      state = foldState(next, state)
-      go = cond(state)
-      cur.unpersist(false)
-      cur = next
-      i += 1
+      cond: S => Boolean): (S, Dataset[T]) =
+    withLoopConf(input.sparkSession) {
+      var cur = input.persist(StorageLevel.MEMORY_AND_DISK)
+      cur.count()
+      var state = init
+      var i = 0
+      var go = true
+      while (i < maxIter && go) {
+        var next = body(cur, state)
+        if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
+        next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        state = foldState(next, state)
+        go = cond(state)
+        cur.unpersist(false)
+        cur = next
+        i += 1
+      }
+      (state, cur)
     }
-    (state, cur)
-  }
 }
