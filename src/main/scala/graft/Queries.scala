@@ -1369,6 +1369,139 @@ object Queries {
       |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
       |FROM deduped GROUP BY lang_guess""".stripMargin
 
+  /** Gopher-style repetition filters (QualityFilters): duplicate-line
+    * fractions, top-n-gram shares, repeated-word fraction, symbol ratio,
+    * keep decision. The synthetic corpus is single-line, so ' value ' is
+    * rewritten to newlines (identically on both engines) to exercise the
+    * line metrics. */
+  def q_quality_gopher(s: SparkSession, dir: String): DataFrame =
+    graft.functions.QualityFilters.gopherProfile(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      lineify = t => replace(t, lit(" value "), lit("\n")))
+
+  private val q_quality_gopher_sql =
+    """WITH base AS (
+      |  SELECT doc_id, text, replace(text, ' value ', chr(10)) AS t FROM documents),
+      |l AS (
+      |  SELECT doc_id, text,
+      |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS ls,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+      |    string_split(text, ' ') AS sw
+      |  FROM base),
+      |m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ls) = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dup_line_frac,
+      |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE CAST(list_sum(list_transform(ls, x -> length(x)))
+      |                 - list_sum(list_transform(list_distinct(ls), x -> length(x))) AS DOUBLE)
+      |              / list_sum(list_transform(ls, x -> length(x))) END AS dup_char_frac,
+      |    CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE 1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS repeated_word_frac,
+      |    CAST(length(text) - length(regexp_replace(text, '[#*>|]|\.\.\.', '', 'g')) AS DOUBLE)
+      |      / greatest(len(w), 1) AS symbol_ratio
+      |  FROM l),
+      |g2 AS (SELECT doc_id, array_to_string(sw[i:i+1], ' ') AS g
+      |       FROM l, UNNEST(range(1, len(sw))) AS u(i)),
+      |c2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS share
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, array_to_string(sw[i:i+2], ' ') AS g
+      |       FROM l, UNNEST(range(1, len(sw) - 1)) AS u(i)),
+      |c3 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS share
+      |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id),
+      |j AS (
+      |  SELECT m.doc_id, dup_line_frac, dup_char_frac,
+      |    coalesce(c2.share, CAST(0 AS DOUBLE)) AS top2_share,
+      |    coalesce(c3.share, CAST(0 AS DOUBLE)) AS top3_share,
+      |    repeated_word_frac, symbol_ratio
+      |  FROM m LEFT JOIN c2 ON m.doc_id = c2.doc_id LEFT JOIN c3 ON m.doc_id = c3.doc_id)
+      |SELECT *,
+      |  (dup_line_frac <= CAST(0.30 AS DOUBLE) AND dup_char_frac <= CAST(0.20 AS DOUBLE)
+      |   AND top2_share <= CAST(0.20 AS DOUBLE) AND top3_share <= CAST(0.18 AS DOUBLE)
+      |   AND repeated_word_frac <= CAST(0.70 AS DOUBLE)
+      |   AND symbol_ratio <= CAST(0.10 AS DOUBLE)) AS keep
+      |FROM j""".stripMargin
+
+  /** Deterministic train/val/test assignment (Sampling.hashSplit, portable
+    * hash so the oracle recomputes the same buckets). */
+  def q_split_hash(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.hashSplit(
+        tbl(s, dir, "documents").select(col("doc_id")), "doc_id",
+        portable = true)
+      .withColumn("bucket",
+        graft.functions.Sampling.hashBucket(col("doc_id"), 100, portable = true))
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  private val q_split_hash_sql =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      |      FROM documents)""".stripMargin
+
+  /** Deterministic stratified sample: 50 docs per language, smallest
+    * id-hash first (Sampling.stratifiedSample, portable hash). */
+  def q_sample_stratified(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.stratifiedSample(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id", k = 50, portable = true)
+
+  private val q_sample_stratified_sql =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+      |  FROM documents) WHERE rk <= 50""".stripMargin
+
+  /** PII redaction (Redaction.redactPii): the slim customer table carries
+    * no contact fields, so both engines synthesize the identical
+    * email/phone/IP text from c_custkey/c_name, then redact + count. */
+  def q_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val phone = concat(
+      (lit(10) + pmod(k, lit(90))).cast("string"), lit("-"),
+      (lit(100) + pmod(k, lit(900))).cast("string"), lit("-"),
+      (lit(100) + pmod(k * 7, lit(900))).cast("string"), lit("-"),
+      (lit(1000) + pmod(k * 13, lit(9000))).cast("string"))
+    val ip = concat(lit("10."), pmod(k, lit(256)).cast("string"), lit("."),
+      pmod(k * 3, lit(256)).cast("string"), lit("."),
+      pmod(k, lit(100)).cast("string"))
+    val text = concat(col("c_name"), lit(" reachable at "),
+      lower(col("c_name")), lit("@example.com or "), phone, lit(" from "), ip)
+    tbl(s, dir, "customer").select(k.as("c_custkey"),
+      graft.functions.Redaction.redactPii(text).as("redacted"),
+      graft.functions.Redaction.emailCount(text).cast("long").as("n_emails"),
+      graft.functions.Redaction.phoneCount(text).cast("long").as("n_phones"),
+      graft.functions.Redaction.ipv4Count(text).cast("long").as("n_ips"))
+  }
+
+  private val q_pii_redact_sql = {
+    val email = graft.functions.Redaction.emailPattern
+    val phone = graft.functions.Redaction.phonePattern
+    val ipv4 = graft.functions.Redaction.ipv4Pattern
+    s"""WITH t AS (
+      |  SELECT c_custkey,
+      |    c_name || ' reachable at ' || lower(c_name) || '@example.com or ' ||
+      |    CAST(10 + c_custkey % 90 AS VARCHAR) || '-' ||
+      |    CAST(100 + c_custkey % 900 AS VARCHAR) || '-' ||
+      |    CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||
+      |    CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR) ||
+      |    ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+      |    CAST((c_custkey * 3) % 256 AS VARCHAR) || '.' ||
+      |    CAST(c_custkey % 100 AS VARCHAR) AS text
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    text, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+      |    '$ipv4', '<IP>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ips
+      |FROM t""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -1437,7 +1570,11 @@ object Queries {
     "nx_q7" -> (nx_q7 _),
     "nx_q8" -> (nx_q8 _),
     "q_pipeline_clean" -> (q_pipeline_clean _),
-    "q_wordcount_file" -> (q_wordcount_file _)
+    "q_wordcount_file" -> (q_wordcount_file _),
+    "q_quality_gopher" -> (q_quality_gopher _),
+    "q_split_hash" -> (q_split_hash _),
+    "q_sample_stratified" -> (q_sample_stratified _),
+    "q_pii_redact" -> (q_pii_redact _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1504,6 +1641,10 @@ object Queries {
     "nx_q7" -> nx_q7_sql,
     "nx_q8" -> nx_q8_sql,
     "q_pipeline_clean" -> q_pipeline_clean_sql,
-    "q_wordcount_file" -> q_wordcount_file_sql
+    "q_wordcount_file" -> q_wordcount_file_sql,
+    "q_quality_gopher" -> q_quality_gopher_sql,
+    "q_split_hash" -> q_split_hash_sql,
+    "q_sample_stratified" -> q_sample_stratified_sql,
+    "q_pii_redact" -> q_pii_redact_sql
   )
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality filters for training-data curation — the
+  * Gopher rules (Rae et al. 2021, "Scaling Language Models: Methods,
+  * Analysis & Insights from Training Gopher", appendix A1.1) plus the
+  * C4-style symbol heuristics. These complement [[TextAnalysis]] (which
+  * scores well-formedness) by scoring INTERNAL REDUNDANCY: boilerplate,
+  * scraped navigation, auto-generated listings.
+  *
+  * Scale shape: every metric here is a closed-form Column expression over
+  * one document — a narrow map stage with zero shuffles at any corpus
+  * size. The max-n-gram-share metric, which naively needs a per-(doc,
+  * gram) aggregation (an explode + groupBy shuffle linear in total grams),
+  * is instead computed per row as the longest run in the SORTED gram
+  * array via a single `aggregate` fold — no shuffle, no per-doc hash map.
+  */
+object QualityFilters {
+
+  /** Non-blank lines of a document (trimmed). */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** Fraction of non-blank lines that repeat an earlier line:
+    * 1 - distinct/total. Gopher drops docs above 0.30. */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
+  }
+
+  /** Fraction of line CHARACTERS inside repeated lines (Gopher's stricter
+    * character-weighted variant): duplicates of a line contribute its full
+    * length again, so the numerator is total line chars minus the chars of
+    * each line's first occurrence. */
+  def duplicateLineCharFraction(text: Column): Column = {
+    val ls = lines(text)
+    val total = aggregate(transform(ls, l => length(l).cast("long")),
+      lit(0L), (a, v) => a + v)
+    val firstOcc = aggregate(
+      transform(array_distinct(ls), l => length(l).cast("long")),
+      lit(0L), (a, v) => a + v)
+    when(total === 0L, lit(0.0)).otherwise(
+      (total - firstOcc).cast("double") / total.cast("double"))
+  }
+
+  /** Fraction of word occurrences beyond their first: 1 - distinct/total.
+    * High values mean the doc is a permutation of few words. */
+  def repeatedWordFraction(text: Column): Column = {
+    val w = TextAnalysis.words(text)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(w)).cast("double") / size(w).cast("double"))
+  }
+
+  /** Symbol-to-word ratio: occurrences of hash / ellipsis / bullet marks
+    * per word (C4 and Gopher both cap this; Gopher's bound is 0.1). */
+  def symbolWordRatio(text: Column): Column = {
+    val symbols = (length(text) -
+      length(regexp_replace(text, "[#*>|]|\\.\\.\\.", ""))).cast("double")
+    symbols / greatest(size(TextAnalysis.words(text)), lit(1)).cast("double")
+  }
+
+  /** Longest run length in a pre-sorted array — equal elements are
+    * adjacent after sorting, so the max multiplicity is the max run. One
+    * `aggregate` fold, state = (prev, current run, best run). */
+  private def maxRunInSorted(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && x === acc("prev"),
+          acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Share of word n-gram occurrences taken by the single most frequent
+    * n-gram — Gopher's "top n-gram fraction" (bounds: 0.20 for n=2, 0.18
+    * for n=3, 0.16 for n=4). 0.0 for docs with < n words. */
+  def topNgramShare(text: Column, n: Int): Column = {
+    val grams = Dedup.shingles(text, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      maxRunInSorted(array_sort(grams)).cast("double") /
+        size(grams).cast("double"))
+  }
+
+  /** Gopher-rule keep/drop decision from the standard bounds. */
+  def gopherKeep(dupLineFrac: Column, dupCharFrac: Column,
+      top2: Column, top3: Column, rep: Column, sym: Column): Column =
+    dupLineFrac <= 0.30 && dupCharFrac <= 0.20 &&
+      top2 <= 0.20 && top3 <= 0.18 && rep <= 0.70 && sym <= 0.10
+
+  /** Full repetition profile + keep flag, one narrow pass per document.
+    * `lineify` optionally rewrites a delimiter into newlines before the
+    * LINE metrics only (the corpus here is single-line synthetic text;
+    * callers with real multi-line docs pass identity) — word/gram metrics
+    * always run on the raw text so they share [[Dedup.shingles]]'
+    * tokenization. */
+  def gopherProfile(df: DataFrame, idCol: String, textCol: String,
+      lineify: Column => Column = identity): DataFrame = {
+    val raw = col(textCol)
+    val t = lineify(raw)
+    df.select(col(idCol),
+        duplicateLineFraction(t).as("dup_line_frac"),
+        duplicateLineCharFraction(t).as("dup_char_frac"),
+        topNgramShare(raw, 2).as("top2_share"),
+        topNgramShare(raw, 3).as("top3_share"),
+        repeatedWordFraction(raw).as("repeated_word_frac"),
+        symbolWordRatio(raw).as("symbol_ratio"))
+      .withColumn("keep",
+        gopherKeep(col("dup_line_frac"), col("dup_char_frac"),
+          col("top2_share"), col("top3_share"),
+          col("repeated_word_frac"), col("symbol_ratio")))
+  }
+}

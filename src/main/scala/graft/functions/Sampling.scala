@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Random sampling is useless for a reproducible corpus: re-running the
+  * pipeline must assign every document to the same split, and an appended
+  * increment must not reshuffle earlier assignments. Both operations here
+  * key off a HASH of a stable id, so membership is a pure function of the
+  * row — rerun-stable, increment-stable, and embarrassingly parallel (the
+  * split is a narrow map stage; the stratified sample shuffles once on the
+  * stratum key).
+  *
+  * Production paths hash with xxhash64 (codegen'd); `portable = true`
+  * switches to the md5-derived 60-bit hash ([[Dedup.portableHash60]]) that
+  * DuckDB reproduces bit-for-bit, making both operators oracle-checkable.
+  */
+object Sampling {
+
+  private def bucketHash(c: Column, portable: Boolean): Column =
+    if (portable) Dedup.portableHash60(c) else abs(xxhash64(c))
+
+  /** Assignment bucket in [0, buckets): hash mod buckets of the id column
+    * (cast to string so any id type hashes identically on both engines). */
+  def hashBucket(id: Column, buckets: Int, portable: Boolean = false): Column =
+    pmod(bucketHash(id.cast("string"), portable), lit(buckets.toLong))
+
+  /** Deterministic train/validation/test split: cumulative percentage
+    * thresholds over the hash bucket, e.g. Seq(("train", 80), ("val", 90),
+    * ("test", 100)). A document's split never changes as the corpus grows
+    * (assignment depends only on its own id). */
+  def hashSplit(df: DataFrame, idCol: String,
+      thresholds: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100)),
+      portable: Boolean = false): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.last._2 == 100,
+      s"thresholds must end at 100, got $thresholds")
+    val b = hashBucket(col(idCol), 100, portable)
+    val assign = thresholds.init.foldRight(
+        lit(thresholds.last._1): Column) { case ((name, upTo), rest) =>
+      when(b < upTo, name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic stratified sample: the k rows per stratum with the
+    * smallest id-hash — a uniform-without-replacement draw per stratum
+    * (hash order is pseudo-random) that every rerun reproduces. One
+    * shuffle on the stratum key; ties cannot happen because the hash is
+    * salted with the unique id itself. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, portable: Boolean = false): DataFrame = {
+    val h = bucketHash(col(idCol).cast("string"), portable)
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Uniform fraction sample via hash threshold: keeps id-hashes below
+    * `fraction` of the bucket space. Unlike `df.sample` this is stable
+    * across reruns AND across corpus growth. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      buckets: Int = 1000000, portable: Boolean = false): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    df.filter(
+      hashBucket(col(idCol), buckets, portable) <
+        (fraction * buckets).toLong)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import graft.functions.{QualityFilters, Redaction, Sampling}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data curation operators: Gopher repetition filters,
+  * deterministic hash split / stratified sampling, PII redaction. Every
+  * expectation here is closed-form (hand-computed on tiny fixtures). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
+
+  test("duplicate line fractions: hand-computed") {
+    val s = imp; import s._
+    // 4 non-blank lines, 'aa' repeated once (3 distinct): frac = 1 - 3/4.
+    // chars: total 2+2+3+2=9, first-occurrence 2+3+2=7 → char frac 2/9
+    val df = Seq((1L, "aa\naa\nbbb\ncc\n\n  \n")).toDF("id", "t")
+    val r = df.select(
+      QualityFilters.duplicateLineFraction(col("t")).as("f"),
+      QualityFilters.duplicateLineCharFraction(col("t")).as("c")).head()
+    assert(math.abs(r.getDouble(0) - 0.25) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 2.0 / 9.0) < 1e-12)
+    // no lines at all → defined 0.0, not NaN
+    val empty = Seq((1L, "")).toDF("id", "t").select(
+      QualityFilters.duplicateLineFraction(col("t")).as("f"),
+      QualityFilters.duplicateLineCharFraction(col("t")).as("c")).head()
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
+  }
+
+  test("top n-gram share: longest-run fold equals explode+groupBy count") {
+    val s = imp; import s._
+    // bigrams of "a b a b a": [a b, b a, a b, b a] → top share 2/4
+    val one = Seq((1L, "a b a b a")).toDF("id", "t")
+      .select(QualityFilters.topNgramShare(col("t"), 2).as("x")).head()
+    assert(math.abs(one.getDouble(0) - 0.5) < 1e-12)
+    // < n words → 0.0
+    val short = Seq((1L, "a")).toDF("id", "t")
+      .select(QualityFilters.topNgramShare(col("t"), 2).as("x")).head()
+    assert(short.getDouble(0) == 0.0)
+    // cross-check the zero-shuffle fold against the explode+groupBy shape
+    // on real data (top2 + top3)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(2, 3)) {
+      val fold = docs.select(col("doc_id"),
+        QualityFilters.topNgramShare(col("text"), n).as("share"))
+      val exploded = docs.select(col("doc_id"),
+          explode(graft.functions.Dedup.shingles(col("text"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("share"))
+      val joined = fold.as("f").join(exploded.as("e"), Seq("doc_id"), "left_outer")
+        .select(col("f.share"), coalesce(col("e.share"), lit(0.0)).as("eshare"))
+        .collect()
+      assert(joined.nonEmpty)
+      joined.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"fold=${r.getDouble(0)} explode=${r.getDouble(1)} n=$n"))
+    }
+  }
+
+  test("gopher keep flag: repetitive doc dropped, varied doc kept") {
+    val s = imp; import s._
+    val df = Seq(
+      (1L, "the cat sat on the mat and looked out of the window quietly"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val out = QualityFilters.gopherProfile(df, "doc_id", "text")
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L))
+    assert(!out(2L)) // repeated_word_frac = 0.9, top2_share = 1.0
+  }
+
+  test("hashSplit: deterministic, exhaustive, rerun-stable, ~80/10/10") {
+    val s = imp; import s._
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.hashSplit(df, "id").groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.hashSplit(df, "id").groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.sum == 10000L)
+    assert(a("train") > 7500 && a("train") < 8500)
+    assert(a("val") > 700 && a("val") < 1300)
+    assert(a("test") > 700 && a("test") < 1300)
+    // growth-stable: the assignment of ids 0..4999 is unchanged when the
+    // corpus doubles (this is the property df.sample cannot give)
+    val half = Sampling.hashSplit(spark.range(5000).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Sampling.hashSplit(df, "id")
+      .filter(col("id") < 5000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half == full)
+  }
+
+  test("stratifiedSample: k per stratum, deterministic") {
+    val s = imp; import s._
+    val df = spark.range(1000).select(col("id"), (col("id") % 3).as("g"))
+    val out = Sampling.stratifiedSample(df, "g", "id", 10)
+    val counts = out.groupBy(col("g")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0L -> 10L, 1L -> 10L, 2L -> 10L))
+    val again = Sampling.stratifiedSample(df, "g", "id", 10)
+    assert(out.collect().map(_.toString).sorted.sameElements(
+      again.collect().map(_.toString).sorted))
+    // stratum smaller than k → whole stratum, no padding
+    val tiny = Sampling.stratifiedSample(
+      spark.range(4).select(col("id"), lit(0L).as("g")), "g", "id", 10)
+    assert(tiny.count() == 4)
+  }
+
+  test("hashSample: stable subset, fraction within tolerance") {
+    val s = imp; import s._
+    val df = spark.range(20000).toDF("id")
+    val n = Sampling.hashSample(df, "id", 0.1).count()
+    assert(n > 1600 && n < 2400, s"got $n")
+    // subset property under growth: sample(first half) ⊆ sample(all)
+    val allIds = Sampling.hashSample(df, "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val halfIds = Sampling.hashSample(spark.range(10000).toDF("id"), "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(halfIds.subsetOf(allIds))
+  }
+
+  test("redactPii: emails, phones, IPs replaced; counts match") {
+    val s = imp; import s._
+    val df = Seq(
+      (1L, "write alice.smith+x@mail-host.org or call 25-989-741-2988 from 192.168.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "numeric-host mail user@1.2.3.4 stays one token")).toDF("id", "t")
+    val out = df.select(col("id"),
+        Redaction.redactPii(col("t")).as("r"),
+        Redaction.emailCount(col("t")).as("e"),
+        Redaction.phoneCount(col("t")).as("p"),
+        Redaction.ipv4Count(col("t")).as("i"),
+        Redaction.isClean(col("t")).as("clean"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    assert(out(1L)._1 == "write <EMAIL> or call <PHONE> from <IP>")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 1)
+    assert(!out(1L)._5)
+    assert(out(2L)._1 == "no pii here at all" && out(2L)._5)
+    // a numeric-host address is NOT an email (TLD must be alphabetic) —
+    // the host still gets redacted by the IPv4 rule
+    assert(out(3L)._1 == "numeric-host mail user@<IP> stays one token")
+    assert(out(3L)._2 == 0 && out(3L)._4 == 1)
+  }
+}
