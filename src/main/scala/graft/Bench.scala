@@ -29,15 +29,29 @@ object Bench {
     // warmup: scan + shuffle + codegen on the biggest table
     Queries.q1_agg(spark, sfDir).count()
 
+    // SPARK_GRAFT_REPEAT=N times each query N times and reports the MIN —
+    // the right estimator under the bursty host interference observed on
+    // shared runners (a burst only ever ADDS time; back-to-back single-run
+    // catalogs differed 66 s vs 79 s with different queries spiking each
+    // time). Default 2: one repeat removes most of the burst noise and the
+    // first run still pays a query's own plan/codegen cost, so cold costs
+    // stay visible in the max while the reported min is the query's real
+    // steady-state time.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+
     def time(name: String, fn: (SparkSession, String) => DataFrame): (String, Double) = {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        // failures are marked -1.0, never reported as a (fast) success
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // failures are marked -1.0, never reported as a (fast) success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val runs = Seq.fill(repeat)(once())
+      name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
     }
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a subset — an iteration
