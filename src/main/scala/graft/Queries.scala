@@ -1033,6 +1033,52 @@ object Queries {
        |FROM full_pairs""".stripMargin
   }
 
+  /** Near-dup cluster resolution: minhash pairs closed into clusters via
+    * connected components; cluster_id = min doc id of the cluster (kept
+    * representative). The oracle recomputes the full banded minhash pipeline
+    * AND the transitive closure of the pair graph recursively — clusters are
+    * hash-checked end to end. */
+  def q_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.functions.Dedup.minhashNearDups(tbl(s, dir, "documents"),
+      "doc_id", "text", minEstSim = 0.5, portable = portableMode)
+    val out = graft.functions.Dedup.nearDupClusters(pairs)
+    pairs.unpersist() // CC materialized its rounds; the pair cache is done
+    out
+  }
+
+  private def q_dedup_clusters_sql: String =
+    s"""WITH RECURSIVE pairs AS ($q_dedup_minhash_sql),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** Benchmark decontamination: training docs (doc_id % 50 <> 0) sharing any
+    * distinct word 3-gram with the benchmark slice (doc_id % 50 = 0), with
+    * the shared-gram count. Both engines build the same distinct gram sets,
+    * so (doc_id, hits) is hash-checked. */
+  def q_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.functions.Dedup.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 3, minHits = 1)
+  }
+
+  private val q_decontaminate_sql =
+    """WITH bg AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0),
+      |       UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |tg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 <> 0),
+      |       UNNEST(range(1, len(w) - 1)) AS t(i))
+      |SELECT doc_id, count(*) AS hits FROM tg JOIN bg USING (g) GROUP BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs (Hamming ≤ 3 via 4-band pigeonhole), portable
     * 60-bit signature. Banding recall is exact for the stated distance, so
     * the oracle is the full pairwise Hamming filter over the same
@@ -1551,6 +1597,8 @@ object Queries {
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
+    "q_dedup_clusters" -> (q_dedup_clusters _),
+    "q_decontaminate" -> (q_decontaminate _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
@@ -1622,6 +1670,8 @@ object Queries {
     "q_dedup_exact" -> q_dedup_exact_sql,
     "q_dedup_minhash" -> q_dedup_minhash_sql,
     "q_dedup_incremental" -> q_dedup_incremental_sql,
+    "q_dedup_clusters" -> q_dedup_clusters_sql,
+    "q_decontaminate" -> q_decontaminate_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,

@@ -453,4 +453,62 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Near-dup cluster resolution — the final step of a fuzzy-dedup pipeline.
+    * Pair lists ((a_id, b_id) from [[minhashNearDups]] / [[ngramJaccard]] /
+    * [[simhashNearDups]]) are not directly actionable: near-dup similarity is
+    * not transitive, so production pipelines close the pair graph into
+    * clusters and keep one representative per cluster. This runs min-label
+    * connected components over the pair graph and returns
+    * (doc_id, cluster_id) for every document appearing in ≥ 1 pair, with
+    * cluster_id = the smallest doc id of the cluster: rows where
+    * doc_id == cluster_id are the kept representatives, all other rows are
+    * the removal set. Documents in no pair are singleton clusters and are
+    * not emitted (their removal set contribution is empty).
+    *
+    * 100 TB shape: the pair graph is output-sized (near-dup pairs, not the
+    * corpus), and each CC round shuffles only (node, label) rows on the node
+    * id with the edge side cached pre-partitioned — see
+    * [[graft.algorithms.Graph.connectedComponents]]. Cluster diameter bounds
+    * the round count; near-dup clusters are shallow (dup "cliques" minus LSH
+    * misses), so rounds stay in the single digits. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    graft.algorithms.Graph.connectedComponents(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+        maxIter = maxIter)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+
+  /** Benchmark decontamination: flag training documents that share at least
+    * `minHits` distinct word n-grams with ANY benchmark document (the
+    * GPT-3-style 13-gram test-set-leakage check; `n` scales with corpus
+    * document length). Returns (doc_id, hits) over the training side; feed
+    * it to [[decontaminate]] to drop the flagged docs.
+    *
+    * 100 TB shape: benchmarks are megabytes while the corpus is terabytes,
+    * so the benchmark gram set is explicitly `broadcast` — the training
+    * grams are never shuffled, and the per-doc hit count collapses map-side
+    * (partial agg) before the one (doc_id)-keyed exchange of the flagged
+    * subset. The explode is narrow: grams stream through the join without
+    * materializing per-doc gram sets. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minHits: Long = 1): DataFrame = {
+    val bgrams = bench
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val tgrams = train.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    tgrams.join(broadcast(bgrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** Drop training documents flagged by [[contamination]]. The flagged-id
+    * set is contamination-sized (small), so the anti-join broadcasts. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minHits: Long = 1): DataFrame = {
+    val bad = contamination(train, bench, idCol, textCol, n, minHits)
+      .select(col("doc_id").as("_contaminated_id"))
+    train.join(broadcast(bad), train(idCol) === col("_contaminated_id"),
+      "left_anti")
+  }
 }

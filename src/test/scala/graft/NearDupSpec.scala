@@ -315,4 +315,36 @@ class NearDupSpec extends AnyFunSuite {
     val resized = Multimodal.resizeMeta(meta, 128).collect()
     assert(resized.forall(r => r.getInt(1) <= 128 && r.getInt(2) <= 128))
   }
+
+  test("nearDupClusters: pair graph closes into min-id clusters") {
+    val s = spark; import s.implicits._
+    // two chains (1-2-3 via transitive pairs, 5-6) and an untouched doc 9:
+    // similarity is not transitive, so 1-3 is absent yet they share a cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // removal set = docs whose cluster_id differs; representatives kept
+    assert(got.filter { case (d, c) => d != c }.keySet == Set(2L, 3L, 6L))
+  }
+
+  test("contamination + decontaminate: gram overlap flags and drops") {
+    val s = spark; import s.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a quick brown fox ran away"),   // shares "quick brown fox"
+      (2L, "totally unrelated text here"),  // shares none
+      (3L, "xx quick brown fox jumps yy")   // shares that + "brown fox jumps"
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 2L))
+    // minHits raises the bar
+    val strict = Dedup.contamination(train, bench, "doc_id", "text", n = 3,
+      minHits = 2).collect().map(_.getLong(0)).toSet
+    assert(strict == Set(3L))
+    val kept = Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
 }
