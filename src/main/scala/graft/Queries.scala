@@ -1033,6 +1033,28 @@ object Queries {
        |FROM full_pairs""".stripMargin
   }
 
+  /** Bloom-prefiltered incremental EXACT dedup: the increment past
+    * max(doc_id)/2 deduped against the digest history of the first half.
+    * The Bloom filter is a prefilter only (false positives removed by an
+    * exact confirmation join), so the oracle is the plain digest anti-join
+    * — result identity is independent of the filter's parameters. */
+  def q_dedup_bloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val hist = docs.filter(col("doc_id") <= mid)
+      .select(md5(col("text")).as("digest")).distinct()
+    graft.functions.Dedup.exactIncremental(
+      docs.filter(col("doc_id") > mid), hist, "doc_id", "text",
+      expectedItems = 4096, fpp = 0.03)
+  }
+
+  private val q_dedup_bloom_sql =
+    """WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+      |hist AS (SELECT DISTINCT md5(text) AS digest FROM documents, m WHERE doc_id <= mid),
+      |inc AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+      |        FROM documents, m WHERE doc_id > mid GROUP BY 1)
+      |SELECT inc.* FROM inc ANTI JOIN hist USING (digest)""".stripMargin
+
   /** Near-dup cluster resolution: minhash pairs closed into clusters via
     * connected components; cluster_id = min doc id of the cluster (kept
     * representative). The oracle recomputes the full banded minhash pipeline
@@ -1487,6 +1509,24 @@ object Queries {
       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
       |      FROM documents)""".stripMargin
 
+  /** Contiguous token-budget sharding via the distributed two-pass prefix
+    * sum (Sampling.tokenShards, 8 range partitions — the oracle's global
+    * window cumsum pins the partition-independent result). */
+  def q_token_shards(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.tokenShards(tbl(s, dir, "documents"), "doc_id",
+      graft.functions.TextAnalysis.tokenCount(col("text")), budget = 5000L,
+      partitions = Some(8))
+
+  private val q_token_shards_sql =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS cost
+      |  FROM documents)
+      |SELECT doc_id, cost,
+      |  CAST(COALESCE(sum(cost) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
+      |FROM t""".stripMargin
+
   /** Deterministic stratified sample: 50 docs per language, smallest
     * id-hash first (Sampling.stratifiedSample, portable hash). */
   def q_sample_stratified(s: SparkSession, dir: String): DataFrame =
@@ -1599,6 +1639,8 @@ object Queries {
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_decontaminate" -> (q_decontaminate _),
+    "q_dedup_bloom" -> (q_dedup_bloom _),
+    "q_token_shards" -> (q_token_shards _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
@@ -1672,6 +1714,8 @@ object Queries {
     "q_dedup_incremental" -> q_dedup_incremental_sql,
     "q_dedup_clusters" -> q_dedup_clusters_sql,
     "q_decontaminate" -> q_decontaminate_sql,
+    "q_dedup_bloom" -> q_dedup_bloom_sql,
+    "q_token_shards" -> q_token_shards_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,

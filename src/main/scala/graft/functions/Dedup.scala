@@ -502,6 +502,37 @@ object Dedup {
       .filter(col("hits") >= minHits)
   }
 
+  /** Incremental EXACT dedup of a new increment against a stored digest
+    * history, Bloom-prefiltered. Returns the increment's new-content rows
+    * (digest, keep_id, n_copies): within-increment dups collapsed to the
+    * smallest id, rows whose digest already exists in `history` dropped.
+    * The result is exact — the Bloom filter is a prefilter only, its false
+    * positives are removed by an exact confirmation join.
+    *
+    * 100 TB shape: the naive formulation anti-joins increment × history on
+    * digest, shuffling the corpus-sized history every crawl cycle. Here a
+    * Bloom filter built over the history digests (one scan, a driver-side
+    * bitset sized by `expectedItems`/`fpp`) is broadcast and prefilters the
+    * increment to PROBABLE dups — a (dup rate + fpp)-sized subset. Only
+    * those digests are then broadcast against one more history scan for
+    * exact confirmation: the history is scanned twice but never shuffled,
+    * and nothing corpus-sized crosses the network. */
+  def exactIncremental(newDocs: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, historyDigestCol: String = "digest",
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    // within-increment exact dedup: one increment-sized shuffle
+    val inc = exact(newDocs, idCol, textCol)
+    val hist = history.select(col(historyDigestCol).as("digest"))
+    val bf = hist.stat.bloomFilter("digest", expectedItems, fpp)
+    val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
+    val mightSeen = udf((d: String) => d != null && bfB.value.mightContainString(d))
+    val probable = inc.filter(mightSeen(col("digest")))
+    // exact confirmation: history-side scan, dup-bound broadcast joins
+    val confirmed = hist
+      .join(broadcast(probable.select(col("digest"))), Seq("digest"), "left_semi")
+    inc.join(broadcast(confirmed), Seq("digest"), "left_anti")
+  }
+
   /** Drop training documents flagged by [[contamination]]. The flagged-id
     * set is contamination-sized (small), so the anti-join broadcasts. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,

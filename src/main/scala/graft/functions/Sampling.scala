@@ -69,4 +69,50 @@ object Sampling {
       hashBucket(col(idCol), buckets, portable) <
         (fraction * buckets).toLong)
   }
+
+  /** Contiguous token-budget sharding: documents ordered by id are packed
+    * into shards of ~`budget` cost units (tokens) — shard(d) = exclusive
+    * prefix sum of cost before d, integer-divided by the budget. This is the
+    * shard-manifest step of a training pipeline (split a curated corpus into
+    * ~equal-token files in a stable order). Returns (doc_id, cost, shard).
+    *
+    * 100 TB shape: the naive formulation is `sum(cost) OVER (ORDER BY id)` —
+    * a GLOBAL window, which Spark executes on a single partition (the whole
+    * corpus through one task). This instead runs the classic distributed
+    * two-pass prefix sum: range-repartition by id, per-partition partial
+    * sums (a #partitions-row collect), exclusive-scan the offsets on the
+    * driver, then a per-partition running sum starting at each offset —
+    * fully parallel with one range exchange. The RDD stage is one of the
+    * rare genuinely-imperative per-partition computations Catalyst cannot
+    * express.
+    *
+    * The range-partitioned input is persisted while both passes run (range
+    * bounds are sampled, so recomputation could repartition differently and
+    * corrupt the offsets); the small (id, cost, shard) manifest output is
+    * materialized, then the input cache is released. */
+  def tokenShards(df: DataFrame, idCol: String, cost: Column, budget: Long,
+      partitions: Option[Int] = None): DataFrame = {
+    require(budget > 0, s"bad budget $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        cost.cast("long").as("cost"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = base.as[(Long, Long)].rdd
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { case (id, c) => val shard = run / budget; run += c; (id, c, shard) }
+    }.toDF("doc_id", "cost", "shard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
+  }
 }

@@ -149,4 +149,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L)._1 == "numeric-host mail user@<IP> stays one token")
     assert(out(3L)._2 == 0 && out(3L)._4 == 1)
   }
+
+  test("tokenShards: distributed prefix sum equals the global window cumsum") {
+    val s = imp; import s._
+    // costs 3,4,5,2,6,1 with budget 7 → exclusive prefixes 0,3,7,12,14,20
+    // → shards 0,0,1,1,2,2
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 2L), (5L, 6L), (6L, 1L))
+      .toDF("doc_id", "cost")
+    val got = Sampling.tokenShards(df, "doc_id", col("cost"), budget = 7L,
+        partitions = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 2L))
+    // partition-count independence: the result is a pure function of the
+    // global order, not of how ranges were cut
+    for (p <- Seq(1, 2, 6)) {
+      val alt = Sampling.tokenShards(df, "doc_id", col("cost"), budget = 7L,
+          partitions = Some(p))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(alt == got, s"partitions=$p diverged")
+    }
+    // a document larger than the budget owns its shard start; the next doc
+    // skips past the budgets it consumed: costs 10,1 budget 3 → shards 0,3
+    val big = Sampling.tokenShards(
+        Seq((1L, 10L), (2L, 1L)).toDF("doc_id", "cost"),
+        "doc_id", col("cost"), budget = 3L, partitions = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(big == Map(1L -> 0L, 2L -> 3L))
+  }
 }

@@ -328,6 +328,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.filter { case (d, c) => d != c }.keySet == Set(2L, 3L, 6L))
   }
 
+  test("exactIncremental: bloom false positives never reach the output") {
+    val s = spark; import s.implicits._
+    // history holds digests of "dup" and "old"; increment: one cross-increment
+    // dup, one within-increment dup pair, one new doc. fpp=0.5 forces bloom
+    // false positives; the confirmation join must remove them all.
+    val hist = Seq("dup", "old").toDF("t")
+      .select(org.apache.spark.sql.functions.md5($"t").as("digest"))
+    val inc = Seq((10L, "dup"), (11L, "fresh"), (12L, "fresh"), (13L, "new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactIncremental(inc, hist, "doc_id", "text",
+        expectedItems = 4, fpp = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def dig(t: String) = md5.digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got == Set((dig("fresh"), 11L, 2L), (dig("new"), 13L, 1L)))
+  }
+
   test("contamination + decontaminate: gram overlap flags and drops") {
     val s = spark; import s.implicits._
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
