@@ -1,20 +1,22 @@
 package graft.examples
 
-import graft.functions.{Dedup, IvfIndex, TextAnalysis}
+import graft.functions.{Dedup, IvfIndex, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline over the documents + embeddings tables:
-  * profile → quality gate → exact dedup → minhash near-dup removal →
-  * language/token stats, and a persistent ANN index over the embeddings.
-  * Every stage is the library operator a 100 TB run would use (each is
-  * individually oracle- or spec-verified; ExamplesSpec smoke-checks the
-  * composition's invariants).
+  * profile → quality gate → exact dedup → minhash near-dup CLUSTER removal →
+  * benchmark decontamination → language/token stats → token-budget shard
+  * manifest, and a persistent ANN index over the embeddings. Every stage is
+  * the library operator a 100 TB run would use (each is individually
+  * oracle- or spec-verified; ExamplesSpec smoke-checks the composition's
+  * invariants).
   */
 object TrainingPipeline {
 
   final case class Stats(total: Long, qualityGated: Long, exactDeduped: Long,
-      nearDeduped: Long, langs: Map[String, Long], annResults: Long)
+      nearDeduped: Long, decontaminated: Long, langs: Map[String, Long],
+      shards: Long, annResults: Long)
 
   def run(spark: SparkSession, sfDir: String): Stats = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -33,31 +35,52 @@ object TrainingPipeline {
       .filter(col("rn") === 1).drop("rn").persist()
     val nExact = keepExact.count()
 
-    // 3. near-dup removal: each surviving near-dup pair drops its higher id
-    // (profile() projects the text away — join it back for shingling)
+    // 3. near-dup removal, cluster-correct: similarity is not transitive,
+    // so pairs are closed into clusters and only cluster REPRESENTATIVES
+    // (smallest id) survive — dropping pairwise b_ids instead can remove
+    // every member of a chain (profile() projects the text away — join it
+    // back for shingling)
     val pairs = Dedup.minhashNearDups(
       keepExact.select(col("doc_id"))
         .join(docs.select(col("doc_id"), col("text")), "doc_id"),
       "doc_id", "text", minEstSim = 0.8)
-    val dropIds = pairs.select(col("b_id").as("doc_id")).distinct()
+    val dropIds = Dedup.nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     val cleaned = keepExact.join(dropIds, Seq("doc_id"), "left_anti").persist()
     val nClean = cleaned.count()
     pairs.unpersist(); gated.unpersist(); keepExact.unpersist()
 
-    // 4. corpus stats for the cleaned set
-    val langs = cleaned.groupBy(col("lang_guess"))
+    // 4. benchmark decontamination: drop training docs sharing 3-grams with
+    // the held-out slice (deterministic stand-in for a real benchmark set)
+    val withText = cleaned.select(col("doc_id"), col("lang_guess"),
+        col("n_tokens"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+    val decon = Dedup.decontaminate(withText, bench, "doc_id", "text",
+      n = 3, minHits = 1).persist()
+    val nDecon = decon.count()
+    cleaned.unpersist()
+
+    // 5. corpus stats for the final set
+    val langs = decon.groupBy(col("lang_guess"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // 5. ANN index over the embeddings (build once, query many)
+    // 6. shard manifest: contiguous ~2k-token shards in id order
+    val manifest = Sampling.tokenShards(decon, "doc_id", col("n_tokens"),
+      budget = 2000L)
+    val nShards = manifest.agg(countDistinct(col("shard"))).head().getLong(0)
+    manifest.unpersist()
+
+    // 7. ANN index over the embeddings (build once, query many)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8, kmeansIters = 2)
     val ann = IvfIndex.query(index, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 2)
     val nAnn = ann.count()
-    cleaned.unpersist()
+    decon.unpersist()
 
-    Stats(total, nGated, nExact, nClean, langs, nAnn)
+    Stats(total, nGated, nExact, nClean, nDecon, langs, nShards, nAnn)
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,7 +89,8 @@ object TrainingPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val s = run(spark, sfDir)
     println(s"TOTAL=${s.total} QUALITY_GATED=${s.qualityGated} " +
-      s"EXACT_DEDUPED=${s.exactDeduped} NEAR_DEDUPED=${s.nearDeduped}")
+      s"EXACT_DEDUPED=${s.exactDeduped} NEAR_DEDUPED=${s.nearDeduped} " +
+      s"DECONTAMINATED=${s.decontaminated} SHARDS=${s.shards}")
     s.langs.toSeq.sortBy(-_._2).foreach { case (l, n) => println(s"LANG\t$l\t$n") }
     println(s"ANN_RESULTS=${s.annResults}")
     spark.stop()
