@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** When `parallelism` is given, every shuffle of the computation — not
+    * just the input repartition — runs at that width: the per-round joins
+    * and aggregations read `spark.sql.shuffle.partitions` at execution, and
+    * with AQE disabled inside driver loops (see [[Iteration]]) nothing
+    * coalesces them, so a small graph would otherwise pay the session-wide
+    * partition count in pure task-scheduling overhead every round. Scoped
+    * and restored like the loop's AQE override. */
+  private def withShuffleWidth[A](spark: org.apache.spark.sql.SparkSession,
+      parallelism: Option[Int])(f: => A): A = parallelism match {
+    case None => f
+    case Some(p) =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try f
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Min-label propagation connected components.
     * edges: (src: Long, dst: Long) undirected (both directions derived).
     * Returns (node, component = min reachable node id).
@@ -24,7 +41,8 @@ object Graph {
     * the label sum is strictly decreasing until fixpoint — one cheap agg per
     * round instead of a prev⋈next join. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame = {
+      parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame =
+    withShuffleWidth(edges.sparkSession, parallelism) {
     val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
     // both directions from ONE pass over the edge source (a union of two
     // projections would scan it twice), then pre-partition on the join key:
@@ -62,14 +80,15 @@ object Graph {
     }
     undirected.unpersist()
     out
-  }
+    }
 
   /** PageRank without dangling-mass redistribution:
     * rank'(n) = (1-d)/N + d * sum_{m->n} rank(m)/outdeg(m).
     * edges: (src, dst) directed. Deterministic: per-node incoming sums in
     * this dataset are tiny; formula structure matches the SQL oracle exactly. */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      parallelism: Option[Int] = None): DataFrame = {
+      parallelism: Option[Int] = None): DataFrame =
+    withShuffleWidth(edges.sparkSession, parallelism) {
     val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
     val e = e0.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
@@ -91,7 +110,7 @@ object Graph {
     } { (_, _) => false } // fixed iteration count
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     out
-  }
+    }
 
   /** Incremental (delta) PageRank on [[graft.operators.Iteration.deltaIterate]]
     * — the reference's stateful-iteration pagerank
@@ -110,6 +129,7 @@ object Graph {
       eps: Double = 0.0, parallelism: Option[Int] = None): (DataFrame, Seq[Long]) = {
     val spark = edges.sparkSession
     import spark.implicits._
+    withShuffleWidth(spark, parallelism) {
     val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
     val e = e0.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
@@ -140,6 +160,7 @@ object Graph {
     val out = res.output.toDF("node", "rank")
     eod.unpersist(false)
     (out, res.worksetSizes)
+    }
   }
 
   /** Transitive closure by path doubling — paths ⋈ paths instead of
@@ -148,7 +169,8 @@ object Graph {
     * scale-correct variant). Count-stability is the convergence check, so
     * each round is exactly one job. */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 20,
-      parallelism: Option[Int] = None): DataFrame = {
+      parallelism: Option[Int] = None): DataFrame =
+    withShuffleWidth(edges.sparkSession, parallelism) {
     val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
     val base = e0.select(col("src"), col("dst")).distinct()
     Iteration.loopFixpointByCount(base, maxIter) { (paths, _) =>
@@ -157,5 +179,5 @@ object Graph {
         .select(col("p.src").as("src"), col("q.dst").as("dst"))
       paths.union(extended).distinct()
     }
-  }
+    }
 }

@@ -472,11 +472,25 @@ object Dedup {
     * [[graft.algorithms.Graph.connectedComponents]]. Cluster diameter bounds
     * the round count; near-dup clusters are shallow (dup "cliques" minus LSH
     * misses), so rounds stay in the single digits. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50,
+      parallelism: Option[Int] = None): DataFrame = {
+    // the pair graph is output-sized — typically orders of magnitude below
+    // the corpus — so inheriting the corpus-scale shuffle width makes every
+    // CC round mostly task-scheduling overhead (AQE, which would coalesce,
+    // is off inside driver loops). When the caller already materialized the
+    // pairs (the minhashNearDups contract), size the CC shuffle from the
+    // actual pair count: ≈64k label rows per partition, floor 1. A billion
+    // pairs at 100 TB still gets ~15k partitions.
+    val p = parallelism.orElse {
+      if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        Some(math.max(1L, pairs.count() / 65536L).min(1L << 14).toInt)
+      else None
+    }
     graft.algorithms.Graph.connectedComponents(
         pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
-        maxIter = maxIter)
+        maxIter = maxIter, parallelism = p)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
 
   /** Benchmark decontamination: flag training documents that share at least
     * `minHits` distinct word n-grams with ANY benchmark document (the
@@ -523,6 +537,10 @@ object Dedup {
     // within-increment exact dedup: one increment-sized shuffle
     val inc = exact(newDocs, idCol, textCol)
     val hist = history.select(col(historyDigestCol).as("digest"))
+    // first-cycle guard: stat.bloomFilter NPEs on zero rows (its aggregate
+    // returns a null buffer); an empty history also needs no dedup at all.
+    // isEmpty is a limit-1 probe — trivial at any history size.
+    if (hist.isEmpty) return inc
     val bf = hist.stat.bloomFilter("digest", expectedItems, fpp)
     val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
     val mightSeen = udf((d: String) => d != null && bfB.value.mightContainString(d))

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent content-digest history for incremental exact dedup — the
+  * stored-state half of [[Dedup.exactIncremental]], paralleling what
+  * [[IvfIndex]] is to [[Similarity.ivfTopK]]: the crawl cycle signs each
+  * increment, dedups it against the store, then appends the surviving
+  * digests.
+  *
+  * On disk the store is a parquet table of one `digest` (md5 hex) column,
+  * bucketed by nothing: every read path here either scans it once into a
+  * Bloom filter or semi-joins a broadcast probe set against it, so no
+  * shuffle-friendly layout is needed (see the scale note on
+  * [[Dedup.exactIncremental]] — the history is scanned, never shuffled).
+  * Appends go to `<path>/inc=<n>/` subdirectories, so each cycle is one
+  * immutable directory write (no read-modify-write of earlier increments,
+  * safe under retried jobs) and the store composes as a plain recursive
+  * parquet read.
+  */
+object DigestStore {
+
+  /** Create an empty store at `path` (a schema-bearing empty increment). */
+  def init(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq.empty[String].toDF("digest")
+      .write.mode("overwrite").parquet(s"$path/inc=0")
+  }
+
+  /** The full digest history: a recursive read over every increment. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/inc=*")
+
+  /** One crawl cycle: dedup `newDocs` against the store (within-increment
+    * dups collapsed too), append the surviving digests as increment `inc`,
+    * and return the new-content rows (digest, keep_id, n_copies). */
+  def dedupCycle(spark: SparkSession, path: String, inc: Int,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    require(inc > 0, s"increment $inc must be > 0 (0 is the init marker)")
+    val out = Dedup.exactIncremental(newDocs, load(spark, path), idCol,
+        textCol, expectedItems = expectedItems, fpp = fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out.select(col("digest")).write.mode("overwrite").parquet(s"$path/inc=$inc")
+    out
+  }
+}

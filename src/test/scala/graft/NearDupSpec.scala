@@ -328,6 +328,25 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.filter { case (d, c) => d != c }.keySet == Set(2L, 3L, 6L))
   }
 
+  test("DigestStore: cycles compose to full-corpus exact dedup") {
+    val s = spark; import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("digeststore").toString
+    graft.functions.DigestStore.init(spark, path)
+    // three crawl cycles with overlap within and across cycles
+    val c1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+    val c2 = Seq((4L, "bb"), (5L, "cc")).toDF("doc_id", "text")
+    val c3 = Seq((6L, "cc"), (7L, "aa"), (8L, "dd")).toDF("doc_id", "text")
+    def run(inc: Int, df: org.apache.spark.sql.DataFrame) =
+      graft.functions.DigestStore.dedupCycle(spark, path, inc, df,
+          "doc_id", "text", expectedItems = 16, fpp = 0.5)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(run(1, c1) == Set((1L, 2L), (2L, 1L)))      // aa×2, bb
+    assert(run(2, c2) == Set((5L, 1L)))                // bb seen; cc new
+    assert(run(3, c3) == Set((8L, 1L)))                // cc, aa seen; dd new
+    // the store now holds exactly the 4 distinct contents
+    assert(graft.functions.DigestStore.load(spark, path).distinct().count() == 4)
+  }
+
   test("exactIncremental: bloom false positives never reach the output") {
     val s = spark; import s.implicits._
     // history holds digests of "dup" and "old"; increment: one cross-increment
