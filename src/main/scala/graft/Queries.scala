@@ -1509,6 +1509,22 @@ object Queries {
       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
       |      FROM documents)""".stripMargin
 
+  /** Domain-mixture sampling: per-language keep fractions (en 30%, zh 100%,
+    * es 50%, default 10%), portable hash — thresholds are driver-side
+    * integers, so the oracle reproduces membership exactly. */
+  def q_mixture_sample(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.mixtureSample(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id",
+      fractions = Map("en" -> 0.3, "zh" -> 1.0, "es" -> 0.5),
+      default = 0.1, portable = true)
+
+  private val q_mixture_sample_sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+      |  CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 1000000
+      |            WHEN 'es' THEN 500000 ELSE 100000 END""".stripMargin
+
   /** Contiguous token-budget sharding via the distributed two-pass prefix
     * sum (Sampling.tokenShards, 8 range partitions — the oracle's global
     * window cumsum pins the partition-independent result). */
@@ -1641,6 +1657,7 @@ object Queries {
     "q_decontaminate" -> (q_decontaminate _),
     "q_dedup_bloom" -> (q_dedup_bloom _),
     "q_token_shards" -> (q_token_shards _),
+    "q_mixture_sample" -> (q_mixture_sample _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
@@ -1716,6 +1733,7 @@ object Queries {
     "q_decontaminate" -> q_decontaminate_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_token_shards" -> q_token_shards_sql,
+    "q_mixture_sample" -> q_mixture_sample_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,

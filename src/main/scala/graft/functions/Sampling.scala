@@ -70,6 +70,27 @@ object Sampling {
         (fraction * buckets).toLong)
   }
 
+  /** Domain-mixture sampling: down-sample each stratum to its target keep
+    * fraction (Pile/DoReMi-style mixture reweighting, without upsampling) —
+    * strata absent from the map keep `default`. Membership is a hash
+    * threshold on the id, so it is rerun- and growth-stable and each
+    * stratum's sample is a SUBSET of its sample at any higher fraction.
+    * Thresholds are precomputed driver-side as integers (no per-row float
+    * math to diverge between engines); the whole operator is a narrow map
+    * stage — the fraction map travels in the plan as a literal.
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double = 1.0,
+      buckets: Int = 1000000, portable: Boolean = false): DataFrame = {
+    (fractions.values ++ Seq(default)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"bad fraction $f"))
+    val thresholds = fractions.map { case (k, f) => k -> (f * buckets).toLong }
+    val thrCol = thresholds.foldLeft(lit((default * buckets).toLong)) {
+      case (acc, (k, t)) => when(col(strataCol) === k, lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets, portable) < thrCol)
+  }
+
   /** Contiguous token-budget sharding: documents ordered by id are packed
     * into shards of ~`budget` cost units (tokens) — shard(d) = exclusive
     * prefix sum of cost before d, integer-divided by the budget. This is the

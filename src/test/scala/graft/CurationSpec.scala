@@ -150,6 +150,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0 && out(3L)._4 == 1)
   }
 
+  test("mixtureSample: per-stratum fractions, subset monotonicity, default") {
+    val s = imp; import s._
+    val df = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("dom"))
+    def ids(fr: Map[String, Double], default: Double = 1.0): Set[Long] =
+      Sampling.mixtureSample(df, "dom", "doc_id", fr, default)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(Map("s0" -> 0.5, "s1" -> 0.0), default = 0.2)
+    // fraction 0 drops the stratum entirely; default applies to s2/s3
+    assert(!half.exists(_ % 4 == 1))
+    val s0 = half.count(_ % 4 == 0)
+    assert(s0 > 150 && s0 < 350, s"~50% of 500 s0 docs, got $s0")
+    val s23 = half.count(i => i % 4 == 2 || i % 4 == 3)
+    assert(s23 > 100 && s23 < 300, s"~20% of 1000 s2/s3 docs, got $s23")
+    // a lower fraction selects a SUBSET of a higher one (hash threshold)
+    val quarter = ids(Map("s0" -> 0.25, "s1" -> 0.0), default = 0.1)
+    assert(quarter.subsetOf(half))
+    // fraction 1.0 everywhere keeps everything
+    assert(ids(Map.empty, default = 1.0).size == 2000)
+  }
+
   test("tokenShards: distributed prefix sum equals the global window cumsum") {
     val s = imp; import s._
     // costs 3,4,5,2,6,1 with budget 7 → exclusive prefixes 0,3,7,12,14,20
