@@ -360,4 +360,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(0).getAs[Timestamp]("pair_ts") == ts(12))
     } finally q.stop()
   }
+
+  test("streaming curation pipeline: gate, redact and dedup compose in one query") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // quality gate + PII redaction are narrow Column stages, so they chain
+    // directly onto the stateful exact-dedup stream in a single query
+    val gated = in.toDF.toDF("id", "text")
+      .filter(graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.2)
+      .withColumn("text", graft.functions.Redaction.redactPii(col("text")))
+    val out = Streaming.dedupExactStream(gated, "text").select("id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("curation").start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog with some more words"
+      in.addData((1L, s"$good mail me at bob@example.com"),
+        (2L, "!!! ??? ,,,"), // gated out: symbols, no stopwords
+        (3L, s"$good mail me at alice@other.org")) // same text post-redaction
+      q.processAllAvailable()
+      in.addData((4L, s"$good mail me at carol@third.net")) // still a dup
+      q.processAllAvailable()
+      val got = spark.table("curation").as[(Long, String)].collect().toSet
+      // redaction unifies 1 and 3 and 4 into one kept doc; 2 never passes
+      assert(got.map(_._1) == Set(1L))
+      assert(got.head._2 == s"$good mail me at <EMAIL>")
+    } finally q.stop()
+  }
 }
