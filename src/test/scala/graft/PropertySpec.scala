@@ -2,6 +2,7 @@ package graft
 
 import graft.api._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat, lit, not, pmod}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -113,6 +114,40 @@ class PropertySpec extends AnyFunSuite {
       // exact=false: all elements covered exactly once, in order
       assert(windows.flatten.sorted == xs)
       assert(windows.count(_.length < size) <= 1) // at most one partial
+    }
+  }
+
+  test("tokenShards == sequential exclusive-prefix division for any data & partitioning") {
+    val s = imp
+    import s._
+    forAll(Gen.listOfN(25, Gen.choose(0, 50)),
+        Gen.zip(Gen.choose(1L, 60L), Gen.choose(1, 6))) {
+      (costs: List[Int], bp: (Long, Int)) =>
+      val (budget, parts) = bp
+      val rows = costs.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) }
+      val got = graft.functions.Sampling.tokenShards(
+          rows.toDF("doc_id", "cost"), "doc_id", col("cost"), budget,
+          partitions = Some(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expected = rows.scanLeft(((-1L, 0L), 0L)) {
+        case (((_, _), acc), (id, c)) => ((id, acc / budget), acc + c)
+      }.drop(1).map(_._1).toMap
+      assert(got == expected, s"budget=$budget parts=$parts costs=$costs")
+    }
+  }
+
+  test("mixtureSample fraction monotonicity: lower fraction is a subset") {
+    val s = imp
+    import s._
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (f1: Double, f2: Double) =>
+      val (lo, hi) = (math.min(f1, f2), math.max(f1, f2))
+      val df = spark.range(300).select(col("id").as("doc_id"),
+        concat(lit("d"), pmod(col("id"), lit(3))).as("dom"))
+      def ids(f: Double) = graft.functions.Sampling.mixtureSample(
+          df, "dom", "doc_id", Map("d0" -> f), default = 0.5)
+        .filter(col("dom") === "d0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids(lo).subsetOf(ids(hi)))
     }
   }
 }
