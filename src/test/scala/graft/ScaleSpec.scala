@@ -87,4 +87,33 @@ class ScaleSpec extends AnyFunSuite {
       assert(plan.contains("Exchange"))
     }
   }
+
+  test("contamination broadcasts the benchmark grams; training grams never shuffle") {
+    val s = imp; import s._
+    // broadcast threshold -1 would defeat the explicit broadcast() hint's
+    // point — keep AQE off only, so the raw shape is stable
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val train = spark.range(100).select(col("id").as("doc_id"),
+        concat(lit("common prefix words here item "), col("id")).as("text"))
+      val bench = Seq("common prefix words here item 5").toDF("text")
+      val q = graft.functions.Dedup.contamination(train, bench, "doc_id", "text", n = 3)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+      // the ONLY shuffle is the final per-doc hit aggregation — the join
+      // probe (training grams) reaches the broadcast join unexchanged
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"expected 1 shuffle (doc agg), got $shuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("mixtureSample plans as a zero-shuffle narrow map stage") {
+    val s = imp; import s._
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("d"), pmod(col("id"), lit(3))).as("dom"))
+    val q = graft.functions.Sampling.mixtureSample(df, "dom", "doc_id",
+      Map("d0" -> 0.5), default = 0.2)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
