@@ -51,6 +51,12 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val runs = Seq.fill(repeat)(once())
+      // several catalog queries (iteration fixpoints, dedup pipelines)
+      // return their PERSISTED result; over a 70+-query catalog those
+      // caches accumulate into real memory pressure that bleeds into later
+      // queries' timings. Each query's repeats share its warm caches (the
+      // min sees the warm run); the whole cache drops before the next query.
+      spark.catalog.clearCache()
       name -> (if (runs.contains(-1.0)) -1.0 else runs.min)
     }
 
