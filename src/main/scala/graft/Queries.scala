@@ -1301,6 +1301,27 @@ object Queries {
        |  GROUP BY a.vec_id, b.vec_id)
        |WHERE sim >= CAST(0.4 AS DOUBLE)""".stripMargin
 
+  /** SemDeDup-style semantic near-dup pairs at nlist=1 — the provable
+    * configuration where within-cluster pairwise cosine equals FULL exact
+    * pairwise cosine (the q_ann_ivf trick); the spec exercises nlist>1. */
+  def q_semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.semanticDedupPairs(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", minSim = 0.4, nlist = 1, kmeansIters = 1)
+      .select(col("a_id"), col("b_id"), col("sim"))
+
+  private val q_semantic_dedup_sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, unnest(vec) AS x, generate_subscripts(vec, 1) AS i FROM v),
+      |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dp
+      |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      |      GROUP BY 1, 2)
+      |SELECT a_id, b_id, sim FROM (
+      |  SELECT a_id, b_id, round(dp / (na.nrm * nb.nrm), 6) AS sim
+      |  FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
+      |WHERE sim >= CAST(0.4 AS DOUBLE)""".stripMargin
+
   /** full text profile: token/subword counts, punct + stopword ratios, mean
     * word length, quality score, language ID, bag-of-words fingerprint. */
   def q_text_profile(s: SparkSession, dir: String): DataFrame =
@@ -1658,6 +1679,7 @@ object Queries {
     "q_dedup_bloom" -> (q_dedup_bloom _),
     "q_token_shards" -> (q_token_shards _),
     "q_mixture_sample" -> (q_mixture_sample _),
+    "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
@@ -1734,6 +1756,7 @@ object Queries {
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_token_shards" -> q_token_shards_sql,
     "q_mixture_sample" -> q_mixture_sample_sql,
+    "q_semantic_dedup" -> q_semantic_dedup_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,

@@ -259,6 +259,47 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucket-constrained (the LSH near-dup path for embeddings). */
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means clusters the embedding space, then pairwise
+    * cosine runs ONLY within a cluster — the cluster count bounds the
+    * quadratic, which is the whole scale lever of the technique (vs the
+    * hyperplane buckets of [[cosineNearDups]]: k-means adapts to the data's
+    * density, so clusters stay balanced where fixed hyperplanes can't).
+    * Returns (a_id, b_id, sim), sim rounded to 6 dp; resolve to a keep set
+    * with [[graft.functions.Dedup.nearDupClusters]].
+    *
+    * nlist = 1 degenerates to the full exact pairwise cosine — the provable
+    * configuration the catalog oracle checks (the q_ann_ivf trick).
+    * 100 TB: one shuffle on the cluster id; per-cluster work is
+    * cluster-size-quadratic, so nlist scales with the corpus (FAISS-style
+    * sizing), and the k-means rounds themselves reduce to k×dim doubles per
+    * partition. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, nlist: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val assigned = graft.algorithms.KMeans.assign(df, idCol, vecCol,
+      nlist, kmeansIters)
+    val v = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .join(assigned, Seq("id"))
+      .withColumn("nrm", norm(col("vec")))
+    val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"),
+      col("nrm").as("a_nrm"), col("cluster"))
+    val b = v.select(col("id").as("b_id"), col("vec").as("b_vec"),
+      col("nrm").as("b_nrm"), col("cluster"))
+    val out = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dotFast(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+    // assign() hands back a persisted assignment table; drop it once the
+    // (small) pair output is materialized so repeated calls don't leak
+    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    assigned.unpersist()
+    res
+  }
+
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double, bits: Int = 12, portable: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"),

@@ -328,6 +328,33 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.filter { case (d, c) => d != c }.keySet == Set(2L, 3L, 6L))
   }
 
+  test("semanticDedupPairs: clustered pairs are a subset of full pairwise; identical vecs always found") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def pairs(nlist: Int): Set[(Long, Long)] = {
+      val out = graft.functions.Similarity.semanticDedupPairs(
+        emb, "vec_id", "embedding", minSim = 0.4, nlist = nlist, kmeansIters = 2)
+      val res = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      out.unpersist()
+      res
+    }
+    val full = pairs(1) // nlist=1 ≡ exact pairwise (the oracle configuration)
+    val clustered = pairs(4)
+    assert(full.nonEmpty)
+    assert(clustered.subsetOf(full))
+    // identical vectors land in the same cluster by construction (same
+    // point → same nearest centroid), so sim≈1 planted duplicates survive
+    // clustering: the near-exact pair set is IDENTICAL at nlist=1 and 4
+    val exact1 = graft.functions.Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", minSim = 0.999999, nlist = 4, kmeansIters = 2)
+    val ones = exact1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact1.unpersist()
+    val exactFull = graft.functions.Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", minSim = 0.999999, nlist = 1, kmeansIters = 1)
+    val fullExactOnes = exactFull.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactFull.unpersist()
+    assert(ones == fullExactOnes)
+  }
+
   test("DigestStore: cycles compose to full-corpus exact dedup") {
     val s = spark; import s.implicits._
     val path = java.nio.file.Files.createTempDirectory("digeststore").toString
