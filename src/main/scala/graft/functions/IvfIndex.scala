@@ -38,6 +38,59 @@ object IvfIndex {
     Built(lists, assigned.centroids)
   }
 
+  /** Add new vectors to an existing index WITHOUT retraining: each vector
+    * is assigned to its nearest existing centroid (the standard IVF `add`
+    * — the quantizer is frozen, recall degrades only as the data
+    * distribution drifts, at which point the owner rebuilds). Returns the
+    * grown handle; [[appendSave]] is the on-disk variant.
+    *
+    * 100 TB shape: one narrow map over the NEW batch against broadcast
+    * centroids — the existing lists are untouched (no read, no shuffle). */
+  def append(built: Built, newVecs: DataFrame, idCol: String,
+      vecCol: String): Built =
+    Built(built.lists.unionByName(
+        assignToLists(built.centroids, newVecs, idCol, vecCol)),
+      built.centroids)
+
+  /** Append a new batch directly to a SAVED index: assigns against the
+    * stored quantizer and appends only the new rows to the partitioned
+    * lists (parquet append — existing list files are not rewritten). */
+  def appendSave(spark: SparkSession, path: String, newVecs: DataFrame,
+      idCol: String, vecCol: String): Unit =
+    assignToLists(load(spark, path).centroids, newVecs, idCol, vecCol)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/lists")
+
+  /** Frozen-quantizer list assignment of a new batch (shared by the two
+    * append variants): narrow map against broadcast centroids, same rounded
+    * distance + lower-cluster tie-break as KMeans.assign. */
+  private def assignToLists(centroids: Array[Array[Double]],
+      newVecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val centroidsB = spark.sparkContext.broadcast(centroids)
+    newVecs
+      .select(col(idCol).cast("long").as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, vec) =>
+        val ctr = centroidsB.value
+        var best = 0L; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ctr.length) {
+          var d = 0.0; var i = 0
+          val cc = ctr(c)
+          while (i < vec.length) { val t = vec(i) - cc(i); d += t * t; i += 1 }
+          val dr = graft.algorithms.KMeans.round6(d)
+          if (dr < bestD) { bestD = dr; best = c }
+          c += 1
+        }
+        (id, vec, best)
+      }
+      .toDF("c_id", "c_vec", "cluster")
+      .select(col("c_id"), col("c_vec"),
+        Similarity.norm(col("c_vec")).as("c_norm"), col("cluster"))
+  }
+
   /** Persist the index: lists partitioned by cluster + the quantizer. */
   def save(built: Built, path: String): Unit = {
     built.lists.write.mode("overwrite")

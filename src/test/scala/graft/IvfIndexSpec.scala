@@ -50,4 +50,47 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(cluster"),
       s"expected a partition filter on cluster, got:\n$scan")
   }
+
+  test("append equals building the lists with the same frozen quantizer") {
+    // split the corpus: build on the first half, append the second half —
+    // queries must equal an index whose lists were assigned in one shot
+    // against the SAME centroids (append never retrains)
+    val first = emb.filter(col("vec_id") < 75)
+    val second = emb.filter(col("vec_id") >= 75)
+    val base = IvfIndex.build(first, "vec_id", "embedding", nlist = 8, kmeansIters = 3)
+    val grown = IvfIndex.append(base, second, "vec_id", "embedding")
+    val oneShot = IvfIndex.Built(
+      IvfIndex.append(IvfIndex.Built(base.lists.limit(0), base.centroids),
+        emb, "vec_id", "embedding").lists,
+      base.centroids)
+    val queries = emb.filter(col("vec_id") < 20)
+    val a = asSet(IvfIndex.query(grown, queries, "vec_id", "embedding", k = 3, nprobe = 3))
+    val b = asSet(IvfIndex.query(oneShot, queries, "vec_id", "embedding", k = 3, nprobe = 3))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("appendSave grows a saved index without rewriting existing list files") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val first = emb.filter(col("vec_id") < 75)
+    val second = emb.filter(col("vec_id") >= 75)
+    IvfIndex.save(IvfIndex.build(first, "vec_id", "embedding", nlist = 8,
+      kmeansIters = 3), dir)
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/lists"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    IvfIndex.appendSave(spark, dir, second, "vec_id", "embedding")
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/lists"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(after > before, "append must add list files")
+    // the reopened index covers the whole corpus
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.lists.count() == emb.count())
+    val got = asSet(IvfIndex.query(loaded, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 3, nprobe = 8))
+    // nprobe = nlist: exact — must equal brute force over the full corpus
+    val brute = asSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      maxQueryId = 10, k = 3).select(col("q_id"), col("c_id"), col("sim"),
+      col("rank").cast("long").as("rank")))
+    assert(got == brute)
+  }
 }
