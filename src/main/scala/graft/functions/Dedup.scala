@@ -516,6 +516,43 @@ object Dedup {
       .filter(col("hits") >= minHits)
   }
 
+  /** C4-style global line dedup: the corpus keeps exactly ONE occurrence of
+    * every distinct line of at least `minWords` words — the first in
+    * (doc id, line position) order — and shorter lines pass through
+    * untouched (boilerplate like navigation fragments is what this targets;
+    * short lines carry no dedup signal). Returns (doc_id, text) with each
+    * document's surviving lines re-joined in their original order; documents
+    * whose every line was deduplicated away survive with empty text.
+    *
+    * 100 TB shape: one shuffle keyed on the line (the first-occurrence
+    * window; per-key group is occurrence-count-sized) and one shuffle back
+    * on the doc id for reassembly — both linear in total line count. The
+    * whole-document degenerate case (no delimiter in any text) reduces to
+    * exact dedup keeping first. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, delimiter: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter)))
+        .as(Seq("pos", "line")))
+    // identical lines have identical word counts, so each window is
+    // uniformly eligible or uniformly exempt — ranks are never consumed
+    // by exempt rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
+    val kept = lines
+      .withColumn("nw", size(filter(split(col("line"), " "), x => x =!= "")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("nw") < minWords || col("rn") === 1)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        delimiter).as("_text_clean"))
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("_text_clean"), lit("")).as("text"))
+  }
+
   /** Incremental EXACT dedup of a new increment against a stored digest
     * history, Bloom-prefiltered. Returns the increment's new-content rows
     * (digest, keep_id, n_copies): within-increment dups collapsed to the

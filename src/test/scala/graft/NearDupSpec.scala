@@ -328,6 +328,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.filter { case (d, c) => d != c }.keySet == Set(2L, 3L, 6L))
   }
 
+  test("dedupLines: first occurrence survives, short lines exempt, order kept") {
+    val s = spark; import s.implicits._
+    val boiler = "subscribe to our newsletter today"
+    val docs = Seq(
+      (1L, s"alpha beta gamma\n$boiler\nunique one here"),
+      (2L, s"$boiler\nunique two here\nok"),   // boiler is a dup (doc 1 pos 1 wins)
+      (3L, s"ok\nok\nunique three here"),      // "ok" < 3 words → exempt, kept twice
+      (4L, boiler)                             // entirely deduped → empty text
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"alpha beta gamma\n$boiler\nunique one here")
+    assert(got(2L) == "unique two here\nok")
+    assert(got(3L) == "ok\nok\nunique three here")
+    assert(got(4L) == "")
+    // degenerate single-line corpus ≡ exact dedup keeping the first doc
+    val flat = Seq((1L, "a b c"), (2L, "a b c"), (3L, "d e f")).toDF("doc_id", "text")
+    val flatGot = Dedup.dedupLines(flat, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flatGot == Map(1L -> "a b c", 2L -> "", 3L -> "d e f"))
+  }
+
   test("semanticDedupPairs: clustered pairs are a subset of full pairwise; identical vecs always found") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     def pairs(nlist: Int): Set[(Long, Long)] = {
