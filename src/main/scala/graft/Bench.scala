@@ -37,7 +37,8 @@ object Bench {
     // first run still pays a query's own plan/codegen cost, so cold costs
     // stay visible in the max while the reported min is the query's real
     // steady-state time.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    val repeat =
+      math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2))
 
     def time(name: String, fn: (SparkSession, String) => DataFrame): (String, Double) = {
       def once(): Double = {
@@ -86,7 +87,9 @@ object Bench {
     // capture intact (full-precision doubles pushed the line past the buffer
     // in rounds 1-3, truncating its head and defeating the driver's parse)
     def fmt(v: Double): String =
-      if (v < 0) "-1.0" else f"$v%.3f"
+      if (v < 0) "-1.0"
+      // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

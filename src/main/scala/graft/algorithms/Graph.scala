@@ -58,8 +58,13 @@ object Graph {
     val init = undirected.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
 
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).head().getLong(0)
+    // sum over zero rows is null (empty edge set — e.g. a pair graph with
+    // no near-dup pairs): treat as 0 so the loop converges immediately
+    // instead of NPE-ing on getLong
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var last = Long.MinValue
 
     // materialize=false: labelSum IS the per-round action (one job per round)

@@ -31,6 +31,25 @@ object KMeans extends Serializable {
   /** Assignments plus the trained centroids (needed by IVF indexing). */
   final case class Model(assignments: DataFrame, centroids: Array[Array[Double]])
 
+  /** Nearest-centroid argmin: round6-suppressed FP-order noise, ties to the
+    * lower cluster. THE single definition of the assignment rule — IVF
+    * append equivalence (IvfIndexSpec) depends on training-time and
+    * append-time assignment sharing it exactly. */
+  private[graft] def nearest(centroids: Array[Array[Double]])(
+      vec: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ctr = centroids(c)
+      while (i < vec.length) { val t = vec(i) - ctr(i); d += t * t; i += 1 }
+      val dr = round6(d) // suppress FP-order noise; ties → lower cluster
+      if (dr < bestD) { bestD = dr; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** df: (id: Long, vec: Array[Float|Double]).
     * Returns (id, cluster) assignments after `iterations` rounds. */
   def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -50,20 +69,6 @@ object KMeans extends Serializable {
 
     val initCentroids: Array[Array[Double]] =
       pts.orderBy(col("id")).limit(k).collect().map(_._2)
-
-    def nearest(centroids: Array[Array[Double]])(vec: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        var d = 0.0; var i = 0
-        val ctr = centroids(c)
-        while (i < vec.length) { val t = vec(i) - ctr(i); d += t * t; i += 1 }
-        val dr = round6(d) // suppress FP-order noise; ties → lower cluster
-        if (dr < bestD) { bestD = dr; best = c }
-        c += 1
-      }
-      best
-    }
 
     val finalCentroids = Iteration.replay(pts, iterations, initCentroids) {
       (data, centroids) =>

@@ -34,7 +34,12 @@ object DigestStore {
 
   /** One crawl cycle: dedup `newDocs` against the store (within-increment
     * dups collapsed too), append the surviving digests as increment `inc`,
-    * and return the new-content rows (digest, keep_id, n_copies). */
+    * and return the new-content rows (digest, keep_id, n_copies).
+    *
+    * The returned DataFrame stays persisted: it IS the cycle's result and
+    * the append above already materialized it. Callers release it with
+    * `unpersist()` once consumed — a long-running crawl driver that skips
+    * this accumulates one result cache per cycle. */
   def dedupCycle(spark: SparkSession, path: String, inc: Int,
       newDocs: DataFrame, idCol: String, textCol: String,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {

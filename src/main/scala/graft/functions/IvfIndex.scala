@@ -73,18 +73,9 @@ object IvfIndex {
         col(vecCol).cast("array<double>").as("c_vec"))
       .as[(Long, Array[Double])]
       .map { case (id, vec) =>
-        val ctr = centroidsB.value
-        var best = 0L; var bestD = Double.MaxValue
-        var c = 0
-        while (c < ctr.length) {
-          var d = 0.0; var i = 0
-          val cc = ctr(c)
-          while (i < vec.length) { val t = vec(i) - cc(i); d += t * t; i += 1 }
-          val dr = graft.algorithms.KMeans.round6(d)
-          if (dr < bestD) { bestD = dr; best = c }
-          c += 1
-        }
-        (id, vec, best)
+        // the ONE assignment rule (KMeans.nearest) — append-time and
+        // training-time assignment must agree exactly
+        (id, vec, graft.algorithms.KMeans.nearest(centroidsB.value)(vec).toLong)
       }
       .toDF("c_id", "c_vec", "cluster")
       .select(col("c_id"), col("c_vec"),

@@ -37,6 +37,10 @@ object Sampling {
       portable: Boolean = false): DataFrame = {
     require(thresholds.nonEmpty && thresholds.last._2 == 100,
       s"thresholds must end at 100, got $thresholds")
+    // unsorted thresholds would make later when-branches unreachable and
+    // silently empty a split
+    require(thresholds.map(_._2) == thresholds.map(_._2).sorted,
+      s"thresholds must be ascending, got $thresholds")
     val b = hashBucket(col(idCol), 100, portable)
     val assign = thresholds.init.foldRight(
         lit(thresholds.last._1): Column) { case ((name, upTo), rest) =>

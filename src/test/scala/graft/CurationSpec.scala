@@ -95,6 +95,11 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("id") < 5000)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(half == full)
+    // unsorted thresholds would silently empty a split — must be rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id",
+        Seq(("train", 90), ("val", 80), ("test", 100)))
+    }
   }
 
   test("stratifiedSample: k per stratum, deterministic") {

@@ -316,6 +316,12 @@ class NearDupSpec extends AnyFunSuite {
     assert(resized.forall(r => r.getInt(1) <= 128 && r.getInt(2) <= 128))
   }
 
+  test("nearDupClusters: an empty pair graph yields empty clusters, no crash") {
+    val s = spark; import s.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.nearDupClusters(none).collect().isEmpty)
+  }
+
   test("nearDupClusters: pair graph closes into min-id clusters") {
     val s = spark; import s.implicits._
     // two chains (1-2-3 via transitive pairs, 5-6) and an untouched doc 9:
