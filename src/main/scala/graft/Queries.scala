@@ -1055,6 +1055,23 @@ object Queries {
       |        FROM documents, m WHERE doc_id > mid GROUP BY 1)
       |SELECT inc.* FROM inc ANTI JOIN hist USING (digest)""".stripMargin
 
+  /** Exact dedup over NORMALIZED text (lowercase, punctuation stripped,
+    * whitespace collapsed) — catches case/punctuation variants that raw
+    * digest dedup misses; the oracle replicates the normalization chain
+    * character for character. */
+  def q_dedup_normalized(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.exact(
+      tbl(s, dir, "documents").withColumn("_norm",
+        graft.functions.TextAnalysis.normalizeText(col("text"))),
+      "doc_id", "_norm")
+
+  private val q_dedup_normalized_sql =
+    """SELECT md5(trim(regexp_replace(
+      |         regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |         '\s+', ' ', 'g'))) AS digest,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** Near-dup cluster resolution: minhash pairs closed into clusters via
     * connected components; cluster_id = min doc id of the cluster (kept
     * representative). The oracle recomputes the full banded minhash pipeline
@@ -1680,6 +1697,7 @@ object Queries {
     "q_token_shards" -> (q_token_shards _),
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
+    "q_dedup_normalized" -> (q_dedup_normalized _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
@@ -1757,6 +1775,7 @@ object Queries {
     "q_token_shards" -> q_token_shards_sql,
     "q_mixture_sample" -> q_mixture_sample_sql,
     "q_semantic_dedup" -> q_semantic_dedup_sql,
+    "q_dedup_normalized" -> q_dedup_normalized_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,

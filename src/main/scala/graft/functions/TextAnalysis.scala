@@ -30,6 +30,20 @@ object TextAnalysis {
     (size(filter(split(text, "[^a-zA-Z0-9]+"), w => w =!= "")) +
       regexp_count(text, lit("[a-zA-Z][0-9]|[0-9][a-zA-Z]"))).cast("long")
 
+  /** Dedup-preprocessing normalization: lowercase, non-alphanumerics → one
+    * space, whitespace runs collapsed, trimmed. Production near-dup
+    * pipelines hash NORMALIZED text so case and punctuation variants of the
+    * same content collide ("The quick fox!" ≡ "the quick fox"); compose
+    * with [[graft.functions.Dedup.exact]]/minhash via a withColumn. Narrow,
+    * codegen'd, and restricted to the Java∩RE2 regex subset so the oracle
+    * replicates it character for character. The class is deliberately
+    * ASCII ([a-z0-9]): unicode case folding diverges between engines
+    * (Turkish İ, ligatures); non-Latin-script corpora should swap in
+    * \p{L}\p{N} and accept engine-specific folding. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** punctuation character ratio (POSIX [[:punct:]] — same ASCII set in Java
     * regex and RE2, so the oracle matches). */
   def punctRatio(text: Column): Column =

@@ -155,6 +155,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0 && out(3L)._4 == 1)
   }
 
+  test("normalizeText: case/punct variants collide, whitespace collapses") {
+    val s = imp; import s._
+    val out = Seq(
+      (1L, "The  Quick,   Brown FOX!"),
+      (2L, "the quick brown fox"),
+      (3L, "  the\tquick\nbrown   fox  "),
+      (4L, "")).toDF("id", "t")
+      .select(col("id"), graft.functions.TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "the quick brown fox")
+    assert(out(2L) == out(1L) && out(3L) == out(1L))
+    assert(out(4L) == "")
+  }
+
   test("mixtureSample: per-stratum fractions, subset monotonicity, default") {
     val s = imp; import s._
     val df = spark.range(2000).select(col("id").as("doc_id"),
