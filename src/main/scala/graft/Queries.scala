@@ -1586,6 +1586,28 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
       |FROM t""".stripMargin
 
+  /** Token-budget sharding over a SEEDED SHUFFLE of the corpus (shuffleKey
+    * seed 42, portable hash): the shuffle-before-sharding step that makes
+    * shards ~IID instead of reflecting crawl order. The oracle recomputes
+    * the same permutation and window cumsum. */
+  def q_shuffle_shards(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.tokenShards(tbl(s, dir, "documents"), "doc_id",
+      graft.functions.TextAnalysis.tokenCount(col("text")), budget = 5000L,
+      partitions = Some(8),
+      orderCol = Some(graft.functions.Sampling.shuffleKey(col("doc_id"), 42L,
+        portable = true)))
+
+  private val q_shuffle_shards_sql =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS cost,
+      |    ('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+      |  FROM documents)
+      |SELECT doc_id, cost,
+      |  CAST(COALESCE(sum(cost) OVER (ORDER BY sk, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
+      |FROM t""".stripMargin
+
   /** Deterministic stratified sample: 50 docs per language, smallest
     * id-hash first (Sampling.stratifiedSample, portable hash). */
   def q_sample_stratified(s: SparkSession, dir: String): DataFrame =
@@ -1703,6 +1725,7 @@ object Queries {
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_dedup_normalized" -> (q_dedup_normalized _),
+    "q_shuffle_shards" -> (q_shuffle_shards _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
@@ -1781,6 +1804,7 @@ object Queries {
     "q_mixture_sample" -> q_mixture_sample_sql,
     "q_semantic_dedup" -> q_semantic_dedup_sql,
     "q_dedup_normalized" -> q_dedup_normalized_sql,
+    "q_shuffle_shards" -> q_shuffle_shards_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,

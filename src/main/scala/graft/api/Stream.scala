@@ -365,6 +365,10 @@ final class Stream[T](val ds: Dataset[T],
   def writeCsvOne(path: String, header: Boolean = true): Unit =
     ds.toDF().coalesce(1).write.mode("overwrite").option("header", header.toString).csv(path)
 
+  /** JSON-Lines sink (beyond-reference; see StreamContext.streamJsonl). */
+  def writeJsonl(path: String): Unit =
+    ds.toDF().write.mode("overwrite").json(path)
+
   /** Reference: `write_parquet_seq`, src/operator/sink/parquet.rs:95. */
   def writeParquet(path: String): Unit = ds.toDF().write.mode("overwrite").parquet(path)
 

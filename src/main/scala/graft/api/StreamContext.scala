@@ -54,6 +54,16 @@ final class StreamContext(val spark: SparkSession) {
   def streamCsv(path: String, options: Map[String, String] = Map("header" -> "true")): DataFrame =
     spark.read.options(options).csv(path)
 
+  /** JSON-Lines source (beyond-reference: JSONL is the interchange format
+    * of LLM training corpora). Spark's reader splits files line-parallel;
+    * schema is inferred unless provided via options. */
+  def streamJsonl(path: String, options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(options).json(path)
+
+  /** Typed JSONL source. */
+  def streamJsonlAs[T: Encoder](path: String): Stream[T] =
+    new Stream(spark.read.json(path).as[T])
+
   /** Parquet source (reference: src/operator/source/parquet.rs:21). Spark's
     * reader is already parallel + columnar; the reference's single-reader
     * `Replication::One` restriction does not apply. */

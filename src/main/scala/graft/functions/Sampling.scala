@@ -74,6 +74,15 @@ object Sampling {
         (fraction * buckets).toLong)
   }
 
+  /** Deterministic corpus-shuffle key: hash(seed || id). Ordering by it is
+    * a seeded pseudo-random permutation of the corpus — the shuffle step a
+    * training pipeline runs before sharding, so shards stop reflecting
+    * crawl/source locality and become ~IID samples. Rerun-stable for a
+    * fixed seed; change the seed for a fresh permutation. Compose with
+    * [[tokenShards]] via its `orderCol`. */
+  def shuffleKey(id: Column, seed: Long, portable: Boolean = false): Column =
+    bucketHash(concat(lit(s"${seed}_"), id.cast("string")), portable)
+
   /** Domain-mixture sampling: down-sample each stratum to its target keep
     * fraction (Pile/DoReMi-style mixture reweighting, without upsampling) —
     * strata absent from the map keep `default`. Membership is a hash
@@ -116,24 +125,28 @@ object Sampling {
     * corrupt the offsets); the small (id, cost, shard) manifest output is
     * materialized, then the input cache is released. */
   def tokenShards(df: DataFrame, idCol: String, cost: Column, budget: Long,
-      partitions: Option[Int] = None): DataFrame = {
+      partitions: Option[Int] = None, orderCol: Option[Column] = None): DataFrame = {
     require(budget > 0, s"bad budget $budget")
     val spark = df.sparkSession
     import spark.implicits._
     val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
+    // shard order = (orderCol, id): the id tie-break keeps the packing
+    // well-defined when the order key collides (e.g. a hashed shuffleKey);
+    // ids are assumed unique (the manifest's identity)
+    val ord = orderCol.getOrElse(col(idCol).cast("long"))
     val base = df.select(col(idCol).cast("long").as("doc_id"),
-        cost.cast("long").as("cost"))
-      .repartitionByRange(p, col("doc_id"))
-      .sortWithinPartitions("doc_id")
+        ord.cast("long").as("_ord"), cost.cast("long").as("cost"))
+      .repartitionByRange(p, col("_ord"), col("doc_id"))
+      .sortWithinPartitions("_ord", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = base.as[(Long, Long)].rdd
+    val rdd = base.as[(Long, Long, Long)].rdd
     val sums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      var s = 0L; it.foreach(s += _._3); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var run = offsets(i)
-      it.map { case (id, c) => val shard = run / budget; run += c; (id, c, shard) }
+      it.map { case (id, _, c) => val shard = run / budget; run += c; (id, c, shard) }
     }.toDF("doc_id", "cost", "shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()

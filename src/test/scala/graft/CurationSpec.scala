@@ -155,6 +155,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0 && out(3L)._4 == 1)
   }
 
+  test("shuffleKey sharding: permuted, rerun-stable, still a valid packing") {
+    val s = imp; import s._
+    val df = spark.range(200).select(col("id").as("doc_id"), lit(10L).as("cost"))
+    def run(seed: Long) = Sampling.tokenShards(df, "doc_id", col("cost"),
+        budget = 100L, partitions = Some(4),
+        orderCol = Some(Sampling.shuffleKey(col("doc_id"), seed)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = run(42L)
+    assert(run(42L) == a, "same seed must reproduce the same shards")
+    assert(run(7L) != a, "a different seed must permute differently")
+    // uniform costs: every shard holds exactly budget/cost docs
+    assert(a.values.groupBy(identity).values.forall(_.size == 10))
+    // the permutation breaks id-locality: shard 0 is not ids 0..9
+    assert(a.filter(_._2 == 0L).keySet != (0L until 10L).toSet)
+  }
+
   test("normalizeText: case/punct variants collide, whitespace collapses") {
     val s = imp; import s._
     val out = Seq(

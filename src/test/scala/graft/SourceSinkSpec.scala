@@ -42,6 +42,21 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(back == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("jsonl write/read round-trip, typed and untyped") {
+    val s = imp; import s._
+    val dir = tmp() + "/j"
+    ctx.streamIter(Seq((1L, "alpha"), (2L, "beta {\"nested\":1}")))
+      .map { case (id, t) => (id, t) }.writeJsonl(dir)
+    val back = ctx.streamJsonl(dir).selectExpr("CAST(_1 AS BIGINT)", "_2")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, "alpha"), (2L, "beta {\"nested\":1}")))
+    // the on-disk form is one JSON object per line
+    val lines = Files.list(java.nio.file.Path.of(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .flatMap(f => Files.readAllLines(java.nio.file.Path.of(f)).toArray.map(_.toString))
+    assert(lines.length == 2 && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+
   test("text file source (stream_file) splits on lines") {
     val s = imp; import s._
     val f = tmp() + "/t.txt"
