@@ -628,6 +628,41 @@ object Queries {
       |AND date_trunc('day', CAST(a.ts AS TIMESTAMP)) = date_trunc('day', CAST(b.ts AS TIMESTAMP))
       |AND a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin
 
+  /** As-of join (beyond-reference; operators.AsOfJoin): each click matched
+    * to the user's LATEST purchase at-or-before it. Lowered as union + keyed
+    * window — ONE shuffle on the key, per-partition sort, no candidate
+    * blow-up on hot keys (the range-join+argmax lowering is O(L·R) per key).
+    * Right side pre-aggregated to unique (user, ts) so the match is
+    * deterministic; unmatched lefts keep -1 sentinels (left-outer). */
+  def q_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("user_id"), col("us").as("a_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"), col("event_id"))
+      .groupBy(col("user_id"), col("p_us"))
+      .agg(max(col("event_id")).as("p_id"))
+    graft.operators.AsOfJoin
+      .backward(clicks, purchases, Seq("user_id"), "a_us", "p_us")
+      .select(col("a_id"), col("user_id"), col("a_us"),
+        coalesce(col("p_us"), lit(-1L)).as("p_us"),
+        coalesce(col("p_id"), lit(-1L)).as("p_id"),
+        coalesce(col("a_us") - col("p_us"), lit(-1L)).as("lag_us"))
+  }
+
+  private val q_asof_join_sql =
+    """WITH c AS (SELECT event_id AS a_id, user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS a_us
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+      |        max(event_id) AS p_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT a_id, c.user_id AS user_id, a_us,
+      |  coalesce(p_us, -1) AS p_us, coalesce(p_id, -1) AS p_id,
+      |  coalesce(a_us - p_us, -1) AS lag_us
+      |FROM c ASOF LEFT JOIN p
+      |ON c.user_id = p.user_id AND c.a_us >= p.p_us""".stripMargin
+
   // =====================================================================
   // §2.10 iteration (driver-loop fixpoints — graft.operators.Iteration)
   // =====================================================================
@@ -1709,6 +1744,7 @@ object Queries {
     "q_window_first_last" -> (q_window_first_last _),
     "q_interval_join" -> (q_interval_join _),
     "q_window_join" -> (q_window_join _),
+    "q_asof_join" -> (q_asof_join _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -1788,6 +1824,7 @@ object Queries {
     "q_window_first_last" -> q_window_first_last_sql,
     "q_interval_join" -> q_interval_join_sql,
     "q_window_join" -> q_window_join_sql,
+    "q_asof_join" -> q_asof_join_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,
