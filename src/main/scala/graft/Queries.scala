@@ -984,6 +984,81 @@ object Queries {
       |ON s.user_id = p.user_id AND s.d = p.d""".stripMargin
 
   // =====================================================================
+  // Sketches (mergeable distinct-count / frequency summaries)
+  // =====================================================================
+
+  /** KMV distinct-count sketch (functions.Sketches.kmvSketch) of
+    * lineitem.l_orderkey, k=512: the k smallest distinct item hashes plus
+    * the deterministic estimator (k−1)·|H|/h_k. Narrow per-partition
+    * bounded-TreeSet pass, then a ≤P·k-row distinct + TakeOrdered — the
+    * full-column distinct shuffle never happens. The oracle recomputes the
+    * same k hashes and the same estimate arithmetic. */
+  def q_distinct_kmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 512
+    val sk = graft.functions.Sketches.kmvSketch(
+      tbl(s, dir, "lineitem"), col("l_orderkey").cast("string"), k,
+      portable = portableMode)
+    // global stats via a window over the <=512-row sketch (single tiny task)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sk.select(col("h"),
+        max(col("h")).over(w).as("h_k"),
+        count(lit(1)).over(w).as("n_h"))
+      .select(col("h"), col("h_k"), col("n_h"),
+        when(col("n_h") < k, col("n_h").cast("double"))
+          .otherwise(lit((k - 1) *
+              graft.functions.Sketches.hashSpace(portableMode)) /
+            col("h_k").cast("double"))
+          .as("est"))
+  }
+
+  private val q_distinct_kmv_sql =
+    """WITH hs AS (SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |k AS (SELECT h FROM hs ORDER BY h LIMIT 512),
+      |a AS (SELECT max(h) AS h_k, count(*) AS n_h FROM k)
+      |SELECT h, h_k, n_h,
+      |  CASE WHEN n_h < 512 THEN CAST(n_h AS DOUBLE)
+      |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
+      |FROM k, a""".stripMargin
+
+  /** Count-min heavy hitters (functions.Sketches.cmsSketch/cmsEstimate):
+    * word 2-grams of documents with CMS-estimated count ≥ 40 on a 4×2048
+    * grid. The shuffle carries the grid (≤ depth·width rows), never the
+    * items; estimates probe the broadcast sketch. est ≥ true count always;
+    * the oracle recomputes grid and minima bit-for-bit. */
+  def q_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val (depth, width, minCount) = (4, 2048, 40)
+    val grams = tbl(s, dir, "documents")
+      .select(explode(graft.functions.Dedup.shingles(col("text"), 2)).as("gram"))
+    val sk = graft.functions.Sketches.cmsSketch(
+      grams, col("gram"), depth, width, portable = portableMode)
+    graft.functions.Sketches.cmsEstimate(
+        sk, grams.distinct(), col("gram"), depth, width,
+        portable = portableMode)
+      .filter(col("est") >= minCount)
+      .select(col("item").as("gram"), col("est"))
+  }
+
+  private val q_heavy_hitters_sql =
+    """WITH g AS (
+      |  SELECT array_to_string(w[i:i+1], ' ') AS gram
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(range(1, len(w))) AS t(i)),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |sk AS (SELECT r,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 15))::BIGINT % 2048 AS b,
+      |    count(*) AS cnt
+      |  FROM g, rr GROUP BY 1, 2),
+      |probes AS (SELECT d.gram, rr.r,
+      |    ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || d.gram), 1, 15))::BIGINT % 2048 AS b
+      |  FROM (SELECT DISTINCT gram FROM g) d CROSS JOIN rr),
+      |est AS (SELECT p.gram, min(coalesce(sk.cnt, 0)) AS est
+      |  FROM probes p LEFT JOIN sk ON sk.r = p.r AND sk.b = p.b
+      |  GROUP BY 1)
+      |SELECT gram, est FROM est WHERE est >= 40""".stripMargin
+
+  // =====================================================================
   // Training-data pipeline operators (dedup / similarity / text / multimodal)
   // =====================================================================
 
@@ -1745,6 +1820,8 @@ object Queries {
     "q_interval_join" -> (q_interval_join _),
     "q_window_join" -> (q_window_join _),
     "q_asof_join" -> (q_asof_join _),
+    "q_distinct_kmv" -> (q_distinct_kmv _),
+    "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -1825,6 +1902,8 @@ object Queries {
     "q_interval_join" -> q_interval_join_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
+    "q_distinct_kmv" -> q_distinct_kmv_sql,
+    "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Mergeable streaming sketches for cardinality and frequency at corpus
+  * scale — the summaries a 100 TB curation pipeline keeps when exact
+  * distinct/groupBy state would itself be terabytes (distinct URLs seen,
+  * per-token frequencies for quality filtering, heavy-hitter n-grams).
+  *
+  * Beyond the reference surface (renoir ships no sketches; its distinct is
+  * the exact `unique_assoc`, src/operator/mod.rs:951). Both sketches here
+  * are deterministic given the hash mode, so the catalog queries are
+  * hash-checked by the DuckDB oracle in portable mode rather than
+  * rows-only-trusted:
+  *
+  *  - KMV (k-minimum-values, the theta/bottom-k sketch): the k smallest
+  *    distinct hash values. Estimator (k-1)·|H|/h_k. Mergeable by
+  *    union+re-limit — per-shard sketches combine into the corpus sketch
+  *    without re-reading data.
+  *  - Count-min: depth×width counter grid; per-item estimate is the min of
+  *    its depth bucket counts (an upper bound on the true count, exact when
+  *    the item's buckets are collision-free).
+  *
+  * Hash modes follow the dedup family (Dedup.portableHash60 docs): portable
+  * = md5-derived 60-bit (oracle recomputes bit-for-bit), default = xxhash64
+  * (production, faster), identical algorithm either way.
+  */
+object Sketches {
+
+  /** Item hash in [0, space(portable)). `abs(xxhash64)` folds to 63 bits;
+    * the Long.MinValue edge (abs < 0) maps to 0 explicitly. */
+  private def itemHash(c: Column, portable: Boolean): Column =
+    if (portable) Dedup.portableHash60(c)
+    else greatest(abs(xxhash64(c)), lit(0L))
+
+  /** Size of the hash value space, as an exact Double (2^60 and 2^63 are
+    * both representable): the numerator scale of the KMV estimator. */
+  def hashSpace(portable: Boolean): Double =
+    if (portable) math.pow(2, 60) else math.pow(2, 63)
+
+  // =====================================================================
+  // KMV distinct-count sketch
+  // =====================================================================
+
+  /** The KMV sketch of `c`: single column `h` with the k smallest DISTINCT
+    * item hashes, ≤ k rows.
+    *
+    * Scale shape: one narrow pass keeps the k smallest distinct hashes per
+    * partition (bounded TreeSet — no full-column distinct shuffle), then the
+    * ≤ P·k candidates collapse through a tiny distinct + TakeOrdered. The
+    * full hash-distinct of the column (what `approx_count_distinct` avoids
+    * too) never happens. */
+  def kmvSketch(df: DataFrame, c: Column, k: Int,
+      portable: Boolean = false): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashes = df.select(itemHash(c, portable).as("h"))
+      .as[Long](Encoders.scalaLong)
+    val local = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { v =>
+        if (set.size < k) set.add(v)
+        else if (v < set.last) { if (set.add(v)) set.pollLast() }
+      }
+      // fresh collection: the iterator must not outlive the TreeSet mutation
+      scala.collection.JavaConverters.asScalaIterator(set.iterator())
+        .map(_.longValue()).toVector.iterator
+    }(Encoders.scalaLong)
+    local.toDF("h").distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Merge sketches of disjoint (or overlapping — hashes dedup) shards:
+    * union, distinct, keep the k smallest. Associative and idempotent. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).distinct().orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from a sketch produced with parameter `k`:
+    * (k-1)·|H|/h_k, or the exact count when fewer than k distinct hashes
+    * exist (then the sketch IS the distinct set). Driver-side action. */
+  def kmvEstimate(sketch: DataFrame, k: Int,
+      portable: Boolean = false): Double = {
+    val row = sketch.agg(max(col("h")), count(lit(1))).head()
+    val n = row.getLong(1)
+    if (n < k) n.toDouble
+    else (k - 1).toDouble * hashSpace(portable) / row.getLong(0).toDouble
+  }
+
+  // =====================================================================
+  // Count-min frequency sketch
+  // =====================================================================
+
+  /** Bucket of item `c` in sketch row `r`: hash of "r:item" mod width —
+    * depth independent hash functions from one base hash, identical
+    * literals on the oracle side. */
+  def cmsBucket(c: Column, r: Int, width: Int, portable: Boolean): Column =
+    pmod(itemHash(concat(lit(s"$r:"), c), portable), lit(width.toLong))
+
+  /** The count-min sketch of `c`: rows `(r, b, cnt)` for the non-empty
+    * buckets of a depth×width grid. One explode (depth rows per item) + one
+    * groupBy of at most depth·width groups — the shuffle carries the GRID,
+    * not the items. Mergeable by summing cnt on (r, b). */
+  def cmsSketch(df: DataFrame, c: Column, depth: Int, width: Int,
+      portable: Boolean = false): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
+    val rbs = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(c, r, width, portable).as("b")))
+    df.select(explode(array(rbs: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two CMS sketches of the same shape: grid-cell-wise sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Frequency estimates for `items` (any DataFrame with the probe values in
+    * `c`): min over the depth rows of the item's bucket counts. The sketch
+    * (≤ depth·width rows) broadcasts; the probe side stays narrow until the
+    * final per-item min — estimating any candidate set never re-touches the
+    * corpus. Upper bound: est >= true count, exact without collisions. */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, c: Column,
+      depth: Int, width: Int, portable: Boolean = false): DataFrame = {
+    val rbs = (0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(c, r, width, portable).as("b")))
+    items.select(c.as("item"), explode(array(rbs: _*)).as("rb"))
+      .select(col("item"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(col("item"))
+      // a missing grid cell means nothing ever hashed there → count 0
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Candidate heavy hitters by a per-partition Misra-Gries pass: `m`
+    * counters per partition, NARROW (no shuffle, bounded memory). Guarantee:
+    * any item with global count > n/m survives in at least one partition's
+    * output, so the union is a superset of the true heavy hitters — probe it
+    * with [[cmsEstimate]] for the counts. Candidate content depends on the
+    * physical partitioning (that is the deal with MG); the guarantee doesn't. */
+  def misraGriesCandidates(df: DataFrame, c: Column, m: Int): DataFrame = {
+    require(m >= 1, s"need at least one counter, got $m")
+    val items = df.select(c.cast("string").as("item"))
+      .as[String](Encoders.STRING)
+    items.mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long]()
+      it.foreach { v =>
+        if (counts.containsKey(v)) counts.put(v, counts.get(v) + 1L)
+        else if (counts.size < m) counts.put(v, 1L)
+        else {
+          // decrement-all step; drop zeros
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+          }
+        }
+      }
+      scala.collection.JavaConverters
+        .asScalaIterator(counts.keySet().iterator()).toVector.iterator
+    }(Encoders.STRING).toDF("item").distinct()
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.Sketches
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch invariants: KMV exactness below k, estimator accuracy, exact
+  * mergeability; CMS upper-bound + exactness without collisions, grid-wise
+  * merge; Misra-Gries superset guarantee; and the narrow plan shapes. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def strs(xs: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    xs.toDF("v")
+  }
+
+  test("KMV with fewer distincts than k IS the distinct hash set; estimate exact") {
+    val df = strs((1 to 100).map(i => s"item${i % 20}")) // 20 distinct
+    val sk = Sketches.kmvSketch(df, col("v"), k = 64)
+    assert(sk.count() == 20)
+    assert(Sketches.kmvEstimate(sk, 64) == 20.0)
+  }
+
+  test("KMV estimate lands near the true cardinality at n >> k") {
+    val df = strs((1 to 20000).map(i => s"u$i"))
+    val k = 256
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(df, col("v"), k), k)
+    // deterministic given the hash; expected rel-err ~ 1/sqrt(k) ≈ 6%
+    assert(math.abs(est - 20000) / 20000 < 0.2, s"est=$est")
+  }
+
+  test("KMV merge of shard sketches equals the sketch of the union") {
+    val a = strs((1 to 5000).map(i => s"u$i"))
+    val b = strs((2500 to 7500).map(i => s"u$i")) // overlapping shards
+    val k = 128
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(a, col("v"), k), Sketches.kmvSketch(b, col("v"), k), k)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Sketches.kmvSketch(a.unionByName(b), col("v"), k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == direct)
+  }
+
+  test("KMV portable mode matches the md5-derived hash definition") {
+    val sk = Sketches.kmvSketch(strs(Seq("x")), col("v"), 8, portable = true)
+    val h = sk.collect().map(_.getLong(0)).toSeq
+    val expect = strs(Seq("x"))
+      .select(conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long"))
+      .head().getLong(0)
+    assert(h == Seq(expect))
+  }
+
+  test("CMS estimates dominate true counts and are exact without collisions") {
+    val data = (1 to 1000).flatMap(i => Seq.fill(i % 7 + 1)(s"w${i % 50}"))
+    val df = strs(data)
+    val exact = data.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val sk = Sketches.cmsSketch(df, col("v"), depth = 4, width = 4096)
+    val est = Sketches.cmsEstimate(sk, df.distinct(), col("v"), 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"$w: est ${est(w)} < true $n")
+    }
+    // 50 items in a 4x4096 grid: all four rows colliding is (50/4096)^4-rare;
+    // with this fixed data+hash the estimates are exactly the counts
+    assert(exact.forall { case (w, n) => est(w) == n })
+  }
+
+  test("CMS merge equals the sketch of the union (grid-cell sums)") {
+    val a = strs((1 to 400).map(i => s"w${i % 30}"))
+    val b = strs((1 to 600).map(i => s"w${i % 45}"))
+    val m = Sketches.cmsMerge(
+      Sketches.cmsSketch(a, col("v"), 4, 512),
+      Sketches.cmsSketch(b, col("v"), 4, 512))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val direct = Sketches.cmsSketch(a.unionByName(b), col("v"), 4, 512)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(m == direct)
+  }
+
+  test("Misra-Gries candidates contain every item with count > n/m") {
+    // 10k rows: 'hot' appears 4000 times, the rest spread thin
+    val data = Seq.fill(4000)("hot") ++ (1 to 6000).map(i => s"cold${i % 600}")
+    val df = strs(scala.util.Random.shuffle(data)).repartition(4)
+    val m = 20 // guarantee: survives if count > 10000/20 = 500
+    val cands = Sketches.misraGriesCandidates(df, col("v"), m)
+      .collect().map(_.getString(0)).toSet
+    assert(cands.contains("hot"))
+    // probing candidates with CMS recovers the true hot count (upper bound)
+    val sk = Sketches.cmsSketch(df, col("v"), 4, 8192)
+    val est = Sketches.cmsEstimate(sk,
+        Sketches.misraGriesCandidates(df, col("v"), m), col("item"), 4, 8192)
+      .filter(col("est") >= 4000).collect()
+    assert(est.map(_.getString(0)).contains("hot"))
+  }
+
+  test("plan shapes: KMV local pass is narrow; CMS shuffle carries the grid") {
+    val df = strs((1 to 100).map(_.toString))
+    val kmvPlan = Sketches.kmvSketch(df, col("v"), 16)
+      .queryExecution.executedPlan.toString
+    // the bounded per-partition pass sits below the (tiny) candidate
+    // distinct: the raw column reaches it narrowly, no exchange in between
+    val mpIdx = kmvPlan.indexOf("MapPartitions")
+    assert(mpIdx >= 0, s"KMV lost its narrow local pass:\n$kmvPlan")
+    assert(!kmvPlan.substring(mpIdx).contains("Exchange"),
+      s"KMV shuffles below the local pass:\n$kmvPlan")
+    val cmsPlan = Sketches.cmsSketch(df, col("v"), 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(cmsPlan.contains("partial"), // map-side partial agg of grid cells
+      s"CMS must partial-aggregate grid cells map-side:\n$cmsPlan")
+  }
+}
