@@ -79,7 +79,7 @@ object Bench {
     val portables = Seq(
       "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_embedding_neardup",
       "q_dedup_incremental", "q_semantic_dedup", "q_distinct_kmv",
-      "q_heavy_hitters")
+      "q_heavy_hitters", "q_dup_spans")
       .filter(n => selected(n + "_portable"))
     val results = results0 ++ portables.map(n =>
       time(n + "_portable", SparkEntry.queries(n)))

@@ -983,6 +983,30 @@ object Queries {
       |      FROM events WHERE event_type = 'purchase') p
       |ON s.user_id = p.user_id AND s.d = p.d""".stripMargin
 
+  /** Repeated-span profile (Dedup.dupSpanProfile): per document, the
+    * fraction of its word 5-gram occurrences shared with at least one other
+    * document — the sub-document dedup signal doc-level methods miss. The
+    * oracle recomputes the gram hashes, the cross-doc gram set
+    * (min≠max doc), and the per-doc fractions. */
+  def q_dup_spans(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.dupSpanProfile(tbl(s, dir, "documents"),
+      "doc_id", "text", n = 5, portable = portableMode)
+
+  private val q_dup_spans_sql =
+    """WITH sh AS (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(range(1, len(w) - 3)) AS t(i)),
+      |hv AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM sh),
+      |dg AS (SELECT gh FROM hv GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+      |pd AS (SELECT h.doc_id, count(*) AS n_grams, count(dg.gh) AS n_dup_grams
+      |       FROM hv h LEFT JOIN dg ON h.gh = dg.gh GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+      |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+      |  CASE WHEN n_grams IS NULL THEN 0.0
+      |       ELSE CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_frac
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+
   // =====================================================================
   // Sketches (mergeable distinct-count / frequency summaries)
   // =====================================================================
@@ -1822,6 +1846,7 @@ object Queries {
     "q_asof_join" -> (q_asof_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
+    "q_dup_spans" -> (q_dup_spans _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -1904,6 +1929,7 @@ object Queries {
     "q_asof_join" -> q_asof_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
+    "q_dup_spans" -> q_dup_spans_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,

@@ -553,6 +553,48 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("_text_clean"), lit("")).as("text"))
   }
 
+  /** Repeated-span profile — the sub-document dedup signal (ExactSubstr
+    * approximated at word-n-gram granularity): for each document, the
+    * fraction of its word `n`-gram occurrences whose gram also appears in at
+    * least one OTHER document. Doc-level dedup (exact/minhash) misses
+    * partially-copied text — boilerplate headers, quoted paragraphs,
+    * syndicated passages; a high `dup_frac` on a doc no pairwise method
+    * flagged is exactly the "stitched from copied spans" case.
+    *
+    * Returns every input id: (doc_id, n_grams, n_dup_grams, dup_frac);
+    * docs with < n words profile as (0, 0, 0.0).
+    *
+    * 100 TB shape: grams travel as 8-byte hashes, never strings (hash
+    * collisions conservatively over-mark — fine for a filter signal, and in
+    * portable mode the oracle recomputes the identical md5-derived hashes).
+    * Cross-doc grams are detected with min(doc)≠max(doc) — two cheap aggs,
+    * no count-distinct state. One gram-hash shuffle, one hash-keyed join
+    * back, one doc-keyed collapse: all linear in token count. */
+  def dupSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, portable: Boolean = false): DataFrame = {
+    val h: Column => Column =
+      if (portable) portableHash60 else (c: Column) => xxhash64(c)
+    val grams = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), h(col("gram")).as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"), lit(1).as("dup"))
+    val perDoc = grams.join(dup, Seq("gh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("dup")).as("n_dup_grams"))
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") /
+            col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** Incremental EXACT dedup of a new increment against a stored digest
     * history, Bloom-prefiltered. Returns the increment's new-content rows
     * (digest, keep_id, n_copies): within-increment dups collapsed to the

@@ -439,4 +439,39 @@ class NearDupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L))
   }
+
+  test("dupSpanProfile: cross-doc span fractions, within-doc repeats exempt") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),              // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e g"),              // shares "a b c d e" with doc 1
+      (3L, "x y"),                      // < 5 words → no grams
+      (4L, "p q r s t p q r s t")       // "p q r s t" repeats WITHIN the doc
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val got = Dedup.dupSpanProfile(corpus, "doc_id", "text", n = 5,
+          portable = portable)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, 2L, 1L, 0.5),   // 1 of 2 grams shared with doc 2
+        (2L, 2L, 1L, 0.5),
+        (3L, 0L, 0L, 0.0),   // short doc: profiled, nothing counted
+        (4L, 6L, 0L, 0.0)),  // within-doc repetition is NOT cross-doc dup
+        s"portable=$portable")
+    }
+  }
+
+  test("dupSpanProfile: exact duplicates profile as fully duplicated") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"),
+      (3L, "eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanProfile(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 1.0), (3L, 0.0)))
+  }
 }
