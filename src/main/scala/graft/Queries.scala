@@ -983,6 +983,46 @@ object Queries {
       |      FROM events WHERE event_type = 'purchase') p
       |ON s.user_id = p.user_id AND s.d = p.d""".stripMargin
 
+  /** TF-IDF top terms (TextAnalysis.tfidfTopTerms): per-doc top-3 keywords,
+    * tf·ln(N/df) rounded to 6 dp on both engines, ties broken (score desc,
+    * term asc). Document frequencies broadcast back onto the tf table. */
+  def q_tfidf(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"),
+      "doc_id", "text", k = 3)
+
+  private val q_tfidf_sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |t AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      |      GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS dfc FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |s AS (SELECT t.doc_id, t.term, t.tf,
+      |        round(t.tf * ln(CAST(nd AS DOUBLE) / CAST(dfc AS DOUBLE)), 6) AS score
+      |      FROM t JOIN dfq USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM s)
+      |SELECT doc_id, term, tf, score FROM r WHERE rn <= 3""".stripMargin
+
+  /** Exact grouped quantiles: interpolated p50/p95 per return flag — Spark
+    * `percentile` ≡ DuckDB `quantile_cont` (both sort-exact, linearly
+    * interpolated; 6-dp rounding absorbs the interpolation-arithmetic
+    * difference). At scale the per-group sort is the cost — for sketched
+    * quantiles use `percentile_approx` (same call shape, mergeable). */
+  def q_group_quantiles(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"))
+
+  private val q_group_quantiles_sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS q50
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Repeated-span profile (Dedup.dupSpanProfile): per document, the
     * fraction of its word 5-gram occurrences shared with at least one other
     * document — the sub-document dedup signal doc-level methods miss. The
@@ -1847,6 +1887,8 @@ object Queries {
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
+    "q_tfidf" -> (q_tfidf _),
+    "q_group_quantiles" -> (q_group_quantiles _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -1930,6 +1972,8 @@ object Queries {
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
+    "q_tfidf" -> q_tfidf_sql,
+    "q_group_quantiles" -> q_group_quantiles_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,

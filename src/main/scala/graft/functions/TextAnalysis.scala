@@ -115,6 +115,40 @@ object TextAnalysis {
   }
 
   /** Full per-document profile in one narrow pass. */
+  /** Per-document top-`k` terms by TF-IDF — the classic per-doc keyword
+    * signal (topical fingerprinting, near-dup triage, corpus drift
+    * monitoring). Splits on single spaces (the corpus convention of the
+    * dedup family, NOT the `\s+` of [[words]] — the oracle recomputes the
+    * same tokens), scores tf · ln(N/df), rounds to `dp` decimals for
+    * cross-engine determinism, and tie-breaks (score desc, term asc).
+    *
+    * 100 TB shape: one (doc, term) shuffle for tf; document frequencies
+    * aggregate from the tf table (vocabulary-sized, Zipf-bounded) and come
+    * back as a BROADCAST join — corpus rows never shuffle on the term
+    * again; the final top-k is a per-doc window over the tf table.
+    *
+    * `nDocs` is the precomputed document count (one cheap driver count). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, dp: Int = 6): DataFrame = {
+    val nDocs = df.count()
+    val tok = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is unique per (doc, term): df(term) = row count per term
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("dfc").cast("double")),
+          dp))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol),

@@ -232,4 +232,28 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(big == Map(1L -> 0L, 2L -> 3L))
   }
+
+  test("tfidfTopTerms: closed-form scores, rare terms outrank common ones") {
+    val s = imp; import s._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    def sc(tf: Long, dfc: Long): Double =
+      BigDecimal.valueOf(tf * math.log(3.0 / dfc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.functions.TextAnalysis
+      .tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, -t._4, t._2)).toSeq
+    assert(got == Seq(
+      (1L, "apple", 2L, sc(2, 1)),   // rare + frequent-in-doc wins
+      (1L, "banana", 1L, sc(1, 2)),
+      (2L, "banana", 1L, sc(1, 2)),  // tie with cherry → term asc
+      (2L, "cherry", 1L, sc(1, 2)),
+      (3L, "cherry", 3L, sc(3, 2)),
+      (3L, "date", 1L, sc(1, 1))))
+  }
 }
