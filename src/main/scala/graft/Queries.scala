@@ -64,6 +64,28 @@ object Queries {
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Grouping sets (additive beyond the reference — SURVEY §2.5 notes
+    * renoir has no cube/rollup): CUBE over (returnflag, linestatus) with
+    * decimal-exact sums; NULL grouping slots surfaced as 'ALL' so the
+    * column is hash-comparable. One shuffle — Spark expands grouping sets
+    * map-side (Expand), the aggregate stays partial+final. */
+  def q_cube(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+
+  private val q_cube_sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** group_by_count (src/operator/mod.rs:1594). */
   def q_group_count(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders").groupBy(col("o_orderpriority"))
@@ -1889,6 +1911,7 @@ object Queries {
     "q_dup_spans" -> (q_dup_spans _),
     "q_tfidf" -> (q_tfidf _),
     "q_group_quantiles" -> (q_group_quantiles _),
+    "q_cube" -> (q_cube _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -1974,6 +1997,7 @@ object Queries {
     "q_dup_spans" -> q_dup_spans_sql,
     "q_tfidf" -> q_tfidf_sql,
     "q_group_quantiles" -> q_group_quantiles_sql,
+    "q_cube" -> q_cube_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,

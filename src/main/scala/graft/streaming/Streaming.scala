@@ -361,6 +361,68 @@ object Streaming {
       }
   }
 
+  /** Keyed state for [[asofJoinStream]]: right rows seen so far, as a
+    * (ts-ascending) sorted vector, trimmed to the newest `keepRights`. */
+  final case class AsOfStreamState[R](rights: Seq[(Long, R)])
+
+  /** Streaming as-of join — the enrichment twin of
+    * [[graft.operators.AsOfJoin.backward]]: each left event is matched to
+    * the latest right row on its key with `right.ts <= left.ts`, among the
+    * rights that have ARRIVED so far (the stream cannot wait for rights it
+    * has not seen — at-arrival semantics, the standard "enrich events with
+    * the latest dimension state" shape). Within a micro-batch, rows process
+    * in event-time order with rights-before-lefts at ties, so a batch whose
+    * arrival respects event order reproduces the batch operator exactly;
+    * a right arriving AFTER a left it would have matched does not
+    * retro-emit (StreamingSpec pins both sides of this divergence).
+    *
+    * Emits `(key, left_ts, left, Option[right], Option[right_ts])` —
+    * unmatched lefts emit immediately with None (left-outer, append mode).
+    *
+    * State per key is the right-row history, sorted for binary search;
+    * `keepRights` bounds it (oldest trimmed) — keepRights=1 is the pure
+    * latest-state enrichment mode, correct when lefts never arrive
+    * event-time-earlier than the newest right. */
+  def asofJoinStream[K, L, R](lefts: Dataset[(K, Long, L)],
+      rights: Dataset[(K, Long, R)], keepRights: Int = Int.MaxValue)(
+      implicit ek: Encoder[K], es: Encoder[AsOfStreamState[R]],
+      eu: Encoder[(K, Long, Option[L], Option[R])],
+      eo: Encoder[(K, Long, L, Option[R], Option[Long])])
+      : Dataset[(K, Long, L, Option[R], Option[Long])] = {
+    require(keepRights >= 1, s"keepRights must be >= 1, got $keepRights")
+    val tagged = lefts
+      .map { case (k, t, l) => (k, t, Option(l), Option.empty[R]) }
+      .unionByName(rights
+        .map { case (k, t, r) => (k, t, Option.empty[L], Option(r)) })
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfStreamState[R], (K, Long, L, Option[R], Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, Long, Option[L], Option[R])],
+         state: GroupState[AsOfStreamState[R]]) =>
+          var hist = state.getOption.map(_.rights.toVector)
+            .getOrElse(Vector.empty[(Long, R)])
+          // event-time order within the batch; rights first at equal ts so
+          // an equal-ts right is visible to its left (inclusive match)
+          val batch = rows.toVector.sortBy(t => (t._2, t._3.isDefined))
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(K, Long, L, Option[R], Option[Long])]
+          batch.foreach {
+            case (_, rts, None, Some(r)) =>
+              // insert keeping ts order (late rights land mid-vector)
+              val i = hist.lastIndexWhere(_._1 <= rts) + 1
+              hist = (hist.take(i) :+ (rts, r)) ++ hist.drop(i)
+              if (hist.size > keepRights) hist = hist.drop(hist.size - keepRights)
+            case (_, lts, Some(l), None) =>
+              val i = hist.lastIndexWhere(_._1 <= lts)
+              if (i < 0) out += ((key, lts, l, None, None))
+              else out += ((key, lts, l, Some(hist(i)._2), Some(hist(i)._1)))
+            case _ => () // unreachable: every tagged row is left xor right
+          }
+          state.update(AsOfStreamState(hist))
+          out.iterator
+      }
+  }
+
   /** Streaming TransactionWindow (reference descr/transaction.rs — the
     * NEXMark q4 auction-close shape): per-key single active window driven by
     * a user signal; CommitAfter arms an event-time timer (processing

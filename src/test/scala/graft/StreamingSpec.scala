@@ -387,4 +387,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.head._2 == s"$good mail me at <EMAIL>")
     } finally q.stop()
   }
+
+  test("streaming as-of join: batch-equivalent in order, at-arrival for late rights") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val quotes = MemoryStream[(String, Long, Double)] // key, ts, px
+    val trades = MemoryStream[(String, Long, Int)]    // key, ts, tid
+    val joined = Streaming.asofJoinStream(
+      trades.toDS.map(t => (t._1, t._2, t._3)),
+      quotes.toDS.map(q => (q._1, q._2, q._3)))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("asof").start()
+    def rowsNow: Set[(Int, Option[Long])] =
+      spark.table("asof").as[(String, Long, Int, Option[Double], Option[Long])]
+        .collect().map(r => (r._3, r._5)).toSet
+    try {
+      // batch 1: rights and lefts together, interleaved event times —
+      // within-batch event-time ordering must reproduce the batch operator:
+      // trade 1 @15 sees quote @10; trade 2 @20 sees the EQUAL-ts quote @20
+      quotes.addData(("a", 10L, 1.0), ("a", 20L, 2.0))
+      trades.addData(("a", 15L, 1), ("a", 20L, 2), ("a", 5L, 3))
+      q.processAllAvailable()
+      assert(rowsNow == Set((1, Some(10L)), (2, Some(20L)), (3, None)))
+      // batch 2: a late-arriving right BEHIND trade 1's event time does NOT
+      // retro-emit (at-arrival divergence from batch, pinned)...
+      quotes.addData(("a", 12L, 9.9))
+      q.processAllAvailable()
+      assert(rowsNow == Set((1, Some(10L)), (2, Some(20L)), (3, None)))
+      // ...but a LATER left consults the full (re-sorted) right history:
+      // trade @13 matches the late quote @12, not @10 or @20
+      trades.addData(("a", 13L, 4))
+      q.processAllAvailable()
+      assert(rowsNow ==
+        Set((1, Some(10L)), (2, Some(20L)), (3, None), (4, Some(12L))))
+      // unseen key stays left-outer
+      trades.addData(("zzz", 99L, 5))
+      q.processAllAvailable()
+      assert(rowsNow.contains((5, None)))
+    } finally q.stop()
+  }
+
+  test("streaming as-of join: keepRights=1 is latest-state enrichment") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val quotes = MemoryStream[(String, Long, Double)]
+    val trades = MemoryStream[(String, Long, Int)]
+    val joined = Streaming.asofJoinStream(
+      trades.toDS.map(identity(_)), quotes.toDS.map(identity(_)),
+      keepRights = 1)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("asof1").start()
+    try {
+      quotes.addData(("a", 10L, 1.0), ("a", 20L, 2.0)) // only @20 retained
+      q.processAllAvailable()
+      trades.addData(("a", 25L, 1), ("a", 15L, 2))
+      q.processAllAvailable()
+      val got = spark.table("asof1")
+        .as[(String, Long, Int, Option[Double], Option[Long])]
+        .collect().map(r => (r._3, r._5)).toSet
+      // trade @25 matches the retained @20; trade @15 finds NOTHING — the
+      // @10 quote was trimmed (the documented keepRights=1 contract)
+      assert(got == Set((1, Some(20L)), (2, None)))
+    } finally q.stop()
+  }
 }
