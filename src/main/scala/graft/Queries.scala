@@ -1026,6 +1026,39 @@ object Queries {
       |        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM s)
       |SELECT doc_id, term, tf, score FROM r WHERE rn <= 3""".stripMargin
 
+  /** BM25 retrieval (TextAnalysis.bm25TopDocs): top-20 docs for the query
+    * {dup, spark, vector} (one rare + two common terms exercises the idf
+    * spread). Every floating-point step is order-pinned — integer-exact
+    * avgLen, per-term parts folded in term-lexicographic order, 6-dp
+    * rounding — so the oracle reproduces the scores bit-for-bit. */
+  def q_bm25(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.bm25TopDocs(tbl(s, dir, "documents"),
+      "doc_id", "text", Seq("dup", "spark", "vector"), k = 20)
+
+  private val q_bm25_sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |lens AS (SELECT doc_id, len(list_filter(w, x -> x <> '')) AS len FROM d),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+      |         CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+      |       FROM lens),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+      |t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |      WHERE term IN ('dup', 'spark', 'vector') GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM t GROUP BY 1),
+      |p AS (SELECT t.doc_id, t.term,
+      |        ln(1.0 + (st.nd - dfq.dfc + 0.5) / (dfq.dfc + 0.5)) *
+      |        (CAST(t.tf AS DOUBLE) * 2.2) /
+      |        (CAST(t.tf AS DOUBLE) +
+      |         1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) / st.avglen)) AS part
+      |      FROM t JOIN dfq USING (term) JOIN lens USING (doc_id) CROSS JOIN st),
+      |sc AS (SELECT doc_id,
+      |        round(coalesce(max(CASE WHEN term = 'dup' THEN part END), 0.0)
+      |            + coalesce(max(CASE WHEN term = 'spark' THEN part END), 0.0)
+      |            + coalesce(max(CASE WHEN term = 'vector' THEN part END), 0.0),
+      |          6) AS score
+      |       FROM p GROUP BY 1)
+      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Exact grouped quantiles: interpolated p50/p95 per return flag — Spark
     * `percentile` ≡ DuckDB `quantile_cont` (both sort-exact, linearly
     * interpolated; 6-dp rounding absorbs the interpolation-arithmetic
@@ -1912,6 +1945,7 @@ object Queries {
     "q_tfidf" -> (q_tfidf _),
     "q_group_quantiles" -> (q_group_quantiles _),
     "q_cube" -> (q_cube _),
+    "q_bm25" -> (q_bm25 _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -1998,6 +2032,7 @@ object Queries {
     "q_tfidf" -> q_tfidf_sql,
     "q_group_quantiles" -> q_group_quantiles_sql,
     "q_cube" -> q_cube_sql,
+    "q_bm25" -> q_bm25_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,

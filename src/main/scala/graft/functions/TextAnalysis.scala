@@ -149,6 +149,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("score"))
   }
 
+  /** BM25 top-`k` documents for a bag of query terms — the retrieval
+    * scoring complement of [[tfidfTopTerms]] (corpus search, relevance
+    * filtering, query-based subset extraction). Okapi BM25 with the
+    * Robertson-Sparck-Jones idf, `+1`-smoothed Lucene-style so idf stays
+    * positive: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); score(d) =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgLen)). Scores
+    * round to `dp` decimals; ties break by doc id.
+    *
+    * 100 TB shape: the corpus is touched by exactly one narrow pass (token
+    * explode filtered to the query terms + per-doc length) and one
+    * (doc)-keyed aggregation of the few surviving rows; N, avgLen and the
+    * per-term dfs are two tiny driver actions over that filtered table. The
+    * final top-k is a TakeOrdered, not a full sort. */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+      dp: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    // integer lengths: their sum is exact, so avgLen (and every score
+    // derived from it) is partitioning- and engine-independent
+    val lens = docs.select(col("doc_id"),
+      size(filter(col("w"), x => x =!= "")).cast("long").as("len"))
+    val statsRow = lens.agg(count(lit(1)), sum(col("len"))).head()
+    val n = statsRow.getLong(0)
+    val avgLen = statsRow.getLong(1).toDouble / n.toDouble
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("dfc").cast("double") + lit(0.5)) /
+        (col("dfc").cast("double") + lit(0.5)))
+    val scored = tf.join(broadcast(dfc.withColumn("idf", idf)), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("part",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("len").cast("double") / lit(avgLen))))
+      .groupBy(col("doc_id"))
+      // FP addition is order-sensitive: fold the per-term parts in
+      // term-lexicographic order so the score is partitioning-independent
+      // and bit-identical to an oracle summing in the same order
+      .agg(sort_array(collect_list(struct(col("term"), col("part"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("part")), dp).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol),

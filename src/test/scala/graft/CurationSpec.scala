@@ -256,4 +256,22 @@ class CurationSpec extends AnyFunSuite {
       (3L, "cherry", 3L, sc(3, 2)),
       (3L, "date", 1L, sc(1, 1))))
   }
+
+  test("bm25TopDocs: rare-term docs outrank common-term docs; tf monotone") {
+    val s = imp; import s._
+    val docs = Seq(
+      (1L, "rare common alpha beta"),       // rare once (df 2) + common
+      (2L, "rare rare common alpha"),       // rare twice → ranks first
+      (3L, "common common common alpha"),   // only the ubiquitous term
+      (4L, "common alpha beta gamma"),      // ditto, tf 1 → ranks last
+      (5L, "alpha beta gamma delta")        // no query terms → no row
+    ).toDF("doc_id", "text")
+    // 'common' in 4/5 docs (low idf), 'rare' in 2/5 (high idf)
+    val got = graft.functions.TextAnalysis
+      .bm25TopDocs(docs, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == Seq(2L, 1L, 3L, 4L),
+      s"expected rare-tf2 > rare-tf1 > common-tf3 > common-tf1, got $got")
+    assert(got.forall(_._2 > 0.0))
+  }
 }
