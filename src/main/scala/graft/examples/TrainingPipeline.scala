@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
 object TrainingPipeline {
 
   final case class Stats(total: Long, qualityGated: Long, exactDeduped: Long,
-      nearDeduped: Long, decontaminated: Long, langs: Map[String, Long],
-      shards: Long, annResults: Long)
+      nearDeduped: Long, spanGated: Long, decontaminated: Long,
+      langs: Map[String, Long], shards: Long, annResults: Long)
 
   def run(spark: SparkSession, sfDir: String): Stats = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -50,16 +50,31 @@ object TrainingPipeline {
     val nClean = cleaned.count()
     pairs.unpersist(); gated.unpersist(); keepExact.unpersist()
 
+    // 3b. sub-document span gate: the near-dup CLUSTER stage removes whole
+    // duplicate documents; what survives can still be stitched from copied
+    // spans (quoted passages, shared boilerplate). Profile the CLEANED set
+    // (so spans of already-removed docs don't count) and drop heavy
+    // partial copies — the Dolma/RefinedWeb-style fraction gate.
+    val spanProfile = Dedup.dupSpanProfile(
+      cleaned.select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id"),
+      "doc_id", "text", n = 5)
+    val spanKeepIds = spanProfile.filter(col("dup_frac") < 0.6)
+      .select(col("doc_id"))
+    val spanGatedDf = cleaned.join(spanKeepIds, Seq("doc_id")).persist()
+    val nSpan = spanGatedDf.count()
+    cleaned.unpersist()
+
     // 4. benchmark decontamination: drop training docs sharing 3-grams with
     // the held-out slice (deterministic stand-in for a real benchmark set)
-    val withText = cleaned.select(col("doc_id"), col("lang_guess"),
+    val withText = spanGatedDf.select(col("doc_id"), col("lang_guess"),
         col("n_tokens"))
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
     val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
     val decon = Dedup.decontaminate(withText, bench, "doc_id", "text",
       n = 3, minHits = 1).persist()
     val nDecon = decon.count()
-    cleaned.unpersist()
+    spanGatedDf.unpersist()
 
     // 5. corpus stats for the final set
     val langs = decon.groupBy(col("lang_guess"))
@@ -80,7 +95,7 @@ object TrainingPipeline {
     val nAnn = ann.count()
     decon.unpersist()
 
-    Stats(total, nGated, nExact, nClean, nDecon, langs, nShards, nAnn)
+    Stats(total, nGated, nExact, nClean, nSpan, nDecon, langs, nShards, nAnn)
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,7 +105,8 @@ object TrainingPipeline {
     val s = run(spark, sfDir)
     println(s"TOTAL=${s.total} QUALITY_GATED=${s.qualityGated} " +
       s"EXACT_DEDUPED=${s.exactDeduped} NEAR_DEDUPED=${s.nearDeduped} " +
-      s"DECONTAMINATED=${s.decontaminated} SHARDS=${s.shards}")
+      s"SPAN_GATED=${s.spanGated} DECONTAMINATED=${s.decontaminated} " +
+      s"SHARDS=${s.shards}")
     s.langs.toSeq.sortBy(-_._2).foreach { case (l, n) => println(s"LANG\t$l\t$n") }
     println(s"ANN_RESULTS=${s.annResults}")
     spark.stop()

@@ -130,6 +130,27 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // =====================================================================
+  // Built-in mergeable sketches, surfaced for API completeness
+  // =====================================================================
+
+  /** HyperLogLog++ distinct count (Spark built-in, mergeable, `rsd`
+    * relative standard deviation). Use over [[kmvSketch]] when only the
+    * NUMBER is needed and no cross-engine recomputation is required —
+    * HLL++ state is opaque, KMV state is portable rows. */
+  def hllDistinct(df: DataFrame, c: Column, rsd: Double = 0.05): Long =
+    df.agg(approx_count_distinct(c, rsd)).head().getLong(0)
+
+  /** Mergeable approximate quantiles (Spark's built-in Greenwald-Khanna
+    * `percentile_approx`): the 100 TB substitute for the exact per-group
+    * sort of `percentile` — same call shape, bounded state. */
+  def approxQuantiles(df: DataFrame, c: Column, probs: Seq[Double],
+      accuracy: Int = 10000, groupBy: Seq[Column] = Nil): DataFrame = {
+    val agg = percentile_approx(c,
+      array(probs.map(lit): _*), lit(accuracy)).as("quantiles")
+    if (groupBy.isEmpty) df.agg(agg) else df.groupBy(groupBy: _*).agg(agg)
+  }
+
   /** Candidate heavy hitters by a per-partition Misra-Gries pass: `m`
     * counters per partition, NARROW (no shuffle, bounded memory). Guarantee:
     * any item with global count > n/m survives in at least one partition's

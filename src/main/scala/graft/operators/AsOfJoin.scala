@@ -66,6 +66,10 @@ object AsOfJoin {
       leftTs: String, rightTs: String, tolerance: Option[Column],
       tieBreak: Seq[String], forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val reserved = Seq("__ts", "__src", "__r", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${clash.distinct.mkString(",")}")
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     require(rPayload.contains(rightTs), s"right side must carry $rightTs")
     val lCols = left.columns.toSeq

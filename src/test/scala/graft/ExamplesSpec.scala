@@ -77,7 +77,9 @@ class ExamplesSpec extends AnyFunSuite {
     assert(s.nearDeduped > 0, "pipeline must not drop everything")
     // the corpus has planted near-dups → the near-dup stage removes some
     assert(s.nearDeduped < s.exactDeduped, "planted near-dups should be dropped")
-    assert(s.decontaminated <= s.nearDeduped)
+    assert(s.spanGated <= s.nearDeduped)
+    assert(s.spanGated > 0, "span gate must not drop everything")
+    assert(s.decontaminated <= s.spanGated)
     assert(s.decontaminated > 0, "decontamination must not drop everything")
     assert(s.langs.values.sum == s.decontaminated, "language histogram covers the final set")
     assert(s.shards > 0)

@@ -100,6 +100,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(est.map(_.getString(0)).contains("hot"))
   }
 
+  test("hllDistinct and approxQuantiles land within tolerance of exact") {
+    val df = strs((1 to 10000).map(i => s"u$i"))
+    val hll = Sketches.hllDistinct(df, col("v"), rsd = 0.02)
+    assert(math.abs(hll - 10000) / 10000.0 < 0.1, s"hll=$hll")
+    val s = spark
+    import s.implicits._
+    val nums = (1 to 1001).map(_.toDouble).toDF("x")
+    val qs = Sketches.approxQuantiles(nums, col("x"), Seq(0.5, 0.9),
+        accuracy = 10000)
+      .head().getSeq[Double](0)
+    assert(math.abs(qs(0) - 501.0) <= 2.0 && math.abs(qs(1) - 901.0) <= 3.0,
+      s"quantiles=$qs")
+  }
+
   test("plan shapes: KMV local pass is narrow; CMS shuffle carries the grid") {
     val df = strs((1 to 100).map(_.toString))
     val kmvPlan = Sketches.kmvSketch(df, col("v"), 16)
