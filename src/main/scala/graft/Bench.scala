@@ -76,11 +76,7 @@ object Bench {
     // mode, as distinct keys: both modes stay observable round-over-round,
     // so a regression in either is visible in BENCH_r{N}
     Queries.portableMode = true
-    val portables = Seq(
-      "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_embedding_neardup",
-      "q_dedup_incremental", "q_semantic_dedup", "q_distinct_kmv",
-      "q_heavy_hitters", "q_dup_spans")
-      .filter(n => selected(n + "_portable"))
+    val portables = Bench.portableBench.filter(n => selected(n + "_portable"))
     val results = results0 ++ portables.map(n =>
       time(n + "_portable", SparkEntry.queries(n)))
     Queries.portableMode = false
@@ -92,11 +88,59 @@ object Bench {
       if (v < 0) "-1.0"
       // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sf = sfDir.split("/").last.stripPrefix("sf")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}""")
+
+    // The driver records only the LAST ~2000 chars of combined output
+    // (BENCH_r{1..3}.json all carry a 2000-char `tail`), and Spark/sbt print
+    // an epilogue after this main returns. A single line carrying every
+    // catalog query stopped fitting in round 3 (head truncated → unparseable)
+    // and the catalog only grows, so the stdout line is now BOUNDED: the
+    // pinned `headline` subset below plus the catalog-wide total. The
+    // complete per-query results — full precision, production AND portable
+    // hash modes, failure markers — go to BENCH_FULL.json in the repo root,
+    // which the round commit preserves (see BASELINE.md "Bench artifacts").
+    val fullJson = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
+    }.mkString("{", ",", "}")
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullOut),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"queries":$fullJson,"sf":"$sf"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val byName = results.toMap
+    val qs = Bench.headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + fmt(byName(k)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf","queries_run":${results.size},"full":"$fullOut"}""")
     spark.stop()
   }
+
+  /** Stdout headline set — a pinned, stable subset (the expensive and
+    * family-representative queries) so the driver's bounded tail capture
+    * always holds the complete JSON line and round-over-round deltas compare
+    * the same keys. BenchFormatSpec asserts the worst-case line length stays
+    * under the capture budget; grow this list only with that test green.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_sort", "q_join_inner", "q_join_broadcast",
+    "q_window_sliding", "q_window_session", "q_interval_join", "q_asof_join",
+    "q_connected_components", "q_transitive_closure", "q_pagerank",
+    "q_pagerank_delta", "q_triangles", "q_kmeans",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_verified",
+    "q_dedup_incremental", "q_semantic_dedup", "q_dedup_simhash",
+    "q_ngram_jaccard", "q_cosine_topk", "q_ann_lsh", "q_ann_ivf",
+    "q_embedding_neardup", "q_text_profile", "q_pipeline_clean",
+    "q_bm25", "q_multimodal", "nx_q5", "nx_q8",
+    "q_dedup_minhash_portable", "q_ann_lsh_portable")
+
+  /** Queries re-timed under portable (oracle-recomputable) hashing, reported
+    * as `<name>_portable` keys so both hash modes stay observable per round.
+    */
+  val portableBench: Seq[String] = Seq(
+    "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_embedding_neardup",
+    "q_dedup_incremental", "q_semantic_dedup", "q_distinct_kmv",
+    "q_heavy_hitters", "q_dup_spans")
 }
