@@ -685,6 +685,36 @@ object Queries {
       |FROM c ASOF LEFT JOIN p
       |ON c.user_id = p.user_id AND c.a_us >= p.p_us""".stripMargin
 
+  /** Bucketed range join (beyond-reference; operators.RangeJoin): every
+    * 100th order defines a ±500 price band around o_totalprice/5; lineitem
+    * prices land in bands via the bin-explode equi-join lowering (the naive
+    * `between` join is a BroadcastNestedLoopJoin — O(N·M) at scale). Sums
+    * decimal-pinned so both engines agree bit-for-bit. */
+  def q_range_join(s: SparkSession, dir: String): DataFrame = {
+    val intervals = tbl(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") / 5 - 500).as("lo"),
+        (col("o_totalprice") / 5 + 500).as("hi"))
+    val points = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, intervals, "l_extendedprice", "lo", "hi",
+        binWidth = 500.0)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+  }
+
+  private val q_range_join_sql =
+    """SELECT o_orderkey, count(*) AS n_pts,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders, lineitem
+      |WHERE o_orderkey % 100 = 0
+      |AND l_extendedprice BETWEEN o_totalprice/5 - 500 AND o_totalprice/5 + 500
+      |GROUP BY 1""".stripMargin
+
   // =====================================================================
   // §2.10 iteration (driver-loop fixpoints — graft.operators.Iteration)
   // =====================================================================
@@ -1939,6 +1969,7 @@ object Queries {
     "q_interval_join" -> (q_interval_join _),
     "q_window_join" -> (q_window_join _),
     "q_asof_join" -> (q_asof_join _),
+    "q_range_join" -> (q_range_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
@@ -2026,6 +2057,7 @@ object Queries {
     "q_interval_join" -> q_interval_join_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
+    "q_range_join" -> q_range_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
