@@ -685,6 +685,37 @@ object Queries {
       |FROM c ASOF LEFT JOIN p
       |ON c.user_id = p.user_id AND c.a_us >= p.p_us""".stripMargin
 
+  /** Per-group top-k through the typed façade (KeyedStream.topK): 3 most
+    * expensive lineitems per return flag via the bounded-buffer Aggregator —
+    * map-side partials cap at k rows per key, so a hot key shuffles
+    * O(k·partitions) rows, not its whole group (the window row_number
+    * lowering the oracle uses sorts and shuffles every row). Ordering is
+    * total (price DESC, orderkey ASC, linenumber ASC) so both engines pick
+    * identical rows. */
+  def q_topk_group(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val ordB: Ordering[(Double, Long, Int)] = Ordering.Tuple3(
+      Ordering.Double.TotalOrdering, Ordering.Long.reverse, Ordering.Int.reverse)
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"), struct(col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber").cast("int")))
+      .as[(String, (Double, Long, Int))]
+    new graft.api.KeyedStream(li)
+      .topK(3)(v => v)
+      .ds
+      .flatMap { case (flag, items) =>
+        items.map(v => (flag, v._1, v._2, v._3)) }
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+  }
+
+  private val q_topk_group_sql =
+    """SELECT l_returnflag, l_extendedprice, l_orderkey,
+      |  CAST(l_linenumber AS INTEGER) AS l_linenumber FROM (
+      |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      |  FROM lineitem) WHERE rn <= 3""".stripMargin
+
   /** Bucketed range join (beyond-reference; operators.RangeJoin): every
     * 100th order defines a ±500 price band around o_totalprice/5; lineitem
     * prices land in bands via the bin-explode equi-join lowering (the naive
@@ -1970,6 +2001,7 @@ object Queries {
     "q_window_join" -> (q_window_join _),
     "q_asof_join" -> (q_asof_join _),
     "q_range_join" -> (q_range_join _),
+    "q_topk_group" -> (q_topk_group _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
@@ -2058,6 +2090,7 @@ object Queries {
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
     "q_range_join" -> q_range_join_sql,
+    "q_topk_group" -> q_topk_group_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,

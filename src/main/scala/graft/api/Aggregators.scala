@@ -42,6 +42,31 @@ object Aggregators {
       def outputEncoder: Encoder[T] = et
     }
 
+  /** Bounded top-k by `sortKey` (descending), as a partial/final aggregate:
+    * each map task keeps at most k elements per key, so the shuffle moves
+    * O(k · partitions) rows per key instead of the whole group — the
+    * scale-correct per-group top-k (the window `row_number` lowering sorts
+    * and shuffles every row of every group). Ties in `sortKey` keep
+    * whichever element a partial saw first; pass a totally-ordering key for
+    * a deterministic result. */
+  def topKAgg[T, B](k: Int, sortKey: T => B)(implicit ord: Ordering[B],
+      es: Encoder[Seq[T]]): Aggregator[T, Seq[T], Seq[T]] =
+    new Aggregator[T, Seq[T], Seq[T]] {
+      require(k > 0, s"topK needs k > 0, got $k")
+      private def trim(s: Seq[T]): Seq[T] =
+        s.sortBy(sortKey)(ord.reverse).take(k)
+      def zero: Seq[T] = Seq.empty
+      def reduce(b: Seq[T], a: T): Seq[T] =
+        // avoid the O(k log k) re-sort when the buffer is full and the new
+        // element can't place — the common case on large groups
+        if (b.length == k && ord.lteq(sortKey(a), sortKey(b.last))) b
+        else trim(b :+ a)
+      def merge(b1: Seq[T], b2: Seq[T]): Seq[T] = trim(b1 ++ b2)
+      def finish(r: Seq[T]): Seq[T] = r
+      def bufferEncoder: Encoder[Seq[T]] = es
+      def outputEncoder: Encoder[Seq[T]] = es
+    }
+
   /** Numeric sum of a projection (reference: `group_by_sum`, src/operator/mod.rs:1467). */
   def sumAgg[T, N](get: T => N)(implicit num: Numeric[N], en: Encoder[N]): Aggregator[T, N, N] =
     new Aggregator[T, N, N] {

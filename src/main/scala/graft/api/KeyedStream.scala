@@ -164,6 +164,20 @@ final class KeyedStream[K, V](val ds: Dataset[(K, V)]) extends Serializable {
       ekv: Encoder[(K, V)]): Stream[(K, V)] =
     reduce((a, b) => if (ord.lteq(get(a), get(b))) a else b)
 
+  /** Per-key top-k by `get` (descending), k largest elements per key in
+    * descending order (beyond-reference: the keyed analog of global
+    * `sorted_limit_by`, src/operator/sort.rs). Bounded-buffer aggregator —
+    * map-side partials cap at k elements, so hot keys never shuffle their
+    * whole group (the window-function lowering sorts and moves every row). */
+  def topK[B](k: Int)(get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],
+      ekv: Encoder[(K, V)], eskv: Encoder[Seq[(K, V)]],
+      eks: Encoder[(K, Seq[V])]): Stream[(K, Seq[V])] = {
+    // aggregate over (K,V) pairs, then strip the key from each element
+    val agg = Aggregators.topKAgg[(K, V), B](k, kv => get(kv._2))
+    new Stream(kvg.agg(agg.toColumn.name("agg"))
+      .map { case (key, items) => (key, items.map(_._2)) })
+  }
+
   /** Per-key distinct values (reference: `unique_assoc_by_key`, src/operator/mod.rs:951-1017). */
   def unique: KeyedStream[K, V] = new KeyedStream(ds.distinct())
 

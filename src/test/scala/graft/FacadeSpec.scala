@@ -183,4 +183,19 @@ class FacadeSpec extends AnyFunSuite {
       .collectVec()
     assert(top == Seq(99L, 98L, 97L))
   }
+
+  test("keyed topK: k largest per key, descending, bounded buffer") {
+    val s = imp
+    import s._
+    val data = (0 until 100).map(i => (i % 3, i))
+    val got = ctx.streamIter(data).toKeyed.topK(4)(identity[Int])
+      .collectVec().toMap
+    assert(got(0) == Seq(99, 96, 93, 90))
+    assert(got(1) == Seq(97, 94, 91, 88))
+    assert(got(2) == Seq(98, 95, 92, 89))
+    // k larger than the group returns the whole group, still descending
+    val small = ctx.streamIter(Seq((1, 5), (1, 9))).toKeyed
+      .topK(10)(identity[Int]).collectVec().toMap
+    assert(small(1) == Seq(9, 5))
+  }
 }
