@@ -685,6 +685,32 @@ object Queries {
       |FROM c ASOF LEFT JOIN p
       |ON c.user_id = p.user_id AND c.a_us >= p.p_us""".stripMargin
 
+  /** Character-bigram LM quality score (TextAnalysis.charLmScore): the
+    * cheap perplexity proxy, trained on the corpus itself with add-1
+    * smoothing. Per-bigram log-probs are 6-dp-rounded and integer-scaled
+    * before summing, so both engines aggregate exact integers in any order;
+    * the oracle rebuilds the same model in SQL. */
+  def q_char_lm(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.charLmScore(tbl(s, dir, "documents"),
+      "doc_id", "text")
+
+  private val q_char_lm_sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, length(text)),
+      |         i -> substr(text, CAST(i AS INTEGER), 2))) AS bg FROM d),
+      |m AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY 1),
+      |ctx AS (SELECT substr(bg, 1, 1) AS c1, sum(n_bg) AS n_ctx FROM m GROUP BY 1),
+      |v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vs FROM m),
+      |lp AS (SELECT m.bg,
+      |         CAST(round(round(ln((n_bg + 1) / CAST(n_ctx + vs AS DOUBLE)), 6)
+      |           * 1000000, 0) AS BIGINT) AS lp_micro
+      |       FROM m JOIN ctx ON substr(m.bg, 1, 1) = ctx.c1 CROSS JOIN v),
+      |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_micro) AS micro
+      |       FROM bg JOIN lp USING (bg) GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |  round(CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS lm_score
+      |FROM sc""".stripMargin
+
   /** Per-group top-k through the typed façade (KeyedStream.topK): 3 most
     * expensive lineitems per return flag via the bounded-buffer Aggregator —
     * map-side partials cap at k rows per key, so a hot key shuffles
@@ -2002,6 +2028,7 @@ object Queries {
     "q_asof_join" -> (q_asof_join _),
     "q_range_join" -> (q_range_join _),
     "q_topk_group" -> (q_topk_group _),
+    "q_char_lm" -> (q_char_lm _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
@@ -2091,6 +2118,7 @@ object Queries {
     "q_asof_join" -> q_asof_join_sql,
     "q_range_join" -> q_range_join_sql,
     "q_topk_group" -> q_topk_group_sql,
+    "q_char_lm" -> q_char_lm_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,

@@ -149,6 +149,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("score"))
   }
 
+  /** Corpus-trained character-bigram LM score — the classic cheap
+    * perplexity proxy for quality filtering (a KenLM stand-in that needs no
+    * external model): score(d) = avg over d's char bigrams of
+    * ln P(c₂|c₁), with P estimated on the corpus itself under add-1
+    * smoothing (V = distinct second characters). Gibberish, encoding noise
+    * and wrong-alphabet text score far below clean prose trained on the
+    * same corpus.
+    *
+    * FP portability: each bigram's log-prob is rounded to `dp` decimals and
+    * scaled to an integer ("micro") BEFORE summing, so the per-doc sum is
+    * exact integer arithmetic — order-independent, reproducible bit-for-bit
+    * by the SQL oracle; only the final printed average divides back to
+    * double.
+    *
+    * 100 TB shape: two passes over the exploded bigrams — one groupBy(bg)
+    * building the model (distinct bigrams ≈ alphabet², tiny), one broadcast
+    * join of that model back onto the bigram stream with a map-side-partial
+    * sum per doc. No shuffle ever carries more than (doc_id, long) rows. */
+  def charLmScore(df: DataFrame, idCol: String, textCol: String,
+      dp: Int = 6): DataFrame = {
+    val bg = df.filter(length(col(textCol)) >= 2)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - 1), " +
+            s"i -> substring($textCol, i, 2))")).as("bg"))
+    val m = bg.groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
+    val ctx = m.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("n_bg")).as("n_ctx"))
+    val v = m.select(substring(col("bg"), 2, 1)).distinct().count()
+    val lp = m.withColumn("c1", substring(col("bg"), 1, 1))
+      .join(ctx, "c1")
+      .select(col("bg"),
+        round(round(log((col("n_bg") + 1).cast("double") /
+          (col("n_ctx") + v).cast("double")), dp) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+    bg.join(broadcast(lp), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("micro").cast("double") / 1e6 / col("n_bigrams"), dp)
+          .as("lm_score"))
+  }
+
   /** BM25 top-`k` documents for a bag of query terms — the retrieval
     * scoring complement of [[tfidfTopTerms]] (corpus search, relevance
     * filtering, query-based subset extraction). Okapi BM25 with the

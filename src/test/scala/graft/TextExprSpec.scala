@@ -73,4 +73,21 @@ class TextExprSpec extends AnyFunSuite {
       .select(size(Dedup.shingles(col("text"), 4))).head().getInt(0)
     assert(got == 3)
   }
+
+  test("charLmScore: corpus prose outscores gibberish; sub-2-char docs drop") {
+    val s = spark; import s.implicits._
+    val prose = docs.limit(20).select(col("doc_id"), col("text"))
+    // gibberish shares no bigram structure with the corpus; the one-char
+    // and empty docs have no bigrams at all and must not appear
+    val noise = Seq((900001L, "zq xv qz vx jj qq zz xx vv jq"),
+      (900002L, "a"), (900003L, "")).toDF("doc_id", "text")
+    val scored = graft.functions.TextAnalysis
+      .charLmScore(prose.unionByName(noise), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!scored.contains(900002L) && !scored.contains(900003L))
+    val proseAvg = scored.filter(_._1 < 900000L).values.sum /
+      scored.count(_._1 < 900000L)
+    assert(scored(900001L) < proseAvg - 0.5,
+      s"gibberish ${scored(900001L)} should sit far below prose avg $proseAvg")
+  }
 }
