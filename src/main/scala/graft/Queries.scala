@@ -685,6 +685,23 @@ object Queries {
       |FROM c ASOF LEFT JOIN p
       |ON c.user_id = p.user_id AND c.a_us >= p.p_us""".stripMargin
 
+  /** Edit-distance fuzzy self-join (FuzzyJoin.selfJoinWithin1): customer
+    * name pairs within edit distance 1, found via SymSpell deletion-
+    * neighborhood blocking + exact levenshtein residual — the oracle runs
+    * the O(n²) cross join the blocking avoids, so a blocking hole (a missed
+    * pair) is a hard mismatch, not a silent recall loss. */
+  def q_fuzzy_join(s: SparkSession, dir: String): DataFrame =
+    graft.functions.FuzzyJoin
+      .selfJoinWithin1(tbl(s, dir, "customer"), "c_custkey", "c_name")
+      .select(col("a_id"), col("b_id"), col("dist"))
+
+  private val q_fuzzy_join_sql =
+    """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      |FROM customer a, customer b
+      |WHERE a.c_custkey < b.c_custkey
+      |AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   /** Character-bigram LM quality score (TextAnalysis.charLmScore): the
     * cheap perplexity proxy, trained on the corpus itself with add-1
     * smoothing. Per-bigram log-probs are 6-dp-rounded and integer-scaled
@@ -2029,6 +2046,7 @@ object Queries {
     "q_range_join" -> (q_range_join _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
+    "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
@@ -2119,6 +2137,7 @@ object Queries {
     "q_range_join" -> q_range_join_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
+    "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,

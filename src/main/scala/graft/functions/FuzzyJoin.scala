@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy self-join — record linkage over near-identical
+  * strings (entity resolution, near-dup titles/URLs, OCR noise). Complements
+  * the set-similarity family in [[Dedup]] (MinHash/SimHash match on shared
+  * CONTENT; edit distance matches on shared SPELLING).
+  *
+  * The naive lowering is the all-pairs cross join with a `levenshtein`
+  * residual — O(n²) compares. This is SymSpell-style *deletion-neighborhood
+  * blocking*: for edit distance ≤ 1, any two matching strings share at
+  * least one member of D1(s) = {s} ∪ {s minus one character} (a
+  * substitution shares the deletion at the edited position; an
+  * insertion/deletion pair shares the shorter string). So:
+  *
+  *   explode each row into its ≤ len+1 deletion variants
+  *     → equi-join on the variant, a_id < b_id
+  *     → distinct pairs → exact `levenshtein` residual filter
+  *
+  * Complete by the neighborhood property, exact by the residual (shared
+  * variants can arise at distance 2, e.g. "ab"/"ba"). Shuffle volume is
+  * O(n·len) variant rows; join fan-out is bounded by real neighborhood
+  * density — collision groups, never n².
+  */
+object FuzzyJoin {
+
+  /** All id pairs (a < b) whose strings are within edit distance 1,
+    * with the exact distance. Nulls don't match. Columns: a_id, b_id,
+    * a_str, b_str, dist. */
+  def selfJoinWithin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val vars = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s"), explode(array_distinct(concat(
+        array(col("s")),
+        expr("transform(sequence(1, length(s)), " +
+          "i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))"))))
+        .as("v"))
+    val a = vars.select(col("id").as("a_id"), col("s").as("a_str"), col("v"))
+    val b = vars.select(col("id").as("b_id"), col("s").as("b_str"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_str", "b_str")
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str")))
+      .filter(col("dist") <= 1)
+  }
+}
