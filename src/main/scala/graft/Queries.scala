@@ -1634,6 +1634,51 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
       |WHERE rn <= 5""".stripMargin
 
+  /** PQ/ADC ANN (ProductQuantizer): the FAISS memory-compression path —
+    * 64-dim vectors encode to 8 one-byte codes, queries score candidates by
+    * table lookup. Run at the provable configuration (codebook = the 4
+    * smallest-id corpus vectors, zero Lloyd rounds), so the oracle rebuilds
+    * the exact same codebook, codes, ADC tables and ranking in SQL — the
+    * whole encode/score machinery is hash-checked; PqSpec covers the trained
+    * operating point. Sub-distances round to 6dp and scale to integer
+    * micro-units before summing, so every ADC distance is exact integer
+    * arithmetic. */
+  def q_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val model = graft.functions.ProductQuantizer
+      .seedModel(e, "vec_id", "embedding", m = 8, ksub = 4)
+    val enc = graft.functions.ProductQuantizer.encode(e, "embedding", model)
+    graft.functions.ProductQuantizer.adcTopK(enc,
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", model, k = 10)
+  }
+
+  private val q_ann_pq_sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |grid AS (SELECT CAST(j AS INTEGER) AS j, CAST(c AS INTEGER) AS c
+      |         FROM range(0, 8) rj(j), range(0, 4) rc(c)),
+      |cb AS (SELECT grid.j, grid.c,
+      |         s.vec[CAST(grid.j*8+1 AS INTEGER) : CAST(grid.j*8+8 AS INTEGER)] AS cent
+      |       FROM grid JOIN v s ON s.vec_id = grid.c),
+      |sd AS (SELECT d.vec_id, cb.j, cb.c,
+      |         round(list_sum(list_transform(range(1, 9), i ->
+      |           power(d.vec[CAST(cb.j*8 + i AS INTEGER)]
+      |                 - cb.cent[CAST(i AS INTEGER)], 2))), 6) AS r
+      |       FROM v d CROSS JOIN cb),
+      |codes AS (SELECT vec_id, j, c AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY r ASC, c ASC) AS rn
+      |    FROM sd) WHERE rn = 1),
+      |qtab AS (SELECT vec_id AS q_id, j, c,
+      |           CAST(round(r * 1000000, 0) AS BIGINT) AS micro
+      |         FROM sd WHERE vec_id < 3),
+      |adc AS (SELECT q.q_id, d.vec_id AS c_id, CAST(sum(q.micro) AS BIGINT) AS adc_micro
+      |        FROM codes d JOIN qtab q ON q.j = d.j AND q.c = d.code
+      |        WHERE d.vec_id <> q.q_id
+      |        GROUP BY 1, 2)
+      |SELECT q_id, c_id, adc_micro, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_micro ASC, c_id ASC) AS rn
+      |  FROM adc) WHERE rn <= 10""".stripMargin
+
   /** embedding-cosine near-dup pairs over portable LSH buckets — oracle
     * recomputes buckets + rounded cosine in SQL. (This corpus has
     * near-random vectors — top-1 cosine ≈ 0.49 — so the "near dup"
@@ -2078,6 +2123,7 @@ object Queries {
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_ann_multiprobe" -> (q_ann_multiprobe _),
     "q_ann_ivf" -> (q_ann_ivf _),
+    "q_ann_pq" -> (q_ann_pq _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
     "q_text_profile" -> (q_text_profile _),
     "q_multimodal" -> (q_multimodal _),
@@ -2169,6 +2215,7 @@ object Queries {
     "q_ann_lsh" -> q_ann_lsh_sql,
     "q_ann_multiprobe" -> q_ann_multiprobe_sql,
     "q_ann_ivf" -> q_ann_ivf_sql,
+    "q_ann_pq" -> q_ann_pq_sql,
     "q_embedding_neardup" -> q_embedding_neardup_sql,
     "q_text_profile" -> q_text_profile_sql,
     "q_multimodal" -> q_multimodal_sql,

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.ProductQuantizer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: encode determinism, training improving distortion,
+  * and ADC retrieval recall against exact L2 on the real embeddings. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def emb = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") }
+
+  def exactL2TopK(k: Int, maxQ: Long): Map[Long, Seq[Long]] = {
+    val v = emb.select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val q = v.filter(col("id") < maxQ)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val d2 = aggregate(zip_with(col("q_vec"), col("vec"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("id").asc)
+    v.join(q, col("id") =!= col("q_id"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("q_id", "id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.map(_.getLong(1)).toSeq }
+  }
+
+  test("encode is deterministic and emits m codes in [0, ksub)") {
+    val model = ProductQuantizer.seedModel(emb, "vec_id", "embedding", 8, 4)
+    val a = ProductQuantizer.encode(emb, "embedding", model)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = ProductQuantizer.encode(emb, "embedding", model)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    assert(a.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 4)))
+    // seeds quantize to themselves: seed c's subvector is at distance 0
+    // from centroid c in every subspace
+    (0 until 4).foreach(c => assert(a(c.toLong) == Seq.fill(8)(c)))
+  }
+
+  test("Lloyd rounds reduce quantization distortion") {
+    def distortion(model: ProductQuantizer.Model): Double = {
+      val enc = ProductQuantizer.encode(emb, "embedding", model)
+      val cb = typedLit(model.codebook.flatten.map(_.toSeq).toSeq)
+      val v = col("embedding").cast("array<double>")
+      val d = (0 until model.m).map { j =>
+        val sv = slice(v, j * model.dsub + 1, model.dsub)
+        val cent = element_at(cb,
+          lit(j * model.ksub) + element_at(col("codes"), j + 1) + 1)
+        aggregate(zip_with(sv, cent, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+      }.reduce(_ + _)
+      enc.agg(sum(d)).head().getDouble(0)
+    }
+    val seed = ProductQuantizer.seedModel(emb, "vec_id", "embedding", 8, 8)
+    val trained = ProductQuantizer.train(emb, "vec_id", "embedding", 8, 8,
+      iters = 3)
+    val (d0, d1) = (distortion(seed), distortion(trained))
+    assert(d1 < d0 * 0.8, s"training barely helped: seed=$d0 trained=$d1")
+  }
+
+  test("trained ADC top-10 recalls exact L2 top-10") {
+    // near-random 64-dim vectors are PQ's worst case (no cluster structure
+    // to exploit); m=16 subspaces of 4 dims keeps the quantization error
+    // per subspace small enough to rank usefully. The bound is against the
+    // random-candidate baseline (10/499 ≈ 0.02), not search-quality SLAs.
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding", 16, 16,
+      iters = 2)
+    val enc = ProductQuantizer.encode(emb, "embedding", model)
+    val got = ProductQuantizer.adcTopK(enc, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 10)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val exact = exactL2TopK(10, 10)
+    val recalls = exact.map { case (q, top) =>
+      top.count(got(q).contains).toDouble / top.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.35, s"mean recall@10 $mean below 0.35 — PQ scoring broken")
+  }
+}
