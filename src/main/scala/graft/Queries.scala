@@ -86,6 +86,70 @@ object Queries {
       |  count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** ROLLUP grouping sets — the hierarchical-subtotal companion of q_cube
+    * (beyond-reference SQL surface; Catalyst Expand, one shuffle). */
+  def q_rollup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("sum_price"), col("n"))
+
+  private val q_rollup_sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Pivot — wide per-category aggregates (beyond-reference SQL surface).
+    * Pivot values are pinned explicitly so the output schema is static —
+    * at 100 TB an unpinned pivot pays a full distinct scan first. Lowered
+    * by Catalyst to one hash aggregate over CASE projections (no extra
+    * shuffle vs the plain groupBy); the oracle spells those CASEs out. */
+  def q_pivot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+
+  private val q_pivot_sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Analytic window functions — lag/lead/ntile/cume_dist per group over a
+    * total order (beyond-reference SQL surface; one shuffle on the
+    * partition key, per-partition sort). cume_dist is a ratio of integers —
+    * exact, no rounding needed. */
+  def q_analytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  private val q_analytic_sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  cume_dist() OVER w AS cd
+      |FROM orders WHERE o_orderkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin
+
   /** group_by_count (src/operator/mod.rs:1594). */
   def q_group_count(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders").groupBy(col("o_orderpriority"))
@@ -2098,6 +2162,9 @@ object Queries {
     "q_tfidf" -> (q_tfidf _),
     "q_group_quantiles" -> (q_group_quantiles _),
     "q_cube" -> (q_cube _),
+    "q_rollup" -> (q_rollup _),
+    "q_pivot" -> (q_pivot _),
+    "q_analytic" -> (q_analytic _),
     "q_bm25" -> (q_bm25 _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
@@ -2190,6 +2257,9 @@ object Queries {
     "q_tfidf" -> q_tfidf_sql,
     "q_group_quantiles" -> q_group_quantiles_sql,
     "q_cube" -> q_cube_sql,
+    "q_rollup" -> q_rollup_sql,
+    "q_pivot" -> q_pivot_sql,
+    "q_analytic" -> q_analytic_sql,
     "q_bm25" -> q_bm25_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
