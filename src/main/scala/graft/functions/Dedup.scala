@@ -221,6 +221,13 @@ object Dedup {
     val newSigs = minhashSignature(newDocs, idCol, textCol,
         numHashes = numHashes, portable = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization, NOT just persist: the pair job reads newSigs
+    // through four plan branches (probe bands, corpus bands via allSigs,
+    // and both sides of the est-sim signature join) — inside one job the
+    // still-cold cache makes every branch recompute the signatures (the
+    // shingle explode + MinHashAgg is the expensive stage); measured 1.9×
+    // on the two-increment catalog query
+    newSigs.count()
     val allSigs = existingSigs.union(newSigs)
 
     def bandKey(b: Int): Column = {
