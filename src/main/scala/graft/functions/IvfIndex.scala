@@ -107,12 +107,16 @@ object IvfIndex {
     * probing each query's `nprobe` nearest lists. Identical probe selection
     * and scoring to [[Similarity.ivfTopK]] (rounded distances, id
     * tie-breaks), so results are deterministic and engine-independent. */
-  def query(built: Built, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+  /** (q_id, q_vec, cluster) probe rows: each query paired with its `nprobe`
+    * nearest lists — one narrow map against the broadcast quantizer, shared
+    * by the exact-scoring [[query]] and the PQ-scoring
+    * [[ProductQuantizer.ivfPqTopK]]. */
+  def probeAssignments(built: Built, queries: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
     val spark = built.lists.sparkSession
     import spark.implicits._
     val centroidsB = spark.sparkContext.broadcast(built.centroids)
-    val probes = queries
+    queries
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
@@ -128,6 +132,11 @@ object IvfIndex {
           .map { case (c, _) => (id, vec, c) }
       }
       .toDF("q_id", "q_vec", "cluster")
+  }
+
+  def query(built: Built, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val probes = probeAssignments(built, queries, idCol, vecCol, nprobe)
       .withColumn("q_norm", Similarity.norm(col("q_vec")))
     val scored = probes.join(built.lists, Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))

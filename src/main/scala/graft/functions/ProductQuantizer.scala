@@ -122,29 +122,64 @@ object ProductQuantizer {
     * its codes, and the per-pair distance is m integer adds — the scored
     * join is a broadcast of the query side. Returns
     * (q_id, c_id, adc_micro, rank), ranked (adc asc, c_id asc). */
-  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, model: Model, k: Int, dp: Int = 6): DataFrame = {
+  /** Per-query ADC lookup table: m·ksub micro-integer entries, row i =
+    * rounded squared L2 between the query's subvector i/ksub and centroid
+    * i%ksub. */
+  private def qTable(qv: Column, model: Model, dp: Int): Column = {
     val cb = model.cbLit
-    val qv = col(vecCol).cast("array<double>")
-    val table = expr(s"transform(sequence(0, ${model.m * model.ksub - 1}), i -> i)")
-    val q = queries.select(col(idCol).cast("long").as("q_id"),
-      transform(table, i => {
-        // Column `/` is double division — truncate back to the subspace id
-        val j = (i / model.ksub).cast("int")
-        round(subDist2(
-          slice(qv, j * model.dsub + 1, lit(model.dsub)),
-          element_at(cb, i + 1), dp) * 1e6, 0).cast("long")
-      }).as("q_table"))
-    val c = encoded.select(col(idCol).cast("long").as("c_id"), col("codes"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        aggregate(sequence(lit(0), lit(model.m - 1)), lit(0L), (acc, j) =>
-          acc + element_at(col("q_table"),
-            (j * model.ksub + element_at(col("codes"), j + 1) + 1).cast("int")))
-          .as("adc_micro"))
+    val idx = expr(s"transform(sequence(0, ${model.m * model.ksub - 1}), i -> i)")
+    transform(idx, i => {
+      // Column `/` is double division — truncate back to the subspace id
+      val j = (i / model.ksub).cast("int")
+      round(subDist2(
+        slice(qv, j * model.dsub + 1, lit(model.dsub)),
+        element_at(cb, i + 1), dp) * 1e6, 0).cast("long")
+    })
+  }
+
+  /** ADC distance: m integer lookups of `codes` into `q_table`. */
+  private def adcMicro(model: Model): Column =
+    aggregate(sequence(lit(0), lit(model.m - 1)), lit(0L), (acc, j) =>
+      acc + element_at(col("q_table"),
+        (j * model.ksub + element_at(col("codes"), j + 1) + 1).cast("int")))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc_micro").asc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, dp: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      qTable(col(vecCol).cast("array<double>"), model, dp).as("q_table"))
+    val c = encoded.select(col(idCol).cast("long").as("c_id"), col("codes"))
+    rankTopK(c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), adcMicro(model).as("adc_micro")), k)
+  }
+
+  /** IVF-PQ — the full FAISS shape: the coarse quantizer prunes candidates
+    * to each query's `nprobe` lists ([[IvfIndex.probeAssignments]], a
+    * narrow map against broadcast centroids over partition-pruned lists),
+    * and PQ codes bound per-candidate memory and compute (integer ADC).
+    * At nprobe = nlist the pruning is the identity, so the composition
+    * provably equals flat [[adcTopK]] over the same encoded corpus —
+    * pinned in PqSpec. Candidates are duplicate-free by construction:
+    * every corpus vector lives in exactly one list. */
+  def ivfPqTopK(built: IvfIndex.Built, queries: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, nprobe: Int,
+      dp: Int = 6): DataFrame = {
+    val enc = encode(built.lists, "c_vec", model)
+      .select(col("c_id"), col("cluster"), col("codes"))
+    val probes = IvfIndex
+      .probeAssignments(built, queries, idCol, vecCol, nprobe)
+    val q = probes.select(col("q_id"), col("q_vec")).distinct()
+      .select(col("q_id"), qTable(col("q_vec"), model, dp).as("q_table"))
+    rankTopK(probes.select(col("q_id"), col("cluster"))
+      .join(enc, Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), adcMicro(model).as("adc_micro")), k)
   }
 }

@@ -69,6 +69,35 @@ class PqSpec extends AnyFunSuite {
     assert(d1 < d0 * 0.8, s"training barely helped: seed=$d0 trained=$d1")
   }
 
+  test("IVF-PQ at full probe equals flat ADC; pruned probe stays sane") {
+    val model = ProductQuantizer.seedModel(emb, "vec_id", "embedding", 8, 4)
+    val built = graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
+      nlist = 8, kmeansIters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "adc_micro", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    // full probe: coarse pruning is the identity — exact equality
+    val full = rows(ProductQuantizer.ivfPqTopK(built, queries, "vec_id",
+      "embedding", model, k = 10, nprobe = 8))
+    val flat = rows(ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(emb, "embedding", model),
+      queries, "vec_id", "embedding", model, k = 10))
+    assert(full == flat)
+    // pruned probe: a subset of lists — every result must come from the
+    // flat candidate scoring (same ADC value for the same pair)
+    val pruned = ProductQuantizer.ivfPqTopK(built, queries, "vec_id",
+      "embedding", model, k = 10, nprobe = 2)
+      .select("q_id", "c_id", "adc_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val flatAll = flat.map(t => (t._1, t._2) -> t._3).toMap
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (pair, micro) =>
+      flatAll.get(pair).foreach(m => assert(m == micro,
+        s"ADC value diverged between pruned and flat for $pair")) }
+  }
+
   test("trained ADC top-10 recalls exact L2 top-10") {
     // near-random 64-dim vectors are PQ's worst case (no cluster structure
     // to exploit); m=16 subspaces of 4 dims keeps the quantization error
