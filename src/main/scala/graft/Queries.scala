@@ -2064,6 +2064,33 @@ object Queries {
       |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
       |  FROM documents) WHERE rk <= 50""".stripMargin
 
+  /** Diversity-balanced sample (Sampling.diversitySample): every embedding
+    * assigned to its nearest of 4 seed vectors (rounded L2, lowest-seed
+    * ties), then the 30 smallest-hash rows per cluster — caps what any
+    * dense region contributes. Oracle rebuilds assignment and draw. */
+  def q_diversity_sample(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.diversitySample(
+      tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        col("label")),
+      "vec_id", "embedding", nSeeds = 4, perCluster = 30, portable = true)
+      .select(col("vec_id"), col("label"), col("cluster"))
+
+  private val q_diversity_sample_sql =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |sd AS (SELECT d.vec_id, d.label, s.vec_id AS c,
+      |    round(list_sum(list_transform(range(1, 65), i ->
+      |      power(d.vec[CAST(i AS INTEGER)] - s.vec[CAST(i AS INTEGER)], 2))), 6) AS r
+      |  FROM v d CROSS JOIN (SELECT * FROM v WHERE vec_id < 4) s),
+      |asg AS (SELECT vec_id, label, CAST(c AS INTEGER) AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY r ASC, c ASC) AS rn
+      |    FROM sd) WHERE rn = 1)
+      |SELECT vec_id, label, cluster FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rk
+      |  FROM asg) WHERE rk <= 30""".stripMargin
+
   /** PII redaction (Redaction.redactPii): the slim customer table carries
     * no contact fields, so both engines synthesize the identical
     * email/phone/IP text from c_custkey/c_name, then redact + count. */
@@ -2207,6 +2234,7 @@ object Queries {
     "q_quality_gopher" -> (q_quality_gopher _),
     "q_split_hash" -> (q_split_hash _),
     "q_sample_stratified" -> (q_sample_stratified _),
+    "q_diversity_sample" -> (q_diversity_sample _),
     "q_pii_redact" -> (q_pii_redact _)
   )
 
@@ -2302,6 +2330,7 @@ object Queries {
     "q_quality_gopher" -> q_quality_gopher_sql,
     "q_split_hash" -> q_split_hash_sql,
     "q_sample_stratified" -> q_sample_stratified_sql,
+    "q_diversity_sample" -> q_diversity_sample_sql,
     "q_pii_redact" -> q_pii_redact_sql
   )
 }

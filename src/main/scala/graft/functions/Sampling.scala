@@ -63,6 +63,36 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Diversity-balanced sampling: assign every row to its nearest seed
+    * vector (the `nSeeds` smallest-id vectors — a deterministic, zero-
+    * training quantizer), then draw the `perCluster` smallest-hash rows per
+    * cluster. The embedding-space analog of stratified sampling: a uniform
+    * draw over-represents dense regions; this caps every region's
+    * contribution — the standard diversity step before fine-tuning-data
+    * selection.
+    *
+    * 100 TB shape: seeds are collected once (model-sized) and ride as
+    * literals; assignment is one narrow map; the per-cluster draw is
+    * [[stratifiedSample]]'s single (cluster)-keyed shuffle. Distances round
+    * to `dp` decimals (ties → lowest seed) so the assignment — and with the
+    * portable hash, the whole sample — is reproducible by the SQL oracle. */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+      nSeeds: Int, perCluster: Int, dp: Int = 6,
+      portable: Boolean = false): DataFrame = {
+    val seeds = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .orderBy(col("id")).limit(nSeeds).collect()
+    require(seeds.length == nSeeds, s"need $nSeeds seed vectors")
+    val seedLit = typedLit(seeds.map(_.getSeq[Double](1)).toSeq)
+    val v = col(vecCol).cast("array<double>")
+    val dists = transform(sequence(lit(0), lit(nSeeds - 1)), c =>
+      round(aggregate(zip_with(v, element_at(seedLit, c + 1),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t), dp))
+    val assigned = df.withColumn("cluster",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+    stratifiedSample(assigned, "cluster", idCol, perCluster, portable)
+  }
+
   /** Uniform fraction sample via hash threshold: keeps id-hashes below
     * `fraction` of the bucket space. Unlike `df.sample` this is stable
     * across reruns AND across corpus growth. */

@@ -274,4 +274,29 @@ class CurationSpec extends AnyFunSuite {
       s"expected rare-tf2 > rare-tf1 > common-tf3 > common-tf1, got $got")
     assert(got.forall(_._2 > 0.0))
   }
+
+  test("diversitySample caps dense regions and assigns to the nearest seed") {
+    val s = imp; import s._
+    // two seed regions: ids 0,1 are the seeds; 2-41 cluster tightly around
+    // seed 0 (dense), 42-46 around seed 1 (sparse). A uniform draw would be
+    // ~89% region 0; the diversity draw caps it at perCluster.
+    def vec(base: Double, wiggle: Double) = Seq(base + wiggle, base - wiggle)
+    val rows = Seq((0L, vec(0.0, 0.0)), (1L, vec(10.0, 0.0))) ++
+      (2L to 41L).map(i => (i, vec(0.0, 0.001 * i))) ++
+      (42L to 46L).map(i => (i, vec(10.0, 0.001 * i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.functions.Sampling
+      .diversitySample(df, "vec_id", "embedding", nSeeds = 2, perCluster = 4)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.count(_._2 == 0) == 4 && got.count(_._2 == 1) == 4)
+    // every region-1 member really sits with seed 1
+    assert(got.filter(_._2 == 1).forall(t => t._1 == 1L || t._1 >= 42L))
+    // deterministic across reruns
+    val again = graft.functions.Sampling
+      .diversitySample(df, "vec_id", "embedding", nSeeds = 2, perCluster = 4)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSet == again.toSet)
+  }
 }
