@@ -221,6 +221,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PQ encode equals batch encode (narrow expressions stream)") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.functions.ProductQuantizer
+      .seedModel(emb, "vec_id", "embedding", m = 8, ksub = 4)
+    val batch = graft.functions.ProductQuantizer
+      .encode(emb, "embedding", model)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rows = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = graft.functions.ProductQuantizer
+      .encode(in.toDF.toDF("vec_id", "embedding"), "embedding", model)
+      .select(col("vec_id"), col("codes"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pq_codes").start()
+    try {
+      in.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("pq_codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(got == batch, "streamed codes diverge from batch codes")
+    } finally q.stop()
+  }
+
   test("streaming CountWindow.tumbling(3) emits exact windows per key") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
