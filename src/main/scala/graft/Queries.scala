@@ -1270,6 +1270,38 @@ object Queries {
       |       ELSE CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_frac
       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
 
+  /** Winnowed dup-span profile (Dedup.winnowProfile): the MOSS fingerprint
+    * selection — one rightmost-minimal hash per 4-gram-hash window — run
+    * over the same cross-doc dup signal as q_dup_spans at ~2/(w+1) of the
+    * index size. The oracle rebuilds the window argmin (ORDER BY gh ASC,
+    * pos DESC ≡ the fold's <= tie rule), the distinct selection, and the
+    * per-doc fractions. */
+  def q_winnow(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.winnowProfile(tbl(s, dir, "documents"),
+      "doc_id", "text", n = 5, w = 4, portable = portableMode)
+
+  private def q_winnow_sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS i, array_to_string(w[i:i+4], ' ') AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(range(1, len(w) - 3)) AS t(i)),
+      |hv AS (SELECT doc_id, i, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM sh),
+      |ng AS (SELECT doc_id, max(i) AS n FROM hv GROUP BY 1),
+      |win AS (SELECT st.doc_id, st.i AS s, m.i AS j, m.gh
+      |  FROM hv st JOIN ng ON ng.doc_id = st.doc_id AND st.i <= ng.n - 3
+      |  JOIN hv m ON m.doc_id = st.doc_id AND m.i BETWEEN st.i AND st.i + 3),
+      |sel AS (SELECT DISTINCT doc_id, j AS pos, gh AS fp FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id, s ORDER BY gh ASC, j DESC) AS rn
+      |    FROM win) WHERE rn = 1),
+      |dup AS (SELECT fp FROM sel GROUP BY fp HAVING min(doc_id) <> max(doc_id)),
+      |pd AS (SELECT s.doc_id, count(*) AS n_fps, count(dup.fp) AS n_dup_fps
+      |       FROM sel s LEFT JOIN dup ON s.fp = dup.fp GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_fps, 0) AS n_fps,
+      |  coalesce(n_dup_fps, 0) AS n_dup_fps,
+      |  CASE WHEN n_fps IS NULL THEN 0.0
+      |       ELSE CAST(n_dup_fps AS DOUBLE) / CAST(n_fps AS DOUBLE) END AS dup_frac
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+
   // =====================================================================
   // Sketches (mergeable distinct-count / frequency summaries)
   // =====================================================================
@@ -2186,6 +2218,7 @@ object Queries {
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
+    "q_winnow" -> (q_winnow _),
     "q_tfidf" -> (q_tfidf _),
     "q_group_quantiles" -> (q_group_quantiles _),
     "q_cube" -> (q_cube _),
@@ -2282,6 +2315,7 @@ object Queries {
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
+    "q_winnow" -> q_winnow_sql,
     "q_tfidf" -> q_tfidf_sql,
     "q_group_quantiles" -> q_group_quantiles_sql,
     "q_cube" -> q_cube_sql,

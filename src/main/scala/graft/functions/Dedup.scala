@@ -602,6 +602,71 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Winnowed fingerprint selection (Schleimer–Wilkerson–Aiken 2003 — the
+    * MOSS algorithm): from each document's word-`n`-gram hash sequence,
+    * keep one fingerprint per length-`w` window — the RIGHTMOST minimal
+    * hash (the standard tie rule), deduplicated across overlapping windows.
+    *
+    * The point at 100 TB: the fingerprint index shrinks to ~2/(w+1) of the
+    * full gram set while GUARANTEEING any shared span of ≥ w+n−1 words
+    * still collides on at least one selected fingerprint (every length-w
+    * window of a shared span selects from the same hashes) — the
+    * index-size lever for sub-document dedup that [[dupSpanProfile]]'s
+    * full gram set doesn't have. Selection is a per-document array fold —
+    * narrow, no shuffle; only the selected fingerprints hit the cross-doc
+    * stages.
+    *
+    * Returns one row per selected fingerprint: (doc_id, pos, fp) where
+    * `pos` is the 1-based gram position. Docs with < n+w−1 words select
+    * nothing. */
+  def winnow(df: DataFrame, idCol: String, textCol: String, n: Int = 5,
+      w: Int = 4, portable: Boolean = false): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val h: Column => Column =
+      if (portable) portableHash60 else (c: Column) => xxhash64(c)
+    val hs = transform(shingles(col(textCol), n), g => h(g))
+    val fps = df.select(col(idCol).cast("long").as("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        // one struct(fp, pos) per window start; rightmost minimal via <=
+        explode(array_distinct(transform(
+          when(size(col("hs")) >= w,
+            sequence(lit(1), size(col("hs")) - (w - 1)))
+            .otherwise(typedLit(Seq.empty[Int])),
+          s => aggregate(
+            if (w == 1) typedLit(Seq.empty[Int]) else sequence(s + 1, s + (w - 1)),
+            struct(element_at(col("hs"), s).as("fp"), s.as("pos")),
+            (acc, j) => when(element_at(col("hs"), j) <= acc.getField("fp"),
+              struct(element_at(col("hs"), j).as("fp"), j.as("pos")))
+              .otherwise(acc))))).as("f"))
+    fps.select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+  }
+
+  /** [[dupSpanProfile]] over the winnowed fingerprint set: per document,
+    * (n_fps, n_dup_fps, dup_frac) where a fingerprint is "dup" when its
+    * VALUE also appears in another document. Same signal, ~2/(w+1) of the
+    * index cost; the w+n−1-word detection guarantee bounds what thinning
+    * can miss. */
+  def winnowProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, w: Int = 4, portable: Boolean = false): DataFrame = {
+    val fps = winnow(df, idCol, textCol, n, w, portable)
+    val dup = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("fp"), lit(1).as("dup"))
+    val perDoc = fps.join(dup, Seq("fp"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), count(col("dup")).as("n_dup_fps"))
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_dup_fps"), lit(0L)).as("n_dup_fps"),
+        when(col("n_fps").isNull, lit(0.0))
+          .otherwise(col("n_dup_fps").cast("double") /
+            col("n_fps").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** Incremental EXACT dedup of a new increment against a stored digest
     * history, Bloom-prefiltered. Returns the increment's new-content rows
     * (digest, keep_id, n_copies): within-increment dups collapsed to the

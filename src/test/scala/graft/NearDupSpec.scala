@@ -474,4 +474,39 @@ class NearDupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1).toSeq
     assert(got == Seq((1L, 1.0), (2L, 1.0), (3L, 0.0)))
   }
+
+  test("winnow: detection guarantee for shared spans, thinned index, subset of grams") {
+    val s = spark; import s.implicits._
+    // docs 1 and 2 share an 8-word span (= w+n-1 at n=5, w=4): the
+    // winnowing guarantee says at least one fingerprint of the span is
+    // selected by BOTH docs. Doc 3 is disjoint.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"intro words here then $shared and a tail piece"),
+      (2L, s"$shared closing remarks of the second document"),
+      (3L, "completely different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val prof = Dedup.winnowProfile(corpus, "doc_id", "text", n = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(prof.find(_._1 == 1L).get._3 >= 1, s"doc 1 missed the shared span: $prof")
+    assert(prof.find(_._1 == 2L).get._3 >= 1, s"doc 2 missed the shared span: $prof")
+    assert(prof.find(_._1 == 3L).get._3 == 0, s"doc 3 false-positive: $prof")
+
+    // corpus-wide: the winnowed index is materially thinner than the full
+    // gram set (theory: ~2/(w+1) = 0.4 of grams), and every selected
+    // fingerprint is the hash of the gram at its recorded position
+    val fps = Dedup.winnow(docs, "doc_id", "text", n = 5, w = 4)
+    val grams = docs.select(col("doc_id"),
+        posexplode(Dedup.shingles(col("text"), 5)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        xxhash64(col("gram")).as("gh"))
+    val nFps = fps.count(); val nGrams = grams.count()
+    assert(nFps > 0 && nFps < nGrams * 0.6,
+      s"winnowed $nFps of $nGrams grams — expected ~40%")
+    val orphan = fps.join(grams,
+      fps("doc_id") === grams("doc_id") && fps("pos") === grams("pos")
+        && fps("fp") === grams("gh"), "left_anti").count()
+    assert(orphan == 0, s"$orphan fingerprints don't match their gram hash")
+  }
 }
