@@ -2060,6 +2060,31 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
       |FROM t""".stripMargin
 
+  /** Sequence packing (Sampling.packSequences): documents concatenated in
+    * doc_id order into fixed 2048-token training rows, split at row
+    * boundaries — one segment per (doc × row) overlap, all integer
+    * arithmetic off the corpus prefix sum. Oracle: window cumsum + a
+    * per-doc unnest of its covered rows with the same div/min/max algebra. */
+  def q_pack_sequences(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.packSequences(tbl(s, dir, "documents"),
+      "doc_id", graft.functions.TextAnalysis.tokenCount(col("text")),
+      seqLen = 2048L, partitions = Some(8))
+
+  private val q_pack_sequences_sql =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS cost
+      |  FROM documents),
+      |c AS (SELECT doc_id, cost,
+      |    CAST(COALESCE(sum(cost) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c0
+      |  FROM t WHERE cost > 0)
+      |SELECT doc_id, cost, CAST(r AS BIGINT) AS row_id,
+      |  CAST(greatest(c0, r * 2048) - c0 AS BIGINT) AS doc_off,
+      |  CAST(greatest(c0, r * 2048) - r * 2048 AS BIGINT) AS row_off,
+      |  CAST(least(c0 + cost, (r + 1) * 2048) - greatest(c0, r * 2048) AS BIGINT) AS len
+      |FROM c, UNNEST(range(c0 // 2048, (c0 + cost - 1) // 2048 + 1)) AS u(r)""".stripMargin
+
   /** Token-budget sharding over a SEEDED SHUFFLE of the corpus (shuffleKey
     * seed 42, portable hash): the shuffle-before-sharding step that makes
     * shards ~IID instead of reflecting crawl order. The oracle recomputes
@@ -2239,6 +2264,7 @@ object Queries {
     "q_decontaminate" -> (q_decontaminate _),
     "q_dedup_bloom" -> (q_dedup_bloom _),
     "q_token_shards" -> (q_token_shards _),
+    "q_pack_sequences" -> (q_pack_sequences _),
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_dedup_normalized" -> (q_dedup_normalized _),
@@ -2336,6 +2362,7 @@ object Queries {
     "q_decontaminate" -> q_decontaminate_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_token_shards" -> q_token_shards_sql,
+    "q_pack_sequences" -> q_pack_sequences_sql,
     "q_mixture_sample" -> q_mixture_sample_sql,
     "q_semantic_dedup" -> q_semantic_dedup_sql,
     "q_dedup_normalized" -> q_dedup_normalized_sql,

@@ -183,4 +183,64 @@ object Sampling {
     base.unpersist()
     out
   }
+
+  /** Sequence packing — the final pretraining stage: documents concatenate
+    * (in `orderCol, id` order) into fixed-`seqLen`-token training rows,
+    * documents SPLIT across row boundaries (contiguous packing, zero
+    * padding waste — the GPT-style regime, vs. greedy whole-doc packing).
+    * Emits one segment per (document × training row) overlap:
+    *
+    *   (doc_id, cost, row_id, doc_off, row_off, len)
+    *
+    * — "`len` tokens of `doc_id` starting at `doc_off` land in row
+    * `row_id` at offset `row_off`". Every value derives from the corpus
+    * prefix sum by integer arithmetic, so the manifest is deterministic,
+    * partition-independent, and cheap to re-emit incrementally.
+    *
+    * 100 TB shape: the same distributed two-pass prefix sum as
+    * [[tokenShards]] (range exchange + #partitions-row collect + narrow
+    * running sum), then a narrow per-doc explode of its covered rows —
+    * segments per doc = 1 + cost/seqLen, so the manifest is linear in
+    * corpus tokens / seqLen. The single-partition global-window cumsum
+    * this replaces is the classic driver-funnel scale bug. */
+  def packSequences(df: DataFrame, idCol: String, cost: Column, seqLen: Long,
+      partitions: Option[Int] = None,
+      orderCol: Option[Column] = None): DataFrame = {
+    require(seqLen > 0, s"bad seqLen $seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
+    val ord = orderCol.getOrElse(col(idCol).cast("long"))
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        ord.cast("long").as("_ord"), cost.cast("long").as("cost"))
+      .repartitionByRange(p, col("_ord"), col("doc_id"))
+      .sortWithinPartitions("_ord", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = base.as[(Long, Long, Long)].rdd
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _._3); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val starts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { case (id, _, c) => val c0 = run; run += c; (id, c, c0) }
+    }.toDF("doc_id", "cost", "c0")
+    val L = lit(seqLen)
+    val out = starts
+      .filter(col("cost") > 0)
+      .select(col("doc_id"), col("cost"), col("c0"),
+        // `div` is exact integer division — Column./ is double division,
+        // which loses exactness past 2^53 total tokens
+        explode(sequence(expr(s"c0 div $seqLen"),
+          expr(s"(c0 + cost - 1) div $seqLen"))).as("row_id"))
+      .select(col("doc_id"), col("cost"), col("row_id"),
+        (greatest(col("c0"), col("row_id") * L) - col("c0")).as("doc_off"),
+        (greatest(col("c0"), col("row_id") * L) - col("row_id") * L).as("row_off"),
+        (least(col("c0") + col("cost"), (col("row_id") + 1) * L)
+          - greatest(col("c0"), col("row_id") * L)).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
+  }
 }

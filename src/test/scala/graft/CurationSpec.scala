@@ -275,6 +275,38 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("packSequences: rows fill exactly, docs are fully covered, partition-independent") {
+    val s = imp; import s._
+    val docs = (1L to 200L).map(i => (i, ((i * 37) % 100 + 1).toInt))
+      .toDF("doc_id", "n_tok")
+    def run(p: Int) = graft.functions.Sampling
+      .packSequences(docs, "doc_id", col("n_tok"), seqLen = 128L,
+        partitions = Some(p))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val a = run(1); val b = run(7)
+    assert(a == b, "manifest depends on partitioning")
+    // every full row holds exactly seqLen tokens; segments tile each row
+    // with no gaps or overlaps
+    val byRow = a.groupBy(_._3).view.mapValues(_.toSeq.sortBy(_._5)).toMap
+    val lastRow = byRow.keys.max
+    byRow.foreach { case (row, segs) =>
+      val total = segs.map(_._6).sum
+      if (row != lastRow) assert(total == 128L, s"row $row holds $total")
+      var at = 0L
+      segs.foreach { seg => assert(seg._5 == at, s"gap in row $row"); at += seg._6 }
+    }
+    // every doc's segments cover [0, cost) contiguously
+    a.groupBy(_._1).foreach { case (doc, segs) =>
+      val sorted = segs.toSeq.sortBy(_._4)
+      val cost = sorted.head._2
+      assert(sorted.map(_._6).sum == cost, s"doc $doc not fully packed")
+      var at = 0L
+      sorted.foreach { seg => assert(seg._4 == at); at += seg._6 }
+    }
+  }
+
   test("diversitySample caps dense regions and assigns to the nearest seed") {
     val s = imp; import s._
     // two seed regions: ids 0,1 are the seeds; 2-41 cluster tightly around
