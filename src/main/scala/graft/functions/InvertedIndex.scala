@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted index — the build-once / query-many production shape
+  * of [[TextAnalysis.bm25TopDocs]] (which re-scans the corpus per query),
+  * the retrieval analog of [[IvfIndex]].
+  *
+  * On disk:
+  *  - `<path>/postings/` — (term, doc_id, tf), parquet PARTITIONED BY the
+  *    term's hash bucket: a query reads only its own terms' buckets
+  *    (partition pruning — InvertedIndexSpec asserts the pruned scan), so
+  *    per-query I/O is posting-list-sized, never corpus-sized.
+  *  - `<path>/lens/` — (doc_id, len) for the BM25 length normalizer.
+  *  - `<path>/stats/` — (nDocs, sumLen): corpus constants.
+  *
+  * Query scoring reproduces [[TextAnalysis.bm25TopDocs]] step for FP step
+  * (integer-exact avgLen, term-lexicographic part folds, `dp` rounding) —
+  * build/save/load/query ≡ direct corpus scoring, pinned by
+  * InvertedIndexSpec. */
+object InvertedIndex {
+
+  /** Postings bucket count: wide enough that one bucket ≈ one term's I/O,
+    * small enough that tiny corpora don't fragment. Fixed — changing it
+    * invalidates saved indexes (the bucket is a stored partition column). */
+  val TermBuckets = 64
+
+  def termBucket(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(term), lit(TermBuckets.toLong)).cast("int")
+
+  final case class Built(postings: DataFrame, lens: DataFrame,
+      nDocs: Long, sumLen: Long) {
+    def avgLen: Double = sumLen.toDouble / nDocs.toDouble
+  }
+
+  /** One corpus pass: per-(doc, term) counts + per-doc lengths + corpus
+    * stats. Tokenization matches bm25TopDocs (split on single space,
+    * empties dropped from the length but kept out of terms). */
+  def build(df: DataFrame, idCol: String, textCol: String): Built = {
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val lens = docs.select(col("doc_id"),
+      size(filter(col("w"), x => x =!= "")).cast("long").as("len"))
+    val postings = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term")))
+    val statsRow = lens.agg(count(lit(1)), sum(col("len"))).head()
+    Built(postings, lens, statsRow.getLong(0), statsRow.getLong(1))
+  }
+
+  def save(built: Built, path: String): Unit = {
+    built.postings.write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$path/postings")
+    built.lens.write.mode("overwrite").parquet(s"$path/lens")
+    val spark = built.postings.sparkSession
+    import spark.implicits._
+    Seq((built.nDocs, built.sumLen)).toDF("n_docs", "sum_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def load(spark: SparkSession, path: String): Built = {
+    val stats = spark.read.parquet(s"$path/stats").head()
+    Built(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/lens"),
+      stats.getLong(0), stats.getLong(1))
+  }
+
+  /** BM25 top-k for a bag of query terms against the index. Identical
+    * scoring to [[TextAnalysis.bm25TopDocs]]; the postings filter carries
+    * both the bucket predicate (partition pruning on a saved index) and
+    * the term predicate (row pruning inside the bucket). */
+  def query(built: Built, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75, dp: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val buckets = queryTerms
+      .map(t => math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L),
+        TermBuckets.toLong).toInt)
+      .distinct
+    val tf = built.postings
+      .filter(col("bucket").isInCollection(buckets)
+        && col("term").isInCollection(queryTerms))
+      .select(col("doc_id"), col("term"), col("tf"))
+    TextAnalysis.bm25FromCounts(tf, built.lens, built.nDocs, built.avgLen,
+      k, k1, b, dp)
+  }
+}

