@@ -86,6 +86,49 @@ object Queries {
       |  count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Grouped statistical moments + correlation with DECIMAL-EXACT sums:
+    * mean/stddev/corr derive from sum(x), sum(x²), sum(xy) accumulated as
+    * decimals (prices have 2 dp → squares have 4 dp → the sums are exact
+    * integers in disguise), so the only FP steps are the final closed-form
+    * divisions — deterministic on both engines, no Welford-order
+    * dependence. The scale shape is the plain one-shuffle partial
+    * aggregate; the exactness costs nothing. */
+  def q_group_stats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice").cast("decimal(28,4)")
+    val y = col("l_quantity").cast("decimal(28,4)")
+    val agg = tbl(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * y).cast("decimal(38,8)")).cast("double").as("sxy"),
+        sum((x * x).cast("decimal(38,8)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(38,8)")).cast("double").as("syy"))
+    agg.select(col("l_returnflag"),
+      round(col("sx") / col("n"), 6).as("mean_price"),
+      round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1)), 6).as("sd_price"),
+      round((col("sxy") - col("sx") * col("sy") / col("n")) /
+        (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+          sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+        .as("corr_price_qty"))
+  }
+
+  private val q_group_stats_sql =
+    """WITH a AS (SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round(sx / n, 6) AS mean_price,
+      |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_price,
+      |  round((sxy - sx * sy / n) /
+      |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_price_qty
+      |FROM a""".stripMargin
+
   /** ROLLUP grouping sets — the hierarchical-subtotal companion of q_cube
     * (beyond-reference SQL surface; Catalyst Expand, one shuffle). */
   def q_rollup(s: SparkSession, dir: String): DataFrame =
@@ -2248,6 +2291,7 @@ object Queries {
     "q_group_quantiles" -> (q_group_quantiles _),
     "q_cube" -> (q_cube _),
     "q_rollup" -> (q_rollup _),
+    "q_group_stats" -> (q_group_stats _),
     "q_pivot" -> (q_pivot _),
     "q_analytic" -> (q_analytic _),
     "q_bm25" -> (q_bm25 _),
@@ -2346,6 +2390,7 @@ object Queries {
     "q_group_quantiles" -> q_group_quantiles_sql,
     "q_cube" -> q_cube_sql,
     "q_rollup" -> q_rollup_sql,
+    "q_group_stats" -> q_group_stats_sql,
     "q_pivot" -> q_pivot_sql,
     "q_analytic" -> q_analytic_sql,
     "q_bm25" -> q_bm25_sql,
