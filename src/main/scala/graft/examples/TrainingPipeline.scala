@@ -16,7 +16,8 @@ object TrainingPipeline {
 
   final case class Stats(total: Long, qualityGated: Long, exactDeduped: Long,
       nearDeduped: Long, spanGated: Long, decontaminated: Long,
-      langs: Map[String, Long], shards: Long, annResults: Long)
+      langs: Map[String, Long], shards: Long, packedRows: Long,
+      packedTokens: Long, annResults: Long)
 
   def run(spark: SparkSession, sfDir: String): Stats = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -87,6 +88,16 @@ object TrainingPipeline {
     val nShards = manifest.agg(countDistinct(col("shard"))).head().getLong(0)
     manifest.unpersist()
 
+    // 6b. sequence packing: the final training-row manifest — contiguous
+    // 512-token rows, documents split at row boundaries; every surviving
+    // token lands in exactly one row
+    val packed = Sampling.packSequences(decon, "doc_id", col("n_tokens"),
+      seqLen = 512L)
+    val packRow = packed.agg(countDistinct(col("row_id")),
+      sum(col("len"))).head()
+    val (nRows, nTokens) = (packRow.getLong(0), packRow.getLong(1))
+    packed.unpersist()
+
     // 7. ANN index over the embeddings (build once, query many)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val index = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8, kmeansIters = 2)
@@ -95,7 +106,8 @@ object TrainingPipeline {
     val nAnn = ann.count()
     decon.unpersist()
 
-    Stats(total, nGated, nExact, nClean, nSpan, nDecon, langs, nShards, nAnn)
+    Stats(total, nGated, nExact, nClean, nSpan, nDecon, langs, nShards,
+      nRows, nTokens, nAnn)
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,7 +118,8 @@ object TrainingPipeline {
     println(s"TOTAL=${s.total} QUALITY_GATED=${s.qualityGated} " +
       s"EXACT_DEDUPED=${s.exactDeduped} NEAR_DEDUPED=${s.nearDeduped} " +
       s"SPAN_GATED=${s.spanGated} DECONTAMINATED=${s.decontaminated} " +
-      s"SHARDS=${s.shards}")
+      s"SHARDS=${s.shards} PACKED_ROWS=${s.packedRows} " +
+      s"PACKED_TOKENS=${s.packedTokens}")
     s.langs.toSeq.sortBy(-_._2).foreach { case (l, n) => println(s"LANG\t$l\t$n") }
     println(s"ANN_RESULTS=${s.annResults}")
     spark.stop()

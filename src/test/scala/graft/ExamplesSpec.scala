@@ -83,6 +83,11 @@ class ExamplesSpec extends AnyFunSuite {
     assert(s.decontaminated > 0, "decontamination must not drop everything")
     assert(s.langs.values.sum == s.decontaminated, "language histogram covers the final set")
     assert(s.shards > 0)
+    // packing conserves tokens: every surviving token lands in exactly one
+    // 512-token row, so rows = ceil(tokens / 512)
+    assert(s.packedTokens > 0)
+    assert(s.packedRows == (s.packedTokens + 511) / 512,
+      s"rows ${s.packedRows} vs tokens ${s.packedTokens}")
     assert(s.annResults > 0)
   }
 
