@@ -2103,6 +2103,26 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
       |FROM t""".stripMargin
 
+  /** Weighted sampling without replacement (Sampling.weightedSample —
+    * Efraimidis–Spirakis A-Res keys u^(1/w) on portable-hash uniforms):
+    * the 100 longest-biased documents; inclusion probability scales with
+    * n_chars, the draw is rerun-stable, and the oracle recomputes the
+    * rounded keys and the (key desc, id) top-k exactly. */
+  def q_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.weightedSample(
+      tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", col("n_chars"), k = 100, portable = true)
+
+  private val q_weighted_sample_sql =
+    """SELECT doc_id, n_chars, ares_key FROM (
+      |  SELECT doc_id, n_chars,
+      |    round(pow(
+      |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |         % 1152921504606846976 AS DOUBLE) + 1.0) / 1152921504606846976.0,
+      |      1.0 / CAST(n_chars AS DOUBLE)), 6) AS ares_key
+      |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+      |ORDER BY ares_key DESC, doc_id ASC LIMIT 100""".stripMargin
+
   /** Sequence packing (Sampling.packSequences): documents concatenated in
     * doc_id order into fixed 2048-token training rows, split at row
     * boundaries — one segment per (doc × row) overlap, all integer
@@ -2309,6 +2329,7 @@ object Queries {
     "q_dedup_bloom" -> (q_dedup_bloom _),
     "q_token_shards" -> (q_token_shards _),
     "q_pack_sequences" -> (q_pack_sequences _),
+    "q_weighted_sample" -> (q_weighted_sample _),
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_dedup_normalized" -> (q_dedup_normalized _),
@@ -2408,6 +2429,7 @@ object Queries {
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_token_shards" -> q_token_shards_sql,
     "q_pack_sequences" -> q_pack_sequences_sql,
+    "q_weighted_sample" -> q_weighted_sample_sql,
     "q_mixture_sample" -> q_mixture_sample_sql,
     "q_semantic_dedup" -> q_semantic_dedup_sql,
     "q_dedup_normalized" -> q_dedup_normalized_sql,

@@ -93,6 +93,33 @@ object Sampling {
     stratifiedSample(assigned, "cluster", idCol, perCluster, portable)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    * keep the k rows with the largest key = u^(1/w), u a deterministic
+    * hash-derived uniform in (0,1) — each row's inclusion probability is
+    * proportional to its weight, and the draw is rerun-stable (a quality-
+    * or importance-weighted subset selection that doesn't reshuffle when
+    * the corpus regenerates). Keys are rounded to `dp` decimals with id
+    * tie-breaks, so the portable-hash draw is reproducible by the SQL
+    * oracle. One TakeOrdered at any scale — no full sort, no shuffle of
+    * losers. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      dp: Int = 6, portable: Boolean = false): DataFrame = {
+    require(k > 0, s"bad k $k")
+    // u in (0,1]: the hash folded to 60 bits, scaled by 2^60 (exact as a
+    // double on both engines); +1 keeps u > 0 so pow stays finite
+    val h = bucketHash(col(idCol).cast("string"), portable)
+    val u = (pmod(h, lit(1L << 60)).cast("double") + 1.0) /
+      lit((1L << 60).toDouble)
+    // guard the exponent with when(): the filter alone isn't enough under
+    // ANSI mode, where 1/0 in the same projection throws before pruning
+    val key = round(pow(u, when(weight.cast("double") > 0,
+      lit(1.0) / weight.cast("double"))), dp)
+    df.filter(weight.cast("double") > 0)
+      .withColumn("ares_key", key)
+      .orderBy(col("ares_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Uniform fraction sample via hash threshold: keeps id-hashes below
     * `fraction` of the bucket space. Unlike `df.sample` this is stable
     * across reruns AND across corpus growth. */

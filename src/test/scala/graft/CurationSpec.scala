@@ -275,6 +275,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("weightedSample: heavy weights dominate, zero weights drop, rerun-stable") {
+    val s = imp; import s._
+    // 500 light rows (w=1) vs 500 heavy rows (w=50): A-Res inclusion
+    // scales with weight, so the 100-row sample should be mostly heavy
+    val rows = (1L to 500L).map(i => (i, 1.0)) ++
+      (501L to 1000L).map(i => (i, 50.0)) ++ Seq((1001L, 0.0))
+    val df = rows.toDF("id", "w")
+    val got = graft.functions.Sampling
+      .weightedSample(df, "id", col("w"), k = 100)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.length == 100)
+    assert(!got.contains(1001L), "zero-weight row must never be drawn")
+    val heavy = got.count(_ > 500L)
+    assert(heavy > 80, s"expected heavy rows to dominate, got $heavy/100")
+    val again = graft.functions.Sampling
+      .weightedSample(df, "id", col("w"), k = 100)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq, "draw must be deterministic")
+  }
+
   test("packSequences: rows fill exactly, docs are fully covered, partition-independent") {
     val s = imp; import s._
     val docs = (1L to 200L).map(i => (i, ((i * 37) % 100 + 1).toInt))

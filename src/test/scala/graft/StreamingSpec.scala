@@ -249,6 +249,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static range join: streamed points land in static intervals") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val intervals = Seq((1L, 0.0, 10.0), (2L, 5.0, 15.0), (3L, 20.0, 25.0))
+      .toDF("i_id", "lo", "hi")
+    val in = MemoryStream[(Long, Double)]
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      in.toDF.toDF("p_id", "x"), intervals, "x", "lo", "hi", binWidth = 5.0)
+    val q = joined.select("p_id", "i_id").writeStream
+      .outputMode("append").format("memory").queryName("rj").start()
+    try {
+      in.addData(Seq((100L, 3.0), (101L, 7.0), (102L, 22.0), (103L, 17.0)))
+      q.processAllAvailable()
+      val got = spark.table("rj").as[(Long, Long)].collect().toSet
+      // 3.0 → interval 1; 7.0 → 1 and 2; 22.0 → 3; 17.0 → none
+      assert(got == Set((100L, 1L), (101L, 1L), (101L, 2L), (102L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming CountWindow.tumbling(3) emits exact windows per key") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
