@@ -136,6 +136,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("keyed topK == sort-desc-take-k per key, for any data & partitioning") {
+    val s = imp
+    import s._
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-50, 50))),
+        Gen.choose(1, 6)) { (xs: List[(Int, Int)], p: Int) =>
+      val k = 3
+      val got = new graft.api.KeyedStream(
+          spark.createDataset(xs).repartition(p))
+        .topK(k)(identity[Int])
+        .collectVec().toMap
+      val expected = xs.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted(Ordering[Int].reverse).take(k)).toMap
+      assert(got == expected, s"p=$p xs=$xs")
+    }
+  }
+
   test("mixtureSample fraction monotonicity: lower fraction is a subset") {
     val s = imp
     import s._
