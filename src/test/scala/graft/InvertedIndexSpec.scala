@@ -47,6 +47,32 @@ class InvertedIndexSpec extends AnyFunSuite {
       s"expected a bucket partition filter in:\n$scans")
   }
 
+  test("hybrid search: rerank set == BM25 candidates' exact-cosine top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val built = InvertedIndex.build(docs, "doc_id", "text")
+    val got = graft.examples.HybridSearch.search(built, emb, terms,
+        queryVecId = 0L, candidates = 30, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // reference: take the same 30 BM25 candidates, rerank by a
+    // hand-computed exact cosine, take 10
+    val cand = InvertedIndex.query(built, terms, k = 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecs = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = cand.toSeq.map(id => (id, cos(vecs(id), q)))
+      .sortBy(t => (-t._2, t._1)).take(10)
+    assert(got.map(_._1) == expect.map(_._1),
+      s"got=$got expect=$expect")
+  }
+
   test("single-term query touches one bucket only") {
     val built = InvertedIndex.build(docs, "doc_id", "text")
     val one = InvertedIndex.query(built, Seq("spark"), k = 5)
