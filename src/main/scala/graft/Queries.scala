@@ -779,6 +779,38 @@ object Queries {
         coalesce(col("a_us") - col("p_us"), lit(-1L)).as("lag_us"))
   }
 
+  /** Forward as-of: each click matched to the user's EARLIEST purchase
+    * at-or-after it (the conversion-attribution direction) — same
+    * one-shuffle union+window lowering, reversed ordering. */
+  def q_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("user_id"), col("us").as("a_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"), col("event_id"))
+      .groupBy(col("user_id"), col("p_us"))
+      .agg(max(col("event_id")).as("p_id"))
+    graft.operators.AsOfJoin
+      .forward(clicks, purchases, Seq("user_id"), "a_us", "p_us")
+      .select(col("a_id"), col("user_id"), col("a_us"),
+        coalesce(col("p_us"), lit(-1L)).as("p_us"),
+        coalesce(col("p_id"), lit(-1L)).as("p_id"),
+        coalesce(col("p_us") - col("a_us"), lit(-1L)).as("lead_us"))
+  }
+
+  private val q_asof_forward_sql =
+    """WITH c AS (SELECT event_id AS a_id, user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS a_us
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+      |        max(event_id) AS p_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT a_id, c.user_id AS user_id, a_us,
+      |  coalesce(p_us, -1) AS p_us, coalesce(p_id, -1) AS p_id,
+      |  coalesce(p_us - a_us, -1) AS lead_us
+      |FROM c ASOF LEFT JOIN p
+      |ON c.user_id = p.user_id AND c.a_us <= p.p_us""".stripMargin
+
   private val q_asof_join_sql =
     """WITH c AS (SELECT event_id AS a_id, user_id,
       |             epoch_us(CAST(ts AS TIMESTAMP)) AS a_us
@@ -2299,6 +2331,7 @@ object Queries {
     "q_interval_join" -> (q_interval_join _),
     "q_window_join" -> (q_window_join _),
     "q_asof_join" -> (q_asof_join _),
+    "q_asof_forward" -> (q_asof_forward _),
     "q_range_join" -> (q_range_join _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
@@ -2399,6 +2432,7 @@ object Queries {
     "q_interval_join" -> q_interval_join_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
+    "q_asof_forward" -> q_asof_forward_sql,
     "q_range_join" -> q_range_join_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
