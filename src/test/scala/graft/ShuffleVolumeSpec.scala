@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.Dedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCALE.md's shuffle claims, executed: measure actual shuffle-write bytes
+  * via a SparkListener and assert the de-amplified formulations really move
+  * less data than the amplified ones they replaced. A plan-shape test can't
+  * catch a regression that keeps the shape but grows the payload — bytes
+  * can. */
+class ShuffleVolumeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .getOrCreate()
+  def docs = { spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") }
+
+  /** Total shuffle-write bytes across all stages of `f`, with broadcast
+    * joins and AQE disabled — at sf0.001 Spark would broadcast every join
+    * side and the byte comparison would measure nothing. */
+  def shuffleBytes(f: => Unit): Long = {
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try shuffleBytesRaw(f) finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
+  private def shuffleBytesRaw(f: => Unit): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          total.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      // listener events are async — drain before reading the counter
+      // (listenerBus is private; a short settle loop is the public route)
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var last = -1L
+      while (System.nanoTime() < deadline && last != total.get()) {
+        last = total.get(); Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    total.get()
+  }
+
+  test("band join moves scalar band keys, not signature arrays (measured bytes)") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text").persist()
+    sig.count()
+    // both variants compute the SAME (a_id, b_id, est_sim) output; the
+    // difference is where the signatures travel. Lean (minhashCandidates
+    // since round 3): scalar band keys through the join, pairs deduped,
+    // signatures joined back per deduped pair. Amplified (the round-2
+    // shape): every banded row carries the 64-long array through the
+    // band-join shuffle and the pair groupBy takes first(sig).
+    try {
+      val lean = shuffleBytes {
+        Dedup.minhashCandidates(sig, minEstSim = 0.0).collect()
+      }
+      def bandKey(b: Int) = xxhash64(concat_ws("_",
+        (b * 4 until (b + 1) * 4).map(i => col(s"h$i")): _*))
+      val amplified = shuffleBytes {
+        val banded = sig.select(col("doc_id"),
+          array((0 until 64).map(i => col(s"h$i")): _*).as("sig"),
+          explode(array((0 until 16).map(bandKey): _*)).as("band_hash"))
+        val a = banded.select(col("doc_id").as("a_id"),
+          col("sig").as("a_sig"), col("band_hash"))
+        val b = banded.select(col("doc_id").as("b_id"),
+          col("sig").as("b_sig"), col("band_hash"))
+        a.join(b, Seq("band_hash")).filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
+          .select(col("a_id"), col("b_id"),
+            (graft.plans.VectorExpressions
+              .matchCountNative(col("a_sig"), col("b_sig"))
+              .cast("double") / 64.0).as("est_sim"))
+          .collect()
+      }
+      assert(lean > 0 && amplified > 0)
+      assert(lean * 3 < amplified,
+        s"expected >3x shuffle saving: lean=$lean amplified=$amplified")
+    } finally { sig.unpersist(); () }
+  }
+
+  test("winnowing shuffles materially less than the full gram profile") {
+    // collect(), not count(): Catalyst prunes a count() down to a plan
+    // that skips most of the shuffle, and the measurement reads ~nothing
+    val winnow = shuffleBytes {
+      Dedup.winnowProfile(docs, "doc_id", "text", n = 5, w = 4).collect()
+    }
+    val full = shuffleBytes {
+      Dedup.dupSpanProfile(docs, "doc_id", "text", n = 5).collect()
+    }
+    assert(winnow > 0 && full > 0)
+    // theory: ~2/(w+1) = 40% of grams selected; allow generous slack for
+    // per-row overheads and the extra pos column
+    assert(winnow * 3 < full * 2,
+      s"winnowed shuffle $winnow not under 2/3 of full $full")
+  }
+}
