@@ -67,4 +67,26 @@ class AnsiSpec extends AnyFunSuite {
     val annOff = runAnn(spark)
     assert(annOff.nonEmpty && annOff == inAnsiSession(runAnn))
   }
+
+  test("round-4 catalog queries run identically under ANSI mode") {
+    // the risk class: an expression that silently relied on non-ANSI
+    // semantics (wrapping overflow, 1/0 inside a pruned projection — the
+    // weightedSample regression this round). Each new query must produce
+    // the same row count and run without throwing on stock Spark 4
+    // defaults.
+    val names = Seq("q_range_join", "q_topk_group", "q_char_lm",
+      "q_fuzzy_join", "q_ann_pq", "q_winnow", "q_pack_sequences",
+      "q_diversity_sample", "q_weighted_sample", "q_group_stats",
+      "q_rollup", "q_pivot", "q_analytic", "q_asof_forward")
+    def counts(s: SparkSession): Seq[(String, Long)] = {
+      s.catalog.clearCache()
+      // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      names.map(n => n -> Queries.all(n)(s, dir).collect().length.toLong)
+    }
+    val off = counts(spark)
+    val on = inAnsiSession(counts)
+    assert(off == on, s"ANSI divergence: off=$off on=$on")
+    assert(off.forall(_._2 > 0))
+  }
 }
