@@ -1850,6 +1850,22 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_micro ASC, c_id ASC) AS rn
       |  FROM adc) WHERE rn <= 10""".stripMargin
 
+  /** IVF-PQ at full probe (ProductQuantizer.ivfPqTopK): the coarse
+    * quantizer prunes nothing at nprobe = nlist, so the whole composition —
+    * k-means lists, probe selection, list join, PQ encode, ADC scoring —
+    * must reproduce flat ADC exactly: the oracle is q_ann_pq's SQL
+    * verbatim. PqSpec covers the pruned (approximate) operating point. */
+  def q_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val model = graft.functions.ProductQuantizer
+      .seedModel(e, "vec_id", "embedding", m = 8, ksub = 4)
+    val built = graft.functions.IvfIndex.build(e, "vec_id", "embedding",
+      nlist = 8, kmeansIters = 2)
+    graft.functions.ProductQuantizer.ivfPqTopK(built,
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", model,
+      k = 10, nprobe = 8)
+  }
+
   /** embedding-cosine near-dup pairs over portable LSH buckets — oracle
     * recomputes buckets + rounded cosine in SQL. (This corpus has
     * near-random vectors — top-1 cosine ≈ 0.49 — so the "near dup"
@@ -2375,6 +2391,7 @@ object Queries {
     "q_ann_multiprobe" -> (q_ann_multiprobe _),
     "q_ann_ivf" -> (q_ann_ivf _),
     "q_ann_pq" -> (q_ann_pq _),
+    "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
     "q_text_profile" -> (q_text_profile _),
     "q_multimodal" -> (q_multimodal _),
@@ -2476,6 +2493,7 @@ object Queries {
     "q_ann_multiprobe" -> q_ann_multiprobe_sql,
     "q_ann_ivf" -> q_ann_ivf_sql,
     "q_ann_pq" -> q_ann_pq_sql,
+    "q_ann_ivfpq" -> q_ann_pq_sql,
     "q_embedding_neardup" -> q_embedding_neardup_sql,
     "q_text_profile" -> q_text_profile_sql,
     "q_multimodal" -> q_multimodal_sql,
