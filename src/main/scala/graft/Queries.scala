@@ -1416,21 +1416,23 @@ object Queries {
       |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
       |FROM k, a""".stripMargin
 
-  /** Count-min heavy hitters (functions.Sketches.cmsSketch/cmsEstimate):
+  /** Count-min heavy hitters (functions.Sketches.cmsSketch/cmsHeavyItems):
     * word 2-grams of documents with CMS-estimated count ≥ 40 on a 4×2048
     * grid. The shuffle carries the grid (≤ depth·width rows), never the
-    * items; estimates probe the broadcast sketch. est ≥ true count always;
-    * the oracle recomputes grid and minima bit-for-bit. */
+    * items; the probe side is prefiltered by the broadcast heavy cells (an
+    * item passes iff ALL its buckets are heavy — exactly the est ≥ minCount
+    * set), so no full-universe distinct ever runs. est ≥ true count always;
+    * the oracle recomputes grid and minima bit-for-bit over the full
+    * universe — equivalence is by the all-buckets-heavy identity. */
   def q_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
     val (depth, width, minCount) = (4, 2048, 40)
     val grams = tbl(s, dir, "documents")
       .select(explode(graft.functions.Dedup.shingles(col("text"), 2)).as("gram"))
     val sk = graft.functions.Sketches.cmsSketch(
       grams, col("gram"), depth, width, portable = portableMode)
-    graft.functions.Sketches.cmsEstimate(
-        sk, grams.distinct(), col("gram"), depth, width,
+    graft.functions.Sketches.cmsHeavyItems(
+        sk, grams, col("gram"), depth, width, minCount,
         portable = portableMode)
-      .filter(col("est") >= minCount)
       .select(col("item").as("gram"), col("est"))
   }
 
@@ -2152,10 +2154,11 @@ object Queries {
       |FROM t""".stripMargin
 
   /** Weighted sampling without replacement (Sampling.weightedSample —
-    * Efraimidis–Spirakis A-Res keys u^(1/w) on portable-hash uniforms):
-    * the 100 longest-biased documents; inclusion probability scales with
-    * n_chars, the draw is rerun-stable, and the oracle recomputes the
-    * rounded keys and the (key desc, id) top-k exactly. */
+    * Efraimidis–Spirakis A-Res ranked by the log-domain key ln(u)/w in
+    * integer micro-units, on portable-hash uniforms): the 100
+    * longest-biased documents; inclusion probability scales with n_chars,
+    * the draw is rerun-stable, and the oracle recomputes the micro keys
+    * and the (key desc, id) top-k exactly. */
   def q_weighted_sample(s: SparkSession, dir: String): DataFrame =
     graft.functions.Sampling.weightedSample(
       tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
@@ -2164,10 +2167,10 @@ object Queries {
   private val q_weighted_sample_sql =
     """SELECT doc_id, n_chars, ares_key FROM (
       |  SELECT doc_id, n_chars,
-      |    round(pow(
+      |    CAST(round(ln(
       |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |         % 1152921504606846976 AS DOUBLE) + 1.0) / 1152921504606846976.0,
-      |      1.0 / CAST(n_chars AS DOUBLE)), 6) AS ares_key
+      |         % 1152921504606846976 AS DOUBLE) + 1.0) / 1152921504606846976.0)
+      |      / CAST(n_chars AS DOUBLE) * 1000000, 0) AS BIGINT) AS ares_key
       |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
       |ORDER BY ares_key DESC, doc_id ASC LIMIT 100""".stripMargin
 

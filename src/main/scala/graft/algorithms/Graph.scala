@@ -16,22 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** When `parallelism` is given, every shuffle of the computation — not
-    * just the input repartition — runs at that width: the per-round joins
-    * and aggregations read `spark.sql.shuffle.partitions` at execution, and
-    * with AQE disabled inside driver loops (see [[Iteration]]) nothing
-    * coalesces them, so a small graph would otherwise pay the session-wide
-    * partition count in pure task-scheduling overhead every round. Scoped
-    * and restored like the loop's AQE override. */
+  /** Every shuffle of the loop — not just the input repartition — runs at
+    * this width (see [[Iteration.withShuffleWidth]]). */
   private def withShuffleWidth[A](spark: org.apache.spark.sql.SparkSession,
-      parallelism: Option[Int])(f: => A): A = parallelism match {
-    case None => f
-    case Some(p) =>
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", p)
-      try f
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+      parallelism: Option[Int])(f: => A): A =
+    Iteration.withShuffleWidth(spark, parallelism)(f)
 
   /** Min-label propagation connected components.
     * edges: (src: Long, dst: Long) undirected (both directions derived).
@@ -39,11 +28,19 @@ object Graph {
     *
     * Convergence check exploits monotonicity: labels only ever decrease, so
     * the label sum is strictly decreasing until fixpoint — one cheap agg per
-    * round instead of a prev⋈next join. */
+    * round instead of a prev⋈next join.
+    *
+    * When `parallelism` is None the loop's shuffle width is auto-sized from
+    * the edge count (one extra count job up front — against ~rounds ×
+    * session-width shuffles it always wins): a bench-sized graph runs its
+    * rounds at width 1 instead of the session default, a billion-edge graph
+    * still gets thousands of partitions. Pass `parallelism` to pin it. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame =
-    withShuffleWidth(edges.sparkSession, parallelism) {
-    val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
+      parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame = {
+    val width = parallelism.orElse(
+      Some(Iteration.sizedWidth(2L * edges.count())))
+    withShuffleWidth(edges.sparkSession, width) {
+    val e0 = width.map(p => edges.repartition(p)).getOrElse(edges)
     // both directions from ONE pass over the edge source (a union of two
     // projections would scan it twice), then pre-partition on the join key:
     // the cached relation keeps this partitioning, so the per-round join
@@ -86,6 +83,7 @@ object Graph {
     undirected.unpersist()
     out
     }
+  }
 
   /** PageRank without dangling-mass redistribution:
     * rank'(n) = (1-d)/N + d * sum_{m->n} rank(m)/outdeg(m).

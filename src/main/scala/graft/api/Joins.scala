@@ -70,14 +70,25 @@ object Joins {
   /** Event-time interval join (reference: interval_join.rs:20-200): left
     * element at ts matches right elements in [ts − lower, ts + upper] on the
     * same key; output timestamp = max of the pair (interval_join.rs:113-120).
-    * Batch lowering: equi-join on the key + range residual (SMJ on the key). */
+    *
+    * Batch lowering: the event times are stamped into columns by ONE narrow
+    * map per side, then key equality AND the range residual go into the join
+    * condition itself — Catalyst plans an equi-join on the key with the range
+    * evaluated inside the join on unsafe rows, so non-matching pairs are
+    * never deserialized and the residual is visible to the optimizer (the
+    * streaming twin, streaming/Streaming.scala intervalJoin, has the same
+    * shape). The only typed stage left is the output map, which touches
+    * output-sized data. JoinSpec pins the no-post-join-Filter plan. */
   def intervalJoin[K, V1, V2](a: KeyedStream[K, V1], b: KeyedStream[K, V2])(
       ts1: V1 => Long, ts2: V2 => Long)(lowerMs: Long, upperMs: Long)(
-      implicit e: Encoder[(K, (Long, V1, V2))]): Stream[(K, (Long, V1, V2))] =
-    new Stream(a.ds.joinWith(b.ds, a.ds("_1") === b.ds("_1"), "inner")
-      .filter { case ((_, x), (_, y)) =>
-        val t1 = ts1(x); val t2 = ts2(y)
-        t2 >= t1 - lowerMs && t2 <= t1 + upperMs
-      }
-      .map { case ((k, x), (_, y)) => (k, (math.max(ts1(x), ts2(y)), x, y)) })
+      implicit e: Encoder[(K, (Long, V1, V2))], el: Encoder[(K, Long, V1)],
+      er: Encoder[(K, Long, V2)]): Stream[(K, (Long, V1, V2))] = {
+    val l = a.ds.map { case (k, v) => (k, ts1(v), v) }
+    val r = b.ds.map { case (k, v) => (k, ts2(v), v) }
+    new Stream(l.joinWith(r,
+        l("_1") === r("_1")
+          && r("_2") >= l("_2") - lowerMs
+          && r("_2") <= l("_2") + upperMs, "inner")
+      .map { case ((k, t1, x), (_, t2, y)) => (k, (math.max(t1, t2), x, y)) })
+  }
 }

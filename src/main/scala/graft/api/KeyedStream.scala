@@ -166,7 +166,8 @@ final class KeyedStream[K, V](val ds: Dataset[(K, V)]) extends Serializable {
 
   /** Per-key top-k by `get` (descending), k largest elements per key in
     * descending order (beyond-reference: the keyed analog of global
-    * `sorted_limit_by`, src/operator/sort.rs). Bounded-buffer aggregator —
+    * `sorted_limit_by`, declared src/operator/mod.rs:1317, operator in
+    * src/operator/limit_sorted.rs). Bounded-buffer aggregator —
     * map-side partials cap at k elements, so hot keys never shuffle their
     * whole group (the window-function lowering sorts and moves every row). */
   def topK[B](k: Int)(get: V => B)(implicit ord: Ordering[B], ek: Encoder[K],

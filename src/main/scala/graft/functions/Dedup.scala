@@ -479,8 +479,14 @@ object Dedup {
     * [[graft.algorithms.Graph.connectedComponents]]. Cluster diameter bounds
     * the round count; near-dup clusters are shallow (dup "cliques" minus LSH
     * misses), so rounds stay in the single digits. */
+  /** Test-visible probe: did the last [[nearDupClusters]] call close the
+    * graph driver-side? (NearDupSpec asserts the threshold switch.) */
+  @volatile private[graft] var lastClustersClosedDriverSide = false
+
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 50,
-      parallelism: Option[Int] = None): DataFrame = {
+      parallelism: Option[Int] = None,
+      driverCloseMaxPairs: Long = 100000L): DataFrame = {
+    lastClustersClosedDriverSide = false
     // the pair graph is output-sized — typically orders of magnitude below
     // the corpus — so inheriting the corpus-scale shuffle width makes every
     // CC round mostly task-scheduling overhead (AQE, which would coalesce,
@@ -488,15 +494,53 @@ object Dedup {
     // pairs (the minhashNearDups contract), size the CC shuffle from the
     // actual pair count: ≈64k label rows per partition, floor 1. A billion
     // pairs at 100 TB still gets ~15k partitions.
-    val p = parallelism.orElse {
+    val counted =
       if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        Some(math.max(1L, pairs.count() / 65536L).min(1L << 14).toInt)
-      else None
+        Some(pairs.count()) else None
+    val integralIds = pairs.schema.fields.take(2).forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    })
+    counted match {
+      // tiny-graph fast path: a materialized pair graph under the threshold
+      // closes on the driver in one collect + union-find — distributed CC
+      // rounds on a 47-pair graph are pure job-scheduling overhead, while
+      // 100k (Long, Long) pairs collect in ~1.6 MB. Same output contract:
+      // every node appearing in ≥1 pair, cluster_id = min id of its
+      // component (union always attaches the larger root under the smaller,
+      // so each root IS its component's min).
+      case Some(n) if n <= driverCloseMaxPairs && integralIds =>
+        lastClustersClosedDriverSide = true
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val es = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+          .as[(Long, Long)].collect()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.get(x) != x) {
+            parent.put(x, parent.get(parent.get(x))) // path halving
+            x = parent.get(x)
+          }
+          x
+        }
+        es.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val nodes = parent.keySet().toArray(new Array[java.lang.Long](0))
+        spark.createDataset(nodes.toSeq.map(n => (n.longValue(), find(n))))
+          .toDF("doc_id", "cluster_id")
+      case _ =>
+        val p = parallelism.orElse(
+          counted.map(n => graft.operators.Iteration.sizedWidth(n)))
+        graft.algorithms.Graph.connectedComponents(
+            pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+            maxIter = maxIter, parallelism = p)
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }
-    graft.algorithms.Graph.connectedComponents(
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
-        maxIter = maxIter, parallelism = p)
-      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
   /** Benchmark decontamination: flag training documents that share at least

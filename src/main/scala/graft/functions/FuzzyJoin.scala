@@ -32,9 +32,11 @@ object FuzzyJoin {
   def selfJoinWithin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     // persisted: both join sides read the variant table, and the explode
     // (len+1 string builds per row) is the most expensive narrow stage —
-    // computing it once instead of twice is a measured win; callers (and
-    // Bench/Verify) release it with clearCache like the other
-    // persisted-result operators
+    // computing it once instead of twice is a measured win. The variant
+    // cache is RELEASED before returning (result materialized first), so
+    // repeated library calls don't leak executor blocks; the returned
+    // result itself stays persisted (the documented persisted-result
+    // contract, same as packSequences)
     val vars = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("s"), explode(array_distinct(concat(
@@ -50,11 +52,15 @@ object FuzzyJoin {
     // — and THRESHOLD-BOUNDED: levenshtein(a, b, 1) runs the banded DP and
     // bails out at distance 2 (-1), a measured ~2× over the unbounded
     // distance on the candidate stream
-    a.join(b, Seq("v"))
+    val out = a.join(b, Seq("v"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("dist", levenshtein(col("a_str"), col("b_str"), 1))
       .filter(col("dist") >= 0)
       .select("a_id", "b_id", "a_str", "b_str", "dist")
       .distinct()
+      .persist()
+    out.count() // materialize before dropping the variant cache
+    vars.unpersist()
+    out
   }
 }

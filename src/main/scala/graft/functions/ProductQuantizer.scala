@@ -169,9 +169,25 @@ object ProductQuantizer {
     * every corpus vector lives in exactly one list. */
   def ivfPqTopK(built: IvfIndex.Built, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, k: Int, nprobe: Int,
-      dp: Int = 6): DataFrame = {
-    val enc = encode(built.lists, "c_vec", model)
+      dp: Int = 6): DataFrame =
+    ivfPqTopK(built, encodeLists(built, model, dp), queries, idCol, vecCol,
+      model, k, nprobe, dp)
+
+  /** PQ-encode an IVF index's lists ONCE at index-build time: pass the
+    * result to the pre-encoded [[ivfPqTopK]] overload (and persist or
+    * parquet it alongside the index) so each query batch pays only the
+    * probe + ADC — not a full-corpus re-encode. */
+  def encodeLists(built: IvfIndex.Built, model: Model,
+      dp: Int = 6): DataFrame =
+    encode(built.lists, "c_vec", model, dp)
       .select(col("c_id"), col("cluster"), col("codes"))
+
+  /** [[ivfPqTopK]] over pre-encoded lists (see [[encodeLists]]) — the
+    * build-once/query-many shape. */
+  def ivfPqTopK(built: IvfIndex.Built, encodedLists: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, model: Model,
+      k: Int, nprobe: Int, dp: Int): DataFrame = {
+    val enc = encodedLists
     val probes = IvfIndex
       .probeAssignments(built, queries, idCol, vecCol, nprobe)
     val q = probes.select(col("q_id"), col("q_vec")).distinct()

@@ -94,26 +94,31 @@ object Sampling {
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
-    * keep the k rows with the largest key = u^(1/w), u a deterministic
+    * keep the k rows with the largest key u^(1/w), u a deterministic
     * hash-derived uniform in (0,1) — each row's inclusion probability is
     * proportional to its weight, and the draw is rerun-stable (a quality-
     * or importance-weighted subset selection that doesn't reshuffle when
-    * the corpus regenerates). Keys are rounded to `dp` decimals with id
-    * tie-breaks, so the portable-hash draw is reproducible by the SQL
-    * oracle. One TakeOrdered at any scale — no full sort, no shuffle of
-    * losers. */
+    * the corpus regenerates). The RANKING form is the equivalent
+    * log-domain key ln(u)/w (u^(1/w) = exp(ln(u)/w), exp monotone — same
+    * order), scaled to integer micro-units: the power form compresses
+    * toward 1.0 as weights grow, so decimal rounding there collapses
+    * large-weight rows into ties and the ordering degenerates toward the
+    * id tie-break; the log form keeps ~ln(2^60)·10^`dp`/w distinct levels
+    * — graceful degradation instead of a cliff. Micro-integer keys with
+    * id tie-breaks make the draw reproducible by the SQL oracle. One
+    * TakeOrdered at any scale — no full sort, no shuffle of losers. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
       dp: Int = 6, portable: Boolean = false): DataFrame = {
     require(k > 0, s"bad k $k")
     // u in (0,1]: the hash folded to 60 bits, scaled by 2^60 (exact as a
-    // double on both engines); +1 keeps u > 0 so pow stays finite
+    // double on both engines); +1 keeps u > 0 so ln stays finite
     val h = bucketHash(col(idCol).cast("string"), portable)
     val u = (pmod(h, lit(1L << 60)).cast("double") + 1.0) /
       lit((1L << 60).toDouble)
-    // guard the exponent with when(): the filter alone isn't enough under
+    // guard the divisor with when(): the filter alone isn't enough under
     // ANSI mode, where 1/0 in the same projection throws before pruning
-    val key = round(pow(u, when(weight.cast("double") > 0,
-      lit(1.0) / weight.cast("double"))), dp)
+    val key = round(log(u) / when(weight.cast("double") > 0,
+      weight.cast("double")) * math.pow(10, dp), 0).cast("long")
     df.filter(weight.cast("double") > 0)
       .withColumn("ares_key", key)
       .orderBy(col("ares_key").desc, col(idCol).asc)

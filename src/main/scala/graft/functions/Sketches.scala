@@ -130,6 +130,41 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Heavy hitters (CMS estimate ≥ `minCount`) WITHOUT the full-universe
+    * distinct probe: an item's estimate is the min over its depth bucket
+    * counts, so est ≥ minCount iff EVERY one of its buckets is a heavy cell
+    * (cnt ≥ minCount). The heavy cells — at most depth·width, collected
+    * driver-side from the grid-sized sketch — prefilter the probe stream as
+    * a NARROW map-side `isin` (InSet) per depth row; only the actual heavy
+    * hitters (true ones plus CMS-collision false positives, i.e. exactly
+    * the output set) reach the distinct and the estimate join. Bit-identical
+    * to probing every distinct item and filtering est ≥ minCount, but the
+    * probe shuffle is output-sized instead of corpus-distinct-sized
+    * (ShuffleVolumeSpec pins the byte drop). Returns (item, est). */
+  def cmsHeavyItems(sketch: DataFrame, items: DataFrame, c: Column,
+      depth: Int, width: Int, minCount: Long,
+      portable: Boolean = false): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val heavyRows = sketch.filter(col("cnt") >= minCount)
+      .select(col("r"), col("b"), col("cnt")).collect()
+      .map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
+    val heavy: Map[Int, Seq[Long]] =
+      heavyRows.groupBy(_._1).map { case (r, cells) => r -> cells.toSeq.map(_._2) }
+    val probe = items.select(c.as("item"))
+    // a depth row with NO heavy cell means no item can pass the min filter
+    if ((0 until depth).exists(r => !heavy.contains(r)))
+      return probe.select(col("item"), lit(0L).as("est")).limit(0)
+    val allBucketsHeavy = (0 until depth)
+      .map(r => cmsBucket(col("item"), r, width, portable).isin(heavy(r): _*))
+      .reduce(_ && _)
+    // survivors' buckets are ALL heavy, so the heavy subset IS the sketch
+    // restriction they estimate against — the grid never recomputes
+    cmsEstimate(heavyRows.toSeq.toDF("r", "b", "cnt"),
+      probe.filter(allBucketsHeavy).distinct(),
+      col("item"), depth, width, portable)
+  }
+
   // =====================================================================
   // Built-in mergeable sketches, surfaced for API completeness
   // =====================================================================

@@ -174,9 +174,9 @@ object TextAnalysis {
     // table (a per-occurrence formulation explodes the corpus twice and
     // joins the model against every occurrence; this joins it against
     // distinct bigrams per doc, and Σ n·lp ≡ Σ-per-occurrence lp exactly,
-    // both integer sums). The caller's action computes bgc once; Bench and
-    // Verify clear the cache between queries like the other
-    // persisted-result queries.
+    // both integer sums). The bigram cache is released before returning
+    // (result materialized first) so repeated calls don't leak executor
+    // blocks; the returned per-doc result stays persisted.
     val bgc = df.filter(length(col(textCol)) >= 2)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(expr(
@@ -194,13 +194,17 @@ object TextAnalysis {
         round(round(log((col("n_bg") + 1).cast("double") /
           (col("n_ctx") + v).cast("double")), dp) * 1e6, 0)
           .cast("long").as("lp_micro"))
-    bgc.join(broadcast(lp), "bg")
+    val out = bgc.join(broadcast(lp), "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("n") * col("lp_micro")).as("micro"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("micro").cast("double") / 1e6 / col("n_bigrams"), dp)
           .as("lm_score"))
+      .persist()
+    out.count() // materialize before dropping the bigram cache
+    bgc.unpersist()
+    out
   }
 
   /** BM25 top-`k` documents for a bag of query terms — the retrieval

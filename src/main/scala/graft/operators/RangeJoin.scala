@@ -65,7 +65,7 @@ object RangeJoin {
       // fail fast on a bin explosion instead of letting sequence() build a
       // multi-million-element array per interval
       .withColumn(reserved, explode(sequence(
-        when(bin(hiCol) - bin(loCol) < maxBinsPerInterval, bin(loCol))
+        when(bin(hiCol) - bin(loCol) <= maxBinsPerInterval, bin(loCol))
           .otherwise(raise_error(concat(
             lit(s"rangeJoin: interval spans more than $maxBinsPerInterval " +
               s"bins at binWidth=$binWidth ["), col(loCol), lit(", "),

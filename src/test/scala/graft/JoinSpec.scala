@@ -79,6 +79,27 @@ class JoinSpec extends AnyFunSuite {
     assert(r == Seq(("early", 100L), ("near", 104L)))
   }
 
+  test("interval join plan: residual inside the join condition, no typed filter") {
+    val s = imp
+    import s._
+    val a = ctx.streamIter(Seq((0, ("x", 100L)), (1, ("y", 50L)))).keyBy(_._1).map(_._2)
+    val b = ctx.streamIter(Seq((0, ("p", 104L)), (1, ("q", 500L)))).keyBy(_._1).map(_._2)
+    val opt = Joins.intervalJoin(a, b)(_._2, _._2)(5L, 5L)
+      .ds.queryExecution.optimizedPlan
+    // the round-4 shape filtered joined pairs through an opaque closure —
+    // every pair paid deserialization and the range was invisible to
+    // Catalyst. Pin: no TypedFilter anywhere, and the Join node itself
+    // carries the two-sided range residual.
+    assert(!opt.toString.contains("TypedFilter"),
+      s"typed post-join filter survived:\n$opt")
+    val joinConds = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    assert(joinConds.exists(c => c.contains(">=") && c.contains("<=")),
+      s"range residual not in the join condition: $joinConds\n$opt")
+  }
+
   test("intersect / except (additive set ops)") {
     val s = imp
     import s._

@@ -509,4 +509,29 @@ class NearDupSpec extends AnyFunSuite {
         && fps("fp") === grams("gh"), "left_anti").count()
     assert(orphan == 0, s"$orphan fingerprints don't match their gram hash")
   }
+
+  test("nearDupClusters tiny graphs close driver-side, identical to distributed CC") {
+    val s = spark
+    import s.implicits._
+    // two chains, a triangle, and an isolated pair — min-id labeling must
+    // agree between the union-find fast path and the CC rounds
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 3L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("a_id", "b_id").persist()
+    pairs.count()
+    try {
+      val fast = graft.functions.Dedup.nearDupClusters(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(graft.functions.Dedup.lastClustersClosedDriverSide,
+        "expected the driver-side closure below the pair threshold")
+      val dist = graft.functions.Dedup
+        .nearDupClusters(pairs, driverCloseMaxPairs = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!graft.functions.Dedup.lastClustersClosedDriverSide,
+        "threshold 0 must force the distributed path")
+      assert(fast == dist, s"fast=$fast dist=$dist")
+      assert(fast == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L),
+        (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
+    } finally { pairs.unpersist(); () }
+  }
 }

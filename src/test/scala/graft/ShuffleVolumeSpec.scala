@@ -94,6 +94,34 @@ class ShuffleVolumeSpec extends AnyFunSuite {
     } finally { sig.unpersist(); () }
   }
 
+  test("heavy-hitter probe shuffles candidates, not the distinct gram universe") {
+    import graft.functions.Sketches
+    // minCount mirrors the catalog query: at this corpus ~58 of 916
+    // distinct grams clear 40 (a threshold of 5 would make ~all grams
+    // heavy and there'd be no probe volume to save)
+    val (depth, width, minCount) = (4, 2048, 40)
+    val grams = docs.select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
+    val sk = Sketches.cmsSketch(grams, col("gram"), depth, width).persist()
+    sk.count()
+    try {
+      // both formulations produce the same (item, est) set (SketchesSpec
+      // pins the equivalence); the difference is what the probe shuffles —
+      // the heavy-cell prefilter passes only actual heavy hitters to the
+      // distinct, the round-4 shape shuffled every distinct gram
+      val lean = shuffleBytes {
+        Sketches.cmsHeavyItems(sk, grams, col("gram"), depth, width, minCount)
+          .collect()
+      }
+      val full = shuffleBytes {
+        Sketches.cmsEstimate(sk, grams.distinct(), col("gram"), depth, width)
+          .filter(col("est") >= minCount).collect()
+      }
+      assert(lean > 0 && full > 0)
+      assert(lean * 3 < full,
+        s"expected >3x probe shuffle saving: lean=$lean full=$full")
+    } finally { sk.unpersist(); () }
+  }
+
   test("winnowing shuffles materially less than the full gram profile") {
     // collect(), not count(): Catalyst prunes a count() down to a plan
     // that skips most of the shuffle, and the measurement reads ~nothing

@@ -114,6 +114,30 @@ class SketchesSpec extends AnyFunSuite {
       s"quantiles=$qs")
   }
 
+  test("cmsHeavyItems ≡ full-universe probe filtered at minCount (FP-inclusive)") {
+    // narrow grid on purpose: thousands of distinct items over 4×64 cells
+    // GUARANTEES collisions, so the equivalence is exercised on collision
+    // false positives too (est ≥ minCount with true count below it) — the
+    // case where a candidate scheme that only guarantees TRUE heavy
+    // hitters would diverge from the full probe
+    val df = strs(Seq.fill(500)("hot") ++ Seq.fill(80)("warm") ++
+      (1 to 3000).map(i => s"u$i"))
+    val (depth, width, minCount) = (4, 64, 50)
+    val sk = Sketches.cmsSketch(df, col("v"), depth, width).persist()
+    try {
+      val full = Sketches.cmsEstimate(sk, df.distinct(), col("v"), depth, width)
+        .filter(col("est") >= minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val lean = Sketches.cmsHeavyItems(sk, df, col("v"), depth, width, minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(lean == full, s"lean=$lean full=$full")
+      assert(lean.exists(_._1 == "hot"))
+      // the narrow grid really did produce collision FPs beyond the 2 true
+      // heavies — otherwise this test isn't testing the interesting case
+      assert(full.size > 2, s"expected collision FPs, got only $full")
+    } finally { sk.unpersist(); () }
+  }
+
   test("plan shapes: KMV local pass is narrow; CMS shuffle carries the grid") {
     val df = strs((1 to 100).map(_.toString))
     val kmvPlan = Sketches.kmvSketch(df, col("v"), 16)
