@@ -23,6 +23,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
+      // A/B lever for the narrow-input rebalance (operators.Scale.fanOut);
+      // unset = library default (on)
+      .config("graft.fanout.enabled", sys.env.getOrElse("GRAFT_FANOUT", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

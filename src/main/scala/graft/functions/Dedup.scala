@@ -88,6 +88,10 @@ object Dedup {
     // fused single-buffer aggregate (plans.MinHashAgg: one long[64] update
     // per shingle) replaces 64 separate codegen'd min slots — bit-identical
     // values, one expression eval per row instead of 64.
+    // no Scale.fanOut here — measured (min-of-5, sf0.1): the rebalance
+    // shuffle costs ~0.4 s against a shingle+fused-minhash pass that the
+    // single scan task already finishes faster; contrast charLmScore /
+    // FuzzyJoin where the per-row construction dominates and fanOut pays
     val sh0 = df.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), shingleSize)).as("shingle"))
     val sh =
@@ -343,6 +347,11 @@ object Dedup {
     // slots — bit-identical signatures, pinned by the oracle which
     // recomputes them in SQL). Portable mode uses the 60-bit md5-derived
     // token hash (oracle-recomputable) → a 60-bit signature.
+    // no fanOut here: the split-token explode is cheap per input row —
+    // measured at sf0.1 the rebalance shuffle costs more than the
+    // single-task explode it parallelizes (0.51 s → 0.89 s); contrast
+    // minhashSignature/charLmScore where the derived-row construction
+    // dominates and fanOut pays
     val nBits = if (portable) 60 else 64
     val tok0 = df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))
@@ -625,7 +634,8 @@ object Dedup {
       n: Int = 5, portable: Boolean = false): DataFrame = {
     val h: Column => Column =
       if (portable) portableHash60 else (c: Column) => xxhash64(c)
-    val grams = df.select(col(idCol).cast("long").as("doc_id"),
+    val grams = graft.operators.Scale.fanOut(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(shingles(col(textCol), n)).as("gram"))
       .select(col("doc_id"), h(col("gram")).as("gh"))
     val dup = grams.groupBy(col("gh"))
@@ -669,7 +679,8 @@ object Dedup {
     val h: Column => Column =
       if (portable) portableHash60 else (c: Column) => xxhash64(c)
     val hs = transform(shingles(col(textCol), n), g => h(g))
-    val fps = df.select(col(idCol).cast("long").as("doc_id"), hs.as("hs"))
+    val fps = graft.operators.Scale.fanOut(df)
+      .select(col(idCol).cast("long").as("doc_id"), hs.as("hs"))
       .select(col("doc_id"),
         // one struct(fp, pos) per window start; rightmost minimal via <=
         explode(array_distinct(transform(

@@ -37,7 +37,8 @@ object FuzzyJoin {
     // repeated library calls don't leak executor blocks; the returned
     // result itself stays persisted (the documented persisted-result
     // contract, same as packSequences)
-    val vars = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val vars = graft.operators.Scale.fanOut(df)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .select(col("id"), col("s"), explode(array_distinct(concat(
         array(col("s")),

@@ -177,7 +177,7 @@ object TextAnalysis {
     // both integer sums). The bigram cache is released before returning
     // (result materialized first) so repeated calls don't leak executor
     // blocks; the returned per-doc result stays persisted.
-    val bgc = df.filter(length(col(textCol)) >= 2)
+    val bgc = graft.operators.Scale.fanOut(df.filter(length(col(textCol)) >= 2))
       .select(col(idCol).cast("long").as("doc_id"),
         explode(expr(
           s"transform(sequence(1, length($textCol) - 1), " +

@@ -53,6 +53,35 @@ object Scale {
       .drop("_salt")
   }
 
+  /** Rebalance a narrow input up to the session shuffle width before a
+    * stage that AMPLIFIES per-row work. Scan parallelism is bytes-based and
+    * bounded below by parquet row-group granularity, so a small-file corpus
+    * otherwise runs its most expensive narrow stage in a handful of tasks —
+    * the 594 KB sf0.1 documents table is ONE task, and the pipeline above
+    * it single-threads a 32-core executor. The rebalance shuffles only the
+    * compact pre-explode rows (corpus text, not derived grams). At cluster
+    * scale inputs already arrive wider than the session width and this is
+    * a no-op; streaming inputs return unchanged; disable with
+    * `graft.fanout.enabled=false`.
+    *
+    * Applied ONLY where the derived-row construction dominates — measured
+    * decision at sf0.1 local[32]: char-bigram substrings (charLmScore
+    * 4.5 s → 2.8 s), deletion-variant builds + banded levenshtein
+    * (fuzzy join 3.6 s → 1.5 s), winnowing window folds, dup-span gram
+    * hashing. Cheaper narrow stages LOSE to the rebalance shuffle —
+    * split-token explodes (simhash 0.5 s → 0.9 s force-enabled) and even
+    * the fused shingle+minhash pass (q_dedup_minhash 0.94 s → 1.38 s,
+    * min-of-5) — so simhash/minhash/tfidf/bm25/ngram-jaccard/decontaminate
+    * deliberately skip it. */
+  def fanOut(df: DataFrame): DataFrame =
+    if (df.isStreaming ||
+        !df.sparkSession.conf.get("graft.fanout.enabled", "true").toBoolean) df
+    else {
+      val target = df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
   private def spark(df: DataFrame): SparkSession = df.sparkSession
 
   /** Write a bucketed+sorted table: joins and aggregations on `key` against
