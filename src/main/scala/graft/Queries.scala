@@ -410,6 +410,30 @@ object Queries {
       |UNION ALL
       |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS side FROM supplier""".stripMargin
 
+  /** zip (api.Stream.zip — reference src/operator/zip.rs:14-60): pair the
+    * custkey-ordered customer names with the suppkey-ordered supplier names
+    * by element index. The reference zips at parallelism 1; the Spark form
+    * indexes each (sorted, hence globally ordered) side with zipWithIndex
+    * and equi-joins on the index, so pairing order IS the sort order and
+    * the oracle recomputes it with row_number. Output length = the shorter
+    * side (inner join on the index). */
+  def q_zip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = new graft.api.Stream(
+      tbl(s, dir, "customer").orderBy(col("c_custkey"))
+        .select(col("c_name")).as[String])
+    val sup = new graft.api.Stream(
+      tbl(s, dir, "supplier").orderBy(col("s_suppkey"))
+        .select(col("s_name")).as[String])
+    c.zip(sup).ds.toDF("c_name", "s_name")
+  }
+
+  private val q_zip_sql =
+    """SELECT c_name, s_name FROM
+      |  (SELECT c_name, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer) c
+      |  JOIN (SELECT s_name, row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier) s
+      |  USING (rn)""".stripMargin
+
   /** route (first-match-wins stream split, src/operator/route.rs:33-93):
     * events routed into tiers by value; emitted as one frame tagged by route
     * so the oracle can check the routing logic. */
@@ -2331,6 +2355,7 @@ object Queries {
     "q_scalar_funcs" -> (q_scalar_funcs _),
     "q_json" -> (q_json _),
     "q_merge" -> (q_merge _),
+    "q_zip" -> (q_zip _),
     "q_route" -> (q_route _),
     "q_top_k" -> (q_top_k _),
     "q_limit_offset" -> (q_limit_offset _),
@@ -2433,6 +2458,7 @@ object Queries {
     "q_scalar_funcs" -> q_scalar_funcs_sql,
     "q_json" -> q_json_sql,
     "q_merge" -> q_merge_sql,
+    "q_zip" -> q_zip_sql,
     "q_route" -> q_route_sql,
     "q_top_k" -> q_top_k_sql,
     "q_limit_offset" -> q_limit_offset_sql,

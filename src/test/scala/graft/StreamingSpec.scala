@@ -48,6 +48,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the batch session_window on the same rows") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.sessionCounts(
+      Streaming.withEventTime(in.toDF.toDF("ts", "k"), "ts", "5 seconds"),
+      "ts", "10 seconds", col("k"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      val rows = Seq((ts(1), "a"), (ts(5), "a"), (ts(30), "a"),
+        (ts(2), "b"), (ts(31), "b"), (ts(35), "b"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((ts(500), "flush")) // watermark 495 → every session closes
+      q.processAllAvailable()
+      val streamed = spark.table("sess").as[(Timestamp, Long, String)]
+        .collect().map(r => (r._3, r._1.getTime / 1000, r._2))
+        .filter(_._1 != "flush").toSet
+      // batch twin (q_window_session's shape) over the same rows
+      val batch = rows.toDF("ts", "k")
+        .groupBy(session_window(col("ts"), "10 seconds").as("sw"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("k"), col("sw.start").cast("long").as("st"), col("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // hand-computed: a merges [1,15) then restarts at 30; b's 31,35 merge
+      assert(batch == Set(("a", 1L, 2L), ("a", 30L, 1L),
+        ("b", 2L, 1L), ("b", 31L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps the first record per distinct text across batches") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
