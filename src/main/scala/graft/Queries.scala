@@ -1887,9 +1887,12 @@ object Queries {
       .seedModel(e, "vec_id", "embedding", m = 8, ksub = 4)
     val built = graft.functions.IvfIndex.build(e, "vec_id", "embedding",
       nlist = 8, kmeansIters = 2)
-    graft.functions.ProductQuantizer.ivfPqTopK(built,
+    // build-once/query-many shape: lists PQ-encoded at index-build time,
+    // queries pay only probe + ADC (PqSpec pins ≡ the re-encoding form)
+    val enc = graft.functions.ProductQuantizer.encodeLists(built, model)
+    graft.functions.ProductQuantizer.ivfPqTopK(built, enc,
       e.filter(col("vec_id") < 3), "vec_id", "embedding", model,
-      k = 10, nprobe = 8)
+      k = 10, nprobe = 8, dp = 6)
   }
 
   /** embedding-cosine near-dup pairs over portable LSH buckets — oracle

@@ -155,18 +155,25 @@ object Sketches {
     // a depth row with NO heavy cell means no item can pass the min filter
     if ((0 until depth).exists(r => !heavy.contains(r)))
       return probe.select(col("item"), lit(0L).as("est")).limit(0)
-    // two-stage probe: row 0's bucket alone is a NECESSARY condition, so
-    // the per-occurrence narrow stage pays ONE item hash, not depth — with
-    // the portable (md5-derived) hash the depth× difference is the whole
-    // probe cost. Stage-1 survivors (a superset of the output, far below
-    // the universe) deduplicate in a small shuffle; the exact
-    // all-buckets-heavy filter then runs per DISTINCT candidate.
-    val stage1 = probe
-      .filter(cmsBucket(col("item"), 0, width, portable).isin(heavy(0): _*))
-      .distinct()
+    // Probe order is a hash-cost/shuffle-cost trade, decided per mode:
+    //  - production (xxhash): row 0's bucket alone is a NECESSARY
+    //    condition, so a narrow one-hash-per-occurrence prefilter runs
+    //    BEFORE the distinct — survivors (a superset of the output, far
+    //    below the universe) deduplicate in an output-scale shuffle. This
+    //    is the 100 TB shape: the probe shuffle tracks the answer.
+    //  - portable (md5-derived, the oracle-verification mode): the md5
+    //    hash per occurrence costs more than the distinct shuffle it
+    //    avoids at verification scale (measured 1.4 s → 2.3 s), so
+    //    dedup first, hash the ≤vocabulary-sized distinct set after.
+    // Both orders produce the identical candidate set.
     val allBucketsHeavy = (0 until depth)
       .map(r => cmsBucket(col("item"), r, width, portable).isin(heavy(r): _*))
       .reduce(_ && _)
+    val stage1 =
+      if (portable) probe.distinct()
+      else probe
+        .filter(cmsBucket(col("item"), 0, width, portable).isin(heavy(0): _*))
+        .distinct()
     // survivors' buckets are ALL heavy, so the heavy subset IS the sketch
     // restriction they estimate against — the grid never recomputes
     cmsEstimate(heavyRows.toSeq.toDF("r", "b", "cnt"),

@@ -68,16 +68,19 @@ class AnsiSpec extends AnyFunSuite {
     assert(annOff.nonEmpty && annOff == inAnsiSession(runAnn))
   }
 
-  test("round-4 catalog queries run identically under ANSI mode") {
+  test("round-4/5 catalog queries run identically under ANSI mode") {
     // the risk class: an expression that silently relied on non-ANSI
     // semantics (wrapping overflow, 1/0 inside a pruned projection — the
-    // weightedSample regression this round). Each new query must produce
+    // weightedSample regression in round 4). Each new query must produce
     // the same row count and run without throwing on stock Spark 4
-    // defaults.
+    // defaults. Round-5 additions: q_zip and the rewritten
+    // q_heavy_hitters (heavy-cell candidate probe) + q_ann_ivfpq
+    // (pre-encoded lists).
     val names = Seq("q_range_join", "q_topk_group", "q_char_lm",
       "q_fuzzy_join", "q_ann_pq", "q_winnow", "q_pack_sequences",
       "q_diversity_sample", "q_weighted_sample", "q_group_stats",
-      "q_rollup", "q_pivot", "q_analytic", "q_asof_forward")
+      "q_rollup", "q_pivot", "q_analytic", "q_asof_forward",
+      "q_zip", "q_heavy_hitters", "q_ann_ivfpq")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set

@@ -85,6 +85,11 @@ class PqSpec extends AnyFunSuite {
       ProductQuantizer.encode(emb, "embedding", model),
       queries, "vec_id", "embedding", model, k = 10))
     assert(full == flat)
+    // build-once/query-many overload: pre-encoded lists ≡ re-encoding form
+    val preEnc = rows(ProductQuantizer.ivfPqTopK(built,
+      ProductQuantizer.encodeLists(built, model), queries, "vec_id",
+      "embedding", model, k = 10, nprobe = 8, dp = 6))
+    assert(preEnc == full)
     // pruned probe: a subset of lists — every result must come from the
     // flat candidate scoring (same ADC value for the same pair)
     val pruned = ProductQuantizer.ivfPqTopK(built, queries, "vec_id",

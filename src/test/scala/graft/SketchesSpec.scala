@@ -131,6 +131,19 @@ class SketchesSpec extends AnyFunSuite {
       val lean = Sketches.cmsHeavyItems(sk, df, col("v"), depth, width, minCount)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(lean == full, s"lean=$lean full=$full")
+      // portable mode takes the distinct-first probe order — same output
+      val skP = Sketches.cmsSketch(df, col("v"), depth, width, portable = true)
+        .persist()
+      try {
+        val fullP = Sketches.cmsEstimate(skP, df.distinct(), col("v"), depth,
+            width, portable = true)
+          .filter(col("est") >= minCount)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val leanP = Sketches.cmsHeavyItems(skP, df, col("v"), depth, width,
+            minCount, portable = true)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(leanP == fullP, s"portable: lean=$leanP full=$fullP")
+      } finally { skP.unpersist(); () }
       assert(lean.exists(_._1 == "hot"))
       // the narrow grid really did produce collision FPs beyond the 2 true
       // heavies — otherwise this test isn't testing the interesting case
