@@ -952,6 +952,33 @@ object Queries {
       |AND l_extendedprice BETWEEN o_totalprice/5 - 500 AND o_totalprice/5 + 500
       |GROUP BY 1""".stripMargin
 
+  /** Z-order (Morton) clustering key over lineitem's (l_orderkey, l_partkey)
+    * plane (operators.ZOrder — beyond-reference data-layout lever): 8-bit
+    * min/max quantization per dimension, bit-interleaved into one long by a
+    * static shift/mask Column sum. The oracle recomputes quantization and
+    * interleaving bit-for-bit with DuckDB list lambdas; ZOrderSpec pins the
+    * layout claim itself (summed per-partition bounding-box area shrinks vs
+    * round-robin). */
+  def q_zorder(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    graft.operators.ZOrder.zvalue(li, Seq("l_orderkey", "l_partkey"), bits = 8)
+  }
+
+  private val q_zorder_sql =
+    """WITH b AS (
+      |  SELECT min(l_orderkey) AS mino, max(l_orderkey) AS maxo,
+      |         min(l_partkey) AS minp, max(l_partkey) AS maxp FROM lineitem),
+      |q AS (
+      |  SELECT l_orderkey, l_partkey,
+      |    CAST(floor(((l_orderkey - mino) * 255.0) / (maxo - mino)) AS BIGINT) AS qx,
+      |    CAST(floor(((l_partkey - minp) * 255.0) / (maxp - minp)) AS BIGINT) AS qy
+      |  FROM lineitem, b)
+      |SELECT l_orderkey, l_partkey,
+      |  CAST(list_sum(list_transform(range(0, 8),
+      |    i -> ((qx >> i) & 1) * (1 << (2 * i)) + ((qy >> i) & 1) * (1 << (2 * i + 1))))
+      |    AS BIGINT) AS zval
+      |FROM q""".stripMargin
+
   // =====================================================================
   // §2.10 iteration (driver-loop fixpoints — graft.operators.Iteration)
   // =====================================================================
@@ -2380,6 +2407,7 @@ object Queries {
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
     "q_range_join" -> (q_range_join _),
+    "q_zorder" -> (q_zorder _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
@@ -2483,6 +2511,7 @@ object Queries {
     "q_asof_join" -> q_asof_join_sql,
     "q_asof_forward" -> q_asof_forward_sql,
     "q_range_join" -> q_range_join_sql,
+    "q_zorder" -> q_zorder_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,

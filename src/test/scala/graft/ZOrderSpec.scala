@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.ZOrder
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering: the Column interleave must match a reference Scala
+  * bit-interleave exactly, and the layout claim — z-clustered partitions
+  * have small bounding boxes in ALL clustered dimensions — must hold
+  * measurably against a round-robin layout of the same data. */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference interleave: dimension j's bit i → position i*D + j. */
+  private def refInterleave(qs: Seq[Long], bits: Int): Long =
+    qs.zipWithIndex.map { case (q, j) =>
+      (0 until bits).map(i => ((q >> i) & 1L) << (i * qs.length + j)).sum
+    }.sum
+
+  test("zvalue matches the reference bit-interleave on a full 2-D grid") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // 32x32 grid scaled so min/max quantization at 5 bits is exact:
+    // x in {0..31}*7+3, y in {0..31}*11-40 — both affine in the grid index,
+    // so quantize recovers the grid index exactly
+    val rows = for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong * 7 + 3, y.toLong * 11 - 40)
+    val df = rows.toDF("x", "y")
+    val got = ZOrder.zvalue(df, Seq("x", "y"), bits = 5)
+      .select(col("x"), col("y"), col("zval")).as[(Long, Long, Long)]
+      .collect().toMap2
+    for { gx <- 0 until 32; gy <- 0 until 32 } {
+      val key = (gx.toLong * 7 + 3, gy.toLong * 11 - 40)
+      assert(got(key) === refInterleave(Seq(gx.toLong, gy.toLong), 5),
+        s"grid cell ($gx,$gy)")
+    }
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => ((r._1, r._2), r._3)).toMap
+  }
+
+  test("three dimensions interleave without collision on a 8x8x8 grid") {
+    import spark.implicits._
+    val rows = for { x <- 0 until 8; y <- 0 until 8; z <- 0 until 8 }
+      yield (x.toLong, y.toLong, z.toLong)
+    val zvals = ZOrder.zvalue(rows.toDF("x", "y", "z"),
+        Seq("x", "y", "z"), bits = 3)
+      .select(col("zval")).as[Long].collect()
+    assert(zvals.distinct.length === 512) // bijection on the full grid
+    assert(zvals.min === 0L && zvals.max === 511L)
+  }
+
+  test("constant column quantizes to 0 and does not poison the z-value") {
+    import spark.implicits._
+    val df = (0 until 16).map(i => (i.toLong, 42L)).toDF("x", "c")
+    val out = ZOrder.zvalue(df, Seq("x", "c"), bits = 4)
+      .select(col("x"), col("zval")).as[(Long, Long)].collect().toMap
+    // with c's bits all zero, zval is x's bits spread to even positions
+    (0 until 16).foreach { x =>
+      assert(out(x.toLong) === refInterleave(Seq(x.toLong, 0L), 4))
+    }
+  }
+
+  test("cluster shrinks summed per-partition bounding-box area vs round-robin") {
+    import spark.implicits._
+    // uniform 64x64 grid, 16 partitions: round-robin partitions each span
+    // ~the full plane (area sum ~16*A); z-clustered partitions cover
+    // compact curve runs (area sum ~A, elongation aside)
+    val rows = for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)
+    val df = rows.toDF("x", "y")
+
+    def areaSum(d: org.apache.spark.sql.DataFrame): Double =
+      d.select(col("x"), col("y")).as[(Long, Long)].rdd
+        .mapPartitions { it =>
+          val pts = it.toArray
+          if (pts.isEmpty) Iterator.empty
+          else Iterator((pts.map(_._1).max - pts.map(_._1).min + 1).toDouble *
+            (pts.map(_._2).max - pts.map(_._2).min + 1))
+        }.collect().sum
+
+    val zArea = areaSum(ZOrder.cluster(df, Seq("x", "y"), 16, bits = 6))
+    val rrArea = areaSum(df.repartition(16))
+    assert(zArea < rrArea / 4.0,
+      s"z-order area sum $zArea not < quarter of round-robin $rrArea")
+  }
+}
