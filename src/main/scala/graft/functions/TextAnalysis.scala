@@ -169,20 +169,25 @@ object TextAnalysis {
     * sum per doc. No shuffle ever carries more than (doc_id, long) rows. */
   def charLmScore(df: DataFrame, idCol: String, textCol: String,
       dp: Int = 6): DataFrame = {
-    // ONE explode of the corpus, collapsed immediately to per-(doc, bigram)
-    // counts — the model AND the scores both derive from this persisted
-    // table (a per-occurrence formulation explodes the corpus twice and
-    // joins the model against every occurrence; this joins it against
-    // distinct bigrams per doc, and Σ n·lp ≡ Σ-per-occurrence lp exactly,
-    // both integer sums). The bigram cache is released before returning
-    // (result materialized first) so repeated calls don't leak executor
-    // blocks; the returned per-doc result stays persisted.
-    val bgc = graft.operators.Scale.fanOut(df.filter(length(col(textCol)) >= 2))
+    // Per-(doc, bigram) counts come straight out of the native
+    // plans.CharBigramCounts expression — one JVM pass per document, each
+    // distinct bigram built once (vs two interpreted higher-order functions
+    // PER CHARACTER plus a corpus-sized (doc, bigram) hash aggregate in the
+    // composed explode+groupBy form; TextExprSpec pins the multiset
+    // equivalence). The model AND the scores both derive from this persisted
+    // table; Σ n·lp ≡ Σ-per-occurrence lp exactly, both integer sums. The
+    // bigram cache is released before returning (result materialized first)
+    // so repeated calls don't leak executor blocks; the returned per-doc
+    // result stays persisted.
+    // no Scale.fanOut here: the native expression made the per-row work
+    // cheap enough that the rebalance shuffle LOSES (measured min-of-3 at
+    // sf0.1: 1.60 s without vs 2.34 s with — the composed form had measured
+    // the other way, 4.5 → 2.8 s; see the fanOut decision table)
+    val bgc = df.filter(length(col(textCol)) >= 2)
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, length($textCol) - 1), " +
-            s"i -> substring($textCol, i, 2))")).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+        explode(graft.plans.TextExpressions.charBigramCounts(col(textCol)))
+          .as("bgn"))
+      .select(col("doc_id"), col("bgn.bg").as("bg"), col("bgn.n").as("n"))
       .persist()
     val m = bgc.groupBy(col("bg")).agg(sum(col("n")).as("n_bg"))
     val ctx = m.groupBy(substring(col("bg"), 1, 1).as("c1"))

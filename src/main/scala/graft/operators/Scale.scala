@@ -65,14 +65,18 @@ object Scale {
     * `graft.fanout.enabled=false`.
     *
     * Applied ONLY where the derived-row construction dominates — measured
-    * decision at sf0.1 local[32]: char-bigram substrings (charLmScore
-    * 4.5 s → 2.8 s), deletion-variant builds + banded levenshtein
-    * (fuzzy join 3.6 s → 1.5 s), winnowing window folds, dup-span gram
-    * hashing. Cheaper narrow stages LOSE to the rebalance shuffle —
-    * split-token explodes (simhash 0.5 s → 0.9 s force-enabled) and even
-    * the fused shingle+minhash pass (q_dedup_minhash 0.94 s → 1.38 s,
-    * min-of-5) — so simhash/minhash/tfidf/bm25/ngram-jaccard/decontaminate
-    * deliberately skip it. */
+    * decision at sf0.1 local[32]: deletion-variant builds + banded
+    * levenshtein (fuzzy join 3.6 s → 1.5 s), winnowing window folds,
+    * dup-span gram hashing. Cheaper narrow stages LOSE to the rebalance
+    * shuffle — split-token explodes (simhash 0.5 s → 0.9 s force-enabled)
+    * and even the fused shingle+minhash pass (q_dedup_minhash
+    * 0.94 s → 1.38 s, min-of-5) — so simhash/minhash/tfidf/bm25/
+    * ngram-jaccard/decontaminate deliberately skip it. The decision is
+    * NOT static: charLmScore KEPT it under the composed higher-order-
+    * function form (4.5 s → 2.8 s) and DROPPED it once the native
+    * plans.CharBigramCounts expression made the per-row work cheap
+    * (min-of-3 same-window: 1.60 s without vs 2.34 s with) — re-measure
+    * after any hot-path expression change. */
   def fanOut(df: DataFrame): DataFrame =
     if (df.isStreaming ||
         !df.sparkSession.conf.get("graft.fanout.enabled", "true").toBoolean) df

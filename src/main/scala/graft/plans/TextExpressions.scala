@@ -202,10 +202,132 @@ case class MinHashRowExpr(child: Expression, n: Int, as: Seq[Long], bs: Seq[Long
     copy(child = newChild)
 }
 
+/** Per-ROW character-bigram COUNTS: one pass over the document's chars,
+  * emitting (bigram, count) structs — the pre-aggregated form of
+  * `explode(transform(sequence(1, length-1), i -> substring(text, i, 2)))`
+  * followed by `groupBy(doc, bg).count`. Equivalence: the emitted multiset
+  * {(bg, n)} per document equals the grouped explode exactly (same
+  * char-boundary bigrams as SQL `substring`, TextExprSpec pins it on the
+  * corpus plus unicode/degenerate edges), and every downstream consumer
+  * aggregates with order-independent integer sums, so results are
+  * bit-identical.
+  *
+  * Why an Expression: the composed form pays two interpreted higher-order
+  * functions PER CHARACTER (sequence + transform + substring, each
+  * allocating), then a full (doc, bigram) hash aggregate whose shuffle
+  * carries one row per distinct (doc, bigram). This single JVM pass builds
+  * each distinct bigram string ONCE (alphabet²-bounded per doc, not
+  * position-bounded) in an open-addressed long-keyed table — bigrams are
+  * ≤ 8 bytes (UTF-8 chars are ≤ 4), packed 0xFF-padded into one long
+  * (0xFF never occurs in valid UTF-8, so packing is injective) — and the
+  * downstream `groupBy(doc_id, bg)` disappears entirely: the explode output
+  * IS the aggregate. The 100 TB shape strictly improves — one less
+  * corpus-sized shuffle. */
+case class CharBigramCounts(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bg", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_bigram_counts needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val nB = bytes.length
+    // char start offsets (UTF-8 boundary walk, same boundaries as SQL substring)
+    var nChars = 0
+    var i = 0
+    while (i < nB) { i += UTF8String.numBytesForFirstByte(bytes(i)); nChars += 1 }
+    if (nChars < 2) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nChars + 1)
+    i = 0
+    var c = 0
+    while (i < nB) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    starts(nChars) = nB
+
+    // open-addressed long->count table; grows by doubling at 1/2 load.
+    // distinct bigrams are alphabet²-bounded, so this stays small even for
+    // huge documents (a position-sized table would be O(doc length))
+    var cap = 256
+    var keys = new Array[Long](cap)      // 0 = empty (0L collides with no
+    var cnts = new Array[Long](cap)      //   packed key: padding is 0xFF)
+    var offs = new Array[Int](cap)       // first-occurrence byte offset
+    var lens = new Array[Int](cap)
+    var used = 0
+
+    def pack(from: Int, until: Int): Long = {
+      var k = -1L // all-ones = all-0xFF padding
+      var p = from
+      while (p < until) { k = (k << 8) | (bytes(p) & 0xffL); p += 1 }
+      k
+    }
+    var b = 0
+    while (b < nChars - 1) {
+      val from = starts(b)
+      val until = starts(b + 2)
+      val key = pack(from, until)
+      if (used * 2 >= cap) { // grow + rehash
+        val nc = cap * 2
+        val nk = new Array[Long](nc); val nn = new Array[Long](nc)
+        val no = new Array[Int](nc); val nl = new Array[Int](nc)
+        var s = 0
+        while (s < cap) {
+          if (cnts(s) != 0) {
+            var h = (java.lang.Long.hashCode(keys(s) * 0x9e3779b97f4a7c15L)) & (nc - 1)
+            while (nn(h) != 0) h = (h + 1) & (nc - 1)
+            nk(h) = keys(s); nn(h) = cnts(s); no(h) = offs(s); nl(h) = lens(s)
+          }
+          s += 1
+        }
+        cap = nc; keys = nk; cnts = nn; offs = no; lens = nl
+      }
+      var h = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L)) & (cap - 1)
+      while (cnts(h) != 0 && keys(h) != key) h = (h + 1) & (cap - 1)
+      if (cnts(h) == 0) {
+        keys(h) = key; offs(h) = from; lens(h) = until - from; used += 1
+      }
+      cnts(h) += 1
+      b += 1
+    }
+
+    val out = new Array[Any](used)
+    var s = 0
+    var o = 0
+    while (s < cap) {
+      if (cnts(s) != 0) {
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromBytes(bytes, offs(s), lens(s)), cnts(s))
+        o += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramCounts =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Native shingle array (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expr(text), n))
+
+  /** Per-row char-bigram (bg, n) counts (see [[CharBigramCounts]]). */
+  def charBigramCounts(text: Column): Column =
+    ColumnBridge.column(CharBigramCounts(ColumnBridge.expr(text)))
 
   /** Per-row SimHash signature (see [[SimHashExpr]]). */
   def simhashRow(text: Column, nBits: Int = 64): Column =
