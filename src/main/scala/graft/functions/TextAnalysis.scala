@@ -35,12 +35,20 @@ object TextAnalysis {
     * pipelines hash NORMALIZED text so case and punctuation variants of the
     * same content collide ("The quick fox!" ≡ "the quick fox"); compose
     * with [[graft.functions.Dedup.exact]]/minhash via a withColumn. Narrow,
-    * codegen'd, and restricted to the Java∩RE2 regex subset so the oracle
-    * replicates it character for character. The class is deliberately
-    * ASCII ([a-z0-9]): unicode case folding diverges between engines
-    * (Turkish İ, ligatures); non-Latin-script corpora should swap in
-    * \p{L}\p{N} and accept engine-specific folding. */
+    * and restricted to the Java∩RE2 regex subset so the oracle replicates
+    * it character for character. The class is deliberately ASCII
+    * ([a-z0-9]): unicode case folding diverges between engines (Turkish İ,
+    * ligatures); non-Latin-script corpora should swap in \p{L}\p{N} and
+    * accept engine-specific folding. Lowered to the native
+    * [[graft.plans.NormalizeTextExpr]] (one byte pass for ASCII documents,
+    * builtin-identical fallback otherwise — TextExprSpec pins equality
+    * with [[normalizeTextComposed]]). */
   def normalizeText(text: Column): Column =
+    graft.plans.TextExpressions.normalizeText(text)
+
+  /** The composed-builtin formulation [[normalizeText]] must match (kept as
+    * the spec's reference implementation and the oracle's SQL mirror). */
+  def normalizeTextComposed(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

@@ -35,13 +35,18 @@ object ZOrder {
 
   /** Min/max-quantize `x` to `[0, 2^bits)` as a long. `minV`/`maxV` are the
     * column's global bounds (literals from one agg pass). Degenerate
-    * constant columns (max == min) quantize to 0. */
+    * constant columns (max == min) quantize to 0. Values OUTSIDE the bounds
+    * saturate to the edge cells — the identity for in-bounds data (so the
+    * oracle path is unaffected) and the defined behavior for appends
+    * quantized under frozen bounds (see [[zvalueWithBounds]]). */
   def quantize(x: Column, minV: Column, maxV: Column, bits: Int): Column = {
     val mask = (1L << bits) - 1
     // range is an integer >= 1 when non-degenerate, so greatest(1.0, range)
     // is bit-identical to range and only guards the constant-column case
     val range = greatest(lit(1.0), (maxV - minV).cast("double"))
-    floor((x - minV).cast("double") * lit(mask.toDouble) / range).cast("long")
+    greatest(lit(0L), least(lit(mask),
+      floor((x - minV).cast("double") * lit(mask.toDouble) / range)
+        .cast("long")))
   }
 
   /** Bit-interleave already-quantized `bits`-bit words: dimension j's bit i
@@ -57,19 +62,40 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
-  /** Append a `zval` column interleaving `cols` at `bits` bits each. Bounds
-    * come from one driver-collected min/max aggregation over `df` (the same
-    * two-pass discipline as tfidf's corpus count — a metadata-sized job). */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8,
-      zCol: String = "zval"): DataFrame = {
+  /** Per-column (min, max) quantization bounds from one driver-collected
+    * aggregation (the same two-pass discipline as tfidf's corpus count — a
+    * metadata-sized job). Persist these alongside a clustered table to keep
+    * APPENDS layout-consistent (see [[zvalueWithBounds]]). */
+  def boundsOf(df: DataFrame, cols: Seq[String]): Seq[(Any, Any)] = {
     val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
-    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
-    val qs = cols.zipWithIndex.map { case (c, j) =>
-      quantize(col(c), lit(bounds.getAs[Any](2 * j)),
-        lit(bounds.getAs[Any](2 * j + 1)), bits)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(j => (row.getAs[Any](2 * j), row.getAs[Any](2 * j + 1)))
+  }
+
+  /** Append a `zval` column interleaving `cols` at `bits` bits each, under
+    * FROZEN `bounds` — the crawl-cycle shape (same discipline as IvfIndex's
+    * frozen-quantizer append): compute bounds once at initial-build time,
+    * then quantize every later batch under the same bounds so identical
+    * rows get identical z-values and new files land in the established
+    * z-ranges without re-clustering history. Out-of-bounds appends saturate
+    * to edge cells (documented drift signal: re-cluster when the saturated
+    * fraction grows). */
+  def zvalueWithBounds(df: DataFrame, cols: Seq[String],
+      bounds: Seq[(Any, Any)], bits: Int = 8,
+      zCol: String = "zval"): DataFrame = {
+    require(bounds.length == cols.length,
+      s"zvalueWithBounds: ${cols.length} cols but ${bounds.length} bounds")
+    val qs = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      quantize(col(c), lit(lo), lit(hi), bits)
     }
     df.withColumn(zCol, interleave(qs, bits))
   }
+
+  /** Append a `zval` column interleaving `cols` at `bits` bits each; bounds
+    * come from `df` itself ([[boundsOf]]). */
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      zCol: String = "zval"): DataFrame =
+    zvalueWithBounds(df, cols, boundsOf(df, cols), bits, zCol)
 
   /** Cluster `df` into `numPartitions` z-ordered partitions: range-partition
     * on the z-value and sort within each, so every output partition covers a

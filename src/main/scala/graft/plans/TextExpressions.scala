@@ -320,10 +320,85 @@ case class CharBigramCounts(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Native text normalization — exactly
+  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+  * "\\s+", " "))` (the [[graft.functions.TextAnalysis.normalizeText]]
+  * contract, which the dedup-family oracles replicate in SQL).
+  *
+  * ASCII documents (the overwhelming common case, detected by one byte
+  * scan) take a single-pass byte loop: lower A–Z in place, keep [a-z0-9],
+  * collapse every maximal run of anything else to one interior space, and
+  * never emit leading/trailing spaces — equivalent because after `lower`
+  * every non-[a-z0-9] char becomes whitespace-or-space and `\s+` collapses
+  * each such run to exactly one space, which `trim` then strips at the
+  * edges. Non-ASCII inputs fall back to the SAME operations the composed
+  * builtins run — `UTF8String.toLowerCase`, `java.util.regex` replaceAll,
+  * `UTF8String.trim` — so unicode edge cases (Turkish İ whose lowercase
+  * CONTAINS ASCII i, Kelvin K → k, combining marks) are identical by
+  * construction, not by re-implementation. TextExprSpec pins equality on
+  * the corpus and those edges. No shuffle-shape change — a narrow map
+  * either way; this removes two regex-engine passes per document. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val nonAlnum =
+    java.util.regex.Pattern.compile("[^a-z0-9\\s]")
+  @transient private lazy val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"normalize_text needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) {
+      val out = new Array[Byte](bytes.length)
+      var o = 0
+      var pendingSpace = false
+      i = 0
+      while (i < bytes.length) {
+        var b = bytes(i)
+        if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+        if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+          if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+          pendingSpace = false
+          out(o) = b
+          o += 1
+        } else pendingSpace = true
+        i += 1
+      }
+      UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+    } else {
+      val lowered = u.toLowerCase.toString
+      val collapsed = wsRun.matcher(
+        nonAlnum.matcher(lowered).replaceAll(" ")).replaceAll(" ")
+      UTF8String.fromString(collapsed).trim()
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Native shingle array (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expr(text), n))
+
+  /** Native normalization (see [[NormalizeTextExpr]]). */
+  def normalizeText(text: Column): Column =
+    ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expr(text)))
 
   /** Per-row char-bigram (bg, n) counts (see [[CharBigramCounts]]). */
   def charBigramCounts(text: Column): Column =

@@ -73,14 +73,15 @@ class AnsiSpec extends AnyFunSuite {
     // semantics (wrapping overflow, 1/0 inside a pruned projection — the
     // weightedSample regression in round 4). Each new query must produce
     // the same row count and run without throwing on stock Spark 4
-    // defaults. Round-5 additions: q_zip and the rewritten
+    // defaults. Round-5 additions: q_zip, the rewritten
     // q_heavy_hitters (heavy-cell candidate probe) + q_ann_ivfpq
-    // (pre-encoded lists).
+    // (pre-encoded lists), q_zorder (z-value interleave), and q_char_lm
+    // again after the native CharBigramCounts rewrite.
     val names = Seq("q_range_join", "q_topk_group", "q_char_lm",
       "q_fuzzy_join", "q_ann_pq", "q_winnow", "q_pack_sequences",
       "q_diversity_sample", "q_weighted_sample", "q_group_stats",
       "q_rollup", "q_pivot", "q_analytic", "q_asof_forward",
-      "q_zip", "q_heavy_hitters", "q_ann_ivfpq")
+      "q_zip", "q_heavy_hitters", "q_ann_ivfpq", "q_zorder")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set

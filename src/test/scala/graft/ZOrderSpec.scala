@@ -67,6 +67,28 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen bounds keep appended batches layout-consistent; out-of-bounds saturate") {
+    import spark.implicits._
+    val batch1 = (0 until 32).flatMap(x => (0 until 32).map(y =>
+      (x.toLong * 7 + 3, y.toLong * 11 - 40))).toDF("x", "y")
+    val bounds = ZOrder.boundsOf(batch1, Seq("x", "y"))
+    // identical rows in a later batch get identical z-values under the
+    // frozen bounds (no re-clustering of history needed)
+    val sample = batch1.limit(50)
+    val orig = ZOrder.zvalue(batch1, Seq("x", "y"), bits = 5)
+      .select(col("x"), col("y"), col("zval")).as[(Long, Long, Long)]
+      .collect().toMap2
+    val appended = ZOrder.zvalueWithBounds(sample, Seq("x", "y"), bounds, bits = 5)
+      .select(col("x"), col("y"), col("zval")).as[(Long, Long, Long)]
+      .collect()
+    appended.foreach { case (x, y, z) => assert(z === orig((x, y))) }
+    // out-of-bounds appends saturate to the edge cells, never corrupt bits
+    val oob = Seq((-1000L, 10000L)).toDF("x", "y")
+    val zOob = ZOrder.zvalueWithBounds(oob, Seq("x", "y"), bounds, bits = 5)
+      .select(col("zval")).as[Long].head()
+    assert(zOob === refInterleave(Seq(0L, 31L), 5))
+  }
+
   test("cluster shrinks summed per-partition bounding-box area vs round-robin") {
     import spark.implicits._
     // uniform 64x64 grid, 16 partitions: round-robin partitions each span
