@@ -891,6 +891,51 @@ object Queries {
       |  round(CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS lm_score
       |FROM sc""".stripMargin
 
+  /** Distributed BPE tokenizer training (functions.BpeTrainer): 3 merge
+    * rounds over the documents word-frequency table — the corpus is
+    * touched once, every round is vocabulary-sized. Oracle unrolls the
+    * rounds in SQL (the q_kmeans unrolled-Lloyd precedent): same sentinel
+    * wrap, same pair counts, same (freq desc, lhs, rhs) tie-break, same
+    * left-to-right `replace` merge. */
+  def q_bpe(s: SparkSession, dir: String): DataFrame =
+    graft.functions.BpeTrainer.train(tbl(s, dir, "documents"), "text",
+      merges = 3)
+
+  private def q_bpe_sql: String = {
+    val rounds = 3
+    // pair counting from a given state CTE: sentinel-wrapped word strings
+    // split back to symbol lists, adjacent pairs weighted by word count
+    def pairs(st: String) =
+      s"""SELECT struct_extract(p, 'lhs') AS lhs,
+         |    struct_extract(p, 'rhs') AS rhs, sum(cnt) AS freq FROM (
+         |  SELECT cnt, unnest(list_transform(range(1, len(l)),
+         |    i -> {'lhs': l[i], 'rhs': l[i+1]})) AS p
+         |  FROM (SELECT str_split(trim(wstr, chr(1)), chr(1) || chr(1)) AS l,
+         |        cnt FROM $st) WHERE len(l) >= 2)
+         |GROUP BY 1, 2""".stripMargin
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+             |  SELECT w AS word, count(*) AS cnt
+             |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+             |  WHERE w <> '' GROUP BY 1),
+             |s0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g') AS wstr,
+             |       cnt FROM w0),
+             |""".stripMargin
+    for (t <- 1 to rounds) {
+      sb ++= s"p$t AS (${pairs(s"s${t - 1}")}),\n"
+      val comma = if (t < rounds) "," else ""
+      sb ++= s"m$t AS (SELECT lhs, rhs, freq FROM p$t ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)$comma\n"
+      if (t < rounds)
+        sb ++= s"""s$t AS (SELECT replace(wstr, chr(1)||lhs||chr(1)||chr(1)||rhs||chr(1),
+                  |  chr(1)||lhs||rhs||chr(1)) AS wstr, cnt FROM s${t - 1}, m$t),
+                  |""".stripMargin
+    }
+    sb ++= (1 to rounds).map(t =>
+      s"SELECT $t AS round, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM m$t")
+      .mkString("", "\nUNION ALL ", "")
+    sb.result()
+  }
+
   /** Per-group top-k through the typed façade (KeyedStream.topK): 3 most
     * expensive lineitems per return flag via the bounded-buffer Aggregator —
     * map-side partials cap at k rows per key, so a hot key shuffles
@@ -2408,6 +2453,7 @@ object Queries {
     "q_asof_forward" -> (q_asof_forward _),
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
+    "q_bpe" -> (q_bpe _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
@@ -2512,6 +2558,7 @@ object Queries {
     "q_asof_forward" -> q_asof_forward_sql,
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
+    "q_bpe" -> q_bpe_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
