@@ -54,6 +54,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
+      // the timed window CLOSES before cache teardown: a persisted-result
+      // query must not be billed for unpersisting its own blocks (that cost
+      // lands in every pass, so min-across-passes cannot remove it)
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // several catalog queries (iteration fixpoints, dedup pipelines)
       // return their PERSISTED result; over a 70+-query catalog those
       // caches accumulate into real memory pressure that bleeds into later
@@ -62,7 +66,7 @@ object Bench {
       // shared a query's caches, flattering the persisted-result queries).
       spark.catalog.clearCache()
       // failures are marked -1.0, never reported as a (fast) success
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) elapsed else -1.0
     }
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a subset — an iteration

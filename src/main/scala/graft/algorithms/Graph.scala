@@ -31,16 +31,23 @@ object Graph {
     * round instead of a prev⋈next join.
     *
     * When `parallelism` is None the loop's shuffle width is auto-sized from
-    * the edge count (one extra count job up front — against ~rounds ×
-    * session-width shuffles it always wins): a bench-sized graph runs its
-    * rounds at width 1 instead of the session default, a billion-edge graph
-    * still gets thousands of partitions. Pass `parallelism` to pin it. */
+    * the edge count: a bench-sized graph runs its rounds at width 1 instead
+    * of the session default, a billion-edge graph still gets thousands of
+    * partitions. The sizing count runs on a PERSISTED edge input (released
+    * once the undirected cache is materialized) so an expensive derived
+    * edge pipeline — an LSH pair graph, a join — is computed once, not once
+    * for the count and again for the build. Pass `parallelism` to pin the
+    * width and skip the count entirely. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame = {
-    val width = parallelism.orElse(
-      Some(Iteration.sizedWidth(2L * edges.count())))
-    withShuffleWidth(edges.sparkSession, width) {
-    val e0 = width.map(p => edges.repartition(p)).getOrElse(edges)
+    val autoSize = parallelism.isEmpty
+    val src = if (autoSize) edges.persist() else edges
+    val width = parallelism.getOrElse(Iteration.sizedWidth(2L * src.count()))
+    withShuffleWidth(edges.sparkSession, Some(width)) {
+    // pre-explode rebalance (the Scale.fanOut rationale: the explode below
+    // amplifies 2x and a narrow scan would single-thread it) AND the width
+    // pin for the loop
+    val e0 = src.repartition(width)
     // both directions from ONE pass over the edge source (a union of two
     // projections would scan it twice), then pre-partition on the join key:
     // the cached relation keeps this partitioning, so the per-round join
@@ -52,6 +59,10 @@ object Graph {
     val undirected = (if (dedupeEdges) both.distinct() else both)
       .repartition(col("dst"))
       .persist()
+    if (autoSize) {
+      undirected.count() // materialize before releasing the sized input
+      src.unpersist()
+    }
     val init = undirected.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
 

@@ -53,37 +53,49 @@ object BpeTrainer {
     var state = words.select(
       regexp_replace(col("word"), "(.)", S + "$1" + S).as("wstr"),
       col("cnt")).persist()
-    state.count()
+    val vocab = state.count()
 
     val out = Seq.newBuilder[Row]
-    var r = 1
-    var exhausted = false
-    while (r <= merges && !exhausted) {
-      val syms = split(trim(col("wstr"), S), S + S)
-      val top = state
-        .select(col("cnt"), syms.as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(s) - 1), i -> " +
-            "named_struct('lhs', element_at(s, i), 'rhs', element_at(s, i + 1)))"))
-          .as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("cnt")).as("freq"))
-        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, rr, f) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += Row(r, l, rr, f)
-        val merged = state.select(
-          replace(col("wstr"),
-            lit(S + l + S + S + rr + S), lit(S + l + rr + S)).as("wstr"),
-          col("cnt")).persist()
-        merged.count()
-        state.unpersist()
-        state = merged
-        r += 1
+    // the Iteration loop discipline: AQE off (no per-round replan), shuffle
+    // width sized from the vocabulary (the loop state), lineage truncated
+    // every 5 rounds so a realistic merge count (tens of thousands) neither
+    // stacks one Project per round into the plan nor overflows Catalyst's
+    // recursive traversals
+    val iter = graft.operators.Iteration
+    iter.withLoopConf(spark) {
+      iter.withShuffleWidth(spark, Some(iter.sizedWidth(vocab))) {
+        var r = 1
+        var exhausted = false
+        while (r <= merges && !exhausted) {
+          val syms = split(trim(col("wstr"), S), S + S)
+          val top = state
+            .select(col("cnt"), syms.as("s"))
+            .filter(size(col("s")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(s) - 1), i -> " +
+                "named_struct('lhs', element_at(s, i), 'rhs', element_at(s, i + 1)))"))
+              .as("p"))
+            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+            .agg(sum(col("cnt")).as("freq"))
+            .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (l, rr, f) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            out += Row(r, l, rr, f)
+            var merged = state.select(
+              replace(col("wstr"),
+                lit(S + l + S + S + rr + S), lit(S + l + rr + S)).as("wstr"),
+              col("cnt"))
+            if (r % 5 == 0) merged = merged.localCheckpoint(false)
+            merged = merged.persist()
+            merged.count()
+            state.unpersist()
+            state = merged
+            r += 1
+          }
+        }
       }
     }
     state.unpersist()

@@ -506,11 +506,26 @@ object Dedup {
     val counted =
       if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
         Some(pairs.count()) else None
-    val integralIds = pairs.schema.fields.take(2).forall(f => f.dataType match {
-      case org.apache.spark.sql.types.LongType
-         | org.apache.spark.sql.types.IntegerType => true
+    // the fast path selects a_id/b_id BY NAME, so the type guard must look
+    // those fields up by name too (a positional check would pass on a frame
+    // whose leading columns are integral while the id columns are not)
+    val integralIds = Seq("a_id", "b_id")
+      .flatMap(nm => pairs.schema.fields.find(_.name == nm)) match {
+      case fs if fs.length == 2 => fs.forall(_.dataType match {
+        case org.apache.spark.sql.types.LongType
+           | org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      })
       case _ => false
-    })
+    }
+    def distributed(): DataFrame = {
+      val p = parallelism.orElse(
+        counted.map(n => graft.operators.Iteration.sizedWidth(n)))
+      graft.algorithms.Graph.connectedComponents(
+          pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
+          maxIter = maxIter, parallelism = p)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }
     counted match {
       // tiny-graph fast path: a materialized pair graph under the threshold
       // closes on the driver in one collect + union-find — distributed CC
@@ -520,35 +535,36 @@ object Dedup {
       // component (union always attaches the larger root under the smaller,
       // so each root IS its component's min).
       case Some(n) if n <= driverCloseMaxPairs && integralIds =>
-        lastClustersClosedDriverSide = true
         val spark = pairs.sparkSession
         import spark.implicits._
-        val es = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
-          .as[(Long, Long)].collect()
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x0: Long): Long = {
-          var x = x0
-          while (parent.get(x) != x) {
-            parent.put(x, parent.get(parent.get(x))) // path halving
-            x = parent.get(x)
+        val rows = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+          .collect()
+        // a null id would fail the typed union-find; route it to the
+        // distributed path (where null join keys degrade gracefully)
+        // instead of throwing
+        if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) distributed()
+        else {
+          lastClustersClosedDriverSide = true
+          val es = rows.map(r => (r.getLong(0), r.getLong(1)))
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x0: Long): Long = {
+            var x = x0
+            while (parent.get(x) != x) {
+              parent.put(x, parent.get(parent.get(x))) // path halving
+              x = parent.get(x)
+            }
+            x
           }
-          x
+          es.foreach { case (a, b) =>
+            parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+          }
+          val nodes = parent.keySet().toArray(new Array[java.lang.Long](0))
+          spark.createDataset(nodes.toSeq.map(n => (n.longValue(), find(n))))
+            .toDF("doc_id", "cluster_id")
         }
-        es.foreach { case (a, b) =>
-          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
-        val nodes = parent.keySet().toArray(new Array[java.lang.Long](0))
-        spark.createDataset(nodes.toSeq.map(n => (n.longValue(), find(n))))
-          .toDF("doc_id", "cluster_id")
-      case _ =>
-        val p = parallelism.orElse(
-          counted.map(n => graft.operators.Iteration.sizedWidth(n)))
-        graft.algorithms.Graph.connectedComponents(
-            pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
-            maxIter = maxIter, parallelism = p)
-          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      case _ => distributed()
     }
   }
 

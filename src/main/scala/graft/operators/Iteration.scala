@@ -40,7 +40,7 @@ object Iteration {
     * The override is session-wide while the loop runs (Spark reads the conf
     * at execution), so concurrent queries on the same session observe it;
     * loops are driver-blocking, making that window explicit. */
-  private def withLoopConf[A](spark: SparkSession)(f: => A): A = {
+  private[graft] def withLoopConf[A](spark: SparkSession)(f: => A): A = {
     val keepAqe = spark.conf.get("graft.iteration.adaptive", "false").toBoolean
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     if (!keepAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -41,12 +41,14 @@ object ZOrder {
     * quantized under frozen bounds (see [[zvalueWithBounds]]). */
   def quantize(x: Column, minV: Column, maxV: Column, bits: Int): Column = {
     val mask = (1L << bits) - 1
-    // range is an integer >= 1 when non-degenerate, so greatest(1.0, range)
-    // is bit-identical to range and only guards the constant-column case
-    val range = greatest(lit(1.0), (maxV - minV).cast("double"))
-    greatest(lit(0L), least(lit(mask),
-      floor((x - minV).cast("double") * lit(mask.toDouble) / range)
-        .cast("long")))
+    val range = (maxV - minV).cast("double")
+    // degenerate constant column → cell 0; otherwise divide by the TRUE
+    // range (a sub-1.0 double range — quality scores, ratios — must keep
+    // its full 2^bits resolution, so no floor on the divisor)
+    when(range <= 0.0, lit(0L)).otherwise(
+      greatest(lit(0L), least(lit(mask),
+        floor((x - minV).cast("double") * lit(mask.toDouble) / range)
+          .cast("long"))))
   }
 
   /** Bit-interleave already-quantized `bits`-bit words: dimension j's bit i

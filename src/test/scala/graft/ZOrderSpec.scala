@@ -67,6 +67,19 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-1.0 double ranges keep full quantization resolution") {
+    import spark.implicits._
+    // quality-score-like dimension in [0, 15/32] — exact dyadic doubles so
+    // the expected cells are IEEE-exact; every 4-bit cell must be reachable
+    // (a floor-1.0 divisor would collapse the sub-1.0 range to cell 0..7)
+    val df = (0 to 15).map(i => (i.toLong, i / 32.0)).toDF("id", "q")
+    val got = ZOrder.zvalue(df, Seq("q"), bits = 4)
+      .select(col("id"), col("zval")).as[(Long, Long)].collect().toMap
+    (0 to 15).foreach { i =>
+      assert(got(i.toLong) === i.toLong, s"cell $i collapsed")
+    }
+  }
+
   test("frozen bounds keep appended batches layout-consistent; out-of-bounds saturate") {
     import spark.implicits._
     val batch1 = (0 until 32).flatMap(x => (0 until 32).map(y =>
