@@ -267,13 +267,19 @@ object Dedup {
 
   /** Exact-jaccard verification of candidate pairs: n-gram sets are built
     * ONLY for documents appearing in `cands` — the verify cost is
-    * candidate-bound, not corpus-bound (the production LSH→verify shape). */
+    * candidate-bound, not corpus-bound (the production LSH→verify shape).
+    * Self-contained caching: the (small, pair-sized) output is materialized
+    * persisted and any candidate persist THIS call added is released before
+    * returning — direct callers don't inherit a cached-block leak (callers
+    * release the returned handle, the library-wide contract). */
   def verifyCandidates(df: DataFrame, cands0: DataFrame, idCol: String,
       textCol: String, n: Int, minJaccard: Double): DataFrame = {
     // the candidate plan (LSH banding) feeds three branches below
     // (candidate-doc set, intersection base, output base) — persist it or
     // the whole signature+banding pipeline re-executes per branch
-    val cands = cands0.persist()
+    val callerPersisted =
+      cands0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cands = if (callerPersisted) cands0 else cands0.persist()
     val candDocs = cands.select(col("a_id").as("_cand_id"))
       .union(cands.select(col("b_id").as("_cand_id"))).distinct()
     val grams = df.join(candDocs, df(idCol) === candDocs("_cand_id"))
@@ -293,7 +299,7 @@ object Dedup {
     // silently disappearing from the verified output
     val union_ = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
       coalesce(col("inter"), lit(0L))
-    cands.select(col("a_id"), col("b_id"))
+    val out = cands.select(col("a_id"), col("b_id"))
       .join(inter, Seq("a_id", "b_id"), "left_outer")
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"),
         Seq("a_id"), "left_outer")
@@ -304,6 +310,10 @@ object Dedup {
           .otherwise(coalesce(col("inter"), lit(0L)).cast("double") / union_)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+      .persist()
+    out.count() // materialize before releasing this call's candidate cache
+    if (!callerPersisted) cands.unpersist()
+    out
   }
 
   /** LSH candidates → exact-jaccard verify: the end-to-end near-dup
@@ -324,13 +334,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(sig,
       minEstSim = math.max(0.0, minJaccard - 0.25))
-    // the verify output is small (near-dup pairs): persist + materialize it,
-    // so the candidate + signature caches below can be RELEASED instead of
-    // leaking for the session lifetime
+    // verifyCandidates returns its (small, pair-sized) output materialized
+    // persisted and releases the candidate cache itself; only the signature
+    // cache remains to drop here
     val out = verifyCandidates(df, cands, idCol, textCol, verifyNgram, minJaccard)
-      .persist()
-    out.count()
-    cands.unpersist()
     sig.unpersist()
     out
   }
