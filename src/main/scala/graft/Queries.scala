@@ -891,6 +891,25 @@ object Queries {
       |  round(CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS lm_score
       |FROM sc""".stripMargin
 
+  /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
+    * 64-token chunks, 16-token overlap over documents — one narrow pass,
+    * no shuffle. Oracle recomputes windows with DuckDB list slicing. */
+  def q_chunk(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.chunkDocuments(tbl(s, dir, "documents"),
+      "doc_id", "text", chunkTokens = 64, overlap = 16)
+
+  private val q_chunk_sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |c AS (SELECT doc_id, l, len(l) AS n,
+      |  CASE WHEN len(l) <= 0 THEN 0 WHEN len(l) <= 16 THEN 1
+      |       ELSE CAST(ceil((len(l) - 16) / 48.0) AS INT) END AS nc FROM t)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  CAST(least(64, n - i * 48) AS BIGINT) AS chunk_len,
+      |  array_to_string(l[(i * 48 + 1):(i * 48 + 64)], ' ') AS chunk
+      |FROM (SELECT doc_id, l, n, unnest(range(0, nc)) AS i FROM c)""".stripMargin
+
   /** Distributed BPE tokenizer training (functions.BpeTrainer): 3 merge
     * rounds over the documents word-frequency table — the corpus is
     * touched once, every round is vocabulary-sized. Oracle unrolls the
@@ -2454,6 +2473,7 @@ object Queries {
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
+    "q_chunk" -> (q_chunk _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
@@ -2559,6 +2579,7 @@ object Queries {
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,
+    "q_chunk" -> q_chunk_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,

@@ -157,6 +157,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("score"))
   }
 
+  /** Overlapping token-window chunking — the document-splitting step of
+    * RAG and long-context training pipelines ([[graft.functions.Sampling]]
+    * `packSequences` packs whole documents into rows; this SPLITS a
+    * document into retrieval/training units first). Tokens are
+    * single-space splits (the dedup-family corpus convention, mirrored by
+    * the oracle); chunk i covers token window
+    * [i·stride, i·stride + chunkTokens) with stride = chunkTokens −
+    * overlap, and a document shorter than the overlap still yields one
+    * chunk. Output: (doc_id, chunk_id, chunk_len, chunk).
+    *
+    * 100 TB shape: one narrow pass — split, windowed slices, posexplode;
+    * no shuffle at any corpus size. Chunk multiplication is bounded by
+    * ~n/stride per document. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val n = size(toks)
+    // sequence(0, k-1) with k=0 would produce a DESCENDING [0,-1] — guard
+    // the empty-document case explicitly
+    val nChunks = when(n <= 0, lit(0))
+      .when(n <= overlap, lit(1))
+      .otherwise(ceil((n - overlap).cast("double") / stride).cast("int"))
+    df.select(col(idCol).cast("long").as("doc_id"), toks.as("_toks"),
+        n.as("_n"), nChunks.as("_nc"))
+      .select(col("doc_id"), col("_toks"), col("_n"),
+        posexplode(when(col("_nc") > 0, sequence(lit(0), col("_nc") - 1))
+          .otherwise(array().cast("array<int>"))).as(Seq("chunk_id", "_i")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("_n") - col("_i") * stride)
+          .cast("long").as("chunk_len"),
+        concat_ws(" ", slice(col("_toks"), col("_i") * stride + 1,
+          lit(chunkTokens))).as("chunk"))
+  }
+
   /** Corpus-trained character-bigram LM score — the classic cheap
     * perplexity proxy for quality filtering (a KenLM stand-in that needs no
     * external model): score(d) = avg over d's char bigrams of

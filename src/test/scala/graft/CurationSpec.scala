@@ -327,6 +327,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: full coverage, exact overlap, short docs, reconstruction") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 150 tokens → 3 chunks
+      (2L, (1 to 64).map(i => s"w$i").mkString(" ")),  // exactly one chunk
+      (3L, "a b c"),                                   // shorter than overlap
+      (4L, "")                                         // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    // 150 tokens, stride 48: ceil((150-16)/48) = 3 chunks at 0/48/96
+    assert(byDoc(1L).length == 3)
+    val c1 = byDoc(1L).sortBy(_._2).map(_._4.split(" ").toSeq)
+    assert(c1(0).head == "w1" && c1(0).length == 64)
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(c1(0).takeRight(16) == c1(1).take(16))
+    assert(c1(1).takeRight(16) == c1(2).take(16))
+    // stitching chunks (dropping each successor's overlap) rebuilds the doc
+    val stitched = c1(0) ++ c1.drop(1).flatMap(_.drop(16))
+    assert(stitched == (1 to 150).map(i => s"w$i"))
+    assert(byDoc(2L).map(t => (t._2, t._3)).toSeq == Seq((0L, 64L)))
+    assert(byDoc(3L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0L, 3L, "a b c")))
+    assert(!byDoc.contains(4L))
+  }
+
   test("diversitySample caps dense regions and assigns to the nearest seed") {
     val s = imp; import s._
     // two seed regions: ids 0,1 are the seeds; 2-41 cluster tightly around
