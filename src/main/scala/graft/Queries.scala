@@ -2253,6 +2253,34 @@ object Queries {
       |  CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 1000000
       |            WHEN 'es' THEN 500000 ELSE 100000 END""".stripMargin
 
+  /** TOKEN-budget mixture (Sampling.tokenBudgetMixture): en capped at 20k
+    * tokens, zh at 5k, other languages kept whole — seeded-pseudo-random
+    * per-stratum order, first budget-crossing doc kept. The oracle's global
+    * per-stratum window cumsum is exactly the single-task formulation the
+    * distributed two-pass prefix sum avoids. */
+  def q_token_mixture(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.tokenBudgetMixture(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      "lang", "doc_id",
+      graft.functions.TextAnalysis.tokenCount(col("text")),
+      budgets = Map("en" -> 20000L, "zh" -> 5000L),
+      partitions = Some(8), portable = true)
+
+  private val q_token_mixture_sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang AS stratum,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS cost,
+      |    ('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, stratum, cost,
+      |    COALESCE(sum(cost) OVER (PARTITION BY stratum ORDER BY sk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok
+      |  FROM t)
+      |SELECT doc_id, stratum, cost FROM c
+      |WHERE prev_tok < CASE stratum WHEN 'en' THEN 20000 WHEN 'zh' THEN 5000
+      |                 ELSE 9223372036854775807 END""".stripMargin
+
   /** Contiguous token-budget sharding via the distributed two-pass prefix
     * sum (Sampling.tokenShards, 8 range partitions — the oracle's global
     * window cumsum pins the partition-independent result). */
@@ -2474,6 +2502,7 @@ object Queries {
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
     "q_chunk" -> (q_chunk _),
+    "q_token_mixture" -> (q_token_mixture _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
@@ -2580,6 +2609,7 @@ object Queries {
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,
     "q_chunk" -> q_chunk_sql,
+    "q_token_mixture" -> q_token_mixture_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,

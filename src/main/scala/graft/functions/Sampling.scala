@@ -166,6 +166,74 @@ object Sampling {
     df.filter(hashBucket(col(idCol), buckets, portable) < thrCol)
   }
 
+  /** TOKEN-budget mixture: cap each stratum (source/language/domain) at a
+    * token budget instead of a document fraction — real pretraining mixes
+    * are specified in tokens, and [[mixtureSample]]'s per-document hash
+    * thresholds cannot hit a token target under skewed document lengths.
+    * Documents are taken in seeded-pseudo-random order ([[shuffleKey]])
+    * within each stratum until the budget is crossed; the FIRST document
+    * crossing the boundary is kept (so every positive budget yields at
+    * least one document) and strata absent from the map are kept whole.
+    * Deterministic, rerun-stable, and for a fixed seed each stratum's
+    * selection only ever GROWS as its budget grows (prefix property).
+    * Returns (doc_id, stratum, cost).
+    *
+    * 100 TB shape: the same distributed two-pass prefix sum as
+    * [[tokenShards]], keyed per stratum — range-repartition on
+    * (stratum, order), per-(partition, stratum) partial sums (a
+    * #partitions-row collect), exclusive scan on the driver, then a narrow
+    * per-partition running filter. The naive `sum OVER (PARTITION BY
+    * stratum ORDER BY ...)` window puts each stratum through ONE task —
+    * a handful of sources at 100 TB means a handful of tasks doing all
+    * the work. */
+  def tokenBudgetMixture(df: DataFrame, strataCol: String, idCol: String,
+      cost: Column, budgets: Map[String, Long], seed: Long = 42L,
+      partitions: Option[Int] = None, portable: Boolean = false): DataFrame = {
+    budgets.values.foreach(b => require(b >= 0L, s"bad budget $b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
+    val ord = shuffleKey(col(idCol), seed, portable)
+    val base = df.select(col(strataCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("doc_id"),
+        ord.cast("long").as("_ord"), cost.cast("long").as("cost"))
+      .repartitionByRange(p, col("stratum"), col("_ord"), col("doc_id"))
+      .sortWithinPartitions("stratum", "_ord", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = base.as[(String, Long, Long, Long)].rdd
+    // pass 1: per-(partition, stratum) token sums — #partitions × #strata
+    // rows to the driver (strata are mixture components: a handful)
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (st, _, _, c) => m.update(st, m.getOrElse(st, 0L) + c) }
+      Iterator((i, m.toVector))
+    }.collect().sortBy(_._1)
+    // exclusive scan: tokens of each stratum BEFORE each partition
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val offsets = partSums.map { case (_, sums) =>
+      val snapshot = sums.map { case (st, _) => st -> running.getOrElse(st, 0L) }.toMap
+      sums.foreach { case (st, s) => running.update(st, running.getOrElse(st, 0L) + s) }
+      snapshot
+    }
+    val bBudgets = spark.sparkContext.broadcast(budgets)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: narrow running filter from each partition's offsets — keep a
+    // doc iff its stratum's tokens BEFORE it are under the budget
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val run = scala.collection.mutable.Map[String, Long]() ++ bOffsets.value(i)
+      it.flatMap { case (st, id, _, c) =>
+        val before = run.getOrElse(st, 0L)
+        run.update(st, before + c)
+        if (bBudgets.value.get(st).forall(before < _)) Some((id, st, c))
+        else None
+      }
+    }.toDF("doc_id", "stratum", "cost")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
+  }
+
   /** Contiguous token-budget sharding: documents ordered by id are packed
     * into shards of ~`budget` cost units (tokens) — shard(d) = exclusive
     * prefix sum of cost before d, integer-divided by the budget. This is the

@@ -354,6 +354,38 @@ class CurationSpec extends AnyFunSuite {
     assert(!byDoc.contains(4L))
   }
 
+  test("tokenBudgetMixture: budgets hit, first-crossing kept, prefix property, partition-independent") {
+    val s = spark; import s.implicits._
+    // two strata with known token costs; "c" has no budget → kept whole
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else if (i <= 30) "b" else "c",
+        (1 to (i % 5 + 1).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "src", "text")
+    def run(budgets: Map[String, Long], parts: Int) =
+      graft.functions.Sampling.tokenBudgetMixture(docs, "src", "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), budgets,
+        partitions = Some(parts))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = run(Map("a" -> 10L, "b" -> 7L), 4)
+    val byStr = got.groupBy(_._2)
+    // budget semantics: total-before-last < budget <= total (first crossing
+    // kept), so total < budget + max doc cost
+    for ((st, b) <- Seq("a" -> 10L, "b" -> 7L)) {
+      val costs = byStr(st).map(_._3)
+      // first-crossing semantics: budget reached, overshoot < max doc cost
+      assert(costs.sum >= b, s"stratum $st under budget")
+      assert(costs.sum < b + 5, s"stratum $st overshoots by a full doc")
+    }
+    assert(byStr("c").length == 10) // no budget → whole stratum
+    // prefix property: a smaller budget selects a subset
+    val small = run(Map("a" -> 5L, "b" -> 7L), 4)
+    assert(small.filter(_._2 == "a").map(_._1).toSet
+      .subsetOf(got.filter(_._2 == "a").map(_._1).toSet))
+    // partition-count independence
+    assert(run(Map("a" -> 10L, "b" -> 7L), 1).toSet == got.toSet)
+    assert(run(Map("a" -> 10L, "b" -> 7L), 7).toSet == got.toSet)
+  }
+
   test("diversitySample caps dense regions and assigns to the nearest seed") {
     val s = imp; import s._
     // two seed regions: ids 0,1 are the seeds; 2-41 cluster tightly around

@@ -281,6 +281,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunkDocuments equals the batch chunks (stateless narrow op)") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val batch = graft.functions.TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val out = graft.functions.TextAnalysis.chunkDocuments(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 32, overlap = 8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("chunks").start()
+    try {
+      in.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("chunks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == batch, "streamed chunks diverge from batch chunks")
+    } finally q.stop()
+  }
+
   test("stream-static range join: streamed points land in static intervals") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
