@@ -2281,6 +2281,44 @@ object Queries {
       |WHERE prev_tok < CASE stratum WHEN 'en' THEN 20000 WHEN 'zh' THEN 5000
       |                 ELSE 9223372036854775807 END""".stripMargin
 
+  /** Epoch-based mixture (Sampling.epochMixture): de upsampled to 150k
+    * tokens (multiple full epochs + a partial epoch), en capped at 8k
+    * (downsampling degenerate case), other languages one epoch. The oracle
+    * recomputes totals, the per-stratum ⌊B/T⌋ / B mod T epoch plan, and the
+    * seeded-order prefix cumsum, then unnests generate_series per doc. */
+  def q_epoch_mixture(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.epochMixture(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      "lang", "doc_id",
+      graft.functions.TextAnalysis.tokenCount(col("text")),
+      budgets = Map("de" -> 150000L, "en" -> 8000L),
+      partitions = Some(8), portable = true)
+
+  private val q_epoch_mixture_sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang AS stratum,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS cost,
+      |    ('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, stratum, cost,
+      |    COALESCE(sum(cost) OVER (PARTITION BY stratum ORDER BY sk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok
+      |  FROM t),
+      |tot AS (SELECT stratum, sum(cost) AS total FROM t GROUP BY 1),
+      |n AS (
+      |  SELECT c.doc_id, c.stratum, c.cost,
+      |    CASE WHEN c.stratum NOT IN ('de', 'en') THEN CAST(1 AS BIGINT)
+      |         ELSE (CASE c.stratum WHEN 'de' THEN 150000 ELSE 8000 END) // tot.total
+      |              + CASE WHEN c.prev_tok <
+      |                  (CASE c.stratum WHEN 'de' THEN 150000 ELSE 8000 END) % tot.total
+      |                THEN 1 ELSE 0 END
+      |    END AS copies
+      |  FROM c JOIN tot USING (stratum))
+      |SELECT doc_id, stratum, cost,
+      |  unnest(generate_series(CAST(0 AS BIGINT), CAST(copies - 1 AS BIGINT))) AS epoch
+      |FROM n WHERE copies > 0""".stripMargin
+
   /** Contiguous token-budget sharding via the distributed two-pass prefix
     * sum (Sampling.tokenShards, 8 range partitions — the oracle's global
     * window cumsum pins the partition-independent result). */
@@ -2503,6 +2541,7 @@ object Queries {
     "q_bpe" -> (q_bpe _),
     "q_chunk" -> (q_chunk _),
     "q_token_mixture" -> (q_token_mixture _),
+    "q_epoch_mixture" -> (q_epoch_mixture _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
@@ -2610,6 +2649,7 @@ object Queries {
     "q_bpe" -> q_bpe_sql,
     "q_chunk" -> q_chunk_sql,
     "q_token_mixture" -> q_token_mixture_sql,
+    "q_epoch_mixture" -> q_epoch_mixture_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,

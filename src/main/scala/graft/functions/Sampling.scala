@@ -192,6 +192,92 @@ object Sampling {
     budgets.values.foreach(b => require(b >= 0L, s"bad budget $b"))
     val spark = df.sparkSession
     import spark.implicits._
+    val (pre, _, base) =
+      stratumPrefix(df, strataCol, idCol, cost, seed, partitions, portable)
+    val bBudgets = spark.sparkContext.broadcast(budgets)
+    // keep a doc iff its stratum's tokens BEFORE it are under the budget
+    val out = pre.flatMap { case (id, st, c, before) =>
+      if (bBudgets.value.get(st).forall(before < _)) Some((id, st, c)) else None
+    }.toDF("doc_id", "stratum", "cost")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
+  }
+
+  /** Epoch-based mixture: hit each stratum's TOKEN budget by REPEATING the
+    * stratum when the budget exceeds its size — the upsampling half of a
+    * pretraining mix ([[tokenBudgetMixture]] can only cap). A stratum with
+    * budget B and total tokens T contributes ⌊B/T⌋ full epochs of every
+    * document plus a partial epoch: the seeded-order prefix holding the
+    * remaining B mod T tokens (first budget-crossing doc kept, exactly
+    * [[tokenBudgetMixture]]'s selection rule — with B < T this operator IS
+    * tokenBudgetMixture plus an `epoch = 0` column). Strata absent from the
+    * map contribute one full epoch. Returns (doc_id, stratum, cost, epoch),
+    * epoch in [0, ⌊B/T⌋]; deterministic, rerun-stable, and for a fixed seed
+    * a stratum's output only grows with its budget.
+    *
+    * `maxEpochs` fails fast when a budget implies an absurd repeat count
+    * (a mis-scaled budget would explode the output by B/T ×; real mixes
+    * repeat rare sources single-digit times).
+    *
+    * 100 TB shape: the same distributed per-stratum two-pass prefix sum as
+    * [[tokenBudgetMixture]] (range exchange + #partitions×#strata-row
+    * collect + narrow running maps); totals fall out of the same pass-1
+    * collect, the epoch plan is driver-computed and broadcast, and the
+    * repeat is a narrow flatMap whose amplification IS the requested
+    * output size. */
+  def epochMixture(df: DataFrame, strataCol: String, idCol: String,
+      cost: Column, budgets: Map[String, Long], seed: Long = 42L,
+      maxEpochs: Long = 1000L, partitions: Option[Int] = None,
+      portable: Boolean = false): DataFrame = {
+    budgets.values.foreach(b => require(b >= 0L, s"bad budget $b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (pre, totals, base) =
+      stratumPrefix(df, strataCol, idCol, cost, seed, partitions, portable)
+    // epoch plan per stratum: (full epochs, remainder tokens)
+    val plan: Map[String, (Long, Long)] = totals.map { case (st, total) =>
+      st -> (budgets.get(st) match {
+        case None => (1L, 0L)
+        case Some(_) if total == 0L => (0L, 0L)
+        case Some(b) => (b / total, b % total)
+      })
+    }
+    plan.foreach { case (st, (full, _)) =>
+      require(full <= maxEpochs,
+        s"stratum $st: budget implies $full epochs > maxEpochs $maxEpochs") }
+    val bPlan = spark.sparkContext.broadcast(plan)
+    val out = pre.flatMap { case (id, st, c, before) =>
+      val (full, rem) = bPlan.value.getOrElse(st, (1L, 0L))
+      val copies = full + (if (before < rem) 1L else 0L)
+      (0L until copies).map(e => (id, st, c, e))
+    }.toDF("doc_id", "stratum", "cost", "epoch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
+  }
+
+  /** Shared engine for the token-budget mixtures: per-stratum EXCLUSIVE
+    * prefix sums in seeded pseudo-random order. Returns (rows, totals,
+    * base): `rows` = (doc_id, stratum, cost, tokensBefore) where
+    * `tokensBefore` is the stratum's tokens strictly before the doc in
+    * ([[shuffleKey]], id) order; `totals` = tokens per stratum (free from
+    * pass 1); `base` = the persisted range-partitioned input the caller
+    * must unpersist after materializing its output (range bounds are
+    * sampled — recomputation could repartition differently and corrupt the
+    * offsets). The naive `sum OVER (PARTITION BY stratum ORDER BY ...)`
+    * window puts each stratum through ONE task — a handful of sources at
+    * 100 TB means a handful of tasks doing all the work; this is the
+    * distributed two-pass prefix sum instead (range exchange,
+    * #partitions × #strata rows to the driver, narrow running maps). */
+  private def stratumPrefix(df: DataFrame, strataCol: String, idCol: String,
+      cost: Column, seed: Long, partitions: Option[Int], portable: Boolean)
+      : (org.apache.spark.sql.Dataset[(Long, String, Long, Long)],
+         Map[String, Long], DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
     val ord = shuffleKey(col(idCol), seed, portable)
     val base = df.select(col(strataCol).cast("string").as("stratum"),
@@ -215,23 +301,17 @@ object Sampling {
       sums.foreach { case (st, s) => running.update(st, running.getOrElse(st, 0L) + s) }
       snapshot
     }
-    val bBudgets = spark.sparkContext.broadcast(budgets)
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    // pass 2: narrow running filter from each partition's offsets — keep a
-    // doc iff its stratum's tokens BEFORE it are under the budget
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+    // pass 2: narrow running annotation from each partition's offsets
+    val pre = rdd.mapPartitionsWithIndex { (i, it) =>
       val run = scala.collection.mutable.Map[String, Long]() ++ bOffsets.value(i)
-      it.flatMap { case (st, id, _, c) =>
+      it.map { case (st, id, _, c) =>
         val before = run.getOrElse(st, 0L)
         run.update(st, before + c)
-        if (bBudgets.value.get(st).forall(before < _)) Some((id, st, c))
-        else None
+        (id, st, c, before)
       }
-    }.toDF("doc_id", "stratum", "cost")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    base.unpersist()
-    out
+    }.toDS()
+    (pre, running.toMap, base)
   }
 
   /** Contiguous token-budget sharding: documents ordered by id are packed

@@ -386,6 +386,51 @@ class CurationSpec extends AnyFunSuite {
     assert(run(Map("a" -> 10L, "b" -> 7L), 7).toSet == got.toSet)
   }
 
+  test("epochMixture: full epochs + partial prefix, downsample ≡ tokenBudgetMixture, guards") {
+    val s = spark; import s.implicits._
+    // stratum a: 20 docs, 60 tokens total; b: 10 docs, 30; c: 10 docs, 30
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else if (i <= 30) "b" else "c",
+        (1 to (i % 5 + 1).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "src", "text")
+    val tok = graft.functions.TextAnalysis.tokenCount(col("text"))
+    def run(budgets: Map[String, Long], parts: Int) =
+      graft.functions.Sampling.epochMixture(docs, "src", "doc_id", tok,
+        budgets, partitions = Some(parts))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // a: 150 = 2 full epochs (120) + 30-token partial; b: 12 < 30 is a pure
+    // downsample; c absent → exactly one epoch
+    val got = run(Map("a" -> 150L, "b" -> 12L), 4)
+    val a = got.filter(_._2 == "a"); val b = got.filter(_._2 == "b")
+    val c = got.filter(_._2 == "c")
+    assert(c.length == 10 && c.forall(_._4 == 0L))
+    // every a-doc appears in both full epochs
+    for (e <- 0L to 1L) assert(a.filter(_._4 == e).map(_._1).sorted.toSeq == (1L to 20L))
+    // partial epoch holds the 30-token seeded prefix: budget reached,
+    // overshoot under one max-cost doc
+    val partial = a.filter(_._4 == 2L).map(_._3)
+    assert(partial.sum >= 30 && partial.sum < 35, s"partial=${partial.sum}")
+    assert(a.map(_._3).sum >= 150 && a.map(_._3).sum < 155)
+    // exact-multiple budget: no partial epoch at all
+    val exact = run(Map("a" -> 120L), 4).filter(_._2 == "a")
+    assert(exact.map(_._4).max == 1L && exact.map(_._3).sum == 120L)
+    // pure downsample ≡ tokenBudgetMixture with an epoch-0 column
+    val down = graft.functions.Sampling.tokenBudgetMixture(docs, "src",
+      "doc_id", tok, Map("b" -> 12L), partitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), 0L)).toSet
+    assert(run(Map("b" -> 12L), 4).filter(_._2 == "b").toSet ==
+      down.filter(_._2 == "b"))
+    assert(b.toSet == down.filter(_._2 == "b"), "b selection differs under mixed budgets")
+    // partition-count independence
+    assert(run(Map("a" -> 150L, "b" -> 12L), 1).toSet == got.toSet)
+    assert(run(Map("a" -> 150L, "b" -> 12L), 7).toSet == got.toSet)
+    // maxEpochs fails fast on a mis-scaled budget
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.epochMixture(docs, "src", "doc_id", tok,
+        Map("a" -> 1000000L), partitions = Some(2))
+    }
+  }
+
   test("diversitySample caps dense regions and assigns to the nearest seed") {
     val s = imp; import s._
     // two seed regions: ids 0,1 are the seeds; 2-41 cluster tightly around
