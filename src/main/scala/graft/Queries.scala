@@ -2218,6 +2218,100 @@ object Queries {
       |   AND symbol_ratio <= CAST(0.10 AS DOUBLE)) AS keep
       |FROM j""".stripMargin
 
+  /** Trainable quality classifier (QualityClassifier): logistic regression
+    * by 3 full-batch GD steps over the portable text features, seed labels
+    * from the heuristic gate (qualityScore >= 0.75), then score the whole
+    * corpus. The oracle unrolls the identical training trajectory — per-row
+    * sigmoids rounded to 6 decimals, gradients as exact decimal(38,0) sums
+    * of integer micro-products, round-6 weight updates — the same
+    * unrolled-iteration discipline as q_kmeans. */
+  def q_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val label = when(
+      graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.75, 1.0)
+      .otherwise(0.0)
+    val model = graft.functions.QualityClassifier.train(
+      docs, "text", label, iters = 3, lr = 0.5)
+    graft.functions.QualityClassifier.score(docs, "doc_id", "text", model)
+  }
+
+  private def q_quality_classifier_sql: String = {
+    val iters = 3
+    // z replicates the Scala foldLeft chain:
+    // ((((w0 + x0*w1) + x1*w2) + x2*w3) + x3*w4) — addition order is part
+    // of the contract, both engines evaluate the identical double tree
+    def z(w: String) =
+      s"(((($w.w0 + f.x0 * $w.w1) + f.x1 * $w.w2) + f.x2 * $w.w3) + f.x3 * $w.w4)"
+    def sig(w: String) =
+      s"round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-${z(w)})), 6)"
+    def grad(xij: String) =
+      s"(CAST(sum(CAST((pi - yi) * $xij AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(*))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, len(w) AS nw,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS pr,
+      |    CAST(len(list_filter(w, x -> list_contains($stopEn, x))) AS DOUBLE)
+      |      / greatest(len(w), 1) AS sr,
+      |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+      |      / greatest(len(w), 1) AS mwl
+      |  FROM base),
+      |feat AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (CASE WHEN nw BETWEEN 20 AND 2000 THEN CAST(1 AS DOUBLE)
+      |                    WHEN nw BETWEEN 5 AND 5000 THEN CAST(0.5 AS DOUBLE)
+      |                    ELSE CAST(0 AS DOUBLE) END) * CAST(0.5 AS DOUBLE)
+      |           + (CASE WHEN pr <= CAST(0.2 AS DOUBLE) THEN CAST(1 AS DOUBLE)
+      |              ELSE CAST(0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+      |           + (CASE WHEN sr >= CAST(0.05 AS DOUBLE) THEN CAST(1 AS DOUBLE)
+      |              ELSE CAST(0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+      |         >= CAST(0.75 AS DOUBLE)
+      |      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+      |    round(CAST(least(nw, 1000) AS DOUBLE) / CAST(1000 AS DOUBLE), 6) AS x0,
+      |    round(pr, 6) AS x1,
+      |    round(sr, 6) AS x2,
+      |    round(least(mwl, CAST(20 AS DOUBLE)) / CAST(20 AS DOUBLE), 6) AS x3
+      |  FROM d),
+      |f AS (
+      |  SELECT feat.*, CAST(y * 1e6 AS BIGINT) AS yi,
+      |    CAST(round(x0 * 1e6, 0) AS BIGINT) AS xi0,
+      |    CAST(round(x1 * 1e6, 0) AS BIGINT) AS xi1,
+      |    CAST(round(x2 * 1e6, 0) AS BIGINT) AS xi2,
+      |    CAST(round(x3 * 1e6, 0) AS BIGINT) AS xi3
+      |  FROM feat),
+      |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+      |              CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+      |              CAST(0 AS DOUBLE) AS w4),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s"""i$t AS (
+        |  SELECT f.*, w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2, w.w3 AS pw3,
+        |    w.w4 AS pw4,
+        |    CAST(round(${sig("w")} * 1e6, 0) AS BIGINT) AS pi
+        |  FROM f CROSS JOIN w${t - 1} w),
+        |w$t AS (
+        |  SELECT
+        |    round(max(pw0) - CAST(0.5 AS DOUBLE) * ${grad("1000000")}, 6) AS w0,
+        |    round(max(pw1) - CAST(0.5 AS DOUBLE) * ${grad("xi0")}, 6) AS w1,
+        |    round(max(pw2) - CAST(0.5 AS DOUBLE) * ${grad("xi1")}, 6) AS w2,
+        |    round(max(pw3) - CAST(0.5 AS DOUBLE) * ${grad("xi2")}, 6) AS w3,
+        |    round(max(pw4) - CAST(0.5 AS DOUBLE) * ${grad("xi3")}, 6) AS w4
+        |  FROM i$t),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"""
+      |SELECT f.doc_id, ${sig("w")} AS score,
+      |  CASE WHEN ${sig("w")} >= CAST(0.5 AS DOUBLE)
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+      |FROM f CROSS JOIN w$iters w""".stripMargin
+    sb.toString
+  }
+
   /** Deterministic train/val/test assignment (Sampling.hashSplit, portable
     * hash so the oracle recomputes the same buckets). */
   def q_split_hash(s: SparkSession, dir: String): DataFrame =
@@ -2599,6 +2693,7 @@ object Queries {
     "q_pipeline_clean" -> (q_pipeline_clean _),
     "q_wordcount_file" -> (q_wordcount_file _),
     "q_quality_gopher" -> (q_quality_gopher _),
+    "q_quality_classifier" -> (q_quality_classifier _),
     "q_split_hash" -> (q_split_hash _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_diversity_sample" -> (q_diversity_sample _),
@@ -2707,6 +2802,7 @@ object Queries {
     "q_pipeline_clean" -> q_pipeline_clean_sql,
     "q_wordcount_file" -> q_wordcount_file_sql,
     "q_quality_gopher" -> q_quality_gopher_sql,
+    "q_quality_classifier" -> q_quality_classifier_sql,
     "q_split_hash" -> q_split_hash_sql,
     "q_sample_stratified" -> q_sample_stratified_sql,
     "q_diversity_sample" -> q_diversity_sample_sql,

@@ -431,6 +431,54 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quality classifier: trajectory ≡ driver-side GD, separates classes, partition-independent") {
+    val s = imp; import s._
+    import graft.functions.QualityClassifier
+    // 30 natural-language docs (stopword-rich, no punct) vs 30 symbol-soup
+    // docs (punct-heavy, zero stopwords) with explicit seed labels
+    val good = (1L to 30L).map(i =>
+      (i, ("the quick fox is on the hill and it runs with the dog " * 3) + s"extra$i", 1.0))
+    val bad = (31L to 60L).map(i =>
+      (i, s"@@!! ###$i ^^&& %%qq (([[ ]])) ::;; <<>> ~~``", 0.0))
+    val docs = (good ++ bad).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.train(docs, "text", col("y"), iters = 5, lr = 0.5)
+
+    // driver-side reference: same features (collected once), same rounding
+    // discipline — weights must match EXACTLY, not approximately
+    def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = docs.select(col("y").cast("double") +:
+        QualityClassifier.features(col("text")): _*)
+      .collect().map(r => (r.getDouble(0), (1 to 4).map(r.getDouble)))
+    val n = rows.length.toDouble
+    var w = Vector.fill(5)(0.0)
+    for (_ <- 0 until 5) {
+      val g = Array.fill(5)(0L)
+      rows.foreach { case (y, xs) =>
+        val zv = xs.zip(w.tail).foldLeft(w.head) { case (a, (x, wj)) => a + x * wj }
+        val pi = rnd6(1.0 / (1.0 + math.exp(-zv))) * 1e6
+        val piL = BigDecimal(pi).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val yi = (y * 1e6).toLong
+        val xi = 1000000L +: xs.map(x => BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        for (j <- 0 until 5) g(j) += (piL - yi) * xi(j)
+      }
+      w = Vector.tabulate(5)(j => rnd6(w(j) - 0.5 * (g(j).toDouble / 1e12 / n)))
+    }
+    assert(m.weights == w, s"spark=${m.weights} ref=$w")
+
+    // the learned model separates the two classes at the default threshold
+    val scored = QualityClassifier.score(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val gs = scored.filter(_._1 <= 30).map(_._2)
+    val bs = scored.filter(_._1 > 30).map(_._2)
+    assert(gs.min > bs.max, s"no separation: good=[${gs.min},${gs.max}] bad=[${bs.min},${bs.max}]")
+    assert(scored.forall { case (_, sc, k) => k == (if (sc >= 0.5) 1L else 0L) })
+
+    // exact integer-micro gradient sums → bit-identical under repartition
+    val m7 = QualityClassifier.train(docs.repartition(7), "text", col("y"),
+      iters = 5, lr = 0.5)
+    assert(m7.weights == m.weights)
+  }
+
   test("diversitySample caps dense regions and assigns to the nearest seed") {
     val s = imp; import s._
     // two seed regions: ids 0,1 are the seeds; 2-41 cluster tightly around
