@@ -83,6 +83,10 @@ object QualityClassifier {
            round(col(s"x$j") * 1e6, 0).cast("long").as(s"xi$j"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // an empty training set makes every aggregated gradient NULL and the
+      // getDouble below would die with an opaque NPE — fail with a name
+      require(iters == 0 || !f.isEmpty,
+        "QualityClassifier.train: empty training set (did the sample/filter drop every row?)")
       var w = Vector.fill(d + 1)(0.0)
       for (_ <- 0 until iters) {
         val p = sigmoid(w, (0 until d).map(j => col(s"x$j")))

@@ -236,27 +236,30 @@ object Sampling {
     import spark.implicits._
     val (pre, totals, base) =
       stratumPrefix(df, strataCol, idCol, cost, seed, partitions, portable)
-    // epoch plan per stratum: (full epochs, remainder tokens)
-    val plan: Map[String, (Long, Long)] = totals.map { case (st, total) =>
-      st -> (budgets.get(st) match {
-        case None => (1L, 0L)
-        case Some(_) if total == 0L => (0L, 0L)
-        case Some(b) => (b / total, b % total)
-      })
-    }
-    plan.foreach { case (st, (full, _)) =>
-      require(full <= maxEpochs,
-        s"stratum $st: budget implies $full epochs > maxEpochs $maxEpochs") }
-    val bPlan = spark.sparkContext.broadcast(plan)
-    val out = pre.flatMap { case (id, st, c, before) =>
-      val (full, rem) = bPlan.value.getOrElse(st, (1L, 0L))
-      val copies = full + (if (before < rem) 1L else 0L)
-      (0L until copies).map(e => (id, st, c, e))
-    }.toDF("doc_id", "stratum", "cost", "epoch")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    base.unpersist()
-    out
+    // `base` is persisted by stratumPrefix; the finally releases it even
+    // when the maxEpochs guard throws (out is materialized before return)
+    try {
+      // epoch plan per stratum: (full epochs, remainder tokens)
+      val plan: Map[String, (Long, Long)] = totals.map { case (st, total) =>
+        st -> (budgets.get(st) match {
+          case None => (1L, 0L)
+          case Some(_) if total == 0L => (0L, 0L)
+          case Some(b) => (b / total, b % total)
+        })
+      }
+      plan.foreach { case (st, (full, _)) =>
+        require(full <= maxEpochs,
+          s"stratum $st: budget implies $full epochs > maxEpochs $maxEpochs") }
+      val bPlan = spark.sparkContext.broadcast(plan)
+      val out = pre.flatMap { case (id, st, c, before) =>
+        val (full, rem) = bPlan.value.getOrElse(st, (1L, 0L))
+        val copies = full + (if (before < rem) 1L else 0L)
+        (0L until copies).map(e => (id, st, c, e))
+      }.toDF("doc_id", "stratum", "cost", "epoch")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally { base.unpersist(); () }
   }
 
   /** Shared engine for the token-budget mixtures: per-stratum EXCLUSIVE
@@ -267,7 +270,9 @@ object Sampling {
     * pass 1); `base` = the persisted range-partitioned input the caller
     * must unpersist after materializing its output (range bounds are
     * sampled — recomputation could repartition differently and corrupt the
-    * offsets). The naive `sum OVER (PARTITION BY stratum ORDER BY ...)`
+    * offsets). [[globalPrefix]] is the unstratified sibling — a fix to one
+    * engine's offset logic almost certainly applies to the other.
+    * The naive `sum OVER (PARTITION BY stratum ORDER BY ...)`
     * window puts each stratum through ONE task — a handful of sources at
     * 100 TB means a handful of tasks doing all the work; this is the
     * distributed two-pass prefix sum instead (range exchange,
@@ -337,12 +342,40 @@ object Sampling {
   def tokenShards(df: DataFrame, idCol: String, cost: Column, budget: Long,
       partitions: Option[Int] = None, orderCol: Option[Column] = None): DataFrame = {
     require(budget > 0, s"bad budget $budget")
+    val (starts, base) = globalPrefix(df, idCol, cost, orderCol, partitions)
+    try {
+      // shard = exclusive prefix before the doc, integer-divided by budget;
+      // `div` keeps the division exact past 2^53 total tokens
+      val out = starts
+        .select(col("doc_id"), col("cost"), expr(s"c0 div $budget").as("shard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally { base.unpersist(); () }
+  }
+
+  /** Shared global engine of [[tokenShards]] and [[packSequences]]: the
+    * distributed two-pass EXCLUSIVE prefix sum of `cost` in (`orderCol`,
+    * id) order — range-repartition, per-partition partial sums (a
+    * #partitions-row collect), driver exclusive scan, narrow running
+    * annotation. The id tie-break keeps the order well-defined when the
+    * order key collides (e.g. a hashed shuffleKey); ids are assumed
+    * unique. [[stratumPrefix]] is the stratified sibling (per-stratum
+    * offsets tracked per partition); a fix to one engine's offset logic
+    * almost certainly applies to the other.
+    *
+    * Returns (starts, base): `starts` = (doc_id, cost, c0) with c0 the
+    * tokens strictly before the doc, a narrow map over `base`; `base` =
+    * the persisted range-partitioned input the CALLER must unpersist
+    * after materializing anything derived from `starts` (range bounds
+    * are sampled — recomputation could repartition differently and
+    * corrupt the offsets). */
+  private def globalPrefix(df: DataFrame, idCol: String, cost: Column,
+      orderCol: Option[Column], partitions: Option[Int])
+      : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
-    // shard order = (orderCol, id): the id tie-break keeps the packing
-    // well-defined when the order key collides (e.g. a hashed shuffleKey);
-    // ids are assumed unique (the manifest's identity)
     val ord = orderCol.getOrElse(col(idCol).cast("long"))
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         ord.cast("long").as("_ord"), cost.cast("long").as("cost"))
@@ -354,14 +387,11 @@ object Sampling {
       var s = 0L; it.foreach(s += _._3); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _)
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+    val starts = rdd.mapPartitionsWithIndex { (i, it) =>
       var run = offsets(i)
-      it.map { case (id, _, c) => val shard = run / budget; run += c; (id, c, shard) }
-    }.toDF("doc_id", "cost", "shard")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    base.unpersist()
-    out
+      it.map { case (id, _, c) => val c0 = run; run += c; (id, c, c0) }
+    }.toDF("doc_id", "cost", "c0")
+    (starts, base)
   }
 
   /** Sequence packing — the final pretraining stage: documents concatenate
@@ -387,40 +417,24 @@ object Sampling {
       partitions: Option[Int] = None,
       orderCol: Option[Column] = None): DataFrame = {
     require(seqLen > 0, s"bad seqLen $seqLen")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
-    val ord = orderCol.getOrElse(col(idCol).cast("long"))
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
-        ord.cast("long").as("_ord"), cost.cast("long").as("cost"))
-      .repartitionByRange(p, col("_ord"), col("doc_id"))
-      .sortWithinPartitions("_ord", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = base.as[(Long, Long, Long)].rdd
-    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(s += _._3); Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
-    val starts = rdd.mapPartitionsWithIndex { (i, it) =>
-      var run = offsets(i)
-      it.map { case (id, _, c) => val c0 = run; run += c; (id, c, c0) }
-    }.toDF("doc_id", "cost", "c0")
-    val L = lit(seqLen)
-    val out = starts
-      .filter(col("cost") > 0)
-      .select(col("doc_id"), col("cost"), col("c0"),
-        // `div` is exact integer division — Column./ is double division,
-        // which loses exactness past 2^53 total tokens
-        explode(sequence(expr(s"c0 div $seqLen"),
-          expr(s"(c0 + cost - 1) div $seqLen"))).as("row_id"))
-      .select(col("doc_id"), col("cost"), col("row_id"),
-        (greatest(col("c0"), col("row_id") * L) - col("c0")).as("doc_off"),
-        (greatest(col("c0"), col("row_id") * L) - col("row_id") * L).as("row_off"),
-        (least(col("c0") + col("cost"), (col("row_id") + 1) * L)
-          - greatest(col("c0"), col("row_id") * L)).as("len"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    base.unpersist()
-    out
+    val (starts, base) = globalPrefix(df, idCol, cost, orderCol, partitions)
+    try {
+      val L = lit(seqLen)
+      val out = starts
+        .filter(col("cost") > 0)
+        .select(col("doc_id"), col("cost"), col("c0"),
+          // `div` is exact integer division — Column./ is double division,
+          // which loses exactness past 2^53 total tokens
+          explode(sequence(expr(s"c0 div $seqLen"),
+            expr(s"(c0 + cost - 1) div $seqLen"))).as("row_id"))
+        .select(col("doc_id"), col("cost"), col("row_id"),
+          (greatest(col("c0"), col("row_id") * L) - col("c0")).as("doc_off"),
+          (greatest(col("c0"), col("row_id") * L) - col("row_id") * L).as("row_off"),
+          (least(col("c0") + col("cost"), (col("row_id") + 1) * L)
+            - greatest(col("c0"), col("row_id") * L)).as("len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally { base.unpersist(); () }
   }
 }

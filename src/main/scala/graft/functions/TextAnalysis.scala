@@ -185,9 +185,9 @@ object TextAnalysis {
     df.select(col(idCol).cast("long").as("doc_id"), toks.as("_toks"),
         n.as("_n"), nChunks.as("_nc"))
       .select(col("doc_id"), col("_toks"), col("_n"),
-        posexplode(when(col("_nc") > 0, sequence(lit(0), col("_nc") - 1))
-          .otherwise(array().cast("array<int>"))).as(Seq("chunk_id", "_i")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        explode(when(col("_nc") > 0, sequence(lit(0), col("_nc") - 1))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col("doc_id"), col("_i").cast("long").as("chunk_id"),
         least(lit(chunkTokens), col("_n") - col("_i") * stride)
           .cast("long").as("chunk_len"),
         concat_ws(" ", slice(col("_toks"), col("_i") * stride + 1,
