@@ -1716,6 +1716,41 @@ object Queries {
        |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  /** Leakage-guarded train/val/test split (Sampling.clusterSplit): the
+    * assignment unit is the near-dup CLUSTER, so paraphrases never straddle
+    * the train/eval boundary. The oracle recomputes the banded minhash
+    * pipeline, the recursive transitive closure, AND the cluster-hash
+    * bucket assignment end to end — (doc_id, cluster_id, bucket, split)
+    * all hash-checked. */
+  def q_cluster_split(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = graft.functions.Dedup.minhashNearDups(docs,
+      "doc_id", "text", minEstSim = 0.5, portable = portableMode)
+    val clusters = graft.functions.Dedup.nearDupClusters(pairs)
+    pairs.unpersist() // CC materialized its rounds; the pair cache is done
+    graft.functions.Sampling.clusterSplit(
+      docs.select(col("doc_id")), "doc_id", clusters, portable = true)
+  }
+
+  private def q_cluster_split_sql: String =
+    s"""WITH RECURSIVE pairs AS ($q_dedup_minhash_sql),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT d.doc_id,
+       |        coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |        ('0x' || substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id)
+       |           AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+       |      FROM documents d LEFT JOIN cl USING (doc_id))""".stripMargin
+
   /** Benchmark decontamination: training docs (doc_id % 50 <> 0) sharing any
     * distinct word 3-gram with the benchmark slice (doc_id % 50 = 0), with
     * the shared-gram count. Both engines build the same distinct gram sets,
@@ -2661,6 +2696,7 @@ object Queries {
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
+    "q_cluster_split" -> (q_cluster_split _),
     "q_decontaminate" -> (q_decontaminate _),
     "q_dedup_bloom" -> (q_dedup_bloom _),
     "q_token_shards" -> (q_token_shards _),
@@ -2770,6 +2806,7 @@ object Queries {
     "q_dedup_minhash" -> q_dedup_minhash_sql,
     "q_dedup_incremental" -> q_dedup_incremental_sql,
     "q_dedup_clusters" -> q_dedup_clusters_sql,
+    "q_cluster_split" -> q_cluster_split_sql,
     "q_decontaminate" -> q_decontaminate_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_token_shards" -> q_token_shards_sql,

@@ -34,19 +34,48 @@ object Sampling {
     * (assignment depends only on its own id). */
   def hashSplit(df: DataFrame, idCol: String,
       thresholds: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100)),
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    df.withColumn("split",
+      assignSplit(hashBucket(col(idCol), 100, portable), thresholds))
+
+  private def assignSplit(b: Column, thresholds: Seq[(String, Int)]): Column = {
     require(thresholds.nonEmpty && thresholds.last._2 == 100,
       s"thresholds must end at 100, got $thresholds")
     // unsorted thresholds would make later when-branches unreachable and
     // silently empty a split
     require(thresholds.map(_._2) == thresholds.map(_._2).sorted,
       s"thresholds must be ascending, got $thresholds")
-    val b = hashBucket(col(idCol), 100, portable)
-    val assign = thresholds.init.foldRight(
-        lit(thresholds.last._1): Column) { case ((name, upTo), rest) =>
-      when(b < upTo, name).otherwise(rest)
+    thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, upTo), rest) => when(b < upTo, name).otherwise(rest)
     }
-    df.withColumn("split", assign)
+  }
+
+  /** Leakage-guarded train/val/test split: the assignment unit is the
+    * NEAR-DUP CLUSTER, not the document, so near-duplicates can never
+    * straddle the train/eval boundary — a doc-level [[hashSplit]] leaks
+    * paraphrases of eval documents into train, which is exactly the
+    * contamination an eval split exists to prevent. `clusters` =
+    * (doc_id, cluster_id) from [[Dedup.nearDupClusters]]; documents
+    * absent from it are singletons (their own cluster), so the output
+    * covers the full corpus. Every member inherits the representative's
+    * bucket draw; splits stay stable as the corpus grows, except that a
+    * NEW near-dup edge deliberately moves a doc to its cluster's split.
+    *
+    * 100 TB shape: one equi join on the id — `clusters` is only the
+    * near-dup subset, usually far smaller than the corpus (AQE
+    * broadcasts it when small), then a narrow hash projection; no
+    * shuffle beyond the join. Returns (idCol, cluster_id, bucket,
+    * split). */
+  def clusterSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      thresholds: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100)),
+      portable: Boolean = false): DataFrame = {
+    val cl = clusters.select(col("doc_id").cast("long").as("_cl_doc"),
+      col("cluster_id").cast("long").as("_cl_id"))
+    val unit = coalesce(col("_cl_id"), col(idCol).cast("long"))
+    val b = hashBucket(unit, 100, portable)
+    df.join(cl, col(idCol).cast("long") === col("_cl_doc"), "left")
+      .select(col(idCol), unit.as("cluster_id"), b.as("bucket"),
+        assignSplit(b, thresholds).as("split"))
   }
 
   /** Deterministic stratified sample: the k rows per stratum with the

@@ -479,6 +479,35 @@ class CurationSpec extends AnyFunSuite {
     assert(m7.weights == m.weights)
   }
 
+  test("clusterSplit: cluster members share one split, singletons match hashSplit") {
+    val s = imp; import s._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two multi-doc clusters + 196 singletons: {1,2,3}→1, {10,11}→10
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.clusterSplit(docs, "doc_id", clusters, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 200) // full corpus covered, no dup rows from the join
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // the leakage guard itself: every member inherits the representative's draw
+    for (g <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L))) {
+      assert(g.map(byDoc(_)._4).distinct.size == 1,
+        s"cluster $g straddles splits: ${g.map(byDoc(_))}")
+      assert(g.map(byDoc(_)._2).distinct == Seq(g.head))
+    }
+    // singletons: cluster_id = doc_id and the split equals a plain hashSplit
+    val plain = Sampling.hashSplit(docs.select(col("doc_id")), "doc_id",
+        portable = true).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- 4L to 9L) {
+      assert(byDoc(id)._2 == id)
+      assert(byDoc(id)._4 == plain(id))
+    }
+    // buckets live in [0,100) and splits follow the thresholds
+    assert(out.forall { case (_, _, b, sp) =>
+      b >= 0 && b < 100 &&
+        sp == (if (b < 80) "train" else if (b < 90) "val" else "test") })
+  }
+
   test("diversitySample caps dense regions and assigns to the nearest seed") {
     val s = imp; import s._
     // two seed regions: ids 0,1 are the seeds; 2-41 cluster tightly around
