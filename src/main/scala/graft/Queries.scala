@@ -1842,6 +1842,30 @@ object Queries {
       |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= CAST(0.8 AS DOUBLE)""".stripMargin
 
+  /** Per-vector int8 embedding quantization (Similarity.quantizeInt8):
+    * every arithmetic step is replicated in SQL, so (vec_id, scale, dim,
+    * code) is hash-checked bit for bit — ties round half-away-from-zero
+    * on both engines. */
+  def q_embed_int8(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.quantizeInt8(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("codes")).as(Seq("_p", "_c")))
+      .select(col("vec_id"), col("scale"),
+        (col("_p") + 1).cast("long").as("dim"), col("_c").cast("long").as("code"))
+
+  private val q_embed_int8_sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, vec,
+      |        list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale FROM v),
+      |e AS (SELECT vec_id, scale, unnest(vec) AS x,
+      |        generate_subscripts(vec, 1) AS dim FROM s)
+      |SELECT vec_id, scale, CAST(dim AS BIGINT) AS dim,
+      |  CAST(CASE WHEN scale = 0 THEN 0
+      |            ELSE round(x / scale) END AS BIGINT) AS code
+      |FROM e""".stripMargin
+
   /** brute-force cosine top-3 for the first 50 vectors (exact ANN baseline). */
   def q_cosine_topk(s: SparkSession, dir: String): DataFrame =
     graft.functions.Similarity.bruteForceTopK(tbl(s, dir, "embeddings"),
@@ -2710,6 +2734,7 @@ object Queries {
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
+    "q_embed_int8" -> (q_embed_int8 _),
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_ann_multiprobe" -> (q_ann_multiprobe _),
     "q_ann_ivf" -> (q_ann_ivf _),
@@ -2820,6 +2845,7 @@ object Queries {
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
+    "q_embed_int8" -> q_embed_int8_sql,
     "q_ann_lsh" -> q_ann_lsh_sql,
     "q_ann_multiprobe" -> q_ann_multiprobe_sql,
     "q_ann_ivf" -> q_ann_ivf_sql,

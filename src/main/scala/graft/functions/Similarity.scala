@@ -31,6 +31,29 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric per-vector int8 quantization — the storage/IO compression
+    * step for embedding tables (4 bytes/dim → 1: the shape FAISS/ScaNN
+    * store the corpus in, rescaling at score time). scale = max|xᵢ|/127;
+    * codeᵢ = round(xᵢ/scale) ∈ [-127, 127]; an all-zero vector gets
+    * scale 0 and zero codes. Per-dim dequant error is ≤ scale/2
+    * (spec-pinned). Zero shuffle — one narrow codegen pass; every
+    * arithmetic step (float→double cast, abs, max, /127.0, /scale,
+    * round-half-away) is reproduced verbatim by the SQL oracle, so codes
+    * are bit-checkable. Returns (idCol, scale, codes array<byte>). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("_v"))
+      .withColumn("scale",
+        array_max(transform(col("_v"), x => abs(x))) / lit(127.0))
+      .select(col(idCol), col("scale"),
+        transform(col("_v"), x =>
+          when(col("scale") === 0.0, lit(0).cast("byte"))
+            .otherwise(round(x / col("scale"), 0).cast("byte"))).as("codes"))
+
+  /** Inverse of [[quantizeInt8]]: codeᵢ·scale back to doubles. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Exact top-k neighbors by cosine for the query vectors (`idCol < maxQueryId`)
     * against the whole corpus. Ranks on a rounded similarity with id
     * tie-break so results are stable across engines and partitionings. */

@@ -154,4 +154,31 @@ class VectorExprSpec extends AnyFunSuite {
     info(f"native=$tNative%.2fs composed=$tComposed%.2fs speedup=${tComposed / tNative}%.1fx")
     assert(tNative <= tComposed * 1.5, "native path should not be slower")
   }
+
+  test("quantizeInt8: hand-computed codes, zero vector, dequant error ≤ scale/2") {
+    import spark.implicits._
+    // maxabs = 1.0 → scale = 1/127; codes: 1.0→127, -0.5→round(-63.5)=-64
+    // (ties away from zero), 0.25→round(31.75)=32, 0→0
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    assert(q(1L)._2 == Seq[Byte](127, -64, 32, 0))
+    assert(math.abs(q(1L)._1 - 1.0 / 127.0) < 1e-15)
+    assert(q(2L)._1 == 0.0 && q(2L)._2 == Seq[Byte](0, 0, 0, 0))
+    // real embeddings: codes bounded, per-dim round-trip error ≤ scale/2
+    val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("_orig")), "vec_id")
+      .select(col("scale"),
+        array_max(transform(col("codes"), c => abs(c.cast("int")))).as("cmax"),
+        array_max(zip_with(
+          Similarity.dequantizeInt8(col("codes"), col("scale")), col("_orig"),
+          (d, o) => abs(d - o))).as("err"))
+    val bad = deq.filter(col("cmax") > 127 ||
+      col("err") > col("scale") / 2 + lit(1e-12)).count()
+    assert(bad == 0)
+  }
 }
