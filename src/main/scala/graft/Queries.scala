@@ -1866,6 +1866,37 @@ object Queries {
       |            ELSE round(x / scale) END AS BIGINT) AS code
       |FROM e""".stripMargin
 
+  /** Top-3 by int8-quantized cosine (Similarity.int8TopK): scores are
+    * pure small-integer sums (scales cancel), so both engines compute
+    * identical values — no float-order caveats. */
+  def q_ann_int8(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.int8TopK(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", maxQueryId = 50, k = 3)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+
+  private val q_ann_int8_sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, vec,
+      |        list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale FROM v),
+      |e AS (SELECT vec_id, scale, unnest(vec) AS x,
+      |        generate_subscripts(vec, 1) AS i FROM s),
+      |q AS (SELECT vec_id, i,
+      |        CAST(CASE WHEN scale = 0 THEN 0
+      |                  ELSE round(x / scale) END AS BIGINT) AS cde FROM e),
+      |n AS (SELECT vec_id, sum(cde * cde) AS n2 FROM q GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.cde * b.cde) AS dp
+      |      FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 50 AND a.vec_id <> b.vec_id
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT q_id, c_id,
+      |        CASE WHEN na.n2 * nb.n2 = 0 THEN 0.0
+      |             ELSE round(CAST(dp AS DOUBLE) /
+      |                    sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) END AS sim
+      |      FROM d JOIN n na ON na.vec_id = q_id JOIN n nb ON nb.vec_id = c_id)
+      |SELECT q_id, c_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
+      |WHERE rn <= 3""".stripMargin
+
   /** brute-force cosine top-3 for the first 50 vectors (exact ANN baseline). */
   def q_cosine_topk(s: SparkSession, dir: String): DataFrame =
     graft.functions.Similarity.bruteForceTopK(tbl(s, dir, "embeddings"),
@@ -2735,6 +2766,7 @@ object Queries {
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_embed_int8" -> (q_embed_int8 _),
+    "q_ann_int8" -> (q_ann_int8 _),
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_ann_multiprobe" -> (q_ann_multiprobe _),
     "q_ann_ivf" -> (q_ann_ivf _),
@@ -2846,6 +2878,7 @@ object Queries {
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
     "q_embed_int8" -> q_embed_int8_sql,
+    "q_ann_int8" -> q_ann_int8_sql,
     "q_ann_lsh" -> q_ann_lsh_sql,
     "q_ann_multiprobe" -> q_ann_multiprobe_sql,
     "q_ann_ivf" -> q_ann_ivf_sql,

@@ -54,6 +54,38 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  /** Top-k by QUANTIZED cosine, scored entirely from int8 codes: the
+    * per-vector scales cancel in the cosine, so
+    * sim = Σcₐc_b / √(Σcₐ²·Σc_b²) needs only small-integer sums —
+    * order-independent (bit-identical under any partitioning, unlike
+    * float dot products) and reading a 4×-smaller corpus. The 100 TB
+    * shape: the corpus is stored as [[quantizeInt8]] codes; the
+    * full-precision vectors are never touched at query time (the
+    * symmetric-int8 sibling of the PQ/ADC path — exact w.r.t. the codes,
+    * ~1–3% cosine error w.r.t. the floats, spec-bounded). Zero vectors
+    * score 0 (not NaN). Ranks with id tie-break like [[bruteForceTopK]]. */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+      maxQueryId: Long, k: Int, roundTo: Int = 6): DataFrame = {
+    val iDot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val v = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol).as("id"), col("codes"),
+        iDot(col("codes"), col("codes")).as("n2"))
+    val q = v.filter(col("id") < maxQueryId)
+      .select(col("id").as("q_id"), col("codes").as("q_c"), col("n2").as("q_n2"))
+    val c = v.select(col("id").as("c_id"), col("codes").as("c_c"), col("n2").as("c_n2"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        when(col("q_n2") === 0L || col("c_n2") === 0L, lit(0.0))
+          .otherwise(round(iDot(col("q_c"), col("c_c")).cast("double") /
+            sqrt((col("q_n2") * col("c_n2")).cast("double")), roundTo)).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k neighbors by cosine for the query vectors (`idCol < maxQueryId`)
     * against the whole corpus. Ranks on a rounded similarity with id
     * tie-break so results are stable across engines and partitionings. */

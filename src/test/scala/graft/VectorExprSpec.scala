@@ -181,4 +181,29 @@ class VectorExprSpec extends AnyFunSuite {
       col("err") > col("scale") / 2 + lit(1e-12)).count()
     assert(bad == 0)
   }
+
+  test("int8TopK: quantized cosine tracks the exact cosine; rank deterministic") {
+    // every scored pair's int8 cosine within the quantization error budget
+    // of the float cosine (per-vector relative L2 error ≤ √d/254 ≈ 0.031
+    // at d=64 → cosine error well under 0.05 on real embeddings)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      maxQueryId = 20, k = 1000000)
+      .select(col("q_id"), col("c_id"), col("sim").as("sim_f"))
+    val quant = Similarity.int8TopK(emb, "vec_id", "embedding",
+      maxQueryId = 20, k = 1000000)
+      .select(col("q_id"), col("c_id"), col("sim").as("sim_q"))
+    val joined = exact.join(quant, Seq("q_id", "c_id")).persist()
+    val n = joined.count()
+    assert(n > 0)
+    val worst = joined.agg(max(abs(col("sim_f") - col("sim_q")))).head().getDouble(0)
+    info(f"pairs=$n worst |cos_f - cos_int8| = $worst%.4f")
+    assert(worst < 0.05, s"quantized cosine drifted: $worst")
+    joined.unpersist()
+    // determinism: identical result under a different partitioning
+    val a = Similarity.int8TopK(emb, "vec_id", "embedding", 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val b = Similarity.int8TopK(emb.repartition(13), "vec_id", "embedding", 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(a.toSet == b.toSet)
+  }
 }
