@@ -282,9 +282,13 @@ object Dedup {
     val cands = if (callerPersisted) cands0 else cands0.persist()
     val candDocs = cands.select(col("a_id").as("_cand_id"))
       .union(cands.select(col("b_id").as("_cand_id"))).distinct()
+    // three consumers below (sizes + both sides of the intersection join):
+    // persist or the scan+join+shingle explode re-executes per consumer —
+    // candidate-bound, so the cache is pair-sized, not corpus-sized
     val grams = df.join(candDocs, df(idCol) === candDocs("_cand_id"))
       .select(df(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .persist()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // intersection via a COMPOUND (b_id, g) equi-join: probing by b_id alone
     // with g-equality as a residual condition evaluates |grams(a)|×|grams(b)|
@@ -311,7 +315,8 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .persist()
-    out.count() // materialize before releasing this call's candidate cache
+    out.count() // materialize before releasing this call's caches
+    grams.unpersist()
     if (!callerPersisted) cands.unpersist()
     out
   }
