@@ -137,4 +137,29 @@ class ShuffleVolumeSpec extends AnyFunSuite {
     assert(winnow * 3 < full * 2,
       s"winnowed shuffle $winnow not under 2/3 of full $full")
   }
+
+  test("clusterSplit broadcasts the cluster map — the corpus never shuffles") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val split = graft.functions.Sampling.clusterSplit(
+      docs.select(col("doc_id")), "doc_id", clusters)
+    // default confs (broadcast on): the join must be a broadcast hash join
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge in:\n$plan")
+    // and the measured shuffle volume is zero — broadcast exchanges don't
+    // write shuffle files; the hash projection is narrow
+    val b = shuffleBytesRaw(split.collect())
+    assert(b == 0L, s"clusterSplit shuffled $b bytes")
+  }
+
+  test("quantizeInt8 is a zero-shuffle narrow pass") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // foreach, not count: count's own final aggregate writes a ~59-byte
+    // partial-count exchange that would mask the operator's zero
+    val b = shuffleBytesRaw(
+      graft.functions.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .foreach(_ => ()))
+    assert(b == 0L, s"quantizeInt8 shuffled $b bytes")
+  }
 }
