@@ -1774,6 +1774,43 @@ object Queries {
       |       UNNEST(range(1, len(w) - 1)) AS t(i))
       |SELECT doc_id, count(*) AS hits FROM tg JOIN bg USING (g) GROUP BY doc_id""".stripMargin
 
+  /** HTML → text extraction (TextAnalysis.extractHtmlText): deterministic
+    * markup is synthesized around each document's text (nav/script/style/
+    * comment boilerplate + entities), then stripped back; the oracle builds
+    * the SAME markup and replays the identical regex chain, so the cleaned
+    * strings hash-match — pinning that the Java and RE2 engines agree on
+    * every pattern in the chain. */
+  def q_html_extract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>d</title><style>p {color: red}</style></head>" +
+        "<body><!-- nav --><nav>home | about</nav><p>"), col("text"),
+      lit("</p><script type=\"text/javascript\">var x = 1 && 2 < 3;</script>" +
+        "<div>footer &amp; legal &lt;here&gt;&nbsp;ok</div></body></html>"))
+    tbl(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextAnalysis.extractHtmlText(html).as("clean"))
+  }
+
+  private val q_html_extract_sql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      '<html><head><title>d</title><style>p {color: red}</style></head>'
+      |        || '<body><!-- nav --><nav>home | about</nav><p>' || text
+      |        || '</p><script type="text/javascript">var x = 1 && 2 < 3;</script>'
+      |        || '<div>footer &amp; legal &lt;here&gt;&nbsp;ok</div></body></html>',
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |      '&nbsp;', ' ', 'g'),
+      |      '&lt;', '<', 'g'),
+      |      '&gt;', '>', 'g'),
+      |      '&quot;', '"', 'g'),
+      |      '&amp;', '&', 'g'),
+      |    '\s+', ' ', 'g')) AS clean
+      |FROM documents""".stripMargin
+
   /** SimHash near-dup pairs (Hamming ≤ 3 via 4-band pigeonhole), portable
     * 60-bit signature. Banding recall is exact for the stated distance, so
     * the oracle is the full pairwise Hamming filter over the same
@@ -2752,6 +2789,7 @@ object Queries {
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_cluster_split" -> (q_cluster_split _),
+    "q_html_extract" -> (q_html_extract _),
     "q_decontaminate" -> (q_decontaminate _),
     "q_dedup_bloom" -> (q_dedup_bloom _),
     "q_token_shards" -> (q_token_shards _),
@@ -2864,6 +2902,7 @@ object Queries {
     "q_dedup_incremental" -> q_dedup_incremental_sql,
     "q_dedup_clusters" -> q_dedup_clusters_sql,
     "q_cluster_split" -> q_cluster_split_sql,
+    "q_html_extract" -> q_html_extract_sql,
     "q_decontaminate" -> q_decontaminate_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_token_shards" -> q_token_shards_sql,

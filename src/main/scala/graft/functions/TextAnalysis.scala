@@ -52,6 +52,27 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** HTML → text extraction: the CommonCrawl-style boilerplate strip that
+    * precedes every text-quality stage when the corpus arrives as markup.
+    * Drops script/style/comment blocks (their CONTENT is not text), strips
+    * remaining tags to spaces, decodes the five ubiquitous entities
+    * (amp LAST, so `&amp;lt;` single-decodes to `&lt;` like a real parser),
+    * collapses whitespace. Pure Column chain — narrow, codegen'd, zero
+    * shuffle at any corpus size. Patterns stay in the Java∩RE2 subset
+    * (case-insensitive + dotall flags, non-greedy repetition; no
+    * lookaround), so the DuckDB oracle replays the chain verbatim. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** punctuation character ratio (POSIX [[:punct:]] — same ASCII set in Java
     * regex and RE2, so the oracle matches). */
   def punctRatio(text: Column): Column =

@@ -84,7 +84,7 @@ class AnsiSpec extends AnyFunSuite {
       "q_zip", "q_heavy_hitters", "q_ann_ivfpq", "q_zorder", "q_bpe",
       "q_chunk", "q_token_mixture", "q_epoch_mixture",
       "q_quality_classifier", "q_cluster_split", "q_embed_int8",
-      "q_ann_int8")
+      "q_ann_int8", "q_html_extract")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set
