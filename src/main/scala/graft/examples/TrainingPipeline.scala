@@ -1,13 +1,16 @@
 package graft.examples
 
-import graft.functions.{Dedup, IvfIndex, Sampling, TextAnalysis}
+import graft.functions.{Dedup, IvfIndex, QualityClassifier, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline over the documents + embeddings tables:
-  * profile → quality gate → exact dedup → minhash near-dup CLUSTER removal →
-  * benchmark decontamination → language/token stats → token-budget shard
-  * manifest, and a persistent ANN index over the embeddings. Every stage is
+  * profile → quality gate → exact dedup → minhash near-dup CLUSTER removal
+  * (with the leakage-guarded cluster-split report as the keep-near-dups
+  * alternative) → benchmark decontamination → language/token stats →
+  * seed-labeled trained quality classifier (the CCNet shape) →
+  * token-budget shard manifest → sequence packing, and a persistent ANN
+  * index + int8-quantized corpus over the embeddings. Every stage is
   * the library operator a 100 TB run would use (each is individually
   * oracle- or spec-verified; ExamplesSpec smoke-checks the composition's
   * invariants).
@@ -17,7 +20,8 @@ object TrainingPipeline {
   final case class Stats(total: Long, qualityGated: Long, exactDeduped: Long,
       nearDeduped: Long, spanGated: Long, decontaminated: Long,
       langs: Map[String, Long], shards: Long, packedRows: Long,
-      packedTokens: Long, annResults: Long)
+      packedTokens: Long, annResults: Long, classifierKept: Long,
+      splitTrain: Long, splitEval: Long, int8Vectors: Long)
 
   def run(spark: SparkSession, sfDir: String): Stats = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -45,8 +49,20 @@ object TrainingPipeline {
       keepExact.select(col("doc_id"))
         .join(docs.select(col("doc_id"), col("text")), "doc_id"),
       "doc_id", "text", minEstSim = 0.8)
-    val dropIds = Dedup.nearDupClusters(pairs)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val dropIds = clusters
       .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    // 3a (alternative eval-guard): instead of DROPPING near-dups, a split
+    // can RETAIN them with the cluster as the assignment unit, so
+    // paraphrases never straddle train/eval — reported here from the same
+    // cluster map the removal path uses
+    val split = Sampling.clusterSplit(
+      keepExact.select(col("doc_id")), "doc_id", clusters)
+      .groupBy(col("split")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nTrain, nEval) =
+      (split.getOrElse("train", 0L), split.getOrElse("val", 0L) + split.getOrElse("test", 0L))
+
     val cleaned = keepExact.join(dropIds, Seq("doc_id"), "left_anti").persist()
     val nClean = cleaned.count()
     pairs.unpersist(); gated.unpersist(); keepExact.unpersist()
@@ -82,6 +98,18 @@ object TrainingPipeline {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    // 5b. trained quality gate (the CCNet shape): learn a classifier from
+    // seed labels — docs from trusted sources are the positive class — and
+    // score the surviving corpus; the model rides as literals, scoring is
+    // a narrow map (here reported, not gated, so the stats above stay
+    // comparable across stages)
+    val deconText = decon.select(col("doc_id"))
+      .join(docs.select(col("doc_id"), col("text"), col("source")), "doc_id")
+    val model = QualityClassifier.train(deconText, "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    val nKept = QualityClassifier.score(deconText, "doc_id", "text", model)
+      .filter(col("keep") === 1).count()
+
     // 6. shard manifest: contiguous ~2k-token shards in id order
     val manifest = Sampling.tokenShards(decon, "doc_id", col("n_tokens"),
       budget = 2000L)
@@ -104,10 +132,14 @@ object TrainingPipeline {
     val ann = IvfIndex.query(index, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 2)
     val nAnn = ann.count()
+
+    // 7b. int8-quantize the embedding corpus for serving/storage (4 B/dim →
+    // 1; scoring can run on codes alone — Similarity.int8TopK)
+    val nInt8 = Similarity.quantizeInt8(emb, "vec_id", "embedding").count()
     decon.unpersist()
 
     Stats(total, nGated, nExact, nClean, nSpan, nDecon, langs, nShards,
-      nRows, nTokens, nAnn)
+      nRows, nTokens, nAnn, nKept, nTrain, nEval, nInt8)
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,7 +153,9 @@ object TrainingPipeline {
       s"SHARDS=${s.shards} PACKED_ROWS=${s.packedRows} " +
       s"PACKED_TOKENS=${s.packedTokens}")
     s.langs.toSeq.sortBy(-_._2).foreach { case (l, n) => println(s"LANG\t$l\t$n") }
-    println(s"ANN_RESULTS=${s.annResults}")
+    println(s"ANN_RESULTS=${s.annResults} CLASSIFIER_KEPT=${s.classifierKept} " +
+      s"SPLIT_TRAIN=${s.splitTrain} SPLIT_EVAL=${s.splitEval} " +
+      s"INT8_VECTORS=${s.int8Vectors}")
     spark.stop()
   }
 }

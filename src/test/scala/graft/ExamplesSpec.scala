@@ -89,6 +89,14 @@ class ExamplesSpec extends AnyFunSuite {
     assert(s.packedRows == (s.packedTokens + 511) / 512,
       s"rows ${s.packedRows} vs tokens ${s.packedTokens}")
     assert(s.annResults > 0)
+    // trained classifier scores the decontaminated set
+    assert(s.classifierKept <= s.decontaminated)
+    // the cluster-guarded split covers the exact-deduped set completely
+    assert(s.splitTrain + s.splitEval == s.exactDeduped,
+      s"split ${s.splitTrain}+${s.splitEval} != ${s.exactDeduped}")
+    assert(s.splitTrain > 0)
+    // every embedding quantizes
+    assert(s.int8Vectors > 0)
   }
 
   test("logistic regression via replay: cost decreases, separable data fits") {
