@@ -376,6 +376,9 @@ final class Stream[T](val ds: Dataset[T],
   def writeParquetOne(path: String): Unit =
     ds.toDF().coalesce(1).write.mode("overwrite").parquet(path)
 
+  /** ORC sink (beyond-reference; pairs with `StreamContext.streamOrc`). */
+  def writeOrc(path: String): Unit = ds.toDF().write.mode("overwrite").orc(path)
+
   /** Avro sink (reference: src/operator/sink/avro.rs:93). */
   def writeAvro(path: String): Unit =
     try ds.toDF().write.mode("overwrite").format("avro").save(path)

@@ -73,6 +73,14 @@ final class StreamContext(val spark: SparkSession) {
   def streamParquetAs[T: Encoder](path: String): Stream[T] =
     new Stream(spark.read.parquet(path).as[T])
 
+  /** ORC source (beyond-reference: the other columnar format Spark ships
+    * natively — predicate pushdown and column pruning work like parquet's). */
+  def streamOrc(path: String): DataFrame = spark.read.orc(path)
+
+  /** Typed ORC source. */
+  def streamOrcAs[T: Encoder](path: String): Stream[T] =
+    new Stream(spark.read.orc(path).as[T])
+
   /** Avro source (reference: src/operator/source/avro.rs:49). Uses the
     * spark-avro connector when present; otherwise the built-in avro-core
     * reader ([[graft.sources.AvroIO]]) for flat primitive records. */

@@ -57,6 +57,21 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(lines.length == 2 && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
   }
 
+  test("orc write/read round-trip, typed and untyped") {
+    val s = imp; import s._
+    val dir = tmp() + "/o"
+    ctx.streamIter(Seq((1L, "alpha", 1.5), (2L, "beta", -2.25)))
+      .writeOrc(dir)
+    val back = ctx.streamOrcAs[(Long, String, Double)](dir)
+      .collectVec().sortBy(_._1)
+    assert(back == Seq((1L, "alpha", 1.5), (2L, "beta", -2.25)))
+    // untyped path sees the same schema; the files on disk are ORC
+    assert(ctx.streamOrc(dir).columns.toSeq == Seq("_1", "_2", "_3"))
+    val orcFiles = Files.list(java.nio.file.Path.of(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".orc"))
+    assert(orcFiles.nonEmpty)
+  }
+
   test("text file source (stream_file) splits on lines") {
     val s = imp; import s._
     val f = tmp() + "/t.txt"
