@@ -494,6 +494,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HTML extraction + trained-classifier scoring: narrow gates run unchanged") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    // train once on a batch fixture; the model is literal weights, so
+    // scoring is a stateless narrow stage that chains onto any stream
+    val fixture = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, "the quick brown fox jumps over the lazy dog again and again")
+      else (i, "zzz qqq xxx !!!")
+    }.toDF("doc_id", "text")
+    val model = graft.functions.QualityClassifier.train(
+      fixture, "text", col("doc_id") % 2 === 0)
+    val in = MemoryStream[(Long, String)]
+    val cleaned = in.toDF.toDF("doc_id", "html")
+      .withColumn("text",
+        graft.functions.TextAnalysis.extractHtmlText(col("html")))
+    val out = graft.functions.QualityClassifier
+      .score(cleaned, "doc_id", "text", model)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("html_scored").start()
+    try {
+      in.addData(
+        (1L, "<p>the quick brown fox jumps over the lazy dog again and again</p><script>x</script>"),
+        (2L, "<div>zzz qqq xxx !!!</div>"))
+      q.processAllAvailable()
+      val got = spark.table("html_scored")
+        .select("doc_id", "keep").as[(Long, Long)].collect().toMap
+      assert(got(1L) == 1L, s"prose doc should pass: $got")
+      assert(got(2L) == 0L, s"gibberish doc should be gated: $got")
+      // stream scores equal the batch scores on the same cleaned text
+      val batch = graft.functions.QualityClassifier.score(
+        Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+          (2L, "zzz qqq xxx !!!")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+      val streamScores = spark.table("html_scored")
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+      assert(streamScores == batch)
+    } finally q.stop()
+  }
+
   test("streaming as-of join: batch-equivalent in order, at-arrival for late rights") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
