@@ -303,22 +303,27 @@ object Dedup {
     // silently disappearing from the verified output
     val union_ = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
       coalesce(col("inter"), lit(0L))
-    val out = cands.select(col("a_id"), col("b_id"))
-      .join(inter, Seq("a_id", "b_id"), "left_outer")
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"),
-        Seq("a_id"), "left_outer")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"),
-        Seq("b_id"), "left_outer")
-      .select(col("a_id"), col("b_id"),
-        when(union_ === 0, lit(0.0))
-          .otherwise(coalesce(col("inter"), lit(0L)).cast("double") / union_)
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-      .persist()
-    out.count() // materialize before releasing this call's caches
-    grams.unpersist()
-    if (!callerPersisted) cands.unpersist()
-    out
+    // finally, not sequentially: a failed materialization must still
+    // release this call's caches (the library-wide fail-fast contract)
+    try {
+      val out = cands.select(col("a_id"), col("b_id"))
+        .join(inter, Seq("a_id", "b_id"), "left_outer")
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"),
+          Seq("a_id"), "left_outer")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"),
+          Seq("b_id"), "left_outer")
+        .select(col("a_id"), col("b_id"),
+          when(union_ === 0, lit(0.0))
+            .otherwise(coalesce(col("inter"), lit(0L)).cast("double") / union_)
+            .as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+        .persist()
+      out.count() // materialize before releasing this call's caches
+      out
+    } finally {
+      grams.unpersist()
+      if (!callerPersisted) cands.unpersist()
+    }
   }
 
   /** LSH candidates → exact-jaccard verify: the end-to-end near-dup

@@ -71,9 +71,19 @@ object Sampling {
       portable: Boolean = false): DataFrame = {
     val cl = clusters.select(col("doc_id").cast("long").as("_cl_doc"),
       col("cluster_id").cast("long").as("_cl_id"))
-    val unit = coalesce(col("_cl_id"), col(idCol).cast("long"))
+    // ids must be non-null and numeric: a silently-null cast would miss the
+    // cluster join AND null the bucket, dropping the row through the
+    // when-chain into the LAST split — every bad id would land in 'test'
+    // with no error. try_cast probes without throwing (ANSI casts throw
+    // their own opaque error first otherwise), then the guard names ours.
+    val idTry = expr(s"try_cast(`$idCol` AS BIGINT)")
+    val idL = when(col(idCol).isNull || idTry.isNull,
+        raise_error(concat(lit(s"clusterSplit: non-numeric or null $idCol: "),
+          coalesce(col(idCol).cast("string"), lit("null")))).cast("long"))
+      .otherwise(idTry)
+    val unit = coalesce(col("_cl_id"), idL)
     val b = hashBucket(unit, 100, portable)
-    df.join(cl, col(idCol).cast("long") === col("_cl_doc"), "left")
+    df.join(cl, idL === col("_cl_doc"), "left")
       .select(col(idCol), unit.as("cluster_id"), b.as("bucket"),
         assignSplit(b, thresholds).as("split"))
   }

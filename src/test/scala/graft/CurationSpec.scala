@@ -506,6 +506,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall { case (_, _, b, sp) =>
       b >= 0 && b < 100 &&
         sp == (if (b < 80) "train" else if (b < 90) "val" else "test") })
+    // non-numeric ids raise a NAMED error instead of silently falling
+    // through the split when-chain into 'test'
+    val bad = Seq(("doc-17", "x")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Sampling.clusterSplit(bad, "doc_id", clusters).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("clusterSplit: non-numeric or null")),
+      s"wrong error: ${msgs(e)}")
   }
 
   test("diversitySample caps dense regions and assigns to the nearest seed") {
