@@ -2345,6 +2345,41 @@ object Queries {
       |   AND symbol_ratio <= CAST(0.10 AS DOUBLE)) AS keep
       |FROM j""".stripMargin
 
+  /** C4-style line-level cleaning (QualityFilters.c4Profile): a line
+    * survives iff it ends in terminal punctuation, has >= minWords words
+    * and mentions no boilerplate token; the page keeps iff >= minLines
+    * lines survive and no page-level ban marker appears. The corpus is
+    * single-line, so deterministic rewrites synthesize the line structure
+    * identically on both engines: ' slow ' becomes ' javascript ' (line
+    * bans), ' value ' ends a line WITH terminal punctuation, ' part '
+    * ends one without. */
+  def q_c4_clean(s: SparkSession, dir: String): DataFrame =
+    graft.functions.QualityFilters.c4Profile(
+      tbl(s, dir, "documents"), "doc_id", "text", minWords = 3, minLines = 3,
+      lineify = t => replace(replace(replace(t,
+        lit(" slow "), lit(" javascript ")),
+        lit(" value "), lit(".\n")),
+        lit(" part "), lit("\n")))
+
+  private val q_c4_clean_sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(text, ' slow ', ' javascript '),
+      |      ' value ', '.' || chr(10)), ' part ', chr(10)) AS t
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, t, list_filter(
+      |      list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> ''),
+      |      x -> regexp_matches(x, '[.!?"]$')
+      |           AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 3
+      |           AND NOT contains(lower(x), 'javascript')) AS kept
+      |  FROM base)
+      |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+      |   AND NOT contains(t, '{')) AS keep
+      |FROM l""".stripMargin
+
   /** Trainable quality classifier (QualityClassifier): logistic regression
     * by 3 full-batch GD steps over the portable text features, seed labels
     * from the heuristic gate (qualityScore >= 0.75), then score the whole
@@ -2824,6 +2859,7 @@ object Queries {
     "q_pipeline_clean" -> (q_pipeline_clean _),
     "q_wordcount_file" -> (q_wordcount_file _),
     "q_quality_gopher" -> (q_quality_gopher _),
+    "q_c4_clean" -> (q_c4_clean _),
     "q_quality_classifier" -> (q_quality_classifier _),
     "q_split_hash" -> (q_split_hash _),
     "q_sample_stratified" -> (q_sample_stratified _),
@@ -2937,6 +2973,7 @@ object Queries {
     "q_pipeline_clean" -> q_pipeline_clean_sql,
     "q_wordcount_file" -> q_wordcount_file_sql,
     "q_quality_gopher" -> q_quality_gopher_sql,
+    "q_c4_clean" -> q_c4_clean_sql,
     "q_quality_classifier" -> q_quality_classifier_sql,
     "q_split_hash" -> q_split_hash_sql,
     "q_sample_stratified" -> q_sample_stratified_sql,

@@ -96,6 +96,48 @@ object QualityFilters {
     dupLineFrac <= 0.30 && dupCharFrac <= 0.20 &&
       top2 <= 0.20 && top3 <= 0.18 && rep <= 0.70 && sym <= 0.10
 
+  // ── C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits
+  // of Transfer Learning with a Unified Text-to-Text Transformer", §2.2:
+  // the heuristics that produced the C4 corpus) — the LINE-granularity
+  // complement of the doc-level Gopher gates above: C4 EDITS a document
+  // line by line before any whole-document gate runs. ──
+
+  /** Lines of `text` surviving the C4 line rules: terminal punctuation
+    * (. ! ? "), at least `minWords` words, and no boilerplate marker
+    * ("javascript" is C4's). */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(lines(text), l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minWords &&
+        !contains(lower(l), lit("javascript")))
+
+  /** The cleaned document: surviving lines re-joined. */
+  def c4CleanText(text: Column, minWords: Int = 5): Column =
+    array_join(c4KeptLines(text, minWords), "\n")
+
+  /** C4 page-level keep: at least `minLines` surviving lines and no
+    * page-level ban marker ("lorem ipsum" placeholder text, or a curly
+    * brace — C4 drops source-code-looking pages). */
+  def c4Keep(keptLineCount: Column, text: Column, minLines: Int = 3): Column =
+    keptLineCount >= minLines &&
+      !contains(lower(text), lit("lorem ipsum")) &&
+      !contains(text, lit("{"))
+
+  /** C4 cleaning profile: cleaned text, surviving-line count, page keep
+    * flag. Same scale shape as [[gopherProfile]] — one narrow codegen pass
+    * per document, zero shuffles at any corpus size; chains onto a stream
+    * unchanged. `lineify` as in [[gopherProfile]]. */
+  def c4Profile(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, minLines: Int = 3,
+      lineify: Column => Column = identity): DataFrame = {
+    val t = lineify(col(textCol))
+    df.select(col(idCol), c4KeptLines(t, minWords).as("kept"), t.as("t"))
+      .select(col(idCol),
+        array_join(col("kept"), "\n").as("cleaned"),
+        size(col("kept")).cast("long").as("n_kept"),
+        c4Keep(size(col("kept")), col("t"), minLines).as("keep"))
+  }
+
   /** Full repetition profile + keep flag, one narrow pass per document.
     * `lineify` optionally rewrites a delimiter into newlines before the
     * LINE metrics only (the corpus here is single-line synthetic text;

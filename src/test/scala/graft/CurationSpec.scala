@@ -33,6 +33,38 @@ class CurationSpec extends AnyFunSuite {
     assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
   }
 
+  test("c4 line cleaning: per-line rules, page bans, boundary counts") {
+    val s = imp; import s._
+    // line survives iff terminal punct AND >= 2 words AND no 'javascript'
+    val doc = "Good line here.\nno punct line\nshort.\n" +
+      "Uses JavaScript heavily.\nAnother good one!\nQuoted \"line\" stays.\""
+    val df = Seq((1L, doc)).toDF("id", "t")
+    val r = df.select(
+      QualityFilters.c4CleanText(col("t"), minWords = 2).as("clean"),
+      size(QualityFilters.c4KeptLines(col("t"), minWords = 2)).as("n")).head()
+    // drops: 'no punct line' (no terminal), 'short.' (1 word), the
+    // JavaScript line (banned token, case-insensitive); keeps 3
+    assert(r.getString(0) ==
+      "Good line here.\nAnother good one!\nQuoted \"line\" stays.\"")
+    assert(r.getInt(1) == 3)
+    // page keep: n >= minLines, no 'lorem ipsum', no brace
+    val keep = df.select(QualityFilters.c4Keep(lit(3), col("t"), 3)).head()
+    assert(keep.getBoolean(0))
+    val bans = Seq(
+      (lit(2), "fine text."),            // below minLines
+      (lit(9), "has Lorem Ipsum in it."), // placeholder ban (case-insens)
+      (lit(9), "code { return 1; }"))     // brace ban
+      .map { case (n, t) => Seq((1L, t)).toDF("id", "t")
+        .select(QualityFilters.c4Keep(n, col("t"), 3)).head().getBoolean(0) }
+    assert(bans == Seq(false, false, false))
+    // empty doc: zero kept lines, empty cleaned text, dropped
+    val e = Seq((1L, "")).toDF("id", "t").select(
+      QualityFilters.c4CleanText(col("t")).as("c"),
+      QualityFilters.c4Keep(size(QualityFilters.c4KeptLines(col("t"))),
+        col("t"), 3).as("k")).head()
+    assert(e.getString(0) == "" && !e.getBoolean(1))
+  }
+
   test("top n-gram share: longest-run fold equals explode+groupBy count") {
     val s = imp; import s._
     // bigrams of "a b a b a": [a b, b a, a b, b a] → top share 2/4
