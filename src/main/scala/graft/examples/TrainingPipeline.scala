@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline over the documents + embeddings tables:
-  * profile → quality gate → exact dedup → minhash near-dup CLUSTER removal
+  * C4 line-level cleaning (reported) → profile → quality gate → exact dedup
+  * → minhash near-dup CLUSTER removal
   * (with the leakage-guarded cluster-split report as the keep-near-dups
   * alternative) → benchmark decontamination → language/token stats →
   * seed-labeled trained quality classifier (the CCNet shape) →
@@ -21,11 +22,21 @@ object TrainingPipeline {
       nearDeduped: Long, spanGated: Long, decontaminated: Long,
       langs: Map[String, Long], shards: Long, packedRows: Long,
       packedTokens: Long, annResults: Long, classifierKept: Long,
-      splitTrain: Long, splitEval: Long, int8Vectors: Long)
+      splitTrain: Long, splitEval: Long, int8Vectors: Long, c4Kept: Long)
 
   def run(spark: SparkSession, sfDir: String): Stats = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val total = docs.count()
+
+    // 0. line-level C4 cleaning (reported, not gated, so the stage stats
+    // below stay comparable: the corpus is single-line synthetic text, so
+    // q_c4_clean's lineify rewrite synthesizes the line structure; on a
+    // real multi-line corpus this stage REWRITES text before profiling)
+    val c4 = graft.functions.QualityFilters.c4Profile(
+      docs, "doc_id", "text", minWords = 3, minLines = 3,
+      lineify = t => replace(replace(t, lit(" value "), lit(".\n")),
+        lit(" part "), lit("\n")))
+    val nC4 = c4.filter(col("keep")).count()
 
     // 1. profile + quality gate
     val profiled = TextAnalysis.profile(docs, "doc_id", "text")
@@ -139,7 +150,7 @@ object TrainingPipeline {
     decon.unpersist()
 
     Stats(total, nGated, nExact, nClean, nSpan, nDecon, langs, nShards,
-      nRows, nTokens, nAnn, nKept, nTrain, nEval, nInt8)
+      nRows, nTokens, nAnn, nKept, nTrain, nEval, nInt8, nC4)
   }
 
   def main(args: Array[String]): Unit = {
@@ -155,7 +166,7 @@ object TrainingPipeline {
     s.langs.toSeq.sortBy(-_._2).foreach { case (l, n) => println(s"LANG\t$l\t$n") }
     println(s"ANN_RESULTS=${s.annResults} CLASSIFIER_KEPT=${s.classifierKept} " +
       s"SPLIT_TRAIN=${s.splitTrain} SPLIT_EVAL=${s.splitEval} " +
-      s"INT8_VECTORS=${s.int8Vectors}")
+      s"INT8_VECTORS=${s.int8Vectors} C4_KEPT=${s.c4Kept}")
     spark.stop()
   }
 }

@@ -97,6 +97,8 @@ class ExamplesSpec extends AnyFunSuite {
     assert(s.splitTrain > 0)
     // every embedding quantizes
     assert(s.int8Vectors > 0)
+    // the reported C4 line gate keeps a strict subset of the corpus
+    assert(s.c4Kept > 0 && s.c4Kept < s.total)
   }
 
   test("logistic regression via replay: cost decreases, separable data fits") {

@@ -494,6 +494,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming C4 line cleaning: narrow profile runs unchanged, stream ≡ batch") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, "Good line one two.\nno punct here\nAnother fine line!\nThird keeper."),
+      (2L, "only one short.\nnothing else survives"))
+    val in = MemoryStream[(Long, String)]
+    val out = graft.functions.QualityFilters.c4Profile(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 2, minLines = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("c4_stream").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("c4_stream")
+        .select("doc_id", "cleaned", "n_kept", "keep")
+        .as[(Long, String, Long, Boolean)].collect().toSet
+      val batch = graft.functions.QualityFilters.c4Profile(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 2, minLines = 3)
+        .select("doc_id", "cleaned", "n_kept", "keep")
+        .as[(Long, String, Long, Boolean)].collect().toSet
+      assert(stream == batch)
+      assert(stream.exists(r => r._1 == 1L && r._3 == 3L && r._4))
+      assert(stream.exists(r => r._1 == 2L && r._3 == 1L && !r._4))
+    } finally q.stop()
+  }
+
   test("streaming HTML extraction + trained-classifier scoring: narrow gates run unchanged") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
