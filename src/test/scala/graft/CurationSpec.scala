@@ -65,6 +65,26 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getString(0) == "" && !e.getBoolean(1))
   }
 
+  test("c4 cleaning is idempotent and line-subsetting on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lineified = replace(replace(col("text"),
+      lit(" value "), lit(".\n")), lit(" part "), lit("\n"))
+    // cleaning already-cleaned text changes nothing: every surviving line
+    // still passes every rule
+    val once = QualityFilters.c4CleanText(lineified, minWords = 3)
+    val notIdempotent = docs
+      .select(once.as("a"),
+        QualityFilters.c4CleanText(once, minWords = 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(notIdempotent == 0)
+    // kept lines are a sub-multiset of the original non-blank lines
+    val escapees = docs
+      .select(QualityFilters.c4KeptLines(lineified, minWords = 3).as("k"),
+        QualityFilters.lines(lineified).as("l"))
+      .filter(size(array_except(col("k"), col("l"))) > 0).count()
+    assert(escapees == 0)
+  }
+
   test("top n-gram share: longest-run fold equals explode+groupBy count") {
     val s = imp; import s._
     // bigrams of "a b a b a": [a b, b a, a b, b a] → top share 2/4
