@@ -116,4 +116,30 @@ class ScaleSpec extends AnyFunSuite {
       Map("d0" -> 0.5), default = 0.2)
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("narrow catalog family plans with zero exchanges (regression guard)") {
+    imp
+    // these queries' 100 TB claim is "linear scan, no shuffle at any
+    // width" (SCALE.md); pin the claim so a future edit can't silently
+    // introduce an exchange. Raw plans (AQE off) over the real tables.
+    val dir = "/root/testdata/sf0.001"
+    val narrow = Seq[(String, org.apache.spark.sql.DataFrame)](
+      "q_map" -> Queries.q_map(spark, dir),
+      "q_filter" -> Queries.q_filter(spark, dir),
+      "q_chunk" -> Queries.q_chunk(spark, dir),
+      "q_html_extract" -> Queries.q_html_extract(spark, dir),
+      "q_c4_clean" -> Queries.q_c4_clean(spark, dir),
+      "q_embed_int8" -> Queries.q_embed_int8(spark, dir),
+      "q_pii_redact" -> Queries.q_pii_redact(spark, dir),
+      "q_text_profile" -> Queries.q_text_profile(spark, dir),
+      // the gopher top-n-gram share is computed as a per-row fold exactly
+      // so it does NOT need an explode+groupBy exchange — pin that
+      "q_quality_gopher" -> Queries.q_quality_gopher(spark, dir))
+    withPlanShapeConfs {
+      narrow.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"$name plans an Exchange:\n$plan")
+      }
+    }
+  }
 }
