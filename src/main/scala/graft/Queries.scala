@@ -2364,13 +2364,15 @@ object Queries {
   private val q_c4_clean_sql =
     """WITH base AS (
       |  SELECT doc_id,
-      |    replace(replace(replace(text, ' slow ', ' javascript '),
+      |    replace(replace(replace(coalesce(text, ''), ' slow ', ' javascript '),
       |      ' value ', '.' || chr(10)), ' part ', chr(10)) AS t
       |  FROM documents),
       |l AS (
       |  SELECT doc_id, t, list_filter(
-      |      list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> ''),
-      |      x -> regexp_matches(x, '[.!?"]$')
+      |      list_filter(list_transform(string_split(
+      |        replace(replace(t, chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+      |        chr(10)), x -> trim(x)), x -> x <> ''),
+      |      x -> right(x, 1) IN ('.', '!', '?', '"')
       |           AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 3
       |           AND NOT contains(lower(x), 'javascript')) AS kept
       |  FROM base)

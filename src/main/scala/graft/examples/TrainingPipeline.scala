@@ -30,11 +30,14 @@ object TrainingPipeline {
 
     // 0. line-level C4 cleaning (reported, not gated, so the stage stats
     // below stay comparable: the corpus is single-line synthetic text, so
-    // q_c4_clean's lineify rewrite synthesizes the line structure; on a
-    // real multi-line corpus this stage REWRITES text before profiling)
+    // q_c4_clean's exact lineify rewrite synthesizes the line structure
+    // and the banned token; on a real multi-line corpus this stage
+    // REWRITES text before profiling)
     val c4 = graft.functions.QualityFilters.c4Profile(
       docs, "doc_id", "text", minWords = 3, minLines = 3,
-      lineify = t => replace(replace(t, lit(" value "), lit(".\n")),
+      lineify = t => replace(replace(replace(t,
+        lit(" slow "), lit(" javascript ")),
+        lit(" value "), lit(".\n")),
         lit(" part "), lit("\n")))
     val nC4 = c4.filter(col("keep")).count()
 

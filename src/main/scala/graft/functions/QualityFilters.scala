@@ -104,12 +104,23 @@ object QualityFilters {
 
   /** Lines of `text` surviving the C4 line rules: terminal punctuation
     * (. ! ? "), at least `minWords` words, and no boilerplate marker
-    * ("javascript" is C4's). */
-  def c4KeptLines(text: Column, minWords: Int = 5): Column =
-    filter(lines(text), l =>
-      l.rlike("[.!?\"]$") &&
+    * ("javascript" is C4's). CRLF and bare-CR line endings are normalized
+    * to \n first (literal replaces — identical on any engine), so CRLF
+    * corpora clean like \n corpora instead of every line failing the
+    * terminal test on its trailing \r. The terminal check itself is a
+    * LAST-CHARACTER test, not a regex `$` anchor — Java's `$` matches
+    * before a trailing \r while RE2's does not, so the anchor form would
+    * silently diverge from a DuckDB oracle on un-normalized input. Word
+    * counting shares the corpus-wide `\s+` convention (see
+    * [[TextAnalysis.words]]). NULL text cleans to zero lines. */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column = {
+    val t = replace(replace(coalesce(text, lit("")),
+      lit("\r\n"), lit("\n")), lit("\r"), lit("\n"))
+    filter(lines(t), l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
         size(filter(split(l, "\\s+"), w => w =!= "")) >= minWords &&
         !contains(lower(l), lit("javascript")))
+  }
 
   /** The cleaned document: surviving lines re-joined. */
   def c4CleanText(text: Column, minWords: Int = 5): Column =
@@ -120,8 +131,8 @@ object QualityFilters {
     * brace — C4 drops source-code-looking pages). */
   def c4Keep(keptLineCount: Column, text: Column, minLines: Int = 3): Column =
     keptLineCount >= minLines &&
-      !contains(lower(text), lit("lorem ipsum")) &&
-      !contains(text, lit("{"))
+      !contains(lower(coalesce(text, lit(""))), lit("lorem ipsum")) &&
+      !contains(coalesce(text, lit("")), lit("{"))
 
   /** C4 cleaning profile: cleaned text, surviving-line count, page keep
     * flag. Same scale shape as [[gopherProfile]] — one narrow codegen pass

@@ -63,6 +63,20 @@ class CurationSpec extends AnyFunSuite {
       QualityFilters.c4Keep(size(QualityFilters.c4KeptLines(col("t"))),
         col("t"), 3).as("k")).head()
     assert(e.getString(0) == "" && !e.getBoolean(1))
+    // CRLF corpus: line endings are normalized first, so CRLF lines clean
+    // exactly like \n lines (without normalization every CRLF line would
+    // fail the terminal test on its trailing \r — and a regex $ anchor
+    // would disagree between Java and RE2 about that \r)
+    val crlf = Seq((1L, "kept crlf line.\r\nno punct crlf line\r\nbare cr kept!\rlast."))
+      .toDF("id", "t")
+      .select(QualityFilters.c4KeptLines(col("t"), minWords = 2)).head()
+    assert(crlf.getSeq[String](0) == Seq("kept crlf line.", "bare cr kept!"))
+    // NULL text: zero kept lines, empty cleaned text, dropped — not NULL
+    val nul = Seq((1L, Option.empty[String])).toDF("id", "t").select(
+      QualityFilters.c4CleanText(col("t")).as("c"),
+      QualityFilters.c4Keep(size(QualityFilters.c4KeptLines(col("t"))),
+        col("t"), 3).as("k")).head()
+    assert(nul.getString(0) == "" && !nul.getBoolean(1))
   }
 
   test("c4 cleaning is idempotent and line-subsetting on the corpus") {
