@@ -1531,6 +1531,32 @@ object Queries {
       |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
       |FROM k, a""".stripMargin
 
+  /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
+    * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
+    * k-sets per group, so the per-group distinct universe never shuffles
+    * (the grouped analog of q_distinct_kmv). The oracle recomputes every
+    * group's k smallest distinct hashes and the same estimate
+    * arithmetic. */
+  def q_distinct_kmv_group(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sk = graft.functions.Sketches.kmvPerGroup(
+      tbl(s, dir, "lineitem"), "l_returnflag",
+      col("l_orderkey").cast("string"), k, portable = portableMode)
+    graft.functions.Sketches.kmvPerGroupEstimate(sk, k,
+      portable = portableMode)
+  }
+
+  private val q_distinct_kmv_group_sql =
+    """WITH hs AS (SELECT DISTINCT l_returnflag AS g,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs),
+      |a AS (SELECT g, max(h) AS h_k, count(*) AS n_h FROM r WHERE rn <= 256 GROUP BY g)
+      |SELECT g, h_k, n_h,
+      |  CASE WHEN n_h < 256 THEN CAST(n_h AS DOUBLE)
+      |       ELSE 255 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
+      |FROM a""".stripMargin
+
   /** Count-min heavy hitters (functions.Sketches.cmsSketch/cmsHeavyItems):
     * word 2-grams of documents with CMS-estimated count ≥ 40 on a 4×2048
     * grid. The shuffle carries the grid (≤ depth·width rows), never the
@@ -2804,6 +2830,7 @@ object Queries {
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
+    "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -2918,6 +2945,7 @@ object Queries {
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
+    "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

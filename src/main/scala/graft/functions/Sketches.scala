@@ -85,6 +85,60 @@ object Sketches {
     else (k - 1).toDouble * hashSpace(portable) / row.getLong(0).toDouble
   }
 
+  /** Per-GROUP KMV sketches: for every value of `groupCol`, the k smallest
+    * distinct item hashes — approximate distinct-per-group without the
+    * full (group, value) distinct shuffle an exact `countDistinct` needs.
+    *
+    * Scale shape: the per-partition pass keeps a bounded k-TreeSet PER
+    * GROUP SEEN IN THAT PARTITION (map-side state O(groups·k), the same
+    * partial-aggregation discipline as a hash aggregate), so the exchange
+    * carries at most partitions·k candidate rows per group — the group's
+    * distinct-value universe never shuffles. Candidates then collapse
+    * through a per-group distinct + min-k window. Group-count assumption:
+    * like any partial aggregation, map-side state is proportional to
+    * groups visible per partition — for group cardinalities where that is
+    * too big, exact distinct is already off the table and a single global
+    * sketch per pre-partitioned shard is the shape to use. */
+  def kmvPerGroup(df: DataFrame, groupCol: String, c: Column, k: Int,
+      portable: Boolean = false): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val pairs = df
+      .select(col(groupCol).cast("string").as("g"), itemHash(c, portable).as("h"))
+      .as[(String, Long)](Encoders.product[(String, Long)])
+    val local = pairs.mapPartitions { it =>
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (g, v) =>
+        val set = m.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+        if (set.size < k) set.add(v)
+        else if (v < set.last) { if (set.add(v)) set.pollLast() }
+      }
+      // fresh collection per group: iterators must not outlive the TreeSets
+      m.iterator.flatMap { case (g, set) =>
+        scala.collection.JavaConverters.asScalaIterator(set.iterator())
+          .map(h => (g, h.longValue())).toVector
+      }
+    }(Encoders.product[(String, Long)])
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    local.toDF("g", "h").distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Per-group estimates from a [[kmvPerGroup]] sketch: (g, h_k, n_h,
+    * est) with the same estimator as [[kmvEstimate]] — exact n_h when the
+    * group has fewer than k distinct hashes (the sketch IS its distinct
+    * set), (k-1)·|H|/h_k otherwise. */
+  def kmvPerGroupEstimate(sketch: DataFrame, k: Int,
+      portable: Boolean = false): DataFrame =
+    sketch.groupBy(col("g"))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_h"))
+      .select(col("g"), col("h_k"), col("n_h"),
+        when(col("n_h") < k, col("n_h").cast("double"))
+          .otherwise(lit((k - 1) * hashSpace(portable)) /
+            col("h_k").cast("double")).as("est"))
+
   // =====================================================================
   // Count-min frequency sketch
   // =====================================================================

@@ -57,6 +57,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(h == Seq(expect))
   }
 
+  test("per-group KMV equals the per-group exact min-k distinct hashes") {
+    val s = spark; import s.implicits._
+    // 3 groups: g0 has 10 distinct (< k → sketch IS the distinct set),
+    // g1/g2 have 500 each (> k → estimator path); values overlap across
+    // groups to pin that state is per-group, not global
+    val df = ((1 to 1000).map(i => ("g0", s"v${i % 10}")) ++
+      (1 to 500).map(i => ("g1", s"v$i")) ++
+      (1 to 500).map(i => ("g2", s"v${i + 250}"))).toDF("g", "v")
+    val k = 64
+    val sk = Sketches.kmvPerGroup(df, "g", col("v"), k)
+    // naive reference: full distinct then per-group k smallest
+    val naive = df.select(col("g"),
+        greatest(abs(xxhash64(col("v"))), lit(0L)).as("h")).distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k).drop("rn")
+    assert(sk.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      naive.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // partition independence: the sketch is identical at any input layout
+    val sk1 = Sketches.kmvPerGroup(df.repartition(13), "g", col("v"), k)
+    assert(sk1.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      sk.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // estimates: exact for the small group, ~1/sqrt(k) for the big ones
+    val est = Sketches.kmvPerGroupEstimate(sk, k).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(est("g0") == ((10L, 10.0)))
+    assert(est("g1")._1 == k && math.abs(est("g1")._2 - 500) / 500 < 0.35)
+    assert(est("g2")._1 == k && math.abs(est("g2")._2 - 500) / 500 < 0.35)
+  }
+
   test("CMS estimates dominate true counts and are exact without collisions") {
     val data = (1 to 1000).flatMap(i => Seq.fill(i % 7 + 1)(s"w${i % 50}"))
     val df = strs(data)
