@@ -30,7 +30,7 @@ object Sketches {
 
   /** Item hash in [0, space(portable)). `abs(xxhash64)` folds to 63 bits;
     * the Long.MinValue edge (abs < 0) maps to 0 explicitly. */
-  private def itemHash(c: Column, portable: Boolean): Column =
+  private[graft] def itemHash(c: Column, portable: Boolean): Column =
     if (portable) Dedup.portableHash60(c)
     else greatest(abs(xxhash64(c)), lit(0L))
 

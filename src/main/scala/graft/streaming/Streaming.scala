@@ -140,6 +140,55 @@ object Streaming {
     }
   }
 
+  /** Streaming KMV distinct-count sketch — the streaming twin of
+    * [[graft.functions.Sketches.kmvSketch]]: the k smallest distinct item
+    * hashes maintained across triggers, one refreshed (h_k, n_h, est) row
+    * emitted per batch (Update mode).
+    *
+    * Shape mirrors the batch sketch exactly: a NARROW per-partition pass
+    * keeps each micro-batch partition's k smallest distinct hashes
+    * (bounded TreeSet), so the stateful operator receives at most
+    * partitions·k candidate rows per trigger — the stream's distinct-value
+    * universe never shuffles, and state is O(k) Longs regardless of how
+    * much data has flowed. Estimator and hash modes are the batch ones, so
+    * the emitted estimate after any prefix of the stream equals
+    * [[graft.functions.Sketches.kmvEstimate]] over that prefix
+    * (StreamingSpec pins it). */
+  def kmvStream(df: DataFrame, c: Column, k: Int,
+      portable: Boolean = false): Dataset[(Long, Long, Double)] = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val space = graft.functions.Sketches.hashSpace(portable)
+    val hashes = df
+      .select(graft.functions.Sketches.itemHash(c, portable).as("h")).as[Long]
+    val local = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { v =>
+        if (set.size < k) set.add(v)
+        else if (v < set.last) { if (set.add(v)) set.pollLast() }
+      }
+      scala.collection.JavaConverters.asScalaIterator(set.iterator())
+        .map(_.longValue()).toVector.iterator
+    }
+    local.groupByKey(_ => 0)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: Int, batch: Iterator[Long], state: GroupState[Seq[Long]]) => {
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.getOrElse(Seq.empty).foreach(set.add(_))
+          batch.foreach { v =>
+            if (set.size < k) set.add(v)
+            else if (v < set.last) { if (set.add(v)) set.pollLast() }
+          }
+          val sk = scala.collection.JavaConverters
+            .asScalaIterator(set.iterator()).map(_.longValue()).toVector
+          state.update(sk)
+          val (hk, n) = (sk.last, sk.size.toLong)
+          val est = if (n < k) n.toDouble else (k - 1).toDouble * space / hk
+          (hk, n, est)
+        })
+  }
+
   /** One band's state for [[simhashNearDupPairs]]: every (id, signature)
     * seen in the band bucket so far. */
   final case class BandState(docs: Seq[(Long, Long)])

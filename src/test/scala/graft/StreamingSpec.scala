@@ -494,6 +494,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch: per-trigger estimate equals the batch sketch of the prefix") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val k = 32
+    val b1 = (1 to 300).map(i => s"u${i % 150}") // 150 distinct
+    val b2 = (100 to 400).map(i => s"u$i")       // extends to 400 distinct total
+    val in = MemoryStream[String]
+    val out = graft.streaming.Streaming.kmvStream(
+      in.toDF.toDF("v"), col("v"), k)
+    val q = out.toDF("h_k", "n_h", "est").writeStream
+      .outputMode("update").format("memory").queryName("kmv_stream").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.table("kmv_stream")
+        .select("h_k", "n_h", "est").as[(Long, Long, Double)].collect()
+      assert(rows.length == 2, s"one emission per trigger: ${rows.toSeq}")
+      // each trigger's emission equals the batch sketch of the data so far
+      def batchEst(xs: Seq[String]) = {
+        val sk = graft.functions.Sketches.kmvSketch(xs.toDF("v"), col("v"), k)
+        val r = sk.agg(max(col("h")), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1),
+          graft.functions.Sketches.kmvEstimate(sk, k))
+      }
+      assert(rows(0) == batchEst(b1))
+      assert(rows(1) == batchEst(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("streaming C4 line cleaning: narrow profile runs unchanged, stream ≡ batch") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
