@@ -88,6 +88,44 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("g2")._1 == k && math.abs(est("g2")._2 - 500) / 500 < 0.35)
   }
 
+  test("SketchStore: cycles compose to the sketch of the union; params frozen") {
+    val path = java.nio.file.Files.createTempDirectory("kmvstore").toString
+    val k = 64
+    Sketches // touch
+    graft.functions.SketchStore.init(spark, path, k)
+    val a = strs((1 to 3000).map(i => s"u$i"))
+    val b = strs((2000 to 5000).map(i => s"u$i")) // overlapping increments
+    graft.functions.SketchStore.updateCycle(spark, path, 1, a, col("v"))
+    val after2 = graft.functions.SketchStore
+      .updateCycle(spark, path, 2, b, col("v"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // the stored sketch after two cycles IS the sketch of the full union —
+    // history was never re-read, only the k-hash sketch carried over
+    val direct = Sketches.kmvSketch(a.unionByName(b), col("v"), k)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(after2 == direct)
+    assert(graft.functions.SketchStore.load(spark, path)
+      .collect().map(_.getLong(0)).toSeq.sorted == direct)
+    assert(graft.functions.SketchStore.estimate(spark, path) ==
+      Sketches.kmvEstimate(a.unionByName(b)
+        .transform(d => Sketches.kmvSketch(d, col("v"), k)), k))
+    // stale/duplicate increment numbers are rejected (retry safety)
+    intercept[IllegalArgumentException] {
+      graft.functions.SketchStore.updateCycle(spark, path, 2, a, col("v"))
+    }
+    // stored params are authoritative: a store initialized portable stays
+    // portable without the caller repeating the flag
+    val p2 = java.nio.file.Files.createTempDirectory("kmvstore2").toString
+    graft.functions.SketchStore.init(spark, p2, 8, portable = true)
+    graft.functions.SketchStore.updateCycle(spark, p2, 1, strs(Seq("x")), col("v"))
+    val h = graft.functions.SketchStore.load(spark, p2)
+      .collect().map(_.getLong(0)).toSeq
+    val expect = strs(Seq("x"))
+      .select(conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long"))
+      .head().getLong(0)
+    assert(h == Seq(expect))
+  }
+
   test("CMS estimates dominate true counts and are exact without collisions") {
     val data = (1 to 1000).flatMap(i => Seq.fill(i % 7 + 1)(s"w${i % 50}"))
     val df = strs(data)
