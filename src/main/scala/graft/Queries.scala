@@ -1531,6 +1531,20 @@ object Queries {
       |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
       |FROM k, a""".stripMargin
 
+  /** Skew profile (operators.Scale.skewProfile): top keys of
+    * documents.lang by row count with fractions, total and cardinality —
+    * the pre-run diagnostic for salting / AQE skew decisions. */
+  def q_skew_profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.skewProfile(
+      tbl(s, dir, "documents"), col("lang"), topN = 3, keyName = "lang")
+
+  private val q_skew_profile_sql =
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+      |SELECT lang, cnt, total, n_keys,
+      |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+      |FROM c, t ORDER BY cnt DESC, lang ASC LIMIT 3""".stripMargin
+
   /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
     * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
     * k-sets per group, so the per-group distinct universe never shuffles
@@ -2831,6 +2845,7 @@ object Queries {
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
+    "q_skew_profile" -> (q_skew_profile _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -2946,6 +2961,7 @@ object Queries {
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
+    "q_skew_profile" -> q_skew_profile_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

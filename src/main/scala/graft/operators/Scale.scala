@@ -38,6 +38,26 @@ object Scale {
     salted.groupBy(col(keyName)).agg(sum(col("_pcnt")).as(cntName))
   }
 
+  /** Skew profile of a key: the top-`topN` keys by row count with their
+    * corpus fractions, plus total rows and key cardinality on every row —
+    * the report that decides whether a join/agg key needs [[saltedJoin]]/
+    * AQE skew handling before a large run (a key holding ≥ ~1/partitions
+    * of the rows will straggle its reducer).
+    *
+    * Scale shape: one partial-aggregated groupBy(key) count (never the
+    * rows), a TakeOrdered for the top N, and a tiny two-cell aggregate of
+    * the counts table broadcast back over the N rows. */
+  def skewProfile(df: DataFrame, key: Column, topN: Int = 10,
+      keyName: String = "key"): DataFrame = {
+    val counts = df.groupBy(key.as(keyName)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col(keyName).asc).limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(col(keyName), col("cnt"), col("total"), col("n_keys"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("frac"))
+  }
+
   /** Salted join against a skewed left key: replicate the (small) right side
     * `salt` times, salt the left key randomly-but-deterministically, join on
     * (key, salt). Use when one key dominates and the right side is small

@@ -117,6 +117,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("skewProfile: top keys, deterministic tie-break, exact fractions") {
+    val s = imp; import s._
+    // counts: a=5, b=3, c=3, d=1 → total 12, 4 keys; b/c tie breaks asc
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d")).toDF("k")
+    val r = Scale.skewProfile(df, col("k"), topN = 3, keyName = "k")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("a", 5L, 12L, 4L, 5.0 / 12),
+      ("b", 3L, 12L, 4L, 3.0 / 12),
+      ("c", 3L, 12L, 4L, 3.0 / 12)))
+  }
+
   test("narrow catalog family plans with zero exchanges (regression guard)") {
     imp
     // these queries' 100 TB claim is "linear scan, no shuffle at any
