@@ -1531,6 +1531,34 @@ object Queries {
       |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
       |FROM k, a""".stripMargin
 
+  /** Vocabulary build + OOV encode (functions.Vocabulary): top-24 corpus
+    * words by (count desc, word asc), then every document re-encoded as
+    * (pos, word, id) token rows with id 0 for out-of-vocabulary words —
+    * the word-level tokenization path next to q_bpe's subword path. The
+    * oracle replays the counting, the total-order tie-break and the
+    * left-join encode. */
+  def q_vocab_encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val vocab = graft.functions.Vocabulary.build(docs, "text", v = 24)
+    graft.functions.Vocabulary.encode(
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", vocab)
+  }
+
+  private val q_vocab_encode_sql =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+      |v AS (SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS id
+      |      FROM c ORDER BY cnt DESC, word ASC LIMIT 24),
+      |tok AS (
+      |  SELECT doc_id, unnest(ws) AS word,
+      |    CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |        FROM documents WHERE doc_id % 20 = 0))
+      |SELECT doc_id, pos, word, CAST(coalesce(v.id, 0) AS BIGINT) AS id
+      |FROM tok LEFT JOIN v USING (word)""".stripMargin
+
   /** Skew profile (operators.Scale.skewProfile): top keys of
     * documents.lang by row count with fractions, total and cardinality —
     * the pre-run diagnostic for salting / AQE skew decisions. */
@@ -2846,6 +2874,7 @@ object Queries {
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
+    "q_vocab_encode" -> (q_vocab_encode _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -2962,6 +2991,7 @@ object Queries {
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,
+    "q_vocab_encode" -> q_vocab_encode_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

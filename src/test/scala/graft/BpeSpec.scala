@@ -61,4 +61,21 @@ class BpeSpec extends AnyFunSuite {
     assert(toks(1) === Seq("s", "low")) // (l,o) then (lo,w) both apply
     assert(toks(2) === Seq("low"))
   }
+
+  test("vocabulary build ranks by (count desc, word asc); encode maps OOV to 0") {
+    val s = spark; import s.implicits._
+    // counts: b=3, a=2, c=2, z=1 → top-3 ids: b→1, a→2 (tie a<c), c→3
+    val docs = Seq((1L, "b a c b"), (2L, "a c z b")).toDF("doc_id", "text")
+    val vocab = graft.functions.Vocabulary.build(docs, "text", v = 3)
+    assert(vocab.orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq(("b", 3L, 1), ("a", 2L, 2), ("c", 2L, 3)))
+    val enc = graft.functions.Vocabulary
+      .encode(docs, "doc_id", "text", vocab)
+      .orderBy(col("doc_id"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(enc.toSeq == Seq(
+      (1L, 0L, "b", 1L), (1L, 1L, "a", 2L), (1L, 2L, "c", 3L), (1L, 3L, "b", 1L),
+      (2L, 0L, "a", 2L), (2L, 1L, "c", 3L), (2L, 2L, "z", 0L), (2L, 3L, "b", 1L)))
+  }
 }
