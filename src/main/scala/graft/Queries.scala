@@ -1573,6 +1573,104 @@ object Queries {
       |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS frac
       |FROM c, t ORDER BY cnt DESC, lang ASC LIMIT 3""".stripMargin
 
+  /** Deterministic synthetic URL per document — six shapes covering the
+    * canonicalization cases (upper-case scheme/host, www + default port,
+    * tracking params, fragments, trailing slashes, subdomains, a non-http
+    * scheme). Replayed verbatim in the oracle SQL so the operator under
+    * test is the canonicalizer, not the builder. */
+  private def syntheticUrl(id: Column, src: Column): Column = {
+    val s = id.cast("string")
+    val m = pmod(id, lit(6L))
+    when(m === 0, concat(lit("HTTP://WWW."), src, lit("-site.com:80/a/b/?utm_source=feed&id="), s, lit("#top")))
+      .when(m === 1, concat(lit("https://"), src, lit("-news.org/p/"), s))
+      .when(m === 2, concat(lit("https://sub."), src, lit("-cdn.net:443/x/?fbclid=f"), s))
+      .when(m === 3, concat(lit("http://"), src, lit("-site.com/q?a=1&utm_medium=m&b=2")))
+      .when(m === 4, concat(lit("https://"), src, lit("-blog.io/")))
+      .otherwise(concat(lit("ftp://files."), src, lit("-site.com/data/"), s))
+  }
+
+  /** Oracle-side replay of [[syntheticUrl]]. */
+  private val syntheticUrlSql =
+    """CASE doc_id % 6
+      |      WHEN 0 THEN 'HTTP://WWW.' || source || '-site.com:80/a/b/?utm_source=feed&id=' || doc_id || '#top'
+      |      WHEN 1 THEN 'https://' || source || '-news.org/p/' || doc_id
+      |      WHEN 2 THEN 'https://sub.' || source || '-cdn.net:443/x/?fbclid=f' || doc_id
+      |      WHEN 3 THEN 'http://' || source || '-site.com/q?a=1&utm_medium=m&b=2'
+      |      WHEN 4 THEN 'https://' || source || '-blog.io/'
+      |      ELSE 'ftp://files.' || source || '-site.com/data/' || doc_id
+      |    END""".stripMargin
+
+  private val urlReSql =
+    """^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"""
+
+  /** URL canonicalization (UrlOps.canonicalizeUrl / registeredDomain):
+    * lowercased scheme+host, www/default-port stripped, trailing slash
+    * collapsed, tracking params dropped, fragment gone — one narrow
+    * Column chain per row. The oracle replays the identical regex chain
+    * in DuckDB (both engines' regexes restricted to the Java∩RE2 subset,
+    * same discipline as q_html_extract). */
+  def q_url_canon(s: SparkSession, dir: String): DataFrame = {
+    val u = tbl(s, dir, "documents")
+      .select(col("doc_id"), syntheticUrl(col("doc_id"), col("source")).as("url"))
+    u.select(col("doc_id"), col("url"),
+      graft.functions.UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+      graft.functions.UrlOps.registeredDomain(col("url")).as("domain"))
+  }
+
+  private val q_url_canon_sql =
+    s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+      |p AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '$urlReSql', 1)) AS scheme,
+      |  regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), '^www\\.', '') AS auth0,
+      |  regexp_extract(url, '$urlReSql', 3) AS path0,
+      |  regexp_extract(url, '$urlReSql', 4) AS query0,
+      |  regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), ':[0-9]+$$', ''), '^www\\.', '') AS host
+      |  FROM u),
+      |q AS (SELECT doc_id, url, scheme, host,
+      |  CASE WHEN scheme='http' THEN regexp_replace(auth0, ':80$$', '')
+      |       WHEN scheme='https' THEN regexp_replace(auth0, ':443$$', '')
+      |       ELSE auth0 END AS auth,
+      |  CASE WHEN regexp_replace(path0, '/$$', '') = '' THEN '/'
+      |       ELSE regexp_replace(path0, '/$$', '') END AS path,
+      |  coalesce(array_to_string(list_filter(str_split(query0, '&'),
+      |    x -> x <> '' AND NOT starts_with(lower(regexp_extract(x, '^([^=]*)', 1)), 'utm_')
+      |      AND lower(regexp_extract(x, '^([^=]*)', 1)) NOT IN ('fbclid','gclid','msclkid','mc_eid','ref','ref_src','igshid')), '&'), '') AS query
+      |  FROM p)
+      |SELECT doc_id, url,
+      |  CASE WHEN scheme='' THEN url ELSE
+      |    scheme || '://' || auth || path ||
+      |    CASE WHEN query='' THEN '' ELSE '?' || query END END AS canon_url,
+      |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+      |       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+      |FROM q""".stripMargin
+
+  /** Per-domain document cap (UrlOps.domainCap): keep ≤3 documents per
+    * registered domain by deterministic hash order — the RefinedWeb-style
+    * balance step. row_number ≤ k runs as WindowGroupLimit (map-side
+    * top-k per domain before the single exchange). The oracle replays
+    * the domain extraction and the (portable-hash, id) ranking. */
+  def q_domain_cap(s: SparkSession, dir: String): DataFrame = {
+    val u = tbl(s, dir, "documents")
+      .select(col("doc_id"), syntheticUrl(col("doc_id"), col("source")).as("url"))
+    graft.functions.UrlOps.domainCap(u, "url", "doc_id",
+        maxPerDomain = 3, portable = portableMode)
+      .select(col("doc_id"), col("domain"))
+  }
+
+  private val q_domain_cap_sql =
+    s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+      |d AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), ':[0-9]+$$', ''), '^www\\.', '') AS host
+      |  FROM u),
+      |dom AS (SELECT doc_id,
+      |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+      |       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+      |  FROM d),
+      |r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+      |        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+      |      FROM dom)
+      |SELECT doc_id, domain FROM r WHERE rn <= 3""".stripMargin
+
   /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
     * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
     * k-sets per group, so the per-group distinct universe never shuffles
@@ -2875,6 +2973,8 @@ object Queries {
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
     "q_vocab_encode" -> (q_vocab_encode _),
+    "q_url_canon" -> (q_url_canon _),
+    "q_domain_cap" -> (q_domain_cap _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -2992,6 +3092,8 @@ object Queries {
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,
+    "q_url_canon" -> q_url_canon_sql,
+    "q_domain_cap" -> q_domain_cap_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,
