@@ -1671,6 +1671,47 @@ object Queries {
       |      FROM dom)
       |SELECT doc_id, domain FROM r WHERE rn <= 3""".stripMargin
 
+  /** Mojibake repair (TextAnalysis.fixMojibake/mojibakeScore): the
+    * ftfy-style encoding-artifact fix + per-doc artifact count. The
+    * corpus is clean ASCII, so the query injects artifacts
+    * deterministically (replayed verbatim in the oracle) and the
+    * operator under test is the repair chain. Both sides single-source
+    * the pattern table — the oracle SQL is GENERATED from
+    * `MojibakeTable`, so the two can't drift. */
+  def q_mojibake(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(5L))
+    val inject = when(m === 0, lit(" cafÃ© dÃ©jÃ¡ vu"))
+      .when(m === 1, lit(" itâ€™s â€œquotedâ€¦ naÃ¯ve"))
+      .when(m === 2, lit(" faÃ§ade Ã¼ber ÃŸ"))
+      .when(m === 3, lit(" 10Â° â€“ 20Â» Â«"))
+      .otherwise(lit(""))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), inject).as("corrupted"))
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.fixMojibake(col("corrupted")).as("fixed"),
+        graft.functions.TextAnalysis.mojibakeScore(col("corrupted")).as("mojibake_n"))
+  }
+
+  private val q_mojibake_sql = {
+    val tbl = graft.functions.TextAnalysis.MojibakeTable
+    val fixed = tbl.foldLeft("corrupted") { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
+    val score = tbl.map { case (bad, _) =>
+      s"CAST((length(corrupted) - length(replace(corrupted, '$bad', ''))) / length('$bad') AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH u AS (SELECT doc_id, substr(text, 1, 40) ||
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN ' cafÃ© dÃ©jÃ¡ vu'
+      |    WHEN 1 THEN ' itâ€™s â€œquotedâ€¦ naÃ¯ve'
+      |    WHEN 2 THEN ' faÃ§ade Ã¼ber ÃŸ'
+      |    WHEN 3 THEN ' 10Â° â€“ 20Â» Â«'
+      |    ELSE ''
+      |  END AS corrupted FROM documents)
+      |SELECT doc_id, $fixed AS fixed, $score AS mojibake_n FROM u""".stripMargin
+  }
+
   /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
     * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
     * k-sets per group, so the per-group distinct universe never shuffles
@@ -2975,6 +3016,7 @@ object Queries {
     "q_vocab_encode" -> (q_vocab_encode _),
     "q_url_canon" -> (q_url_canon _),
     "q_domain_cap" -> (q_domain_cap _),
+    "q_mojibake" -> (q_mojibake _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -3094,6 +3136,7 @@ object Queries {
     "q_vocab_encode" -> q_vocab_encode_sql,
     "q_url_canon" -> q_url_canon_sql,
     "q_domain_cap" -> q_domain_cap_sql,
+    "q_mojibake" -> q_mojibake_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

@@ -340,6 +340,37 @@ object TextAnalysis {
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Mojibake repair table: the common UTF-8-bytes-read-as-Latin-1/
+    * Windows-1252 double-encoding artifacts → the intended character
+    * (the high-frequency subset of what ftfy fixes). Applied in order;
+    * no replacement output contains a pattern character (Ã/â/Â), so the
+    * chain is confluent — one pass, order-insensitive result. */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "ÃŸ" -> "ß", "Ã±" -> "ñ",
+    "Ã§" -> "ç", "Ã¯" -> "ï", "Â«" -> "«", "Â»" -> "»", "Â°" -> "°")
+
+  /** Repair common mojibake sequences — a narrow `replace` chain, no
+    * regex, stays in whole-stage codegen. Clean text passes through
+    * byte-identical. */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** Number of mojibake artifact occurrences in `text` — the corpus
+    * health metric behind an encoding-quality gate (docs with a high
+    * score went through a broken decode pipeline and usually need
+    * re-extraction, not patching). Exact count via length arithmetic:
+    * Σ (len(text) − len(text without pattern)) / len(pattern). */
+  def mojibakeScore(text: Column): Column =
+    MojibakeTable.map { case (bad, _) =>
+      ((length(text) - length(replace(text, lit(bad), lit("")))) /
+        lit(bad.length)).cast("long")
+    }.reduce(_ + _)
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol),

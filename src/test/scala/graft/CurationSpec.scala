@@ -608,4 +608,25 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(got.toSet == again.toSet)
   }
+
+  test("fixMojibake: closed-form repairs, clean passthrough, idempotence, exact score") {
+    val s = imp; import s._
+    import graft.functions.TextAnalysis.{fixMojibake, mojibakeScore}
+    val cases = Seq(
+      (1L, "itâ€™s a cafÃ©", "it’s a café", 2L),
+      (2L, "â€œquotedâ€¦ naÃ¯ve faÃ§ade", "“quoted… naïve façade", 4L),
+      (3L, "10Â° â€“ 20Â»", "10° – 20»", 3L),
+      (4L, "clean ascii text, no artifacts", "clean ascii text, no artifacts", 0L),
+      // already-correct unicode must not be touched
+      (5L, "déjà vu — “fine”", "déjà vu — “fine”", 0L))
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "t")
+    val got = df.select(col("id"), fixMojibake(col("t")).as("f"),
+        mojibakeScore(col("t")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.sortBy(_._1) === cases.map(c => (c._1, c._3, c._4)))
+    // idempotent: repairing repaired text changes nothing
+    val twice = df.select(col("id"), fixMojibake(fixMojibake(col("t"))).as("f"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cases.forall(c => twice(c._1) === c._3))
+  }
 }
