@@ -1712,6 +1712,45 @@ object Queries {
       |SELECT doc_id, $fixed AS fixed, $score AS mojibake_n FROM u""".stripMargin
   }
 
+  /** Cross-source overlap matrix (Sketches.kmvOverlapMatrix): for every
+    * pair of document sources, estimated distinct texts, union,
+    * intersection and Jaccard from the per-source KMV k-sets — the
+    * "which sources duplicate each other" curation report, computed
+    * entirely on k-sized sketch arrays. The oracle recomputes every
+    * group's k smallest distinct hashes, the merged-union k-sets and
+    * the identical estimate arithmetic. */
+  def q_kmv_overlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val sk = graft.functions.Sketches.kmvPerGroup(
+      tbl(s, dir, "documents"), "source", col("text"), k,
+      portable = portableMode)
+    graft.functions.Sketches.kmvOverlapMatrix(sk, k, portable = portableMode)
+  }
+
+  private val q_kmv_overlap_sql =
+    """WITH v AS (SELECT DISTINCT source AS g,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+      |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM v),
+      |s AS (SELECT g, h FROM r WHERE rn <= 64),
+      |ks AS (SELECT g, list_sort(list(h)) AS hs, count(*) AS n FROM s GROUP BY g),
+      |p AS (SELECT a.g AS g1, b.g AS g2, a.hs AS hs1, b.hs AS hs2,
+      |        a.n AS n1, b.n AS n2
+      |      FROM ks a, ks b WHERE a.g < b.g),
+      |m AS (SELECT g1, g2, n1, n2, hs1, hs2,
+      |        list_sort(list_distinct(list_concat(hs1, hs2))) AS mg FROM p),
+      |e AS (SELECT g1, g2,
+      |    CASE WHEN n1 < 64 THEN CAST(n1 AS DOUBLE)
+      |         ELSE (CAST(63 AS DOUBLE) * 1152921504606846976) / CAST(hs1[CAST(n1 AS INT)] AS DOUBLE) END AS est1,
+      |    CASE WHEN n2 < 64 THEN CAST(n2 AS DOUBLE)
+      |         ELSE (CAST(63 AS DOUBLE) * 1152921504606846976) / CAST(hs2[CAST(n2 AS INT)] AS DOUBLE) END AS est2,
+      |    CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE)
+      |         ELSE (CAST(63 AS DOUBLE) * 1152921504606846976) / CAST(mg[LEAST(len(mg), 64)] AS DOUBLE) END AS union_est
+      |  FROM m)
+      |SELECT g1, g2, est1, est2, union_est,
+      |  GREATEST(est1 + est2 - union_est, 0.0) AS inter_est,
+      |  GREATEST(est1 + est2 - union_est, 0.0) / union_est AS jaccard_est
+      |FROM e""".stripMargin
+
   /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
     * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
     * k-sets per group, so the per-group distinct universe never shuffles
@@ -3017,6 +3056,7 @@ object Queries {
     "q_url_canon" -> (q_url_canon _),
     "q_domain_cap" -> (q_domain_cap _),
     "q_mojibake" -> (q_mojibake _),
+    "q_kmv_overlap" -> (q_kmv_overlap _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -3137,6 +3177,7 @@ object Queries {
     "q_url_canon" -> q_url_canon_sql,
     "q_domain_cap" -> q_domain_cap_sql,
     "q_mojibake" -> q_mojibake_sql,
+    "q_kmv_overlap" -> q_kmv_overlap_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

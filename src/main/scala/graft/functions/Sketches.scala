@@ -139,6 +139,41 @@ object Sketches {
           .otherwise(lit((k - 1) * hashSpace(portable)) /
             col("h_k").cast("double")).as("est"))
 
+  /** Pairwise overlap matrix between groups, from their KMV sketches
+    * ([[kmvPerGroup]] output): for every group pair, estimated distinct
+    * counts, union (KMV over the merged k-sets — the k smallest of a
+    * union of k-sets ARE the union's k smallest, so merging sketches is
+    * exact sketch algebra), intersection by inclusion–exclusion, and
+    * Jaccard. The corpus-curation "which sources duplicate each other"
+    * report: all pairwise comparisons happen on k-sized arrays —
+    * #groups² pairs of k longs, never a row of data — so the matrix
+    * costs the same at any corpus scale. Estimates are exact when the
+    * union stays under k. */
+  def kmvOverlapMatrix(sketch: DataFrame, k: Int,
+      portable: Boolean = false): DataFrame = {
+    val H = hashSpace(portable)
+    def est(hs: Column, n: Column): Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1) * H) / element_at(hs, n.cast("int")).cast("double"))
+    val ksets = sketch.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    val a = ksets.select(col("g").as("g1"), col("hs").as("hs1"), col("n").as("n1"))
+    val b = ksets.select(col("g").as("g2"), col("hs").as("hs2"), col("n").as("n2"))
+    val merged = array_sort(array_distinct(concat(col("hs1"), col("hs2"))))
+    val mSize = size(merged)
+    val unionEst = when(mSize < k, mSize.cast("double"))
+      .otherwise(lit((k - 1) * H) /
+        element_at(merged, least(mSize, lit(k))).cast("double"))
+    a.join(b, col("g1") < col("g2"))
+      .select(col("g1"), col("g2"),
+        est(col("hs1"), col("n1")).as("est1"),
+        est(col("hs2"), col("n2")).as("est2"),
+        unionEst.as("union_est"))
+      .withColumn("inter_est",
+        greatest(col("est1") + col("est2") - col("union_est"), lit(0.0)))
+      .withColumn("jaccard_est", col("inter_est") / col("union_est"))
+  }
+
   // =====================================================================
   // Count-min frequency sketch
   // =====================================================================

@@ -126,6 +126,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(h == Seq(expect))
   }
 
+  test("kmvOverlapMatrix: exact below k, near-true above, inclusion-exclusion bounds") {
+    val s = spark
+    import s.implicits._
+    // groups A/B share items 10..19; A has 0..19, B has 10..29: |A|=|B|=20,
+    // |A∪B|=30, |A∩B|=10, J=1/3 — all under k=64, so every estimate is exact
+    val df = ((0 until 20).map(i => ("A", s"item$i")) ++
+      (10 until 30).map(i => ("B", s"item$i"))).toDF("g", "v")
+    val sk = Sketches.kmvPerGroup(df, "g", col("v"), k = 64)
+    val m = Sketches.kmvOverlapMatrix(sk, k = 64).collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getDouble(2) == 20.0 && r.getDouble(3) == 20.0)
+    assert(r.getDouble(4) == 30.0)
+    assert(r.getDouble(5) == 10.0)
+    assert(math.abs(r.getDouble(6) - 1.0 / 3) < 1e-12)
+    // saturated: 2000 vs 2000 with 1000 shared → J = 1/3; KMV k=256 lands close
+    val big = ((0 until 2000).map(i => ("A", s"x$i")) ++
+      (1000 until 3000).map(i => ("B", s"x$i"))).toDF("g", "v")
+    val bm = Sketches.kmvOverlapMatrix(
+      Sketches.kmvPerGroup(big, "g", col("v"), k = 256), k = 256).collect().head
+    assert(math.abs(bm.getDouble(4) - 3000) / 3000.0 < 0.2, s"union=${bm.getDouble(4)}")
+    assert(math.abs(bm.getDouble(6) - 1.0 / 3) < 0.15, s"jaccard=${bm.getDouble(6)}")
+    // disjoint groups: intersection clamps at 0, jaccard 0
+    val dj = ((0 until 30).map(i => ("A", s"a$i")) ++
+      (0 until 30).map(i => ("B", s"b$i"))).toDF("g", "v")
+    val dr = Sketches.kmvOverlapMatrix(
+      Sketches.kmvPerGroup(dj, "g", col("v"), k = 64), k = 64).collect().head
+    assert(dr.getDouble(5) == 0.0 && dr.getDouble(6) == 0.0)
+  }
+
   test("CMS estimates dominate true counts and are exact without collisions") {
     val data = (1 to 1000).flatMap(i => Seq.fill(i % 7 + 1)(s"w${i % 50}"))
     val df = strs(data)
