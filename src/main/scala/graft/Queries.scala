@@ -1751,6 +1751,53 @@ object Queries {
       |  GREATEST(est1 + est2 - union_est, 0.0) / union_est AS jaccard_est
       |FROM e""".stripMargin
 
+  /** Unicode script profile (TextAnalysis.scriptProfile): per-script
+    * character fractions + dominant script — the script-level
+    * language-ID gate. Non-Latin text injected deterministically (the
+    * corpus is ASCII); the oracle is GENERATED from the operator's
+    * `ScriptRanges` table, replaying the length-arithmetic counts, the
+    * fractions and the first-in-table argmax tie-break. */
+  def q_script_profile(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(5L))
+    val inject = when(m === 0, repeat(lit(" привет мир"), 3))
+      .when(m === 1, repeat(lit(" 你好世界"), 3))
+      .when(m === 2, repeat(lit(" مرحبا بالعالم"), 3))
+      .when(m === 3, repeat(lit(" γειά σου κόσμε"), 3))
+      .otherwise(lit(""))
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), concat(substring(col("text"), 1, 8), inject).as("t"))
+    graft.functions.TextAnalysis.scriptProfile(base, "doc_id", "t")
+  }
+
+  private val q_script_profile_sql = {
+    val ranges = graft.functions.TextAnalysis.ScriptRanges
+    val cnts = ranges.map { case (n, r) =>
+      s"(length(t) - length(regexp_replace(t, '[$r]', '', 'g'))) AS cnt_$n"
+    }.mkString(",\n      |    ")
+    val fracs = ranges.map { case (n, _) =>
+      s"cnt_$n / greatest(length(t), 1) AS ${n}_frac"
+    }.mkString(",\n      |  ")
+    val mx = ranges.map(r => s"cnt_${r._1}").mkString("greatest(", ", ", ")")
+    val guess = s"CASE WHEN $mx = 0 THEN 'unknown' " +
+      ranges.map { case (n, _) => s"WHEN cnt_$n = $mx THEN '$n'" }.mkString(" ") +
+      " END"
+    s"""WITH u AS (SELECT doc_id, substr(text, 1, 8) ||
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN repeat(' привет мир', 3)
+      |    WHEN 1 THEN repeat(' 你好世界', 3)
+      |    WHEN 2 THEN repeat(' مرحبا بالعالم', 3)
+      |    WHEN 3 THEN repeat(' γειά σου κόσμε', 3)
+      |    ELSE ''
+      |  END AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |    $cnts
+      |  FROM u)
+      |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+      |  $fracs,
+      |  $guess AS script_guess
+      |FROM c""".stripMargin
+  }
+
   /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
     * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
     * k-sets per group, so the per-group distinct universe never shuffles
@@ -3057,6 +3104,7 @@ object Queries {
     "q_domain_cap" -> (q_domain_cap _),
     "q_mojibake" -> (q_mojibake _),
     "q_kmv_overlap" -> (q_kmv_overlap _),
+    "q_script_profile" -> (q_script_profile _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -3178,6 +3226,7 @@ object Queries {
     "q_domain_cap" -> q_domain_cap_sql,
     "q_mojibake" -> q_mojibake_sql,
     "q_kmv_overlap" -> q_kmv_overlap_sql,
+    "q_script_profile" -> q_script_profile_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

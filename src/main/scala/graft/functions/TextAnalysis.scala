@@ -371,6 +371,41 @@ object TextAnalysis {
         lit(bad.length)).cast("long")
     }.reduce(_ + _)
 
+  /** Unicode script ranges for [[scriptProfile]], as explicit codepoint
+    * ranges (NOT named classes — Java spells them `\p{IsLatin}` and RE2
+    * `\p{Latin}`, so ranges are the only regex form both engines parse
+    * identically). Order matters: the dominant-script tie-break prefers
+    * earlier entries. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-zÀ-ɏ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "arabic" -> "؀-ۿ",
+    "cjk" -> "一-鿿",
+    "hangul" -> "가-힣")
+
+  /** Per-script character fraction + dominant script — the script-level
+    * language-ID gate multilingual curation runs before any tokenizer
+    * (a wrong-script document poisons a monolingual corpus regardless
+    * of its quality score). One narrow pass: per-script counts via
+    * length arithmetic over a replace-all, fractions over total chars,
+    * argmax with first-in-table tie-break (`unknown` when no script
+    * char appears). */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = ScriptRanges.map { case (n, r) =>
+      n -> (length(t) - length(regexp_replace(t, s"[$r]", "")))
+    }
+    val total = greatest(length(t), lit(1))
+    val (guess, _) = counts.foldLeft((lit("unknown"), lit(0): Column)) {
+      case ((gn, gc), (n, c)) =>
+        (when(c > gc, lit(n)).otherwise(gn), when(c > gc, c).otherwise(gc))
+    }
+    df.select(col(idCol) +: length(t).cast("long").as("n_chars") +:
+      counts.map { case (n, c) => (c / total).as(s"${n}_frac") } :+
+      guess.as("script_guess"): _*)
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol),

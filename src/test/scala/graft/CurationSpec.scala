@@ -609,6 +609,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSet == again.toSet)
   }
 
+  test("scriptProfile: dominant script, fractions, tie-break, unknown") {
+    val s = imp; import s._
+    import graft.functions.TextAnalysis.scriptProfile
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "привет мир"),
+      (3L, "hi привет мир!"),     // 2 latin vs 9 cyrillic → cyrillic
+      (4L, "123 !!"),             // no script chars → unknown
+      (5L, "aб"),                 // 1 latin, 1 cyrillic tie → latin (first in table)
+      (6L, "你好 세계 hello ok")   // 2 cjk, 2 hangul, 7 latin → latin
+    ).toDF("id", "t")
+    val got = scriptProfile(df, "id", "t")
+      .select("id", "script_guess", "latin_frac", "cyrillic_frac")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq("latin", "cyrillic", "cyrillic", "unknown", "latin", "latin"))
+    // exact fractions: "hi привет мир!" = 14 chars, 2 latin, 9 cyrillic
+    assert(got(2)._3 === 2.0 / 14 && got(2)._4 === 9.0 / 14)
+  }
+
   test("fixMojibake: closed-form repairs, clean passthrough, idempotence, exact score") {
     val s = imp; import s._
     import graft.functions.TextAnalysis.{fixMojibake, mojibakeScore}
