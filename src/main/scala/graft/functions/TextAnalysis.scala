@@ -391,19 +391,26 @@ object TextAnalysis {
     * length arithmetic over a replace-all, fractions over total chars,
     * argmax with first-in-table tie-break (`unknown` when no script
     * char appears). */
-  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val counts = ScriptRanges.map { case (n, r) =>
+  private def scriptCounts(t: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (n, r) =>
       n -> (length(t) - length(regexp_replace(t, s"[$r]", "")))
     }
-    val total = greatest(length(t), lit(1))
-    val (guess, _) = counts.foldLeft((lit("unknown"), lit(0): Column)) {
+
+  /** Dominant script of `text` as a Column — argmax over [[ScriptRanges]]
+    * with first-in-table tie-break, `unknown` when no script char
+    * appears. Narrow; chains onto any batch or streaming frame. */
+  def scriptGuess(t: Column): Column =
+    scriptCounts(t).foldLeft((lit("unknown"), lit(0): Column)) {
       case ((gn, gc), (n, c)) =>
         (when(c > gc, lit(n)).otherwise(gn), when(c > gc, c).otherwise(gc))
-    }
+    }._1
+
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val total = greatest(length(t), lit(1))
     df.select(col(idCol) +: length(t).cast("long").as("n_chars") +:
-      counts.map { case (n, c) => (c / total).as(s"${n}_frac") } :+
-      guess.as("script_guess"): _*)
+      scriptCounts(t).map { case (n, c) => (c / total).as(s"${n}_frac") } :+
+      scriptGuess(t).as("script_guess"): _*)
   }
 
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -552,6 +552,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming URL canonicalization + mojibake repair + script guess: stateless chain, stream ≡ batch") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    // the web-ingest head of the curation pipeline: canonical URL +
+    // encoding repair + script gate, all narrow — runs unchanged on an
+    // unbounded stream with zero state
+    val docs = Seq(
+      (1L, "HTTP://WWW.A.com:80/x/?utm_source=f&id=1#t", "cafÃ© itâ€™s fine"),
+      (2L, "https://sub.b.net:443/p/", "привет мир это тест"),
+      (3L, "not a url", "plain ascii"))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"),
+        graft.functions.UrlOps.canonicalizeUrl(col("url")).as("canon"),
+        graft.functions.UrlOps.registeredDomain(col("url")).as("domain"),
+        graft.functions.TextAnalysis.fixMojibake(col("text")).as("fixed"))
+        .withColumn("script_guess",
+          graft.functions.TextAnalysis.scriptGuess(col("fixed")))
+    val in = MemoryStream[(Long, String, String)]
+    val q = chain(in.toDF.toDF("id", "url", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_stream").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("url_stream")
+        .select("id", "canon", "domain", "fixed", "script_guess")
+        .as[(Long, String, String, String, String)].collect().toSet
+      val batch = chain(docs.toDF("id", "url", "text"))
+        .select("id", "canon", "domain", "fixed", "script_guess")
+        .as[(Long, String, String, String, String)].collect().toSet
+      assert(stream == batch)
+      assert(stream.exists(r => r._1 == 1L && r._2 == "http://a.com/x?id=1"
+        && r._3 == "a.com" && r._4 == "café it’s fine" && r._5 == "latin"))
+      assert(stream.exists(r => r._1 == 2L && r._5 == "cyrillic"))
+    } finally q.stop()
+  }
+
   test("streaming HTML extraction + trained-classifier scoring: narrow gates run unchanged") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
