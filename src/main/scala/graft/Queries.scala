@@ -1798,6 +1798,30 @@ object Queries {
       |FROM c""".stripMargin
   }
 
+  /** Sentence segmentation (TextAnalysis.splitSentences): boundary =
+    * `[.!?]+` + whitespace, lookbehind-free so the oracle replays the
+    * identical rule (capture-group sentinel insert → split → drop
+    * empties → renumber). Punctuation injected deterministically (the
+    * corpus is terminator-free word soup). */
+  def q_sentences(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(lit("Start one. "), substring(col("text"), 1, 20),
+      lit(". Mid two! "), substring(col("text"), 21, 15), lit("? End tail"))
+    val base = tbl(s, dir, "documents").select(col("doc_id"), t.as("t"))
+    graft.functions.TextAnalysis.splitSentences(base, "doc_id", "t")
+  }
+
+  private val q_sentences_sql =
+    """WITH u AS (SELECT doc_id,
+      |    'Start one. ' || substr(text, 1, 20) || '. Mid two! ' ||
+      |    substr(text, 21, 15) || '? End tail' AS t FROM documents),
+      |m AS (SELECT doc_id, list_filter(
+      |        str_split(regexp_replace(t, '([.!?]+)\s+', '\1' || chr(1), 'g'), chr(1)),
+      |        x -> x <> '') AS parts FROM u)
+      |SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS sent_id,
+      |  unnest(parts) AS sentence,
+      |  CAST(len(list_filter(string_split_regex(unnest(parts), '\s+'), y -> y <> '')) AS BIGINT) AS n_words
+      |FROM m""".stripMargin
+
   /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
     * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
     * k-sets per group, so the per-group distinct universe never shuffles
@@ -3105,6 +3129,7 @@ object Queries {
     "q_mojibake" -> (q_mojibake _),
     "q_kmv_overlap" -> (q_kmv_overlap _),
     "q_script_profile" -> (q_script_profile _),
+    "q_sentences" -> (q_sentences _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -3227,6 +3252,7 @@ object Queries {
     "q_mojibake" -> q_mojibake_sql,
     "q_kmv_overlap" -> q_kmv_overlap_sql,
     "q_script_profile" -> q_script_profile_sql,
+    "q_sentences" -> q_sentences_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

@@ -413,6 +413,21 @@ object TextAnalysis {
       scriptGuess(t).as("script_guess"): _*)
   }
 
+  /** Rule-based sentence segmentation: a boundary is one-or-more of
+    * `.!?` followed by whitespace (the whitespace is consumed). No
+    * lookbehind — RE2 has none, and the oracle must replay the rule —
+    * so the terminator is kept via a capture-group replacement that
+    * inserts a U+0001 sentinel, then one split. Trailing text without a
+    * terminator is a sentence; empty fragments are dropped. Output:
+    * (id, sent_id, sentence, n_words), one narrow pass + posexplode. */
+  def splitSentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val marked = regexp_replace(col(textCol), "([.!?]+)\\s+", "$1\u0001")
+    df.select(col(idCol),
+        posexplode(filter(split(marked, "\u0001"), s => s =!= "")).as(Seq("sent_id", "sentence")))
+      .select(col(idCol), col("sent_id").cast("long").as("sent_id"),
+        col("sentence"), tokenCount(col("sentence")).as("n_words"))
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol),

@@ -609,6 +609,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSet == again.toSet)
   }
 
+  test("splitSentences: boundaries, multi-terminators, remainders, empties dropped") {
+    val s = imp; import s._
+    import graft.functions.TextAnalysis.splitSentences
+    val df = Seq(
+      (1L, "One. Two words! Three?? Done"),
+      (2L, "no terminator at all"),
+      (3L, "trailing dot. "),
+      (4L, "a.b stays together. next")).toDF("id", "t")
+    val got = splitSentences(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, "One.", 1L), (1L, 1L, "Two words!", 2L),
+      (1L, 2L, "Three??", 1L), (1L, 3L, "Done", 1L),
+      (2L, 0L, "no terminator at all", 4L),
+      (3L, 0L, "trailing dot.", 2L),
+      (4L, 0L, "a.b stays together.", 3L), (4L, 1L, "next", 1L)))
+  }
+
   test("scriptProfile: dominant script, fractions, tie-break, unknown") {
     val s = imp; import s._
     import graft.functions.TextAnalysis.scriptProfile
