@@ -2521,6 +2521,66 @@ object Queries {
       |  md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
       |FROM d""".stripMargin
 
+  /** Corpus health report (composition): per-source doc counts, exact
+    * duplicate fraction, token mass, mean quality and English fraction —
+    * the daily drift dashboard a curation team watches. Mean quality
+    * sums exact quarter-units (the score is a multiple of 0.25), so the
+    * double average is order-independent and oracle-exact. */
+  def q_corpus_health(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis._
+    val per = tbl(s, dir, "documents").select(col("source"), col("text"),
+      tokenCount(col("text")).as("nt"),
+      (qualityScore(col("text")) * 4).cast("long").as("q4"),
+      langId(col("text")).as("lang"))
+    per.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("q4")).as("q4sum"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double")).as("dup_frac"),
+        col("total_tokens"),
+        (col("q4sum").cast("double") / (col("n_docs") * 4).cast("double")).as("avg_quality"),
+        (col("n_en").cast("double") / col("n_docs").cast("double")).as("en_frac"))
+  }
+
+  private val q_corpus_health_sql =
+    s"""WITH base AS (
+      |  SELECT source, text,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |d AS (
+      |  SELECT source, text, len(w) AS nw,
+      |    len(list_intersect(list_distinct(w), $stopEn)) AS s_en,
+      |    len(list_intersect(list_distinct(w), $stopEs)) AS s_es,
+      |    len(list_intersect(list_distinct(w), $stopDe)) AS s_de,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    CAST(len(list_filter(w, x -> list_contains($stopEn, x))) AS DOUBLE)
+      |      / greatest(len(w), 1) AS stopword_ratio
+      |  FROM base),
+      |q AS (
+      |  SELECT source, text, nw,
+      |    CAST(((CASE WHEN nw BETWEEN 20 AND 2000 THEN CAST(1 AS DOUBLE)
+      |          WHEN nw BETWEEN 5 AND 5000 THEN CAST(0.5 AS DOUBLE)
+      |          ELSE CAST(0 AS DOUBLE) END) * CAST(0.5 AS DOUBLE)
+      |      + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+      |      + (CASE WHEN stopword_ratio >= CAST(0.05 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)) * 4 AS BIGINT) AS q4,
+      |    CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+      |         WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |         WHEN s_es >= s_de THEN 'es'
+      |         ELSE 'de' END AS lang
+      |  FROM d)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+      |  CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT text) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac,
+      |  CAST(sum(nw) AS BIGINT) AS total_tokens,
+      |  CAST(sum(q4) AS DOUBLE) / CAST(count(*) * 4 AS DOUBLE) AS avg_quality,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS en_frac
+      |FROM q GROUP BY source""".stripMargin
+
   /** multimodal: binary payload column + stub decode via mapPartitions
     * (graft.functions.Multimodal) — schema/plumbing real, codec stubbed. */
   def q_multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -3130,6 +3190,7 @@ object Queries {
     "q_kmv_overlap" -> (q_kmv_overlap _),
     "q_script_profile" -> (q_script_profile _),
     "q_sentences" -> (q_sentences _),
+    "q_corpus_health" -> (q_corpus_health _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -3253,6 +3314,7 @@ object Queries {
     "q_kmv_overlap" -> q_kmv_overlap_sql,
     "q_script_profile" -> q_script_profile_sql,
     "q_sentences" -> q_sentences_sql,
+    "q_corpus_health" -> q_corpus_health_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,
