@@ -1822,6 +1822,28 @@ object Queries {
       |  CAST(len(list_filter(string_split_regex(unnest(parts), '\s+'), y -> y <> '')) AS BIGINT) AS n_words
       |FROM m""".stripMargin
 
+  /** Domain ban-list filter (UrlOps.filterBlockedDomains): drop
+    * documents whose host is a banned domain or any subdomain of one —
+    * the robots/ban-list gate before content-level curation. The list
+    * rides the plan as a literal array; the filter is narrow. The
+    * oracle replays host extraction and the suffix-match rule. */
+  def q_domain_filter(s: SparkSession, dir: String): DataFrame = {
+    val blocked = Seq("src1-site.com", "src3-news.org", "src5-cdn.net")
+    val u = tbl(s, dir, "documents")
+      .select(col("doc_id"), syntheticUrl(col("doc_id"), col("source")).as("url"))
+    graft.functions.UrlOps.filterBlockedDomains(u, "url", blocked)
+      .select(col("doc_id"), graft.functions.UrlOps.urlHost(col("url")).as("host"))
+  }
+
+  private val q_domain_filter_sql =
+    s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+      |h AS (SELECT doc_id,
+      |  regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), ':[0-9]+$$', '') AS host
+      |  FROM u)
+      |SELECT doc_id, host FROM h
+      |WHERE NOT len(list_filter(['src1-site.com', 'src3-news.org', 'src5-cdn.net'],
+      |  b -> host = b OR ends_with(host, '.' || b))) > 0""".stripMargin
+
   /** Per-group KMV distinct sketch (Sketches.kmvPerGroup): approximate
     * distinct l_orderkey per l_returnflag, k=256 — map-side bounded
     * k-sets per group, so the per-group distinct universe never shuffles
@@ -3191,6 +3213,7 @@ object Queries {
     "q_script_profile" -> (q_script_profile _),
     "q_sentences" -> (q_sentences _),
     "q_corpus_health" -> (q_corpus_health _),
+    "q_domain_filter" -> (q_domain_filter _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
@@ -3315,6 +3338,7 @@ object Queries {
     "q_script_profile" -> q_script_profile_sql,
     "q_sentences" -> q_sentences_sql,
     "q_corpus_health" -> q_corpus_health_sql,
+    "q_domain_filter" -> q_domain_filter_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,

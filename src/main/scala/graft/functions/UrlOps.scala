@@ -84,6 +84,21 @@ object UrlOps {
     when(dom === "", host).otherwise(dom)
   }
 
+  /** True when the URL's host is `blocked` or a subdomain of a blocked
+    * entry (`example.com` bans `a.b.example.com`) — ban-list semantics.
+    * The list rides the plan as a literal array (curation ban lists are
+    * thousands of entries — well under broadcast scale), so the filter
+    * is a narrow stage. */
+  def hostBlocked(url: Column, blocked: Seq[String]): Column = {
+    val host = urlHost(url)
+    exists(typedlit(blocked), b => host === b || host.endsWith(concat(lit("."), b)))
+  }
+
+  /** Drop rows whose host matches the ban list ([[hostBlocked]]). */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame =
+    df.filter(!hostBlocked(col(urlCol), blocked))
+
   /** Keep at most `maxPerDomain` rows per registered domain, chosen by a
     * deterministic hash order of `idCol` (rerun- and growth-stable like
     * `Sampling.hashSplit` — a domain's survivors only change if ids with

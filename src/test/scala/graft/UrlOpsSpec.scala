@@ -65,6 +65,22 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(perDomain.forall(_ <= 3) && perDomain.exists(_ == 3))
   }
 
+  test("hostBlocked: exact and subdomain bans, lookalike hosts survive") {
+    import spark.implicits._
+    val blocked = Seq("bad.com", "evil.org")
+    val rows = Seq(
+      (1L, "https://bad.com/x", true),          // exact
+      (2L, "http://a.b.bad.com/y", true),       // deep subdomain
+      (3L, "https://WWW.BAD.com:443/z", true),  // case + port normalized
+      (4L, "https://notbad.com/x", false),      // suffix lookalike, no dot boundary
+      (5L, "https://evil.org.safe.net/x", false), // banned string not at the end
+      (6L, "https://good.io/x", false))
+    val df = rows.map(r => (r._1, r._2)).toDF("id", "url")
+    val kept = UrlOps.filterBlockedDomains(df, "url", blocked)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === rows.filter(!_._3).map(_._1).toSet)
+  }
+
   test("domainCap plans a WindowGroupLimit (map-side top-k before the exchange)") {
     import spark.implicits._
     val urls = (0L until 50L).map(i => (i, s"https://d${i % 3}.example.org/$i"))
