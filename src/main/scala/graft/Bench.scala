@@ -97,42 +97,57 @@ object Bench {
       Queries.portableMode = false
     }
     val results = acc.toSeq
-    // millisecond precision is plenty for wall-clock timings, and it keeps
-    // the whole JSON line short enough to survive the driver's bounded tail
-    // capture intact (full-precision doubles pushed the line past the buffer
-    // in rounds 1-3, truncating its head and defeating the driver's parse)
+    val sf = sfDir.split("/").last.stripPrefix("sf")
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
+    val (fullLine, stdoutLine, failedNames) =
+      renderArtifacts(results, repeat, sf, fullOut)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullOut),
+      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (failedNames.nonEmpty)
+      System.err.println(
+        s"[bench] ${failedNames.size} queries FAILED: ${failedNames.mkString(", ")}")
+    println(stdoutLine)
+    spark.stop()
+  }
+
+  /** Renders both bench artifacts from the timing results; pure so the
+    * failure-accounting contract is unit-testable (GatesSpec).
+    *
+    * Returns (BENCH_FULL.json body, bounded stdout line, failed names).
+    *
+    * Precision/size discipline: millisecond precision on stdout keeps the
+    * whole JSON line short enough to survive the driver's bounded ~2000-char
+    * tail capture (full-precision doubles truncated the line's head in
+    * rounds 1-3); the stdout line carries only the pinned `headline` subset
+    * plus the catalog total, while BENCH_FULL.json carries every query at
+    * full precision. LOUD failure accounting (round-6 verdict #3): a query
+    * recording -1.0 surfaces as an explicit `failed` count in BOTH artifacts
+    * and by name in `failed_queries` — a total that silently excludes
+    * erroring queries would read as "all green" while the catalog shrinks.
+    */
+  def renderArtifacts(results: Seq[(String, Double)], repeat: Int, sf: String,
+      fullOut: String): (String, String, Seq[String]) = {
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       if (v < 0) "-1.0"
-      // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
-    val sf = sfDir.split("/").last.stripPrefix("sf")
-
-    // The driver records only the LAST ~2000 chars of combined output
-    // (BENCH_r{1..3}.json all carry a 2000-char `tail`), and Spark/sbt print
-    // an epilogue after this main returns. A single line carrying every
-    // catalog query stopped fitting in round 3 (head truncated → unparseable)
-    // and the catalog only grows, so the stdout line is now BOUNDED: the
-    // pinned `headline` subset below plus the catalog-wide total. The
-    // complete per-query results — full precision, production AND portable
-    // hash modes, failure markers — go to BENCH_FULL.json in the repo root,
-    // which the round commit preserves (see BASELINE.md "Bench artifacts").
     val fullJson = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
     }.mkString("{", ",", "}")
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(fullOut),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"queries":$fullJson,"sf":"$sf"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"failed":${failedNames.size},"failed_queries":$failedJson,"queries":$fullJson,"sf":"$sf"}"""
     val byName = results.toMap
-    val qs = Bench.headline.filter(byName.contains)
+    val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf","queries_run":${results.size},"full":"$fullOut"}""")
-    spark.stop()
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf","queries_run":${results.size},"failed":${failedNames.size},"full":"$fullOut"}"""
+    (fullLine, stdoutLine, failedNames)
   }
 
   /** Stdout headline set — a pinned, stable subset (the expensive and

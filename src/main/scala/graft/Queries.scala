@@ -34,11 +34,28 @@ object Queries {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private val one = lit(1).cast("decimal(18,2)")
 
-  /** events with the nano-precision `ts` converted exactly to a Spark
-    * TimestampType (µs) via integer division — the session reads
-    * TIMESTAMP(NANOS) parquet as epoch-nano longs (nanosAsLong). */
+  /** events with `ts` normalized to a Spark TimestampType (µs) whatever the
+    * parquet writer produced. Two writer encodings are in the wild:
+    *  - TIMESTAMP(NANOS), which the session reads as epoch-nano BIGINT under
+    *    `spark.sql.legacy.parquet.nanosAsLong` → convert exactly via integer
+    *    division (`timestamp_micros(ts div 1000)`);
+    *  - TIMESTAMP(MICROS)/NTZ (`timestamp[us]` footer) → already a timestamp,
+    *    pass through (cast normalizes NTZ to the session TimestampType).
+    * Branching on the loaded dtype keeps every event-time query working
+    * across data regenerations (the oracle SQL is dtype-agnostic: it does
+    * `CAST(ts AS TIMESTAMP)`). */
   def events(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(tbl(s, dir, "events"))
+
+  /** dtype-branching `ts` normalization shared by the batch reader above and
+    * the streaming twins (which apply it over `readStream`). */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   // =====================================================================
   // §2.5 aggregations
@@ -759,6 +776,69 @@ object Queries {
       |ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'purchase'
       |AND epoch_us(CAST(b.ts AS TIMESTAMP)) BETWEEN epoch_us(CAST(a.ts AS TIMESTAMP)) - 7200000000
       |                                          AND epoch_us(CAST(a.ts AS TIMESTAMP)) + 7200000000""".stripMargin
+
+  /** Runs a Structured Streaming plan to completion over the events parquet
+    * (file source, AvailableNow → one bounded run) and returns the sink table.
+    * The driver's gate is batch-shaped, so the streaming twins execute the
+    * real streaming operators synchronously and hand back their final result.
+    */
+  private def runStream(s: SparkSession,
+      build: DataFrame => DataFrame, mode: String, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val raw = s.read.parquet(path)
+    // the file streaming source requires a DIRECTORY base path; the driver's
+    // table is a single file, so expose it through a symlinked temp dir
+    // (zero data copy — production points the stream at a real directory)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val src = normalizeTs(
+      s.readStream.schema(raw.schema).parquet(streamDir.toString))
+    val name = "graft_s" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = build(src).writeStream
+      .outputMode(mode).format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming twin of q_window_session — the SAME session semantics through
+    * the Structured Streaming `session_window` path (Streaming.sessionCounts'
+    * shape). Complete output mode so the final state equals the batch result
+    * exactly; the production append+watermark variant (bounded state at
+    * scale) is exercised in StreamingSpec — this catalog row pins
+    * batch ≡ stream against the shared DuckDB oracle. */
+  def q_stream_session(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src
+      .groupBy(session_window(col("ts"), "4 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("w_start"),
+        col("n"), col("sum_value")),
+      "complete", dir)
+
+  /** Streaming twin of q_interval_join — a real stream-stream time-interval
+    * join (Streaming.intervalJoin) with watermarks on both sides for state
+    * cleanup; inner-join pairs emit as matched, so the bounded run's output
+    * equals the batch join bit-for-bit (same oracle SQL). */
+  def q_stream_interval_join(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => {
+      val a = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+          col("ts").as("a_ts"))
+        .withWatermark("a_ts", "2 hours")
+      val b = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "2 hours")
+      graft.streaming.Streaming
+        .intervalJoin(a, b, col("a_user") === col("b_user"),
+          col("a_ts"), col("b_ts"), "'2' HOUR", "'2' HOUR")
+        .select(col("a_id"), col("b_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("delta_us"),
+          unix_micros(col("pair_ts")).as("pair_us"))
+    }, "append", dir)
 
   /** window_join (src/operator/window/aggr/join.rs:79-99): per-(user, day
     * window) cartesian of clicks × purchases — equi-join on (key, window). */
@@ -3191,6 +3271,8 @@ object Queries {
     "q_window_first_last" -> (q_window_first_last _),
     "q_interval_join" -> (q_interval_join _),
     "q_window_join" -> (q_window_join _),
+    "q_stream_session" -> (q_stream_session _),
+    "q_stream_interval_join" -> (q_stream_interval_join _),
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
     "q_range_join" -> (q_range_join _),
@@ -3315,6 +3397,9 @@ object Queries {
     "q_window_lastk" -> q_window_lastk_sql,
     "q_window_first_last" -> q_window_first_last_sql,
     "q_interval_join" -> q_interval_join_sql,
+    // streaming twins share the batch oracles: stream ≡ batch is the claim
+    "q_stream_session" -> q_window_session_sql,
+    "q_stream_interval_join" -> q_interval_join_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
     "q_asof_forward" -> q_asof_forward_sql,

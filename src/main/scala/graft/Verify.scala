@@ -4,6 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Runs one catalog query and writes its result parquet; on failure writes
+    * a one-row SENTINEL result (a column name no real query uses) so the
+    * driver's DuckDB compare still runs and records an explicit mismatch for
+    * the entry instead of the entry silently vanishing from CORRECTNESS
+    * (round-6 verdict #3). Returns the failure message, if any. Extracted
+    * from main so GatesSpec can pin the loud-failure contract. */
+  def runOne(spark: SparkSession, outDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+      val msg = String.valueOf(e.getMessage).take(500)
+      try {
+        import spark.implicits._
+        Seq(s"QUERY ERRORED: $msg")
+          .toDF("__graft_query_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case _: Throwable => () }
+      Some(msg)
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,14 +52,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // local-iteration aid: GRAFT_ONLY=q_a,q_b runs a subset (driver unset → all)
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      runOne(spark, outDir, name, fn, sfDir).foreach(failures(name) = _)
       // queries that return persisted results would otherwise accumulate
       // cached data across the whole catalog (see the Bench note)
       spark.catalog.clearCache()
@@ -53,6 +76,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure manifest next to the results: even a reader
+    // that ignores the sentinel parquet sees which entries errored and why
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

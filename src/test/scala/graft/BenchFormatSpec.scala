@@ -28,7 +28,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val qs = Bench.headline.map(k => "\"" + k + "\":999.999")
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"failed":999,"full":"BENCH_FULL.json"}"""
     // 2000-char capture minus ~100 chars of sbt/Spark epilogue printed after
     // the line, minus slack for log lines that may interleave on shutdown
     assert(line.length < 1600,
