@@ -174,5 +174,5 @@ object Bench {
   val portableBench: Seq[String] = Seq(
     "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_embedding_neardup",
     "q_dedup_incremental", "q_semantic_dedup", "q_distinct_kmv",
-    "q_heavy_hitters", "q_dup_spans", "q_winnow")
+    "q_heavy_hitters", "q_dup_spans", "q_winnow", "q_dsir")
 }

@@ -2170,6 +2170,54 @@ object Queries {
        |           AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
        |      FROM documents d LEFT JOIN cl USING (doc_id))""".stripMargin
 
+  /** DSIR-style importance resampling (Sampling.importanceResample): the
+    * top-200 raw documents by hashed-n-gram importance against an
+    * English-target feature distribution (target = lang='en' slice, raw =
+    * whole corpus; 256 buckets). The oracle recomputes the gram extraction,
+    * md5 bucket hashing, Laplace-smoothed integer micro-probabilities, and
+    * per-doc BIGINT scores end to end — (doc_id, score) hash-checked. */
+  def q_dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.functions.Sampling.importanceResample(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      k = 200, buckets = 256, portable = portableMode)
+      .select(col("doc_id"), col("score"))
+  }
+
+  private val q_dsir_sql =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    list_concat(ws, list_transform(range(1, greatest(len(ws), 1)),
+      |      i -> ws[i] || ' ' || ws[i + 1])) AS grams
+      |  FROM docs),
+      |tok AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 256 AS bkt
+      |  FROM g, unnest(grams) AS t(x)),
+      |tc AS (SELECT bkt, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT bkt, count(*) AS c FROM tok GROUP BY 1),
+      |tn AS (SELECT CAST(coalesce(sum(c), 0) + 256 AS BIGINT) AS n FROM tc),
+      |rn AS (SELECT CAST(coalesce(sum(c), 0) + 256 AS BIGINT) AS n FROM rc),
+      |bs AS (
+      |  SELECT b.bkt,
+      |    ((coalesce(tc.c, 0) + 1) * 1000000000000) // tn.n
+      |      - ((coalesce(rc.c, 0) + 1) * 1000000000000) // rn.n AS s
+      |  FROM (SELECT unnest(range(0, 256)) AS bkt) b
+      |  LEFT JOIN tc ON b.bkt = tc.bkt
+      |  LEFT JOIN rc ON b.bkt = rc.bkt
+      |  CROSS JOIN tn CROSS JOIN rn),
+      |ds AS (
+      |  SELECT d.doc_id, CAST(coalesce(sum(bs.s), 0) AS BIGINT) AS score
+      |  FROM documents d
+      |  LEFT JOIN tok ON d.doc_id = tok.doc_id
+      |  LEFT JOIN bs ON tok.bkt = bs.bkt
+      |  GROUP BY 1)
+      |SELECT doc_id, score FROM ds ORDER BY score DESC, doc_id LIMIT 200""".stripMargin
+
   /** Benchmark decontamination: training docs (doc_id % 50 <> 0) sharing any
     * distinct word 3-gram with the benchmark slice (doc_id % 50 = 0), with
     * the shared-gram count. Both engines build the same distinct gram sets,
@@ -3318,6 +3366,7 @@ object Queries {
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
     "q_cluster_split" -> (q_cluster_split _),
+    "q_dsir" -> (q_dsir _),
     "q_html_extract" -> (q_html_extract _),
     "q_decontaminate" -> (q_decontaminate _),
     "q_dedup_bloom" -> (q_dedup_bloom _),
@@ -3446,6 +3495,7 @@ object Queries {
     "q_dedup_incremental" -> q_dedup_incremental_sql,
     "q_dedup_clusters" -> q_dedup_clusters_sql,
     "q_cluster_split" -> q_cluster_split_sql,
+    "q_dsir" -> q_dsir_sql,
     "q_html_extract" -> q_html_extract_sql,
     "q_decontaminate" -> q_decontaminate_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,

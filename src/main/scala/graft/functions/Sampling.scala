@@ -476,4 +476,106 @@ object Sampling {
       out
     } finally { base.unpersist(); () }
   }
+
+  // =====================================================================
+  // DSIR-style importance resampling (hashed n-gram features)
+  // =====================================================================
+
+  /** Word unigrams + adjacent bigrams over the corpus single-space-token
+    * convention (the dedup-family convention: split on ' ', drop empties).
+    * Bigrams join with a space — unambiguous, since unigrams contain none. */
+  def wordGrams(text: Column): Column = {
+    val ws = filter(split(coalesce(text, lit("")), " "), w => w =!= "")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(ws, lit(1), n1),
+      slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    concat(ws, bigrams)
+  }
+
+  /** Feature bucket in [0, buckets) of one gram. */
+  def gramBucket(gram: Column, buckets: Int, portable: Boolean): Column =
+    pmod(bucketHash(gram, portable), lit(buckets.toLong))
+
+  /** Hashed-gram bucket counts of a corpus: (bucket, cnt) with every bucket
+    * present (zeros included). One explode + partial-aggregated groupBy —
+    * the shuffle carries at most `buckets` rows per map task, never grams.
+    */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      portable: Boolean = false): DataFrame = {
+    val counted = df
+      .select(explode(wordGrams(col(textCol))).as("g"))
+      .select(gramBucket(col("g"), buckets, portable).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(buckets).toDF("bucket")
+      .join(counted, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw document by
+    * how much more likely its hashed n-gram features are under a TARGET
+    * distribution (e.g. curated/wiki-like text) than under the RAW corpus
+    * distribution, then keep the top-weighted documents.
+    *
+    * Feature model: Laplace-smoothed bucket probabilities
+    * p(b) = (cnt_b + 1) / (N + buckets) over `buckets` hashed slots.
+    *
+    * Scoring arithmetic per mode:
+    *  - production (`portable=false`): the paper's per-gram log-likelihood
+    *    ratio log p_target(b) − log p_raw(b), summed over the doc's grams
+    *    (DOUBLE; sequential fold over the doc's own gram array, so the sum
+    *    order is the array order — deterministic under repartition);
+    *  - portable (`portable=true`): an exact integer variant — per-bucket
+    *    micro-probabilities (cnt+1)·10^12 div (N+buckets) (integer floor
+    *    division, positives, so Spark `div` ≡ DuckDB `//`), doc score the
+    *    BIGINT sum of per-gram differences. Monotone in the same direction
+    *    as the ratio and bit-reproducible cross-engine, which is what lets
+    *    the DuckDB oracle check the whole pipeline end to end.
+    *
+    * 100 TB shape: both distributions are bounded aggregations (≤ `buckets`
+    * rows cross the shuffle per map task); the per-bucket score table —
+    * `buckets` rows, collected driver-side, the documented bounded
+    * materialization — rides into the scoring pass as an array literal, so
+    * scoring is one narrow codegen pass over the raw corpus: no join, no
+    * shuffle, no gram ever leaves its partition.
+    */
+  def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024,
+      portable: Boolean = false): DataFrame = {
+    require(buckets > 0, s"bad buckets $buckets")
+    val SCALE = 1000000000000L // 10^12 micro-prob units (portable mode)
+    val tCnt = bucketCounts(target, textCol, buckets, portable)
+      .orderBy("bucket").collect().map(_.getLong(1))
+    val rCnt = bucketCounts(raw, textCol, buckets, portable)
+      .orderBy("bucket").collect().map(_.getLong(1))
+    val tN = tCnt.sum + buckets
+    val rN = rCnt.sum + buckets
+    val scoresCol =
+      if (portable) {
+        val s: Seq[Long] = (0 until buckets).map(b =>
+          (tCnt(b) + 1) * SCALE / tN - (rCnt(b) + 1) * SCALE / rN)
+        typedLit(s)
+      } else {
+        val s: Seq[Double] = (0 until buckets).map(b =>
+          math.log((tCnt(b) + 1).toDouble / tN)
+            - math.log((rCnt(b) + 1).toDouble / rN))
+        typedLit(s)
+      }
+    val zero: Column = if (portable) lit(0L) else lit(0.0)
+    raw.withColumn("score",
+      aggregate(wordGrams(col(textCol)), zero, (acc, g) =>
+        acc + element_at(scoresCol,
+          (gramBucket(g, buckets, portable) + 1).cast("int"))))
+  }
+
+  /** Importance resampling: the k highest-scored documents, deterministic
+    * under ties via the id (TakeOrdered — k rows per partition cross). */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024,
+      portable: Boolean = false): DataFrame =
+    importanceScores(raw, target, idCol, textCol, buckets, portable)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
 }

@@ -668,4 +668,57 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(cases.forall(c => twice(c._1) === c._3))
   }
+
+  test("importanceScores: target-like docs outrank off-target, both modes, partition-independent") {
+    val s = spark; import s.implicits._
+    // two disjoint vocabularies: "science"-flavored target vs "spam" raw noise
+    val target = Seq.tabulate(8)(i => (100L + i, "quantum physics theory experiment result"))
+      .toDF("doc_id", "text")
+    val raw = (Seq.tabulate(4)(i => (i.toLong, "quantum physics experiment measurement"))
+      ++ Seq.tabulate(4)(i => (10L + i, "buy cheap pills now click here")))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val scored = graft.functions.Sampling
+        .importanceScores(raw, target, "doc_id", "text", buckets = 64, portable = portable)
+        .select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.get(1))).toMap
+      def num(a: Any): Double = a match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.lang.Double => d
+      }
+      // every science doc scores strictly above every spam doc
+      val sci = (0L until 4L).map(i => num(scored(i)))
+      val spam = (10L until 14L).map(i => num(scored(i)))
+      assert(sci.min > spam.max, s"portable=$portable: $scored")
+      // resample keeps exactly the science docs at k=4
+      val kept = graft.functions.Sampling
+        .importanceResample(raw, target, "doc_id", "text", k = 4, buckets = 64,
+          portable = portable)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 1L, 2L, 3L), s"portable=$portable")
+      // scores are a pure function of the row → identical under repartition
+      val re = graft.functions.Sampling
+        .importanceScores(raw.repartition(7), target.repartition(5),
+          "doc_id", "text", buckets = 64, portable = portable)
+        .select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.get(1))).toMap
+      assert(re == scored, s"portable=$portable")
+    }
+    // empty text scores 0 and survives the pass
+    val empty = graft.functions.Sampling.importanceScores(
+      Seq((1L, "")).toDF("doc_id", "text"), target, "doc_id", "text",
+      buckets = 64, portable = true).select("score").head.getLong(0)
+    assert(empty == 0L)
+  }
+
+  test("wordGrams: unigrams + adjacent bigrams, empties filtered, degenerate sizes") {
+    val s = spark; import s.implicits._
+    val got = Seq((1L, "a  b c"), (2L, "solo"), (3L, ""), (4L, "  "))
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.Sampling.wordGrams(col("t")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(got(1L) == Seq("a", "b", "c", "a b", "b c"))
+    assert(got(2L) == Seq("solo"))
+    assert(got(3L) == Seq.empty && got(4L) == Seq.empty)
+  }
 }
