@@ -3066,6 +3066,38 @@ object Queries {
       |WHERE prev_tok < CASE stratum WHEN 'en' THEN 20000 WHEN 'zh' THEN 5000
       |                 ELSE 9223372036854775807 END""".stripMargin
 
+  /** Temperature-flattened mixture (Sampling.temperatureMixture, α=1/2):
+    * per-language budgets derived from the corpus token masses themselves —
+    * q_i ∝ √n_i — then capped via the distributed prefix-sum selection. The
+    * oracle recomputes masses, exact integer square-root weights (floor ∘
+    * sqrt agrees with isqrt for n < 2^51), floor-div budgets, and the
+    * seeded cumsum crossing — (doc_id, stratum, cost, budget) hash-checked. */
+  def q_temperature_mixture(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.temperatureMixture(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      "lang", "doc_id",
+      graft.functions.TextAnalysis.tokenCount(col("text")),
+      totalBudget = 25000L, alpha = 0.5, partitions = Some(8), portable = true)
+
+  private val q_temperature_mixture_sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang AS stratum,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS cost,
+      |    ('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+      |  FROM documents),
+      |m AS (SELECT stratum, sum(cost) AS n FROM t GROUP BY 1),
+      |w AS (SELECT stratum, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM m),
+      |ws AS (SELECT sum(wt) AS wsum FROM w),
+      |b AS (SELECT stratum, CAST((25000 * wt) // wsum AS BIGINT) AS budget
+      |      FROM w CROSS JOIN ws),
+      |c AS (
+      |  SELECT doc_id, stratum, cost,
+      |    COALESCE(sum(cost) OVER (PARTITION BY stratum ORDER BY sk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok
+      |  FROM t)
+      |SELECT c.doc_id, c.stratum, c.cost, b.budget
+      |FROM c JOIN b USING (stratum) WHERE c.prev_tok < b.budget""".stripMargin
+
   /** Epoch-based mixture (Sampling.epochMixture): de upsampled to 150k
     * tokens (multiple full epochs + a partial epoch), en capped at 8k
     * (downsampling degenerate case), other languages one epoch. The oracle
@@ -3328,6 +3360,7 @@ object Queries {
     "q_bpe" -> (q_bpe _),
     "q_chunk" -> (q_chunk _),
     "q_token_mixture" -> (q_token_mixture _),
+    "q_temperature_mixture" -> (q_temperature_mixture _),
     "q_epoch_mixture" -> (q_epoch_mixture _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
@@ -3457,6 +3490,7 @@ object Queries {
     "q_bpe" -> q_bpe_sql,
     "q_chunk" -> q_chunk_sql,
     "q_token_mixture" -> q_token_mixture_sql,
+    "q_temperature_mixture" -> q_temperature_mixture_sql,
     "q_epoch_mixture" -> q_epoch_mixture_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,

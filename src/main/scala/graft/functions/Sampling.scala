@@ -244,6 +244,73 @@ object Sampling {
     out
   }
 
+  /** Exact integer square root (Newton), the α=1/2 temperature weight —
+    * driver-side, on #strata values. */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0L, s"isqrt of negative $n")
+    if (n == 0L) 0L
+    else {
+      var x = math.max(1L, math.sqrt(n.toDouble).toLong)
+      // integer Newton, then clamp both ways; comparisons use the
+      // overflow-safe identity x² ≤ n ⟺ x ≤ n div x (x² itself can wrap
+      // near Long.MaxValue)
+      var next = (x + n / x) / 2
+      while (next < x) { x = next; next = (x + n / x) / 2 }
+      while (x + 1 <= n / (x + 1)) x += 1
+      while (x > n / x) x -= 1
+      x
+    }
+  }
+
+  /** Temperature-flattened mixture (the mC4/XLM-R α-sampling rule): derive
+    * each stratum's token budget FROM the corpus itself — q_i ∝ n_i^α over
+    * the per-stratum token masses n_i — then cap strata at those budgets.
+    * α < 1 flattens the distribution: head languages/sources are
+    * down-weighted, tail ones keep (relatively) more, which is how
+    * multilingual pretraining mixes avoid English swallowing the budget.
+    *
+    * Arithmetic: budgets b_i = ⌊totalBudget · w_i / Σw⌋ with integer
+    * weights — α=1/2 uses the EXACT integer square root (cross-engine
+    * reproducible: DuckDB's floor(sqrt(n)) agrees for n < 2^51, far past
+    * any real stratum mass), α=1 uses n_i itself; other α values take the
+    * double-pow path (deterministic on a platform, not oracle-exact —
+    * the catalog query pins α=1/2). Products go through BigInt so a
+    * 10^12-token budget times a 10^7 weight cannot overflow.
+    *
+    * 100 TB shape: the mass aggregation is one partially-aggregated
+    * groupBy collecting #strata rows driver-side (bounded); selection is
+    * [[tokenBudgetMixture]]'s distributed two-pass prefix sum. Returns its
+    * (doc_id, stratum, cost) plus the derived budget per row. */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+      cost: Column, totalBudget: Long, alpha: Double = 0.5,
+      seed: Long = 42L, partitions: Option[Int] = None,
+      portable: Boolean = false): DataFrame = {
+    require(totalBudget > 0L, s"bad totalBudget $totalBudget")
+    require(alpha > 0.0 && alpha <= 1.0, s"bad alpha $alpha")
+    val masses: Seq[(String, Long)] = df
+      .groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(sum(cost).as("n"))
+      .collect().toSeq
+      .map(r => (r.getString(0), math.max(0L, r.getLong(1))))
+    val weights: Seq[(String, Long)] = masses.map { case (k, n) =>
+      val w =
+        if (alpha == 0.5) isqrt(n)
+        else if (alpha == 1.0) n
+        else math.round(math.pow(n.toDouble, alpha))
+      (k, w)
+    }
+    val wSum = weights.map(w => BigInt(w._2)).sum
+    val budgets: Map[String, Long] = weights.map { case (k, w) =>
+      (k, if (wSum == 0) 0L else (BigInt(totalBudget) * w / wSum).toLong)
+    }.toMap
+    val bCol = budgets.foldLeft(lit(-1L)) { case (acc, (k, b)) =>
+      when(col("stratum") === k, lit(b)).otherwise(acc)
+    }
+    tokenBudgetMixture(df, strataCol, idCol, cost, budgets, seed,
+      partitions, portable)
+      .withColumn("budget", bCol)
+  }
+
   /** Epoch-based mixture: hit each stratum's TOKEN budget by REPEATING the
     * stratum when the budget exceeds its size — the upsampling half of a
     * pretraining mix ([[tokenBudgetMixture]] can only cap). A stratum with

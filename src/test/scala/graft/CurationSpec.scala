@@ -711,6 +711,49 @@ class CurationSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("temperatureMixture: α=1/2 flattens the head stratum, budgets derived exactly") {
+    val s = spark; import s.implicits._
+    // heavily skewed corpus: 'en' has 16× the tokens of 'de'
+    val docs = (Seq.tabulate(64)(i => (i.toLong, "en", "w " * 25))
+      ++ Seq.tabulate(4)(i => (100L + i, "de", "w " * 25)))
+      .toDF("doc_id", "lang", "text")
+    val cost = graft.functions.TextAnalysis.tokenCount(col("text"))
+    val total = 800L
+    val out = graft.functions.Sampling.temperatureMixture(
+      docs, "lang", "doc_id", cost, totalBudget = total, alpha = 0.5,
+      portable = true)
+    val kept = out.groupBy("stratum")
+      .agg(sum("cost").as("tok"), max("budget").as("budget"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // exact budget derivation: n_en=1600, n_de=100 → w=40,10 → 800·w/50
+    assert(kept("en")._2 == 640L && kept("de")._2 == 160L)
+    // de's budget ≥ its mass → fully kept; en capped ABOVE its budget by
+    // at most one doc (first-crossing kept)
+    assert(kept("de")._1 == 100L)
+    assert(kept("en")._1 >= 640L && kept("en")._1 < 640L + 25L)
+    // flattening: en is 94% of the corpus but < 90% of the kept tokens
+    val enFrac = kept("en")._1.toDouble / (kept("en")._1 + kept("de")._1)
+    assert(enFrac < 0.90, s"enFrac $enFrac")
+    // α=1 is proportional: budgets follow the masses exactly
+    val prop = graft.functions.Sampling.temperatureMixture(
+      docs, "lang", "doc_id", cost, totalBudget = total, alpha = 1.0,
+      portable = true)
+      .groupBy("stratum").agg(max("budget").as("b")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(prop("en") == 800L * 1600L / 1700L && prop("de") == 800L * 100L / 1700L)
+  }
+
+  test("isqrt: exact on squares, boundaries, and large values") {
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
+      (1L << 31) - 1, 1L << 40, (1L << 45) + 12345L, Long.MaxValue)
+    for (n <- cases) {
+      val r = graft.functions.Sampling.isqrt(n)
+      assert(r >= 0 && r * r <= n, s"isqrt($n) = $r overshoots")
+      // (r+1)^2 > n, guarding against BigInt-free overflow on huge n
+      assert(BigInt(r + 1) * BigInt(r + 1) > BigInt(n), s"isqrt($n) = $r undershoots")
+    }
+  }
+
   test("wordGrams: unigrams + adjacent bigrams, empties filtered, degenerate sizes") {
     val s = spark; import s.implicits._
     val got = Seq((1L, "a  b c"), (2L, "solo"), (3L, ""), (4L, "  "))
