@@ -25,8 +25,11 @@ object Plans {
     sb.append(s"Generated against `$sfDir` (driver-loop queries show their per-round shape via the first round).\n")
     // iteration queries execute driver loops on .explain-triggered analysis;
     // skip the loops themselves and document the building blocks instead
+    // the streaming twins execute a full streaming query on construction
+    // and would only show the memory-sink scan here; their streaming plans
+    // are pinned by StreamingSpec
     val skip = Set("q_connected_components", "q_transitive_closure", "q_pagerank",
-      "q_kmeans", "q_pagerank_delta")
+      "q_kmeans", "q_pagerank_delta", "q_stream_session", "q_stream_interval_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         try {

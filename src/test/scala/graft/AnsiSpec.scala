@@ -84,7 +84,12 @@ class AnsiSpec extends AnyFunSuite {
       "q_zip", "q_heavy_hitters", "q_ann_ivfpq", "q_zorder", "q_bpe",
       "q_chunk", "q_token_mixture", "q_epoch_mixture",
       "q_quality_classifier", "q_cluster_split", "q_embed_int8",
-      "q_ann_int8", "q_html_extract")
+      "q_ann_int8", "q_html_extract",
+      // round-7 additions: the recovered event-time reader (dtype branch),
+      // DSIR scoring (aggregate over gram arrays), temperature mixture
+      // (isqrt-derived budgets), and a streaming twin
+      "q_window_tumbling", "q_interval_join", "q_dsir",
+      "q_temperature_mixture", "q_stream_session")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set
