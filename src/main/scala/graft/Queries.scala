@@ -795,11 +795,20 @@ object Queries {
     val src = normalizeTs(
       s.readStream.schema(raw.schema).parquet(streamDir.toString))
     val name = "graft_s" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = build(src).writeStream
-      .outputMode(mode).format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store partition count: each streaming state partition pays a
+    // fixed open/commit/snapshot cost PER MICROBATCH, so a bounded one-batch
+    // run wants few, large state partitions (the opposite of the batch
+    // shuffle default) — GRAFT_STREAM_PARTS overrides for measurement
+    val parts = sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val q = build(src).writeStream
+        .outputMode(mode).format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 
