@@ -2187,8 +2187,10 @@ object Queries {
     * per-doc BIGINT scores end to end — (doc_id, score) hash-checked. */
   def q_dsir(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    graft.functions.Sampling.importanceResample(
-      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+    // target = the English slice of the raw corpus → the single-scan
+    // predicate path (both bucket distributions from one corpus pass)
+    graft.functions.Sampling.importanceResampleBy(
+      docs, col("lang") === "en", "doc_id", "text",
       k = 200, buckets = 256, portable = portableMode)
       .select(col("doc_id"), col("score"))
   }

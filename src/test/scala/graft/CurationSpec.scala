@@ -711,6 +711,24 @@ class CurationSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("importanceScoresBy (single-scan) ≡ importanceScores on the filtered slice") {
+    val s = spark; import s.implicits._
+    val raw = (Seq.tabulate(6)(i => (i.toLong, "en", "alpha beta gamma delta"))
+      ++ Seq.tabulate(6)(i => (10L + i, "de", "eins zwei drei vier")))
+      .toDF("doc_id", "lang", "text")
+    for (portable <- Seq(true, false)) {
+      val two = graft.functions.Sampling.importanceScores(
+        raw, raw.filter(col("lang") === "en"), "doc_id", "text",
+        buckets = 32, portable = portable)
+        .select("doc_id", "score").collect().map(r => (r.getLong(0), r.get(1))).toMap
+      val one = graft.functions.Sampling.importanceScoresBy(
+        raw, col("lang") === "en", "doc_id", "text",
+        buckets = 32, portable = portable)
+        .select("doc_id", "score").collect().map(r => (r.getLong(0), r.get(1))).toMap
+      assert(one == two, s"portable=$portable")
+    }
+  }
+
   test("temperatureMixture: α=1/2 flattens the head stratum, budgets derived exactly") {
     val s = spark; import s.implicits._
     // heavily skewed corpus: 'en' has 16× the tokens of 'de'
