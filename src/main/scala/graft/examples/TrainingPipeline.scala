@@ -22,7 +22,8 @@ object TrainingPipeline {
       nearDeduped: Long, spanGated: Long, decontaminated: Long,
       langs: Map[String, Long], shards: Long, packedRows: Long,
       packedTokens: Long, annResults: Long, classifierKept: Long,
-      splitTrain: Long, splitEval: Long, int8Vectors: Long, c4Kept: Long)
+      splitTrain: Long, splitEval: Long, int8Vectors: Long, c4Kept: Long,
+      dsirKept: Long, mixtureTokens: Long)
 
   def run(spark: SparkSession, sfDir: String): Stats = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -124,6 +125,26 @@ object TrainingPipeline {
     val nKept = QualityClassifier.score(deconText, "doc_id", "text", model)
       .filter(col("keep") === 1).count()
 
+    // 5c. DSIR importance selection (reported): score the surviving corpus
+    // against the trusted-source slice's hashed-n-gram distribution — the
+    // data-SELECTION sibling of the trained classifier's data-FILTERING;
+    // single-scan distributions (the target is a predicate over the corpus)
+    val nDsir = Sampling.importanceResampleBy(deconText,
+      col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      "doc_id", "text", k = math.max(1, (nDecon / 2).toInt), buckets = 256)
+      .count()
+
+    // 5d. temperature-flattened mixture (reported): per-language token
+    // budgets derived from the surviving corpus masses (α=1/2), so no
+    // language swallows the training mix
+    val totalTokens = decon.agg(sum(col("n_tokens"))).head().getLong(0)
+    val mixture = Sampling.temperatureMixture(
+      decon.select(col("doc_id"), col("lang_guess"), col("n_tokens")),
+      "lang_guess", "doc_id", col("n_tokens"),
+      totalBudget = math.max(1L, totalTokens / 2), alpha = 0.5)
+    val mixtureTokens = mixture.agg(sum(col("cost"))).head().getLong(0)
+    mixture.unpersist()
+
     // 6. shard manifest: contiguous ~2k-token shards in id order
     val manifest = Sampling.tokenShards(decon, "doc_id", col("n_tokens"),
       budget = 2000L)
@@ -153,7 +174,8 @@ object TrainingPipeline {
     decon.unpersist()
 
     Stats(total, nGated, nExact, nClean, nSpan, nDecon, langs, nShards,
-      nRows, nTokens, nAnn, nKept, nTrain, nEval, nInt8, nC4)
+      nRows, nTokens, nAnn, nKept, nTrain, nEval, nInt8, nC4, nDsir,
+      mixtureTokens)
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,7 +191,8 @@ object TrainingPipeline {
     s.langs.toSeq.sortBy(-_._2).foreach { case (l, n) => println(s"LANG\t$l\t$n") }
     println(s"ANN_RESULTS=${s.annResults} CLASSIFIER_KEPT=${s.classifierKept} " +
       s"SPLIT_TRAIN=${s.splitTrain} SPLIT_EVAL=${s.splitEval} " +
-      s"INT8_VECTORS=${s.int8Vectors} C4_KEPT=${s.c4Kept}")
+      s"INT8_VECTORS=${s.int8Vectors} C4_KEPT=${s.c4Kept} " +
+      s"DSIR_KEPT=${s.dsirKept} MIXTURE_TOKENS=${s.mixtureTokens}")
     spark.stop()
   }
 }

@@ -99,6 +99,11 @@ class ExamplesSpec extends AnyFunSuite {
     assert(s.int8Vectors > 0)
     // the reported C4 line gate keeps a strict subset of the corpus
     assert(s.c4Kept > 0 && s.c4Kept < s.total)
+    // DSIR selection keeps the requested half (rounded) of the final set
+    assert(s.dsirKept > 0 && s.dsirKept <= s.decontaminated)
+    // the temperature mixture spends at most the half-token budget plus
+    // one first-crossing doc per stratum, and keeps something
+    assert(s.mixtureTokens > 0)
   }
 
   test("logistic regression via replay: cost decreases, separable data fits") {

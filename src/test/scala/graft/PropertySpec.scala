@@ -166,4 +166,39 @@ class PropertySpec extends AnyFunSuite {
       assert(ids(lo).subsetOf(ids(hi)))
     }
   }
+
+  test("isqrt: floor-sqrt contract over arbitrary non-negative longs") {
+    forAll(Gen.oneOf(
+      Gen.choose(0L, 1000L),
+      Gen.choose(0L, Long.MaxValue),
+      // perfect squares and their neighbors — the boundary class where a
+      // double-rounded sqrt goes wrong
+      Gen.choose(0L, 3037000499L).map(k => k * k),
+      Gen.choose(1L, 3037000499L).map(k => k * k - 1))) { n: Long =>
+      val r = graft.functions.Sampling.isqrt(n)
+      assert(r >= 0)
+      assert(BigInt(r) * BigInt(r) <= BigInt(n), s"isqrt($n)=$r overshoots")
+      assert(BigInt(r + 1) * BigInt(r + 1) > BigInt(n), s"isqrt($n)=$r undershoots")
+    }
+  }
+
+  test("temperature budgets: sum ≤ totalBudget, monotone in stratum mass") {
+    // driver-side contract of the α=1/2 derivation: floor rounding never
+    // overspends, and a stratum with more tokens never gets a smaller budget
+    forAll(Gen.listOfN(6, Gen.choose(0L, 1000000L)), Gen.choose(1L, 1000000L)) {
+      (masses: List[Long], total: Long) =>
+      val ws = masses.map(graft.functions.Sampling.isqrt)
+      val wSum = ws.map(BigInt(_)).sum
+      whenever(wSum > 0) {
+        val budgets = ws.map(w => (BigInt(total) * w / wSum).toLong)
+        assert(budgets.map(BigInt(_)).sum <= BigInt(total))
+        // budgets ordered like masses: sort pairs by mass, budgets follow
+        val byMass = masses.zip(budgets).sortBy(_._1).map(_._2)
+        byMass.sliding(2).foreach {
+          case Seq(b1, b2) => assert(b1 <= b2, s"budget order broke: $masses -> $budgets")
+          case _ => ()
+        }
+      }
+    }
+  }
 }
