@@ -115,6 +115,51 @@ object Dedup {
     }
   }
 
+  /** Probability that a pair with Jaccard similarity `s` becomes an LSH
+    * candidate under (bands, rowsPerBand): 1 − (1 − s^r)^b — the S-curve
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4). */
+  def lshCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** The similarity where the S-curve crosses ~1/2: (1/b)^(1/r) — the
+    * effective LSH threshold of a (bands, rows) choice. */
+  def lshThreshold(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
+  /** LSH parameter planner: among the factorizations bands × rows =
+    * `numHashes`, pick the one whose S-curve best separates pairs around
+    * `targetSim` — minimizing (candidate probability below target =
+    * false-positive area) + (miss probability above target = false-negative
+    * area), each integrated numerically over [0,target] / [target,1]. More
+    * bands push the curve left (recall up, candidates up); more rows push
+    * it right (precision up). Returns (bands, rowsPerBand).
+    *
+    * Scale note: this is driver-side closed-form math over ≤ d(numHashes)
+    * factorizations — run it BEFORE a 100 TB minhash pass to size the band
+    * join instead of hand-tuning; the candidate volume it implies is what
+    * [[minhashCandidates]]'s shuffle carries. */
+  def planLsh(numHashes: Int = 64, targetSim: Double = 0.5): (Int, Int) = {
+    require(numHashes > 0 && targetSim > 0.0 && targetSim < 1.0,
+      s"bad planLsh($numHashes, $targetSim)")
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    def err(b: Int, r: Int): Double = {
+      val n = 200
+      // FP area: candidates among pairs BELOW the target similarity
+      val fp = (0 until n).map { i =>
+        val s = targetSim * (i + 0.5) / n
+        lshCandidateProb(s, b, r) * (targetSim / n)
+      }.sum
+      // FN area: misses among pairs AT/ABOVE the target similarity
+      val fn = (0 until n).map { i =>
+        val s = targetSim + (1.0 - targetSim) * (i + 0.5) / n
+        (1.0 - lshCandidateProb(s, b, r)) * ((1.0 - targetSim) / n)
+      }.sum
+      fp + fn
+    }
+    options.minBy { case (b, r) => err(b, r) }
+  }
+
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand = numHashes);
     * docs sharing any band bucket become candidates; estimated similarity =
     * fraction of matching signature components.

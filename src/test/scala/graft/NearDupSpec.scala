@@ -534,4 +534,27 @@ class NearDupSpec extends AnyFunSuite {
         (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
     } finally { pairs.unpersist(); () }
   }
+
+  test("LSH planner: S-curve closed forms, and the library default is the planner's answer") {
+    import graft.functions.Dedup.{lshCandidateProb, lshThreshold, planLsh}
+    // closed forms of the S-curve
+    assert(lshCandidateProb(0.0, 16, 4) == 0.0)
+    assert(lshCandidateProb(1.0, 16, 4) == 1.0)
+    // one band, one row: candidate prob = similarity itself
+    assert(math.abs(lshCandidateProb(0.3, 1, 1) - 0.3) < 1e-12)
+    // threshold formula: (1/b)^(1/r); the pipeline default (16 bands × 4
+    // rows) sits at 0.5 — and the planner independently picks exactly it
+    assert(math.abs(lshThreshold(16, 4) - 0.5) < 1e-12)
+    assert(planLsh(64, 0.5) == ((16, 4)))
+    // a high-precision target moves toward more rows per band
+    assert(planLsh(64, 0.8) == ((4, 16)))
+    // monotonicity: more bands never lowers candidate probability
+    for (s <- Seq(0.2, 0.5, 0.8); b <- Seq(1, 2, 4, 8))
+      assert(lshCandidateProb(s, b * 2, 4) >= lshCandidateProb(s, b, 4) - 1e-12)
+    // the planner's pick really does separate: around its own threshold the
+    // curve is steep — candidates unlikely well below, near-certain well above
+    val (b, r) = planLsh(64, 0.5)
+    assert(lshCandidateProb(0.25, b, r) < 0.1)
+    assert(lshCandidateProb(0.75, b, r) > 0.95)
+  }
 }
