@@ -849,6 +849,31 @@ object Queries {
           unix_micros(col("pair_ts")).as("pair_us"))
     }, "append", dir)
 
+  /** Streaming twin of q_window_tumbling — the same event-time tumbling
+    * aggregation through the Structured Streaming windowed-aggregation path;
+    * complete output mode makes the bounded run's final state equal the
+    * batch result, checked against the shared DuckDB oracle. */
+  def q_stream_tumbling(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src
+      .groupBy(window(col("ts"), "1 day").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("ws")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value")),
+      "complete", dir)
+
+  /** Streaming twin of q_window_sliding — overlapping size/slide windows
+    * (each event explodes into two 1-day/12-hour windows map-side) through
+    * the streaming aggregation path, same oracle as the batch twin. */
+  def q_stream_sliding(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src
+      .groupBy(window(col("ts"), "1 day", "12 hours").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("ws")).as("w_start"), col("event_type"), col("n")),
+      "complete", dir)
+
   /** window_join (src/operator/window/aggr/join.rs:79-99): per-(user, day
     * window) cartesian of clicks × purchases — equi-join on (key, window). */
   def q_window_join(s: SparkSession, dir: String): DataFrame = {
@@ -923,6 +948,55 @@ object Queries {
       |  coalesce(p_us - a_us, -1) AS lead_us
       |FROM c ASOF LEFT JOIN p
       |ON c.user_id = p.user_id AND c.a_us <= p.p_us""".stripMargin
+
+  /** Nearest as-of: each click matched to the user's purchase CLOSEST in
+    * time, either direction; a distance tie resolves backward (pandas
+    * merge_asof direction='nearest'). The two directional windows share one
+    * hash Exchange on the key — same shuffle bill as one directional as-of. */
+  def q_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("user_id"), col("us").as("a_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"), col("event_id"))
+      .groupBy(col("user_id"), col("p_us"))
+      .agg(max(col("event_id")).as("p_id"))
+    graft.operators.AsOfJoin
+      .nearest(clicks, purchases, Seq("user_id"), "a_us", "p_us")
+      .select(col("a_id"), col("user_id"), col("a_us"),
+        coalesce(col("p_us"), lit(-1L)).as("p_us"),
+        coalesce(col("p_id"), lit(-1L)).as("p_id"),
+        coalesce(abs(col("p_us") - col("a_us")), lit(-1L)).as("dist_us"))
+  }
+
+  private val q_asof_nearest_sql =
+    """WITH c AS (SELECT event_id AS a_id, user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS a_us
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+      |        max(event_id) AS p_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |b AS (SELECT a_id, c.user_id AS user_id, a_us, p.p_us AS b_us, p.p_id AS b_id
+      |      FROM c ASOF LEFT JOIN p
+      |      ON c.user_id = p.user_id AND c.a_us >= p.p_us),
+      |f AS (SELECT a_id, p.p_us AS f_us, p.p_id AS f_id
+      |      FROM c ASOF LEFT JOIN p
+      |      ON c.user_id = p.user_id AND c.a_us <= p.p_us),
+      |chosen AS (
+      |  SELECT b.a_id, user_id, a_us,
+      |    CASE WHEN b_us IS NULL THEN f_us
+      |         WHEN f_us IS NULL THEN b_us
+      |         WHEN (f_us - a_us) < (a_us - b_us) THEN f_us
+      |         ELSE b_us END AS m_us,
+      |    CASE WHEN b_us IS NULL THEN f_id
+      |         WHEN f_us IS NULL THEN b_id
+      |         WHEN (f_us - a_us) < (a_us - b_us) THEN f_id
+      |         ELSE b_id END AS m_id
+      |  FROM b JOIN f ON b.a_id = f.a_id)
+      |SELECT a_id, user_id, a_us,
+      |  coalesce(m_us, -1) AS p_us, coalesce(m_id, -1) AS p_id,
+      |  coalesce(abs(m_us - a_us), -1) AS dist_us
+      |FROM chosen""".stripMargin
 
   private val q_asof_join_sql =
     """WITH c AS (SELECT event_id AS a_id, user_id,
@@ -3364,8 +3438,11 @@ object Queries {
     "q_window_join" -> (q_window_join _),
     "q_stream_session" -> (q_stream_session _),
     "q_stream_interval_join" -> (q_stream_interval_join _),
+    "q_stream_tumbling" -> (q_stream_tumbling _),
+    "q_stream_sliding" -> (q_stream_sliding _),
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
+    "q_asof_nearest" -> (q_asof_nearest _),
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
@@ -3493,9 +3570,12 @@ object Queries {
     // streaming twins share the batch oracles: stream ≡ batch is the claim
     "q_stream_session" -> q_window_session_sql,
     "q_stream_interval_join" -> q_interval_join_sql,
+    "q_stream_tumbling" -> q_window_tumbling_sql,
+    "q_stream_sliding" -> q_window_sliding_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
     "q_asof_forward" -> q_asof_forward_sql,
+    "q_asof_nearest" -> q_asof_nearest_sql,
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,

@@ -62,11 +62,52 @@ object AsOfJoin {
     asof(left, right, keys, leftTs, rightTs, tolerance, tieBreak,
       forward = true)
 
-  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, tolerance: Option[Column],
-      tieBreak: Seq[String], forward: Boolean): DataFrame = {
+  /** Nearest as-of: whichever of the backward and forward matches is closer
+    * in time; an exact distance tie resolves to the backward (at-or-before)
+    * match — pandas `merge_asof(direction='nearest')` semantics. `tolerance`
+    * bounds the absolute distance.
+    *
+    * Same cost as one directional as-of: the two directional windows share
+    * the single hash Exchange on the key (the second Window reuses the
+    * partitioning; only the per-partition sort runs twice, once per
+    * direction). No candidate blow-up on hot keys at any scale. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tolerance: Option[Column] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val (u, rPayload, lCols) = unioned(left, right, keys, leftTs, rightTs)
+    val back = matchOver(keys, tieBreak, rightTs, forward = false)
+    val fwd = matchOver(keys, tieBreak, rightTs, forward = true)
+    val withBoth = u.withColumn("__b", back).withColumn("__f", fwd)
+    val dB = col("__ts") - col("__b").getField(rightTs)
+    val dF = col("__f").getField(rightTs) - col("__ts")
+    val chosenRaw =
+      when(col("__b").isNull, col("__f"))
+        .when(col("__f").isNull, col("__b"))
+        .when(dF < dB, col("__f"))
+        .otherwise(col("__b"))
+    val chosen = tolerance match {
+      case Some(tol) =>
+        val mTs = chosenRaw.getField(rightTs)
+        val dist = when(mTs >= col("__ts"), mTs - col("__ts"))
+          .otherwise(col("__ts") - mTs)
+        when(chosenRaw.isNotNull && dist <= tol, chosenRaw)
+      case None => chosenRaw
+    }
+    withBoth
+      .withColumn("__m", chosen)
+      .filter(col("__src") === 1)
+      .select(lCols.map(col) ++
+        rPayload.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
+  /** One unioned relation: right rows carry the payload struct, left rows
+    * carry their own columns; __src orders right BEFORE left at equal ts so
+    * the window at a left row already contains the equal-ts right row.
+    * Returns (union, right payload column names, left column names). */
+  private def unioned(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): (DataFrame, Seq[String], Seq[String]) = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
-    val reserved = Seq("__ts", "__src", "__r", "__m")
+    val reserved = Seq("__ts", "__src", "__r", "__m", "__b", "__f")
     val clash = (left.columns ++ right.columns).filter(reserved.contains)
     require(clash.isEmpty,
       s"asofJoin reserves column names ${clash.distinct.mkString(",")}")
@@ -76,10 +117,6 @@ object AsOfJoin {
     require(lCols.intersect(rPayload).isEmpty,
       s"column collision ${lCols.intersect(rPayload).mkString(",")}: " +
         "rename right payload columns before joining")
-
-    // one unioned relation: right rows carry the payload struct, left rows
-    // carry their own columns; __src orders right BEFORE left at equal ts so
-    // the window at a left row already contains the equal-ts right row
     val payload = struct(rPayload.map(col): _*)
     val r = right.select(
       keys.map(col) ++
@@ -92,13 +129,26 @@ object AsOfJoin {
         Seq(col(leftTs).as("__ts"), lit(1).as("__src"),
           lit(null).cast(r.schema("__r").dataType).as("__r")) ++
         lCols.filterNot(keys.contains).map(col): _*)
+    (r.unionByName(l), rPayload, lCols)
+  }
 
+  /** The directional running match: last non-null right payload in the
+    * (key)-partitioned window ordered toward the left row. */
+  private def matchOver(keys: Seq[String], tieBreak: Seq[String],
+      rightTs: String, forward: Boolean): Column = {
     val dir: Column => Column = if (forward) _.desc else _.asc
     val order = Seq(dir(col("__ts")), col("__src").asc) ++
       tieBreak.map(t => dir(col("__r").getField(t)))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    last(col("__r"), ignoreNulls = true).over(w)
+  }
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tolerance: Option[Column],
+      tieBreak: Seq[String], forward: Boolean): DataFrame = {
+    val (u, rPayload, lCols) = unioned(left, right, keys, leftTs, rightTs)
+    val matchedRaw = matchOver(keys, tieBreak, rightTs, forward)
 
     // tolerance gate: distance from the left ts to the matched right ts
     val matched = tolerance match {
@@ -110,8 +160,7 @@ object AsOfJoin {
       case None => matchedRaw
     }
 
-    r.unionByName(l)
-      .withColumn("__m", matched)
+    u.withColumn("__m", matched)
       .filter(col("__src") === 1)
       .select(lCols.map(col) ++
         rPayload.map(c => col("__m").getField(c).as(c)): _*)

@@ -76,6 +76,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r == Seq("hi"))
   }
 
+  test("nearest: closest quote either direction, tie resolves backward") {
+    val r = AsOfJoin.nearest(trades, quotes, Seq("k"), "t_ts", "q_ts")
+      .select("tid", "q_ts").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1, 10L),  // only forward exists (5 → 10)
+      (2, 20L),  // exact hit
+      (3, 20L),  // 25: back 20 (d=5) vs fwd 30 (d=5) — tie → backward
+      (4, 30L),  // only backward exists
+      (5, 15L),  // 14: fwd 15 (d=1), no backward
+      (6, -1L))) // key with no quotes
+  }
+
+  test("nearest: tolerance bounds the absolute distance") {
+    val r = AsOfJoin.nearest(trades, quotes, Seq("k"), "t_ts", "q_ts",
+        tolerance = Some(lit(4L)))
+      .select("tid", "q_ts").collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .sortBy(_._1).toSeq
+    // trade 1 at 5: nearest quote 10 is 5 away > 4 → null; trade 3 at 25:
+    // chosen backward 20 is 5 away → null; trade 5 at 14: 15 is 1 away → ok
+    assert(r == Seq((1, -1L), (2, 20L), (3, -1L), (4, -1L), (5, 15L), (6, -1L)))
+  }
+
+  test("nearest plan: both directional windows share ONE key Exchange") {
+    val plan = AsOfJoin.nearest(trades, quotes, Seq("k"), "t_ts", "q_ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nearest as-of must not plan a quadratic join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shared key shuffle, got $exchanges:\n$plan")
+  }
+
   test("plan: one Exchange on the key, window over sort — no join node") {
     val plan = AsOfJoin.backward(trades, quotes, Seq("k"), "t_ts", "q_ts")
       .queryExecution.executedPlan.toString
