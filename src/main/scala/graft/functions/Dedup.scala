@@ -27,6 +27,12 @@ object Dedup {
     * stays the default for production paths (faster); the algorithm is
     * identical either way. */
   def portableHash60(c: Column): Column =
+    graft.plans.TextExpressions.portableHash60(c)
+
+  /** The composed-builtin formulation of [[portableHash60]] — kept as the
+    * readable specification of the hash (TextExprSpec pins the native
+    * expression equal to it value-for-value). */
+  def portableHash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Modulus for portable affine minhash permutations: 2^31-1 (prime).

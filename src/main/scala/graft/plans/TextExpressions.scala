@@ -391,7 +391,61 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** md5-derived 60-bit portable hash, natively: the value of
+  * `conv(substring(md5(s), 1, 15), 16, 10)` — the first 15 hex chars of the
+  * md5 digest read as an integer — computed as `(first 8 digest bytes as a
+  * big-endian long) >>> 4`, one digest pass per row.
+  *
+  * Why an Expression: the composed builtin chain materializes the 32-char
+  * hex string (md5), copies 15 chars (substring), renders a base-10 STRING
+  * (conv), then parses it back (cast to long) — four string round-trips per
+  * hashed value on every portable-mode dedup/sketch/sampling path, measured
+  * as the dominant `_portable` vs production gap in BENCH. The digest itself
+  * is unchanged, so the value is bit-identical to the composed form AND to
+  * the DuckDB oracle's `('0x' || substr(md5(s), 1, 15))::BIGINT`
+  * (TextExprSpec pins both equivalences). NULL in → NULL out. */
+case class PortableHash60Expr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"portable_hash60 needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val md = PortableHash60Expr.digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    // first 15 hex chars = bytes 0..6 in full + the high nibble of byte 7 =
+    // the top 60 bits of the big-endian first-8-byte word; >>> leaves the
+    // top 4 result bits zero, matching the unsigned hex read
+    val first8 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    first8 >>> 4
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHash60Expr =
+    copy(child = newChild)
+}
+
+object PortableHash60Expr {
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 object TextExpressions {
+  /** Native md5-derived 60-bit portable hash (see [[PortableHash60Expr]]). */
+  def portableHash60(c: Column): Column =
+    ColumnBridge.column(PortableHash60Expr(ColumnBridge.expr(c)))
+
   /** Native shingle array (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expr(text), n))
