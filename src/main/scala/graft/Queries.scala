@@ -746,6 +746,101 @@ object Queries {
       |  w2 AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
 
+  /** Ordered funnel analysis (beyond-reference event analytics): per user,
+    * the first 'view', the first 'click' at-or-after it, and the first
+    * 'purchase' at-or-after that — the classic product-funnel stages, with
+    * the ORDER constraint (a purchase before the click does not count).
+    *
+    * Lowered as three whole-partition conditional-min Windows over the SAME
+    * (user_id) partitioning — each stage's threshold feeds the next as a
+    * plain column, so the sequential dependency costs projections, not
+    * shuffles: ONE hash Exchange on user_id total, at any scale. */
+  def q_funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") >= col("t1"),
+          col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") >= col("t2"),
+          col("us"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(min(col("t1")).as("_t1"), min(col("t2")).as("_t2"),
+        min(col("t3")).as("_t3"))
+      .select(col("user_id"),
+        coalesce(col("_t1"), lit(-1L)).as("view_us"),
+        coalesce(col("_t2"), lit(-1L)).as("click_us"),
+        coalesce(col("_t3"), lit(-1L)).as("purchase_us"),
+        when(col("_t3").isNotNull, 3L).when(col("_t2").isNotNull, 2L)
+          .when(col("_t1").isNotNull, 1L).otherwise(0L).as("stage"))
+  }
+
+  private val q_funnel_sql =
+    """WITH e AS (SELECT user_id, event_type,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM e),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= t1 THEN us END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= t2 THEN us END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM w2)
+      |SELECT user_id, coalesce(t1, -1) AS view_us, coalesce(t2, -1) AS click_us,
+      |  coalesce(t3, -1) AS purchase_us,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM w3 GROUP BY user_id, t1, t2, t3""".stripMargin
+
+  /** Rolling z-score anomaly flag (beyond-reference event analytics): each
+    * event scored against the mean/std of the user's PREVIOUS five events'
+    * values (strictly-preceding frame — the baseline never sees the scored
+    * value). Emitted only where the baseline is full (5 rows), so the score
+    * is always over the same support.
+    *
+    * Determinism: the frame sums are exact DECIMAL (order-independent);
+    * mean/variance/z are then derived in double by the IDENTICAL operation
+    * sequence on both engines — bit-identical scores, no float-sum-order
+    * caveat. Pure window over one (user_id) shuffle; no extra pass. */
+  def q_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-5, -1)
+    val vDec = col("value").cast("decimal(18,2)")
+    val e = events(s, dir)
+      .withColumn("s1", sum(vDec).over(w).cast("double"))
+      .withColumn("s2", sum((vDec * vDec).cast("decimal(38,4)")).over(w).cast("double"))
+      .withColumn("n5", count(lit(1)).over(w))
+      .filter(col("n5") === 5)
+    val mean = col("s1") / lit(5.0)
+    val variance = greatest(col("s2") / lit(5.0) - mean * mean, lit(0.0))
+    val std = sqrt(variance)
+    e.select(col("event_id"), col("user_id"), col("value"), mean.as("base_mean"),
+        when(std > 0, (col("value") - mean) / std).otherwise(lit(0.0)).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+  }
+
+  private val q_anomaly_sql =
+    """WITH f AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |         AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2,
+      |    count(*) OVER w AS n5
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_id, user_id, value, s1 / 5.0 AS base_mean,
+      |    sqrt(greatest(s2 / 5.0 - (s1 / 5.0) * (s1 / 5.0), 0.0)) AS std
+      |  FROM f WHERE n5 = 5)
+      |SELECT event_id, user_id, value, base_mean,
+      |  CASE WHEN std > 0 THEN (value - base_mean) / std ELSE 0.0 END AS z,
+      |  CASE WHEN std > 0 THEN abs((value - base_mean) / std) > 2.0
+      |       ELSE false END AS is_anomaly
+      |FROM z""".stripMargin
+
   // =====================================================================
   // §2.6 interval join + window join
   // =====================================================================
@@ -3443,6 +3538,8 @@ object Queries {
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
     "q_asof_nearest" -> (q_asof_nearest _),
+    "q_funnel" -> (q_funnel _),
+    "q_anomaly" -> (q_anomaly _),
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
@@ -3576,6 +3673,8 @@ object Queries {
     "q_asof_join" -> q_asof_join_sql,
     "q_asof_forward" -> q_asof_forward_sql,
     "q_asof_nearest" -> q_asof_nearest_sql,
+    "q_funnel" -> q_funnel_sql,
+    "q_anomaly" -> q_anomaly_sql,
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,

@@ -89,7 +89,10 @@ class AnsiSpec extends AnyFunSuite {
       // DSIR scoring (aggregate over gram arrays), temperature mixture
       // (isqrt-derived budgets), and a streaming twin
       "q_window_tumbling", "q_interval_join", "q_dsir",
-      "q_temperature_mixture", "q_stream_session")
+      "q_temperature_mixture", "q_stream_session",
+      // round-7 late additions: nearest as-of, funnel staging, rolling
+      // z-score (decimal frame sums), streaming tumbling twin
+      "q_asof_nearest", "q_funnel", "q_anomaly", "q_stream_tumbling")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set

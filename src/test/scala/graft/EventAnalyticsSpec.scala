@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form semantics for the event-analytics queries: the ordered
+  * funnel's stage gating (later-stage events BEFORE the prior stage don't
+  * count) and the rolling z-score's strictly-preceding baseline; plus the
+  * one-Exchange plan shape both rely on for scale. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def funnelOf(rows: Seq[(Long, String, Long)]) = {
+    val s = spark; import s.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    rows.map { case (u, et, us) => (us, u, et, us, 0.0, "{}") }
+      .toDF("event_id", "user_id", "event_type", "_us", "value", "props")
+      .select(col("event_id"), to_timestamp(col("_us").cast("double") / 1e6).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Queries.q_funnel(spark, dir)
+      .select("user_id", "stage", "view_us", "click_us", "purchase_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+  }
+
+  test("funnel: order gating — purchase before the click does not count") {
+    val r = funnelOf(Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 1000000L), (1L, "click", 2000000L), (1L, "purchase", 3000000L),
+      // user 2: purchase BEFORE the first click → stage stops at 2
+      (2L, "view", 1000000L), (2L, "purchase", 1500000L), (2L, "click", 2000000L),
+      // user 3: click before any view → stage stops at 1
+      (3L, "click", 500000L), (3L, "view", 1000000L),
+      // user 4: no view at all → stage 0
+      (4L, "purchase", 1000000L)))
+    assert(r == Seq(
+      (1L, 3L, 1000000L, 2000000L, 3000000L),
+      (2L, 2L, 1000000L, 2000000L, -1L),
+      (3L, 1L, 1000000L, -1L, -1L),
+      (4L, 0L, -1L, -1L, -1L)))
+  }
+
+  test("funnel: equal-timestamp stage events count (at-or-after)") {
+    val r = funnelOf(Seq(
+      (7L, "view", 1000000L), (7L, "click", 1000000L), (7L, "purchase", 1000000L)))
+    assert(r == Seq((7L, 3L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("funnel plan: one Exchange feeds all three stage windows") {
+    val plan = Queries.q_funnel(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 user_id shuffle, got $exchanges:\n$plan")
+  }
+
+  test("anomaly: strictly-preceding 5-event baseline, full-support only") {
+    val out = Queries.q_anomaly(spark, "/root/testdata/sf0.001")
+    // every emitted row has a full baseline by construction; spot-check one
+    // user's first emission is their 6th event
+    val e = Queries.events(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").count().filter(col("count") >= 6)
+      .select("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .head(1).headOption
+    e.foreach { u =>
+      val nEvents = Queries.events(spark, "/root/testdata/sf0.001")
+        .filter(col("user_id") === u).count()
+      val nScored = out.filter(col("user_id") === u).count()
+      assert(nScored == nEvents - 5,
+        s"user $u: $nEvents events should yield ${nEvents - 5} scored rows, got $nScored")
+    }
+    // z is a real score: some rows flag, most don't
+    val n = out.count()
+    val flagged = out.filter(col("is_anomaly")).count()
+    assert(n > 0 && flagged < n)
+  }
+
+  test("anomaly plan: one Exchange, window frame only — no self-join") {
+    val plan = Queries.q_anomaly(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"anomaly must not self-join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 user_id shuffle, got $exchanges:\n$plan")
+  }
+}
