@@ -98,13 +98,40 @@ object Dedup {
     // shuffle costs ~0.4 s against a shingle+fused-minhash pass that the
     // single scan task already finishes faster; contrast charLmScore /
     // FuzzyJoin where the per-row construction dominates and fanOut pays
+    val consts = (0 until numHashes).map(i =>
+      if (portable) portablePermConsts(i) else defaultPermConsts(i))
+    // production+fused: the per-ROW native signature (plans.MinHashRowExpr,
+    // the streaming formulation) — ONE narrow pass, no explode, no hash
+    // aggregate, ZERO shuffle for signature generation (the explode+agg
+    // shape below still shuffles one signature row per doc for the
+    // groupBy). Bit-identical: same shingling, same xxhash64(seed 42),
+    // same wrapping h*a+b mins (StreamingSpec + NearDupSpec pin it; the
+    // <n-words null filter reproduces the no-shingles-no-group behavior).
+    // Measured sf0.1: q_dedup_verified 2.98→2.21 s, q_dedup_incremental
+    // 2.05→1.53 s, q_dedup_minhash ~parity (min-of-5). Portable mode keeps
+    // explode+agg — its modular arithmetic is what the DuckDB oracle
+    // replays row for row.
+    if (!portable && fused) {
+      val (as, bs) = consts.unzip
+      // no fanOut, re-measured for this shape (the Scale.fanOut doctrine:
+      // re-measure after any hot-path expression change): sf0.1 min-of-5,
+      // q_dedup_minhash 0.98 without vs 0.93 with, but q_dedup_incremental
+      // 1.53 without vs 2.08 with — each increment pays the rebalance
+      // shuffle and the native per-row pass is too cheap to amortize it.
+      // At real scale the scan width comes from maxPartitionBytes splits,
+      // not this local-small-file artifact.
+      return df.select(col(idCol).as("doc_id"),
+          graft.plans.TextExpressions
+            .minhashRow(col(textCol), shingleSize, as, bs).as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id") +:
+          (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
+    }
     val sh0 = df.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), shingleSize)).as("shingle"))
     val sh =
       if (portable) sh0.withColumn("h", portableHash60(col("shingle")) % PortableP)
       else sh0.withColumn("h", xxhash64(col("shingle")))
-    val consts = (0 until numHashes).map(i =>
-      if (portable) portablePermConsts(i) else defaultPermConsts(i))
     if (fused) {
       val (as, bs) = consts.unzip
       sh.groupBy(col("doc_id"))
