@@ -841,6 +841,50 @@ object Queries {
       |       ELSE false END AS is_anomaly
       |FROM z""".stripMargin
 
+  /** Cohort retention (beyond-reference event analytics): users cohorted by
+    * their signup; for each day offset, how many distinct cohort users were
+    * active (any event at-or-after signup) and what fraction of the cohort
+    * that is — the product-analytics retention curve.
+    *
+    * Shape: signup time via one whole-partition window on user_id (one
+    * Exchange), then (user, day_offset) distinct + an offset groupBy — both
+    * aggregate on keys whose cardinality is users × tracked days, far below
+    * the event count; the cohort size rides in as a broadcast scalar. */
+  def q_retention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t0",
+        min(when(col("event_type") === "signup", col("us"))).over(w))
+      .filter(col("t0").isNotNull && col("us") >= col("t0"))
+    val active = e.select(col("user_id"),
+        floor((col("us") - col("t0")) / lit(86400000000L)).as("day_offset"))
+      .distinct()
+    val cohort = active.filter(col("day_offset") === 0)
+      .agg(count(lit(1)).as("cohort_n"))
+    active.groupBy(col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .crossJoin(broadcast(cohort))
+      .select(col("day_offset"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_n")).as("retention"))
+  }
+
+  private val q_retention_sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |w AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+      |        OVER (PARTITION BY user_id) AS t0 FROM e),
+      |active AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor((us - t0) / 86400000000) AS BIGINT) AS day_offset
+      |  FROM w WHERE t0 IS NOT NULL AND us >= t0),
+      |cohort AS (SELECT count(*) AS cohort_n FROM active WHERE day_offset = 0)
+      |SELECT day_offset, count(*) AS n_active,
+      |  CAST(count(*) AS DOUBLE) / cohort_n AS retention
+      |FROM active CROSS JOIN cohort
+      |GROUP BY day_offset, cohort_n""".stripMargin
+
   // =====================================================================
   // §2.6 interval join + window join
   // =====================================================================
@@ -3540,6 +3584,7 @@ object Queries {
     "q_asof_nearest" -> (q_asof_nearest _),
     "q_funnel" -> (q_funnel _),
     "q_anomaly" -> (q_anomaly _),
+    "q_retention" -> (q_retention _),
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
@@ -3675,6 +3720,7 @@ object Queries {
     "q_asof_nearest" -> q_asof_nearest_sql,
     "q_funnel" -> q_funnel_sql,
     "q_anomaly" -> q_anomaly_sql,
+    "q_retention" -> q_retention_sql,
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,

@@ -92,7 +92,8 @@ class AnsiSpec extends AnyFunSuite {
       "q_temperature_mixture", "q_stream_session",
       // round-7 late additions: nearest as-of, funnel staging, rolling
       // z-score (decimal frame sums), streaming tumbling twin
-      "q_asof_nearest", "q_funnel", "q_anomaly", "q_stream_tumbling")
+      "q_asof_nearest", "q_funnel", "q_anomaly", "q_retention",
+      "q_stream_tumbling")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set

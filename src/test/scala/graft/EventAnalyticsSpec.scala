@@ -61,6 +61,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id shuffle, got $exchanges:\n$plan")
   }
 
+  private def retentionOf(rows: Seq[(Long, String, Long)]) = {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    rows.zipWithIndex.map { case ((u, et, us), i) =>
+      (i.toLong, u, et, us, 0.0, "{}") }
+      .toDF("event_id", "user_id", "event_type", "_us", "value", "props")
+      .select(col("event_id"), to_timestamp(col("_us").cast("double") / 1e6).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Queries.q_retention(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("retention: pre-signup activity excluded, distinct users per offset") {
+    val day = 86400000000L
+    val r = retentionOf(Seq(
+      // user 1 signs up at day 0, active days 0 and 1 (two events on day 1
+      // count once)
+      (1L, "signup", 0L), (1L, "click", day + 1), (1L, "view", day + 2),
+      // user 2 signs up day 0, has a PRE-signup event (excluded), active day 0
+      (2L, "click", -day), (2L, "signup", 0L),
+      // user 3 never signs up → not in the cohort at all
+      (3L, "click", 0L)))
+    // cohort = 2 (users 1, 2 at offset 0 — signup itself is activity)
+    assert(r == Seq((0L, 2L, 1.0), (1L, 1L, 0.5)))
+  }
+
   test("anomaly: strictly-preceding 5-event baseline, full-support only") {
     val out = Queries.q_anomaly(spark, "/root/testdata/sf0.001")
     // every emitted row has a full baseline by construction; spot-check one
