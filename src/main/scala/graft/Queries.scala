@@ -922,17 +922,18 @@ object Queries {
     * real streaming operators synchronously and hand back their final result.
     */
   private def runStream(s: SparkSession,
-      build: DataFrame => DataFrame, mode: String, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
+      build: DataFrame => DataFrame, mode: String, dir: String,
+      table: String = "events"): DataFrame = {
+    val path = s"$dir/$table.parquet"
     val raw = s.read.parquet(path)
     // the file streaming source requires a DIRECTORY base path; the driver's
     // table is a single file, so expose it through a symlinked temp dir
     // (zero data copy — production points the stream at a real directory)
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val src = normalizeTs(
-      s.readStream.schema(raw.schema).parquet(streamDir.toString))
+      streamDir.resolve(s"$table.parquet"), java.nio.file.Paths.get(path))
+    val src0 = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+    val src = if (table == "events") normalizeTs(src0) else src0
     val name = "graft_s" + java.util.UUID.randomUUID().toString.replace("-", "")
     // state-store partition count: each streaming state partition pays a
     // fixed open/commit/snapshot cost PER MICROBATCH, so a bounded one-batch
@@ -1012,6 +1013,27 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("ws")).as("w_start"), col("event_type"), col("n")),
       "complete", dir)
+
+  /** Streaming twin of the reference's flagship wordcount (README.md:62-96)
+    * — explode+count over an unbounded document stream through the streaming
+    * aggregation path; complete mode's final state equals the batch counts
+    * (oracle shared with q_wordcount_file / q_flat_map). */
+  def q_stream_wordcount(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n")),
+      "complete", dir, table = "documents")
+
+  /** Streaming twin of q_dedup_exact — content-digest dedup as a streaming
+    * aggregation (min-id representative + copy count per digest is
+    * arrival-order independent, unlike dropDuplicates' keep-first); complete
+    * mode's final state equals the batch result under the shared oracle. */
+  def q_stream_dedup(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      "complete", dir, table = "documents")
 
   /** window_join (src/operator/window/aggr/join.rs:79-99): per-(user, day
     * window) cartesian of clicks × purchases — equi-join on (key, window). */
@@ -3579,6 +3601,8 @@ object Queries {
     "q_stream_interval_join" -> (q_stream_interval_join _),
     "q_stream_tumbling" -> (q_stream_tumbling _),
     "q_stream_sliding" -> (q_stream_sliding _),
+    "q_stream_wordcount" -> (q_stream_wordcount _),
+    "q_stream_dedup" -> (q_stream_dedup _),
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
     "q_asof_nearest" -> (q_asof_nearest _),
@@ -3714,6 +3738,8 @@ object Queries {
     "q_stream_interval_join" -> q_interval_join_sql,
     "q_stream_tumbling" -> q_window_tumbling_sql,
     "q_stream_sliding" -> q_window_sliding_sql,
+    "q_stream_wordcount" -> q_wordcount_file_sql,
+    "q_stream_dedup" -> q_dedup_exact_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
     "q_asof_forward" -> q_asof_forward_sql,
