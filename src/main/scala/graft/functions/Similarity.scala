@@ -66,9 +66,11 @@ object Similarity {
     * score 0 (not NaN). Ranks with id tie-break like [[bruteForceTopK]]. */
   def int8TopK(df: DataFrame, idCol: String, vecCol: String,
       maxQueryId: Long, k: Int, roundTo: Int = 6): DataFrame = {
+    // fused integer dot (plans.IntDotProduct): identical values to the
+    // composed aggregate(zip_with(cast,cast)) fold the oracle replays —
+    // exact integer math, codegen'd once per candidate pair
     val iDot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, v) => acc + v)
+      graft.plans.VectorExpressions.intDotNative(a, b)
     val v = quantizeInt8(df, idCol, vecCol)
       .select(col(idCol).as("id"), col("codes"),
         iDot(col("codes"), col("codes")).as("n2"))

@@ -154,6 +154,94 @@ case class ArrayMatchCount(left: Expression, right: Expression)
       newRight: Expression): ArrayMatchCount = copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two integral arrays, accumulated in a wrapping
+  * long — the int8/PQ ANN scoring kernel (sim numerators and norms computed
+  * entirely from quantized codes). Semantics match the composed
+  * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS BIGINT)*CAST(y AS BIGINT)),
+  * 0L, +)` exactly: length mismatch → NULL (zip_with null-pads, null poisons
+  * the sum), a null element → NULL, accumulation in ascending index order
+  * (exact integer math — order-independent anyway). At query time this runs
+  * once per (query, candidate) pair over the whole corpus; the fused loop
+  * replaces an interpreted higher-order fold per pair (VectorExprSpec pins
+  * equality). */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def ok(dt: DataType) = dt match {
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) |
+         ArrayType(org.apache.spark.sql.types.ShortType, _) |
+         ArrayType(org.apache.spark.sql.types.IntegerType, _) |
+         ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_dot needs integral-array inputs, got ${left.dataType} / ${right.dataType}")
+
+  private def getter(e: Expression): (ArrayData, Int) => Long = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) => (a, i) => a.getByte(i).toLong
+    case ArrayType(org.apache.spark.sql.types.ShortType, _) => (a, i) => a.getShort(i).toLong
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => (a, i) => a.getInt(i).toLong
+    case _ => (a, i) => a.getLong(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val ga = getter(left); val gb = getter(right)
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += ga(a, i) * gb(b, i)
+      i += 1
+    }
+    acc
+  }
+
+  private def genGet(e: Expression): String = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) => "getByte"
+    case ArrayType(org.apache.spark.sql.types.ShortType, _) => "getShort"
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => "getInt"
+    case _ => "getLong"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = genGet(left)
+    val bGet = genGet(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((long) $a.$aGet($i)) * ((long) $b.$bGet($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDotProduct = copy(left = newLeft, right = newRight)
+}
+
 /** Fused random-hyperplane LSH bucket: all `bits` plane votes in ONE pass
   * over the vector, with the ±1 plane matrix baked in driver-side.
   *
@@ -265,4 +353,8 @@ object VectorExpressions {
   /** Position-wise match count of two long arrays (see [[ArrayMatchCount]]). */
   def matchCountNative(a: Column, b: Column): Column =
     column(ArrayMatchCount(expr(a), expr(b)))
+
+  /** Fused integer dot product over integral arrays (see [[IntDotProduct]]). */
+  def intDotNative(a: Column, b: Column): Column =
+    column(IntDotProduct(expr(a), expr(b)))
 }

@@ -155,6 +155,39 @@ class VectorExprSpec extends AnyFunSuite {
     assert(tNative <= tComposed * 1.5, "native path should not be slower")
   }
 
+  test("native int dot equals composed fold on int8 codes; null/ragged edges") {
+    val s = spark; import s.implicits._
+    val codes = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val composed = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val diff = codes.select(
+        composed(col("codes"), col("codes")).as("c"),
+        VectorExpressions.intDotNative(col("codes"), col("codes")).as("n"))
+      .filter(not(col("c") <=> col("n"))).count()
+    assert(diff == 0)
+    // ragged arrays → NULL in both paths; empty arrays → 0
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY
+    val edge = Seq((Seq[Byte](1, 2), Seq[Byte](3)),
+        (Seq[Byte](), Seq[Byte]())).toDF("a", "b")
+      .select(composed(col("a"), col("b")).as("c"),
+        VectorExpressions.intDotNative(col("a"), col("b")).as("n"))
+      .collect()
+    assert(edge(0).isNullAt(0) && edge(0).isNullAt(1))
+    assert(edge(1).getLong(0) == 0L && edge(1).getLong(1) == 0L)
+    // codegen and interpreted paths agree
+    val row = codes.select(col("codes")).head()
+    val arr = row.getSeq[Byte](0)
+    val expected = arr.map(x => x.toLong * x.toLong).sum
+    val viaEval = graft.plans.IntDotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(arr,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(arr,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType)))
+      .eval(null)
+    assert(viaEval == expected)
+  }
+
   test("quantizeInt8: hand-computed codes, zero vector, dequant error ≤ scale/2") {
     import spark.implicits._
     // maxabs = 1.0 → scale = 1/127; codes: 1.0→127, -0.5→round(-63.5)=-64
