@@ -41,6 +41,18 @@ object Similarity {
     * round-half-away) is reproduced verbatim by the SQL oracle, so codes
     * are bit-checkable. Returns (idCol, scale, codes array<byte>). */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // fused single-pass native expression (plans.QuantizeInt8Expr) — the
+    // composed form below is the readable specification; VectorExprSpec
+    // pins them value-identical on corpus + edges
+    df.select(col(idCol).cast("long").as(idCol),
+        graft.plans.VectorExpressions.quantizeInt8Native(col(vecCol)).as("_q"))
+      .select(col(idCol), col("_q").getField("scale").as("scale"),
+        col("_q").getField("codes").as("codes"))
+
+  /** The composed-builtin formulation of [[quantizeInt8]] — kept as the
+    * readable specification of the arithmetic (each step is what the SQL
+    * oracle replays; the native expression is pinned equal to it). */
+  def quantizeInt8Composed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).cast("long").as(idCol),
         transform(col(vecCol), x => x.cast("double")).as("_v"))
       .withColumn("scale",

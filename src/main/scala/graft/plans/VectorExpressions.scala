@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -242,6 +243,92 @@ case class IntDotProduct(left: Expression, right: Expression)
       newRight: Expression): IntDotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** Fused int8 symmetric quantization: per-vector scale = max|x|/127 and the
+  * rounded codes in ONE pass — struct(scale, codes). Value-identical to the
+  * composed three-transform formulation in
+  * [[graft.functions.Similarity.quantizeInt8Composed]] (float→double widen,
+  * abs-max ignoring nulls, `round(x/scale, 0)` = BigDecimal HALF_UP —
+  * Spark's Round on doubles — then the double→byte cast), including the
+  * edges: empty vector → (null scale, empty codes), null element → null
+  * code, all-null or null scale → all-null codes, scale 0 → zero codes.
+  * VectorExprSpec pins the equality on the corpus plus crafted .5-tie and
+  * null/empty cases, and the DuckDB oracle replays the arithmetic.
+  *
+  * Why an Expression: the composed form walks three interpreted
+  * higher-order transforms per vector (cast, abs, round/divide) — the
+  * dominant cost of the corpus-sized compression pass that precedes every
+  * int8 read path. */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("codes",
+      ArrayType(org.apache.spark.sql.types.ByteType, containsNull = true),
+      nullable = true)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_int8 needs array<float|double>, got $dt")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val isF = elemIsFloat
+    // pass 1: abs-max over non-null elements (array_max semantics)
+    var maxAbs = Double.NaN
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        val ax = math.abs(x)
+        // array_max uses greatest-so-far with NaN > everything (Spark's
+        // ordering); replicate via java.lang.Double.compare
+        if (!seen || java.lang.Double.compare(ax, maxAbs) > 0) maxAbs = ax
+        seen = true
+      }
+      i += 1
+    }
+    val scale: Any = if (!seen) null else maxAbs / 127.0
+    val codes = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      codes(i) =
+        if (scale == null) null
+        else if (scale.asInstanceOf[Double] == 0.0) 0.toByte
+        else if (a.isNullAt(i)) null
+        else {
+          val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+          val q = x / scale.asInstanceOf[Double]
+          // Spark Round(double, 0): BigDecimal HALF_UP (half away from
+          // zero), then the relaxed double→byte cast truncates toward zero
+          val r =
+            if (java.lang.Double.isNaN(q) || java.lang.Double.isInfinite(q)) q
+            else java.math.BigDecimal.valueOf(q)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+          r.toByte
+        }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, new GenericArrayData(codes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
 /** Fused random-hyperplane LSH bucket: all `bits` plane votes in ONE pass
   * over the vector, with the ±1 plane matrix baked in driver-side.
   *
@@ -357,4 +444,8 @@ object VectorExpressions {
   /** Fused integer dot product over integral arrays (see [[IntDotProduct]]). */
   def intDotNative(a: Column, b: Column): Column =
     column(IntDotProduct(expr(a), expr(b)))
+
+  /** Fused int8 quantization → struct(scale, codes) (see [[QuantizeInt8Expr]]). */
+  def quantizeInt8Native(vec: Column): Column =
+    column(QuantizeInt8Expr(expr(vec)))
 }

@@ -188,6 +188,36 @@ class VectorExprSpec extends AnyFunSuite {
     assert(viaEval == expected)
   }
 
+  test("native quantizeInt8 equals the composed form on corpus + edges") {
+    val s = spark; import s.implicits._
+    // corpus, float input
+    val a = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val b = Similarity.quantizeInt8Composed(emb, "vec_id", "embedding")
+    val joined = a.alias("a").join(b.alias("b"), "vec_id")
+      .filter(not(col("a.scale") <=> col("b.scale")) ||
+              not(col("a.codes") <=> col("b.codes")))
+    assert(joined.count() == 0)
+    // edges: exact .5 rounding ties (positive and negative), zero vector,
+    // empty vector, null element, null vector
+    val edge = Seq(
+      (1L, Option(Seq(Option(2.5), Option(-2.5), Option(127.0)))),
+      (2L, Option(Seq(Option(0.0), Option(0.0)))),
+      (3L, Option(Seq.empty[Option[Double]])),
+      (4L, Option(Seq(Option(1.0), None, Option(-127.0)))),
+      (5L, None)
+    ).toDF("vec_id", "v")
+    val an = Similarity.quantizeInt8(edge, "vec_id", "v")
+    val bc = Similarity.quantizeInt8Composed(edge, "vec_id", "v")
+    val badEdge = an.alias("a").join(bc.alias("b"), "vec_id")
+      .filter(not(col("a.scale") <=> col("b.scale")) ||
+              not(col("a.codes") <=> col("b.codes"))).count()
+    assert(badEdge == 0)
+    // tie semantics: 2.5/1.0 rounds HALF_UP away from zero → 3 / -3
+    val ties = an.filter(col("vec_id") === 1L)
+      .select(col("codes")).head().getSeq[Byte](0)
+    assert(ties == Seq[Byte](3, -3, 127))
+  }
+
   test("quantizeInt8: hand-computed codes, zero vector, dequant error ≤ scale/2") {
     import spark.implicits._
     // maxabs = 1.0 → scale = 1/127; codes: 1.0→127, -0.5→round(-63.5)=-64
