@@ -80,6 +80,47 @@ object Streaming {
           out.iterator
       }
 
+  /** Per-user funnel progress ((t1, t2, t3, stage) after every update) —
+    * the streaming twin of the batch ordered funnel (Queries.q_funnel):
+    * first `stages(0)`, then the first `stages(1)` at-or-after it, then the
+    * first `stages(2)` at-or-after that.
+    *
+    * State is O(1) per user (the three stage timestamps + an event count);
+    * the sequential gating is replayed by folding each micro-batch's events
+    * in timestamp order. Contract: per-user event-time order across
+    * micro-batches (the log-ingestion case) — a retroactively EARLIER
+    * stage-1 event would need the full event history to re-derive later
+    * stages, which is exactly the batch query's job. `n_events` in the
+    * output makes the latest row per user identifiable in an update sink.
+    *
+    * Input tuples: (user, event_type, ts). Output: (user, n_events, t1,
+    * t2, t3, stage) with -1 sentinels. */
+  def funnelStream(ds: Dataset[(Long, String, Long)],
+      stages: (String, String, String)): Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val eState: Encoder[(Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long)]
+    implicit val eOut: Encoder[(Long, Long, Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long, Long, Long)]
+    implicit val eKey: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (n, t1, t2, t3) = state.getOption.getOrElse((0L, -1L, -1L, -1L))
+          rows.toSeq.sortBy(_._3).foreach { case (_, et, us) =>
+            n += 1
+            if (t1 < 0 && et == stages._1) t1 = us
+            else if (t1 >= 0 && t2 < 0 && et == stages._2 && us >= t1) t2 = us
+            else if (t2 >= 0 && t3 < 0 && et == stages._3 && us >= t2) t3 = us
+          }
+          state.update((n, t1, t2, t3))
+          val stage = if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L
+          (user, n, t1, t2, t3, stage)
+      }
+  }
+
   /** Streaming ProcessingTimeWindow.tumbling per key (reference:
     * descr/processing_time.rs:92-107): elements buffer in keyed state; a
     * wall-clock timeout of `sizeMs`, armed when the window opens (first

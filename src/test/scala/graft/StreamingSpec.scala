@@ -668,6 +668,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: O(1) state tracks the batch staging across batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val staged = Streaming.funnelStream(in.toDS.map(identity(_)),
+      ("view", "click", "purchase"))
+    val q = staged.writeStream.outputMode("update")
+      .format("memory").queryName("funnel").start()
+    try {
+      // batch 1: user 1 views; user 2's purchase PRECEDES any click
+      in.addData((1L, "view", 10L), (2L, "view", 10L), (2L, "purchase", 15L))
+      q.processAllAvailable()
+      // batch 2: user 1 completes in order; user 2 clicks (purchase already
+      // burned — stage stays 2); out-of-order WITHIN the batch is sorted
+      in.addData((1L, "purchase", 30L), (1L, "click", 20L), (2L, "click", 20L))
+      q.processAllAvailable()
+      val last = spark.table("funnel")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 10L, 20L, 30L, 3L)))
+      assert(last(2L) == ((2L, 3L, 10L, 20L, -1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming as-of join: keepRights=1 is latest-state enrichment") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
