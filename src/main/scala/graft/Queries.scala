@@ -1035,6 +1035,24 @@ object Queries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
       "complete", dir, table = "documents")
 
+  /** Streaming twin of q_funnel — the ordered staging through the
+    * mapGroupsWithState O(1)-state machine (streaming.Streaming.funnelStream).
+    * A bounded AvailableNow run is ONE micro-batch, and the state machine
+    * sorts each user's batch slice by timestamp, so the result equals the
+    * batch windows exactly (shared oracle); the incremental multi-batch
+    * behavior is pinned separately in StreamingSpec. */
+  def q_stream_funnel(s: SparkSession, dir: String): DataFrame =
+    runStream(s, { src =>
+      import org.apache.spark.sql.Encoders
+      val typed = src.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, String, Long)](Encoders.product[(Long, String, Long)])
+      graft.streaming.Streaming
+        .funnelStream(typed, ("view", "click", "purchase"))
+        .toDF("user_id", "n_events", "view_us", "click_us", "purchase_us", "stage")
+        .drop("n_events")
+    }, "update", dir)
+
   /** window_join (src/operator/window/aggr/join.rs:79-99): per-(user, day
     * window) cartesian of clicks × purchases — equi-join on (key, window). */
   def q_window_join(s: SparkSession, dir: String): DataFrame = {
@@ -3603,6 +3621,7 @@ object Queries {
     "q_stream_sliding" -> (q_stream_sliding _),
     "q_stream_wordcount" -> (q_stream_wordcount _),
     "q_stream_dedup" -> (q_stream_dedup _),
+    "q_stream_funnel" -> (q_stream_funnel _),
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
     "q_asof_nearest" -> (q_asof_nearest _),
@@ -3740,6 +3759,7 @@ object Queries {
     "q_stream_sliding" -> q_window_sliding_sql,
     "q_stream_wordcount" -> q_wordcount_file_sql,
     "q_stream_dedup" -> q_dedup_exact_sql,
+    "q_stream_funnel" -> q_funnel_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
     "q_asof_forward" -> q_asof_forward_sql,
