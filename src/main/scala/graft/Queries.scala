@@ -210,6 +210,33 @@ object Queries {
       |FROM orders WHERE o_orderkey % 50 = 0
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin
 
+  /** Per-group mode (most frequent value, additive §2.5): the most common
+    * ship mode per return flag, tie-broken deterministically (higher count
+    * first, then lexicographic value) — `mode()` built-ins are
+    * tie-nondeterministic, so this lowers to count + one row_number window
+    * over the (flag, mode) COUNTS (group-cardinality rows, not corpus rows:
+    * the window input is already aggregated, so the second Exchange moves
+    * a few dozen rows at any corpus size). */
+  def q_group_mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = tbl(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+  }
+
+  private val q_group_mode_sql =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |WHERE rn = 1""".stripMargin
+
   /** group_by_count (src/operator/mod.rs:1594). */
   def q_group_count(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders").groupBy(col("o_orderpriority"))
@@ -3583,6 +3610,7 @@ object Queries {
     "q_group_count" -> (q_group_count _),
     "q_group_avg" -> (q_group_avg _),
     "q_group_minmax" -> (q_group_minmax _),
+    "q_group_mode" -> (q_group_mode _),
     "q_max_element" -> (q_max_element _),
     "q_fold_global" -> (q_fold_global _),
     "q_reduce_max" -> (q_reduce_max _),
@@ -3721,6 +3749,7 @@ object Queries {
     "q_group_count" -> q_group_count_sql,
     "q_group_avg" -> q_group_avg_sql,
     "q_group_minmax" -> q_group_minmax_sql,
+    "q_group_mode" -> q_group_mode_sql,
     "q_max_element" -> q_max_element_sql,
     "q_fold_global" -> q_fold_global_sql,
     "q_reduce_max" -> q_reduce_max_sql,
