@@ -404,6 +404,39 @@ object Dedup {
     }
   }
 
+  /** Per-pair exact-jaccard verification (plans.NgramJaccard): attach the
+    * two texts with ONE join each and evaluate the distinct-n-gram Jaccard
+    * natively per candidate pair — versus [[verifyCandidates]]' set-join
+    * shape (~6 shuffle stages), this is the right verify when candidates
+    * per doc are few (the LSH regime: measured 1.13 → 0.51 s on the sf0.1
+    * verify stage). A doc in k pairs re-builds its gram set k times and its
+    * text rides the shuffle per pair, so hub-heavy candidate sets should
+    * keep the set-join path — both produce bit-identical jaccard values
+    * (NearDupSpec pins it). Same cache discipline: the pair-sized output
+    * returns materialized persisted; this call's candidate persist is
+    * released. */
+  def verifyCandidatesDirect(df: DataFrame, cands0: DataFrame, idCol: String,
+      textCol: String, n: Int, minJaccard: Double): DataFrame = {
+    val callerPersisted =
+      cands0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cands = if (callerPersisted) cands0 else cands0.persist()
+    val texts = df.select(col(idCol), col(textCol))
+    try {
+      val out = cands.select(col("a_id"), col("b_id"))
+        .join(texts.select(col(idCol).as("a_id"), col(textCol).as("__a_text")), "a_id")
+        .join(texts.select(col(idCol).as("b_id"), col(textCol).as("__b_text")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          graft.plans.TextExpressions
+            .ngramJaccard(col("__a_text"), col("__b_text"), n).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+        .persist()
+      out.count()
+      out
+    } finally {
+      if (!callerPersisted) cands.unpersist()
+    }
+  }
+
   /** LSH candidates → exact-jaccard verify: the end-to-end near-dup
     * pipeline. Output = pairs with true n-gram jaccard ≥ `minJaccard` that
     * LSH surfaced (at 64 hashes / 16 bands a jaccard-0.8 pair is missed with
@@ -422,10 +455,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(sig,
       minEstSim = math.max(0.0, minJaccard - 0.25))
-    // verifyCandidates returns its (small, pair-sized) output materialized
-    // persisted and releases the candidate cache itself; only the signature
-    // cache remains to drop here
-    val out = verifyCandidates(df, cands, idCol, textCol, verifyNgram, minJaccard)
+    // per-pair verify (the LSH regime: few candidates per doc — see
+    // verifyCandidatesDirect); returns materialized persisted and releases
+    // the candidate cache itself; only the signature cache remains to drop
+    val out = verifyCandidatesDirect(df, cands, idCol, textCol, verifyNgram,
+      minJaccard)
     sig.unpersist()
     out
   }

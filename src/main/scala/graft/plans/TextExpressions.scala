@@ -441,10 +441,83 @@ object PortableHash60Expr {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** Exact word-n-gram Jaccard of two documents in one pass: distinct n-gram
+  * sets built from contiguous byte ranges (the [[WordShingles]] shingling,
+  * single-space split with empty words kept), |A∩B| / |A∪B| as a double —
+  * 0.0 when both sets are empty (the no-grams-scores-zero contract of the
+  * join-based verify), NULL text → NULL.
+  *
+  * Why an Expression: candidate-bound near-dup verification computes this
+  * once per LSH candidate pair. The set-join formulation (explode distinct
+  * grams → compound-key intersection join → three size joins) builds each
+  * doc's gram set once but costs ~6 shuffle stages; per-pair evaluation
+  * needs ONE join to attach the two texts. Trade-off: a doc appearing in k
+  * candidate pairs re-builds its gram set k times and its text rides the
+  * shuffle per pair — right when candidates per doc are few (the LSH
+  * regime), wrong for hub-heavy pair sets; both paths stay available and
+  * NearDupSpec pins them bit-equal. */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ngram_jaccard needs string inputs, got ${left.dataType} / ${right.dataType}")
+
+  private def gramSet(u: UTF8String): java.util.HashSet[UTF8String] = {
+    val bytes = u.getBytes
+    val out = new java.util.HashSet[UTF8String]()
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    if (nWords < n) return out
+    val starts = new Array[Int](nWords + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1
+    var s = 0
+    while (s <= nWords - n) {
+      val from = starts(s)
+      val until = starts(s + n) - 1
+      out.add(UTF8String.fromBytes(bytes, from, until - from))
+      s += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = gramSet(l.asInstanceOf[UTF8String])
+    val b = gramSet(r.asInstanceOf[UTF8String])
+    var inter = 0L
+    val it = b.iterator()
+    while (it.hasNext) if (a.contains(it.next())) inter += 1
+    val union = a.size.toLong + b.size.toLong - inter
+    if (union == 0L) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NgramJaccard = copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** Native md5-derived 60-bit portable hash (see [[PortableHash60Expr]]). */
   def portableHash60(c: Column): Column =
     ColumnBridge.column(PortableHash60Expr(ColumnBridge.expr(c)))
+
+  /** Exact word-n-gram Jaccard per pair (see [[NgramJaccard]]). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    ColumnBridge.column(NgramJaccard(ColumnBridge.expr(a), ColumnBridge.expr(b), n))
 
   /** Native shingle array (see [[WordShingles]]). */
   def wordShingles(text: Column, n: Int): Column =

@@ -33,6 +33,30 @@ class NearDupSpec extends AnyFunSuite {
       s"missed pairs: ${truth -- cand}")
   }
 
+  test("per-pair native verify is bit-identical to the set-join verify") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text").persist()
+    val cands = Dedup.minhashCandidates(sig, minEstSim = 0.3).persist()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      val joinBased = Dedup.verifyCandidates(docs, cands, "doc_id", "text", 3, 0.5)
+      val direct = Dedup.verifyCandidatesDirect(docs, cands, "doc_id", "text", 3, 0.5)
+      val a = rows(joinBased); val b = rows(direct)
+      joinBased.unpersist(); direct.unpersist()
+      assert(a.nonEmpty && a == b)
+      // degenerate texts: empty and sub-n docs score an explicit 0 in both
+      val s = spark; import s.implicits._
+      val deg = Seq((1L, ""), (2L, "one two"), (3L, "one two three four"))
+        .toDF("doc_id", "text")
+      val degCands = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+      val dj = rows(Dedup.verifyCandidates(deg, degCands, "doc_id", "text", 3, 0.0))
+      val dd = rows(Dedup.verifyCandidatesDirect(deg, degCands, "doc_id", "text", 3, 0.0))
+      assert(dj == dd && dj.map(x => (x._1, x._2, java.lang.Double.longBitsToDouble(x._3)))
+        == Set((1L, 2L, 0.0), (2L, 3L, 0.0)))
+    } finally { cands.unpersist(); sig.unpersist() }
+  }
+
   test("portable hash modes: same recall and same bands behavior as the defaults") {
     // the portable (md5-derived, oracle-recomputable) hash mode is a hash
     // SWAP, not an algorithm change: it must find every planted dup the
