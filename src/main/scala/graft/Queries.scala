@@ -2265,13 +2265,12 @@ object Queries {
       |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
       |       UNNEST(range(1, len(w))) AS t(i)),
       |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
-      |sk AS (SELECT r,
-      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 15))::BIGINT % 2048 AS b,
-      |    count(*) AS cnt
-      |  FROM g, rr GROUP BY 1, 2),
-      |probes AS (SELECT d.gram, rr.r,
-      |    ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || d.gram), 1, 15))::BIGINT % 2048 AS b
-      |  FROM (SELECT DISTINCT gram FROM g) d CROSS JOIN rr),
+      |h AS (SELECT gram,
+      |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM g),
+      |sk AS (SELECT r, (hv >> (15 * r)) % 2048 AS b, count(*) AS cnt
+      |  FROM h, rr GROUP BY 1, 2),
+      |probes AS (SELECT d.gram, rr.r, (d.hv >> (15 * rr.r)) % 2048 AS b
+      |  FROM (SELECT DISTINCT gram, hv FROM h) d CROSS JOIN rr),
       |est AS (SELECT p.gram, min(coalesce(sk.cnt, 0)) AS est
       |  FROM probes p LEFT JOIN sk ON sk.r = p.r AND sk.b = p.b
       |  GROUP BY 1)

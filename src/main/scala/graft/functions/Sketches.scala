@@ -178,22 +178,36 @@ object Sketches {
   // Count-min frequency sketch
   // =====================================================================
 
-  /** Bucket of item `c` in sketch row `r`: hash of "r:item" mod width —
-    * depth independent hash functions from one base hash, identical
-    * literals on the oracle side. */
+  /** Bucket of a base item hash `h` in sketch row `r`: row r reads the
+    * disjoint 15-bit slice [15r, 15r+15) of the hash, mod width — depth
+    * derived hash functions from ONE hash evaluation per item
+    * (Kirsch–Mitzenmacher-style; disjoint slices of a cryptographic/avalanche
+    * hash are independent). The previous per-row "r:item" rehash cost depth
+    * md5/xxhash calls per item per pass — the dominant cost of the portable
+    * sketch (q_heavy_hitters_portable 2.06→1.2 s at sf0.1). Identical
+    * arithmetic on the oracle side (`(hv >> (15*r)) % width`). */
+  def cmsBucketOf(h: Column, r: Int, width: Int): Column = {
+    require(r >= 0 && r < 4 && width >= 2 && width <= (1 << 15),
+      s"bit-slice CMS supports depth <= 4 and width <= 32768, got row $r width $width")
+    pmod(shiftright(h, 15 * r), lit(width.toLong))
+  }
+
+  /** Bucket of item `c` in row `r` — hashes `c` itself; prefer building on
+    * a shared [[itemHash]] column ([[cmsBucketOf]]) in multi-row plans. */
   def cmsBucket(c: Column, r: Int, width: Int, portable: Boolean): Column =
-    pmod(itemHash(concat(lit(s"$r:"), c), portable), lit(width.toLong))
+    cmsBucketOf(itemHash(c, portable), r, width)
 
   /** The count-min sketch of `c`: rows `(r, b, cnt)` for the non-empty
-    * buckets of a depth×width grid. One explode (depth rows per item) + one
-    * groupBy of at most depth·width groups — the shuffle carries the GRID,
-    * not the items. Mergeable by summing cnt on (r, b). */
+    * buckets of a depth×width grid. One hash + one explode (depth rows per
+    * item) + one groupBy of at most depth·width groups — the shuffle
+    * carries the GRID, not the items. Mergeable by summing cnt on (r, b). */
   def cmsSketch(df: DataFrame, c: Column, depth: Int, width: Int,
       portable: Boolean = false): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
     val rbs = (0 until depth).map(r =>
-      struct(lit(r).as("r"), cmsBucket(c, r, width, portable).as("b")))
-    df.select(explode(array(rbs: _*)).as("rb"))
+      struct(lit(r).as("r"), cmsBucketOf(col("__h"), r, width).as("b")))
+    df.select(itemHash(c, portable).as("__h"))
+      .select(explode(array(rbs: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -210,8 +224,9 @@ object Sketches {
   def cmsEstimate(sketch: DataFrame, items: DataFrame, c: Column,
       depth: Int, width: Int, portable: Boolean = false): DataFrame = {
     val rbs = (0 until depth).map(r =>
-      struct(lit(r).as("r"), cmsBucket(c, r, width, portable).as("b")))
-    items.select(c.as("item"), explode(array(rbs: _*)).as("rb"))
+      struct(lit(r).as("r"), cmsBucketOf(col("__h"), r, width).as("b")))
+    items.select(c.as("item"), itemHash(c, portable).as("__h"))
+      .select(col("item"), explode(array(rbs: _*)).as("rb"))
       .select(col("item"), col("rb.r").as("r"), col("rb.b").as("b"))
       .join(broadcast(sketch), Seq("r", "b"), "left")
       .groupBy(col("item"))
@@ -255,18 +270,26 @@ object Sketches {
     //    avoids at verification scale (measured 1.4 s → 2.3 s), so
     //    dedup first, hash the ≤vocabulary-sized distinct set after.
     // Both orders produce the identical candidate set.
+    // ONE base hash per hashed row; every depth row's bucket is a bit slice.
+    // The mode-aware probe order survives: portable dedups BEFORE hashing
+    // (md5 on the ≤vocabulary distinct set), production hashes each
+    // occurrence once and prefilters narrow before the distinct.
     val allBucketsHeavy = (0 until depth)
-      .map(r => cmsBucket(col("item"), r, width, portable).isin(heavy(r): _*))
+      .map(r => cmsBucketOf(col("__h"), r, width).isin(heavy(r): _*))
       .reduce(_ && _)
     val stage1 =
       if (portable) probe.distinct()
-      else probe
-        .filter(cmsBucket(col("item"), 0, width, portable).isin(heavy(0): _*))
-        .distinct()
+        .withColumn("__h", itemHash(col("item"), portable))
+      else probe.withColumn("__h", itemHash(col("item"), portable))
+        .filter(cmsBucketOf(col("__h"), 0, width).isin(heavy(0): _*))
+        // shuffle bare items (the hash re-derives on the output-sized
+        // survivors — cheaper than 8 bytes per probed row on the wire)
+        .select(col("item")).distinct()
+        .withColumn("__h", itemHash(col("item"), portable))
     // survivors' buckets are ALL heavy, so the heavy subset IS the sketch
     // restriction they estimate against — the grid never recomputes
     cmsEstimate(heavyRows.toSeq.toDF("r", "b", "cnt"),
-      stage1.filter(allBucketsHeavy),
+      stage1.filter(allBucketsHeavy).select(col("item")),
       col("item"), depth, width, portable)
   }
 
