@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.IntegerType
   * | `graft_simhash(text)` | per-row [[SimHashExpr]] (≡ batch `Dedup.simhash`) |
   * | `graft_minhash(text, n)` | per-row [[MinHashRowExpr]] (≡ batch `Dedup.minhashSignature`) |
   * | `graft_match_count(a, b)` | [[ArrayMatchCount]] (minhash est_sim numerator) |
+  * | `graft_int_dot(a, b)` | [[IntDotProduct]] (int8 ANN scoring kernel) |
+  * | `graft_portable_hash60(s)` | [[PortableHash60Expr]] (`Dedup.portableHash60`) |
+  * | `graft_quantize_int8(vec)` | [[QuantizeInt8Expr]] (`Similarity.quantizeInt8`) |
+  * | `graft_ngram_jaccard(a, b, n)` | [[NgramJaccard]] (per-pair exact verify) |
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -86,6 +90,40 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, s"graft_match_count expects 2 arguments, got ${args.length}")
         ArrayMatchCount(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_int_dot"),
+      info("graft_int_dot",
+        "graft_int_dot(a, b) - exact integer dot product over two integral arrays"),
+      { args =>
+        require(args.length == 2, s"graft_int_dot expects 2 arguments, got ${args.length}")
+        IntDotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_portable_hash60"),
+      info("graft_portable_hash60",
+        "graft_portable_hash60(s) - md5-derived 60-bit hash, " +
+          "bit-identical to ('0x' || substr(md5(s), 1, 15))::BIGINT"),
+      { args =>
+        require(args.length == 1,
+          s"graft_portable_hash60 expects 1 argument, got ${args.length}")
+        PortableHash60Expr(args(0))
+      }),
+    (FunctionIdentifier("graft_quantize_int8"),
+      info("graft_quantize_int8",
+        "graft_quantize_int8(vec) - struct(scale, codes): symmetric int8 " +
+          "quantization with per-vector scale max|x|/127"),
+      { args =>
+        require(args.length == 1,
+          s"graft_quantize_int8 expects 1 argument, got ${args.length}")
+        QuantizeInt8Expr(args(0))
+      }),
+    (FunctionIdentifier("graft_ngram_jaccard"),
+      info("graft_ngram_jaccard",
+        "graft_ngram_jaccard(a, b, n) - exact distinct word-n-gram Jaccard " +
+          "of two documents"),
+      { args =>
+        require(args.length == 3,
+          s"graft_ngram_jaccard expects 3 arguments, got ${args.length}")
+        NgramJaccard(args(0), args(1), litInt(args(2), "graft_ngram_jaccard", "n"))
       }))
 
   /** Inject the functions into an already-running session (the

@@ -50,6 +50,22 @@ class ExtensionsSpec extends AnyFunSuite {
         |       graft_minhash('one two', 3) AS below""".stripMargin).head()
     assert(mh.getInt(0) == 64, "identical docs must match on all 64 hashes")
     assert(mh.isNullAt(1), "sub-shingle docs must yield NULL, as in batch")
+
+    // round-7 registrations: portable hash, int8 quantize + int dot, jaccard
+    val r7 = spark.sql(
+      """SELECT graft_portable_hash60('abc') AS h,
+        |  ('0x' || substr(md5('abc'), 1, 15)) AS hex,
+        |  graft_quantize_int8(array(2.5D, -2.5D, 127.0D)) AS q,
+        |  graft_int_dot(graft_quantize_int8(array(3.0D, 4.0D)).codes,
+        |                graft_quantize_int8(array(3.0D, 4.0D)).codes) AS idot,
+        |  graft_ngram_jaccard('a b c d', 'a b c e', 3) AS j""".stripMargin).head()
+    assert(r7.getLong(0) == java.lang.Long.parseLong(r7.getString(1).drop(2), 16))
+    val q = r7.getStruct(2)
+    assert(q.getSeq[Byte](1) == Seq[Byte](3, -3, 127))
+    // codes of (3,4): scale 4/127; 3/(4/127)=95.25→95, 4→127 → 95²+127²
+    assert(r7.getLong(3) == 95L * 95 + 127L * 127)
+    // grams {a b c, b c d} vs {a b c, b c e}: inter 1, union 3
+    assert(r7.getDouble(4) == 1.0 / 3)
   }
 
   test("spark.sql.extensions construction path registers the functions") {
