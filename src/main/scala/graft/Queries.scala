@@ -1786,6 +1786,33 @@ object Queries {
       |       FROM p GROUP BY 1)
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Persistent inverted-index retrieval (functions.InvertedIndex): the
+    * SAME query as q_bm25, but through the build → save (postings
+    * partitioned by term-hash bucket) → load → query path, so the driver
+    * gate exercises partition-pruned retrieval from a MATERIALIZED index —
+    * the build-once/query-many production shape — not just the in-memory
+    * scoring core. Index cached on disk under a corpus content fingerprint
+    * (the q_wordcount_file staleness discipline: a regenerated corpus gets
+    * a fresh path; the atomic-visibility concern doesn't arise because the
+    * fingerprint dir is only read after a completed save marker write). */
+  def q_inverted_index(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val fpRow = docs.agg(count(lit(1)), coalesce(sum(
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+        % lit(2147483647L)), lit(0L))).head()
+    val path = s"/tmp/graft_invidx_${sfTag}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val marker = java.nio.file.Paths.get(s"$path/_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.functions.InvertedIndex.save(
+        graft.functions.InvertedIndex.build(docs, "doc_id", "text"), path)
+      java.nio.file.Files.createFile(marker)
+    }
+    graft.functions.InvertedIndex.query(
+      graft.functions.InvertedIndex.load(s, path),
+      Seq("dup", "spark", "vector"), k = 20)
+  }
+
   /** Exact grouped quantiles: interpolated p50/p95 per return flag — Spark
     * `percentile` ≡ DuckDB `quantile_cont` (both sort-exact, linearly
     * interpolated; 6-dp rounding absorbs the interpolation-arithmetic
@@ -3688,6 +3715,7 @@ object Queries {
     "q_pivot" -> (q_pivot _),
     "q_analytic" -> (q_analytic _),
     "q_bm25" -> (q_bm25 _),
+    "q_inverted_index" -> (q_inverted_index _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -3828,6 +3856,7 @@ object Queries {
     "q_pivot" -> q_pivot_sql,
     "q_analytic" -> q_analytic_sql,
     "q_bm25" -> q_bm25_sql,
+    "q_inverted_index" -> q_bm25_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,
