@@ -2819,6 +2819,32 @@ object Queries {
       "vec_id", "embedding", maxQueryId = 50, k = 5, nlist = 8, nprobe = 8,
       kmeansIters = 2)
 
+  /** Persistent IVF retrieval: the SAME full-probe query as q_ann_ivf, but
+    * through IvfIndex build → save (lists partitioned by cluster) → load →
+    * query — the driver gate covers partition-laid-out ANN serving from a
+    * MATERIALIZED index. At nprobe = nlist every list is probed, so the
+    * result provably equals the exact top-k oracle regardless of how the
+    * quantizer trained. Same content-fingerprint disk cache discipline as
+    * q_inverted_index. */
+  def q_ann_ivf_persist(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val fpRow = emb.agg(count(lit(1)), coalesce(sum(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)), lit(0L))).head()
+    val path = s"/tmp/graft_ivf_${sfTag}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val marker = java.nio.file.Paths.get(s"$path/_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.functions.IvfIndex.save(
+        graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
+          nlist = 8, kmeansIters = 2), path)
+      java.nio.file.Files.createFile(marker)
+    }
+    val loaded = graft.functions.IvfIndex.load(s, path)
+    graft.functions.IvfIndex.query(loaded,
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5, nprobe = 8)
+  }
+
   private val q_ann_ivf_sql =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       |           FROM embeddings),
@@ -3747,6 +3773,7 @@ object Queries {
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_ann_multiprobe" -> (q_ann_multiprobe _),
     "q_ann_ivf" -> (q_ann_ivf _),
+    "q_ann_ivf_persist" -> (q_ann_ivf_persist _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
@@ -3888,6 +3915,7 @@ object Queries {
     "q_ann_lsh" -> q_ann_lsh_sql,
     "q_ann_multiprobe" -> q_ann_multiprobe_sql,
     "q_ann_ivf" -> q_ann_ivf_sql,
+    "q_ann_ivf_persist" -> q_ann_ivf_sql,
     "q_ann_pq" -> q_ann_pq_sql,
     "q_ann_ivfpq" -> q_ann_pq_sql,
     "q_embedding_neardup" -> q_embedding_neardup_sql,
