@@ -1898,12 +1898,14 @@ object Queries {
     * bounded-TreeSet pass, then a ≤P·k-row distinct + TakeOrdered — the
     * full-column distinct shuffle never happens. The oracle recomputes the
     * same k hashes and the same estimate arithmetic. */
-  def q_distinct_kmv(s: SparkSession, dir: String): DataFrame = {
-    val k = 512
-    val sk = graft.functions.Sketches.kmvSketch(
-      tbl(s, dir, "lineitem"), col("l_orderkey").cast("string"), k,
-      portable = portableMode)
-    // global stats via a window over the <=512-row sketch (single tiny task)
+  def q_distinct_kmv(s: SparkSession, dir: String): DataFrame =
+    kmvReport(graft.functions.Sketches.kmvSketch(
+      tbl(s, dir, "lineitem"), col("l_orderkey").cast("string"), k = 512,
+      portable = portableMode), k = 512)
+
+  /** (h, h_k, n_h, est) projection of a KMV sketch — global stats via a
+    * window over the ≤k-row sketch (single tiny task). */
+  private def kmvReport(sk: DataFrame, k: Int): DataFrame = {
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     sk.select(col("h"),
         max(col("h")).over(w).as("h_k"),
@@ -1914,6 +1916,36 @@ object Queries {
               graft.functions.Sketches.hashSpace(portableMode)) /
             col("h_k").cast("double"))
           .as("est"))
+  }
+
+  /** Persistent KMV sketch store over two crawl cycles (SketchStore): the
+    * corpus split at the median order key, each half sketched as its OWN
+    * increment and merged with the stored k hashes — history never re-read.
+    * Two cycles compose to the sketch of the union (exact sketch algebra),
+    * so the loaded store hash-matches the full-corpus q_distinct_kmv
+    * oracle. Mode rides in the store path (Verify runs portable, Bench
+    * production) under the q_inverted_index fingerprint-cache discipline. */
+  def q_kmv_persist(s: SparkSession, dir: String): DataFrame = {
+    val k = 512
+    val li = tbl(s, dir, "lineitem")
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val fpRow = li.agg(count(lit(1)), coalesce(sum(
+      conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)), lit(0L))).head()
+    val mode = if (portableMode) "p" else "x"
+    val path =
+      s"/tmp/graft_kmvstore_${sfTag}_${mode}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val marker = java.nio.file.Paths.get(s"$path/_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.functions.SketchStore.init(s, path, k, portable = portableMode)
+      val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+      graft.functions.SketchStore.updateCycle(s, path, 1,
+        li.filter(col("l_orderkey") <= mid), col("l_orderkey").cast("string"))
+      graft.functions.SketchStore.updateCycle(s, path, 2,
+        li.filter(col("l_orderkey") > mid), col("l_orderkey").cast("string"))
+      java.nio.file.Files.createFile(marker)
+    }
+    kmvReport(graft.functions.SketchStore.load(s, path), k)
   }
 
   private val q_distinct_kmv_sql =
@@ -3719,6 +3751,7 @@ object Queries {
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
+    "q_kmv_persist" -> (q_kmv_persist _),
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
     "q_vocab_encode" -> (q_vocab_encode _),
@@ -3861,6 +3894,7 @@ object Queries {
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
+    "q_kmv_persist" -> q_distinct_kmv_sql,
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,
