@@ -2347,6 +2347,47 @@ object Queries {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Persistent digest-history dedup over two crawl cycles (DigestStore):
+    * the corpus split at the median doc id; each increment dedups against
+    * the store (Bloom prefilter + exact residual — FPs never surface) and
+    * appends its new digests as an immutable increment directory. A digest
+    * surfaces ONCE, in its first cycle, with that cycle's min-id
+    * representative and within-cycle copy count — the oracle replays the
+    * split and the first-cycle-wins rule. The store builds in a fresh temp
+    * dir per run: the cycle outputs ARE the result being checked, and the
+    * two-cycle build is the operation being measured. */
+  def q_digest_persist(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val path = java.nio.file.Files.createTempDirectory("graft-digeststore").toString
+    graft.functions.DigestStore.init(s, path)
+    val c1 = graft.functions.DigestStore.dedupCycle(s, path, 1,
+      docs.filter(col("doc_id") <= mid), "doc_id", "text")
+    val c2 = graft.functions.DigestStore.dedupCycle(s, path, 2,
+      docs.filter(col("doc_id") > mid), "doc_id", "text")
+    val out = c1.withColumn("cycle", lit(1L))
+      .unionByName(c2.withColumn("cycle", lit(2L)))
+      .persist()
+    out.count()
+    c1.unpersist(); c2.unpersist()
+    out
+  }
+
+  private val q_digest_persist_sql =
+    """WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+      |d1 AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+      |         count(*) AS n_copies
+      |       FROM documents, m WHERE doc_id <= mid GROUP BY 1),
+      |d2 AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+      |         count(*) AS n_copies
+      |       FROM documents, m
+      |       WHERE doc_id > mid
+      |         AND md5(text) NOT IN (SELECT digest FROM d1)
+      |       GROUP BY 1)
+      |SELECT digest, keep_id, n_copies, CAST(1 AS BIGINT) AS cycle FROM d1
+      |UNION ALL
+      |SELECT digest, keep_id, n_copies, CAST(2 AS BIGINT) AS cycle FROM d2""".stripMargin
+
   /** MinHash+LSH near-dup pairs (64 hashes, 16 bands), portable hashing —
     * the oracle recomputes the SAME signatures/bands in SQL (md5-derived
     * 60-bit hash + mod-p affine permutations), so the full banded pipeline is
@@ -3782,6 +3823,7 @@ object Queries {
     "q_triangles" -> (q_triangles _),
     "q_kmeans" -> (q_kmeans _),
     "q_dedup_exact" -> (q_dedup_exact _),
+    "q_digest_persist" -> (q_digest_persist _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_clusters" -> (q_dedup_clusters _),
@@ -3925,6 +3967,7 @@ object Queries {
     "q_triangles" -> q_triangles_sql,
     "q_kmeans" -> q_kmeans_sql,
     "q_dedup_exact" -> q_dedup_exact_sql,
+    "q_digest_persist" -> q_digest_persist_sql,
     "q_dedup_minhash" -> q_dedup_minhash_sql,
     "q_dedup_incremental" -> q_dedup_incremental_sql,
     "q_dedup_clusters" -> q_dedup_clusters_sql,
