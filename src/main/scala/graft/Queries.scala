@@ -1959,6 +1959,44 @@ object Queries {
       |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
       |FROM k, a""".stripMargin
 
+  /** CMS join-size estimation (Sketches.cmsJoinSize): the cardinality of
+    * orders ⋈ lineitem on the order key, estimated from two 4×2048 grids
+    * BEFORE running the join — min over rows of the grid inner product
+    * (≥ the true size always; the result carries the true count alongside
+    * so the bound is visible in the gate). At 100 TB this is the
+    * broadcast/salt/AQE planning input: two single-pass sketches whose
+    * shuffle carries the grid, never the keys. */
+  def q_join_estimate(s: SparkSession, dir: String): DataFrame = {
+    val (depth, width) = (4, 2048)
+    val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem")
+    val est = graft.functions.Sketches.cmsJoinSize(
+      graft.functions.Sketches.cmsSketch(o, col("o_orderkey").cast("string"),
+        depth, width, portable = portableMode),
+      graft.functions.Sketches.cmsSketch(l, col("l_orderkey").cast("string"),
+        depth, width, portable = portableMode))
+    val truth = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("true_n"))
+    est.crossJoin(truth)
+  }
+
+  private val q_join_estimate_sql =
+    """WITH rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |ho AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |       FROM orders),
+      |hl AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |       FROM lineitem),
+      |sa AS (SELECT r, (hv >> (15 * r)) % 2048 AS b, count(*) AS cnt
+      |       FROM ho, rr GROUP BY 1, 2),
+      |sb AS (SELECT r, (hv >> (15 * r)) % 2048 AS b, count(*) AS cnt
+      |       FROM hl, rr GROUP BY 1, 2),
+      |ip AS (SELECT sa.r, sum(sa.cnt * sb.cnt) AS ip
+      |       FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY 1),
+      |e AS (SELECT min(ip) AS est FROM ip),
+      |t AS (SELECT count(*) AS true_n FROM orders JOIN lineitem
+      |      ON o_orderkey = l_orderkey)
+      |SELECT est, true_n FROM e, t""".stripMargin
+
   /** Vocabulary build + OOV encode (functions.Vocabulary): top-24 corpus
     * words by (count desc, word asc), then every document re-encoded as
     * (pos, word, id) token rows with id 0 for out-of-vocabulary words —
@@ -3795,6 +3833,7 @@ object Queries {
     "q_kmv_persist" -> (q_kmv_persist _),
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
+    "q_join_estimate" -> (q_join_estimate _),
     "q_vocab_encode" -> (q_vocab_encode _),
     "q_url_canon" -> (q_url_canon _),
     "q_domain_cap" -> (q_domain_cap _),
@@ -3939,6 +3978,7 @@ object Queries {
     "q_kmv_persist" -> q_distinct_kmv_sql,
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,
+    "q_join_estimate" -> q_join_estimate_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,
     "q_url_canon" -> q_url_canon_sql,
     "q_domain_cap" -> q_domain_cap_sql,

@@ -216,6 +216,23 @@ object Sketches {
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Equi-join cardinality estimate from two same-shape CMS sketches: the
+    * min over depth rows of the row inner product Σ_b cntA·cntB — the
+    * classic count-min join-size estimator (each row's inner product is an
+    * upper bound on |A ⋈ B|; collisions only ADD mass, so est ≥ true size
+    * always, exact when both sketches are collision-free).
+    *
+    * The 100 TB point: join-size estimation BEFORE running the join costs
+    * two single-pass grid sketches (the shuffle carries depth·width cells,
+    * never the keys) + a grid-sized inner product — the input to
+    * broadcast/salt/AQE decisions that is otherwise guessed from stale
+    * stats. Returns one row (est). */
+  def cmsJoinSize(ska: DataFrame, skb: DataFrame): DataFrame =
+    ska.select(col("r"), col("b"), col("cnt").as("cnt_a"))
+      .join(skb.select(col("r"), col("b"), col("cnt").as("cnt_b")), Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+
   /** Frequency estimates for `items` (any DataFrame with the probe values in
     * `c`): min over the depth rows of the item's bucket counts. The sketch
     * (≤ depth·width rows) broadcasts; the probe side stays narrow until the

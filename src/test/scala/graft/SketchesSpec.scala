@@ -172,6 +172,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(exact.forall { case (w, n) => est(w) == n })
   }
 
+  test("CMS join-size estimate dominates the true size; exact collision-free") {
+    val s = spark; import s.implicits._
+    // keys 1..40, side A has k copies of key k, side B has 2 copies of each
+    // even key → true join size = sum over even k of k*2
+    val a = strs((1 to 40).flatMap(k => Seq.fill(k)(s"k$k")))
+    val b = strs((1 to 40).filter(_ % 2 == 0).flatMap(k => Seq.fill(2)(s"k$k")))
+    val trueSize = (1 to 40).filter(_ % 2 == 0).map(_ * 2L).sum
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsSketch(a, col("v"), 4, 4096),
+      Sketches.cmsSketch(b, col("v"), 4, 4096))
+      .head().getLong(0)
+    assert(est >= trueSize)
+    // 40 keys in a 4x4096 grid: collision-free for this fixed data+hash
+    assert(est == trueSize)
+  }
+
   test("CMS merge equals the sketch of the union (grid-cell sums)") {
     val a = strs((1 to 400).map(i => s"w${i % 30}"))
     val b = strs((1 to 600).map(i => s"w${i % 45}"))
