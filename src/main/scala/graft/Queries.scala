@@ -1959,6 +1959,25 @@ object Queries {
       |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
       |FROM k, a""".stripMargin
 
+  /** Skew-salted join (Scale.saltedJoin): lineitem ⋈ orders on the order
+    * key with the right side replicated 8× and the left salted — the
+    * hot-key lever when the dominated side is too big to broadcast whole.
+    * Salting must be a pure execution-strategy change, so the oracle is the
+    * PLAIN join aggregate: identical output is the whole claim. */
+  def q_join_salted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.saltedJoin(
+        tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+        col("l_orderkey"), col("o_orderkey"), salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+
+  private val q_join_salted_sql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** CMS join-size estimation (Sketches.cmsJoinSize): the cardinality of
     * orders ⋈ lineitem on the order key, estimated from two 4×2048 grids
     * BEFORE running the join — min over rows of the grid inner product
@@ -3834,6 +3853,7 @@ object Queries {
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
     "q_join_estimate" -> (q_join_estimate _),
+    "q_join_salted" -> (q_join_salted _),
     "q_vocab_encode" -> (q_vocab_encode _),
     "q_url_canon" -> (q_url_canon _),
     "q_domain_cap" -> (q_domain_cap _),
@@ -3979,6 +3999,7 @@ object Queries {
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,
     "q_join_estimate" -> q_join_estimate_sql,
+    "q_join_salted" -> q_join_salted_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,
     "q_url_canon" -> q_url_canon_sql,
     "q_domain_cap" -> q_domain_cap_sql,
