@@ -1978,6 +1978,33 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Bucketed co-located join (Scale.writeBucketed/readBucketed): both
+    * sides materialized bucketed+sorted by the order key, then joined with
+    * NO Exchange (ScaleSpec pins the plan; the oracle is the plain join —
+    * like salting, bucketing must be a pure layout change). Tables land in
+    * a temp location and re-register per session (the in-memory catalog
+    * doesn't outlive the Verify/Bench JVM); table names carry the sf tag so
+    * scales can't collide inside one session. */
+  def q_join_bucketed(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val (tl, to) = (s"graft_li_$sfTag", s"graft_ord_$sfTag")
+    if (!s.catalog.tableExists(tl)) {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      graft.operators.Scale.writeBucketed(
+        tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        tl, "l_orderkey", 8, Some(s"$wh/li"))
+      graft.operators.Scale.writeBucketed(
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        to, "o_orderkey", 8, Some(s"$wh/ord"))
+    }
+    graft.operators.Scale.readBucketed(s, tl)
+      .join(graft.operators.Scale.readBucketed(s, to),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
+
   /** CMS join-size estimation (Sketches.cmsJoinSize): the cardinality of
     * orders ⋈ lineitem on the order key, estimated from two 4×2048 grids
     * BEFORE running the join — min over rows of the grid inner product
@@ -3854,6 +3881,7 @@ object Queries {
     "q_skew_profile" -> (q_skew_profile _),
     "q_join_estimate" -> (q_join_estimate _),
     "q_join_salted" -> (q_join_salted _),
+    "q_join_bucketed" -> (q_join_bucketed _),
     "q_vocab_encode" -> (q_vocab_encode _),
     "q_url_canon" -> (q_url_canon _),
     "q_domain_cap" -> (q_domain_cap _),
@@ -4000,6 +4028,7 @@ object Queries {
     "q_skew_profile" -> q_skew_profile_sql,
     "q_join_estimate" -> q_join_estimate_sql,
     "q_join_salted" -> q_join_salted_sql,
+    "q_join_bucketed" -> q_join_salted_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,
     "q_url_canon" -> q_url_canon_sql,
     "q_domain_cap" -> q_domain_cap_sql,
