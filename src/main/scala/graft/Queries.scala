@@ -1978,6 +1978,27 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Two-phase salted aggregation (Scale.saltedSum/saltedCount): per-flag
+    * quantity sums and counts computed through 16 salt sub-groups then
+    * merged — the hot-key aggregation lever. Decimal values so the partial
+    * sums are exact: like q_join_salted, the oracle is the PLAIN aggregate,
+    * identical output being the claim of a strategy-only change. */
+  def q_salted_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val sums = graft.operators.Scale.saltedSum(li, col("l_returnflag"),
+      dec(col("l_quantity")), salt = 16, keyName = "l_returnflag", sumName = "_s")
+    val counts = graft.operators.Scale.saltedCount(li, col("l_returnflag"),
+      salt = 16, keyName = "l_returnflag", cntName = "n")
+    sums.join(counts, "l_returnflag")
+      .select(col("l_returnflag"), col("_s").cast("double").as("sum_qty"), col("n"))
+  }
+
+  private val q_salted_agg_sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Bucketed co-located join (Scale.writeBucketed/readBucketed): both
     * sides materialized bucketed+sorted by the order key, then joined with
     * NO Exchange (ScaleSpec pins the plan; the oracle is the plain join —
@@ -3882,6 +3903,7 @@ object Queries {
     "q_join_estimate" -> (q_join_estimate _),
     "q_join_salted" -> (q_join_salted _),
     "q_join_bucketed" -> (q_join_bucketed _),
+    "q_salted_agg" -> (q_salted_agg _),
     "q_vocab_encode" -> (q_vocab_encode _),
     "q_url_canon" -> (q_url_canon _),
     "q_domain_cap" -> (q_domain_cap _),
@@ -4029,6 +4051,7 @@ object Queries {
     "q_join_estimate" -> q_join_estimate_sql,
     "q_join_salted" -> q_join_salted_sql,
     "q_join_bucketed" -> q_join_salted_sql,
+    "q_salted_agg" -> q_salted_agg_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,
     "q_url_canon" -> q_url_canon_sql,
     "q_domain_cap" -> q_domain_cap_sql,
