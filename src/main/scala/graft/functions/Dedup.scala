@@ -111,7 +111,7 @@ object Dedup {
     // 2.05→1.53 s, q_dedup_minhash ~parity (min-of-5). Portable mode keeps
     // explode+agg — its modular arithmetic is what the DuckDB oracle
     // replays row for row.
-    if (!portable && fused) {
+    if (fused) {
       val (as, bs) = consts.unzip
       // no fanOut, re-measured for this shape (the Scale.fanOut doctrine:
       // re-measure after any hot-path expression change): sf0.1 min-of-5,
@@ -120,10 +120,20 @@ object Dedup {
       // shuffle and the native per-row pass is too cheap to amortize it.
       // At real scale the scan width comes from maxPartitionBytes splits,
       // not this local-small-file artifact.
-      return df.select(col(idCol).as("doc_id"),
+      // Portable mode rides the same per-row pass with modP arithmetic —
+      // value-identical to the explode+agg formulation the DuckDB oracle
+      // replays (and which remains below as the fused=false readable spec).
+      // the sub-shingle filter runs on a CHEAP word-count proxy BEFORE the
+      // expression (signature null ⟺ words < shingleSize, same split
+      // semantics) — filtering on sig.isNotNull re-evaluated the whole
+      // md5/xxhash pass per predicate reference (measured 3 plan
+      // occurrences; portable md5 made it a 1.5× regression)
+      return df
+        .filter(size(split(col(textCol), " ")) >= shingleSize)
+        .select(col(idCol).as("doc_id"),
           graft.plans.TextExpressions
-            .minhashRow(col(textCol), shingleSize, as, bs).as("sig"))
-        .filter(col("sig").isNotNull)
+            .minhashRow(col(textCol), shingleSize, as, bs,
+              modP = if (portable) PortableP else -1L).as("sig"))
         .select(col("doc_id") +:
           (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
     }

@@ -143,8 +143,15 @@ case class SimHashExpr(child: Expression, nBits: Int) extends UnaryExpression
   * the batch explode never produces a signature row for those either.
   *
   * The streaming-shaped variant: a stateful streaming dedup needs the
-  * signature ON the record, where batch amortizes via partial aggregation. */
-case class MinHashRowExpr(child: Expression, n: Int, as: Seq[Long], bs: Seq[Long])
+  * signature ON the record, where batch amortizes via partial aggregation.
+  *
+  * `modP > 0` selects the PORTABLE arithmetic instead: per-shingle hash =
+  * md5-derived 60 bits mod P ([[PortableHash60Expr]]'s digest, no string
+  * round-trips), permutation = (h·a + b) mod P — value-identical to the
+  * explode+agg portable formulation the DuckDB oracle replays (all
+  * operands < 2³¹, products < 2⁶², exact in any engine). */
+case class MinHashRowExpr(child: Expression, n: Int, as: Seq[Long], bs: Seq[Long],
+    modP: Long = -1L)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -184,12 +191,17 @@ case class MinHashRowExpr(child: Expression, n: Int, as: Seq[Long], bs: Seq[Long
     while (s <= nWords - n) {
       val from = starts(s)
       val until = starts(s + n) - 1
-      val shingle = UTF8String.fromBytes(bytes, from, until - from)
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(shingle, StringType, 42L)
+      val h =
+        if (modP > 0)
+          PortableHash60Expr.hash60(bytes, from, until - from) % modP
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(UTF8String.fromBytes(bytes, from, until - from), StringType, 42L)
       var k = 0
       while (k < mins.length) {
-        val p = h * aArr(k) + bArr(k) // wrapping, matches non-ANSI Long math
+        // default: wrapping Long math (matches non-ANSI `h*a + b`);
+        // portable: exact mod-P arithmetic (operands < 2³¹, no wraparound)
+        val p = if (modP > 0) (h * aArr(k) + bArr(k)) % modP
+                else h * aArr(k) + bArr(k)
         if (p < mins(k)) mins(k) = p
         k += 1
       }
@@ -415,20 +427,12 @@ case class PortableHash60Expr(child: Expression) extends UnaryExpression
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"portable_hash60 needs a string input, got ${child.dataType}")
 
+  // first 15 hex chars = bytes 0..6 in full + the high nibble of byte 7 =
+  // the top 60 bits of the big-endian first-8-byte word; >>> leaves the
+  // top 4 result bits zero, matching the unsigned hex read
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val md = PortableHash60Expr.digests.get()
-    md.reset()
-    val d = md.digest(bytes)
-    // first 15 hex chars = bytes 0..6 in full + the high nibble of byte 7 =
-    // the top 60 bits of the big-endian first-8-byte word; >>> leaves the
-    // top 4 result bits zero, matching the unsigned hex read
-    val first8 =
-      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-    first8 >>> 4
+    PortableHash60Expr.hash60(bytes, 0, bytes.length)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PortableHash60Expr =
@@ -439,6 +443,22 @@ object PortableHash60Expr {
   // MessageDigest is stateful and not thread-safe; one per task thread
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The 60-bit value over a byte RANGE (no slice copy): top 60 bits of
+    * the md5 digest — shared by the scalar expression and the per-row
+    * minhash's portable mode. */
+  private[plans] def hash60(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, offset, len)
+    val d = md.digest()
+    val first8 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    first8 >>> 4
+  }
 }
 
 /** Exact word-n-gram Jaccard of two documents in one pass: distinct n-gram
@@ -536,7 +556,10 @@ object TextExpressions {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expr(text), nBits))
 
   /** Per-row minhash signature (see [[MinHashRowExpr]]); default-mode affine
-    * constants come from [[graft.functions.Dedup.defaultPermConsts]]. */
-  def minhashRow(text: Column, shingleSize: Int, as: Seq[Long], bs: Seq[Long]): Column =
-    ColumnBridge.column(MinHashRowExpr(ColumnBridge.expr(text), shingleSize, as, bs))
+    * constants come from [[graft.functions.Dedup.defaultPermConsts]];
+    * `modP > 0` selects portable mod-P arithmetic. */
+  def minhashRow(text: Column, shingleSize: Int, as: Seq[Long], bs: Seq[Long],
+      modP: Long = -1L): Column =
+    ColumnBridge.column(
+      MinHashRowExpr(ColumnBridge.expr(text), shingleSize, as, bs, modP))
 }
