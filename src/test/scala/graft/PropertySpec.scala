@@ -201,4 +201,79 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("nearest as-of == brute-force closest match for any data & partitioning") {
+    val s = imp; import s._
+    val genTs: Gen[List[Long]] = Gen.listOfN(25, Gen.choose(0L, 50L))
+    forAll(genTs, Gen.choose(1, 4)) { (ts: List[Long], nKeys: Int) =>
+      whenever(ts.nonEmpty) {
+        // interleave keys deterministically; rights = every third value
+        val rows = ts.zipWithIndex.map { case (t, i) => (s"k${i % nKeys}", t, i) }
+        val lefts = rows.filter(_._3 % 3 != 0).map(r => (r._1, r._2, r._3))
+        val rights = rows.filter(_._3 % 3 == 0)
+          // unique (key, ts) on the right so the match is deterministic
+          .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+          .map(r => (r._1, r._2, r._3 * 10))
+        whenever(lefts.nonEmpty && rights.nonEmpty) {
+          val got = graft.operators.AsOfJoin.nearest(
+              lefts.toDF("k", "l_ts", "lid"), rights.toDF("k", "r_ts", "rid"),
+              Seq("k"), "l_ts", "r_ts")
+            .collect().map(r => r.getInt(2) ->
+              (if (r.isNullAt(4)) None else Some(r.getInt(4)))).toMap
+          lefts.foreach { case (k, lt, lid) =>
+            val cands = rights.filter(_._1 == k)
+            val expected =
+              if (cands.isEmpty) None
+              else {
+                val best = cands.minBy { case (_, rt, _) =>
+                  // distance, then backward-preferred (rt <= lt wins ties)
+                  (math.abs(rt - lt), if (rt <= lt) 0 else 1)
+                }
+                Some(best._3)
+              }
+            assert(got(lid) == expected,
+              s"key $k left@$lt: got ${got(lid)}, expected $expected")
+          }
+        }
+      }
+    }
+  }
+
+  test("funnel staging == per-user sequential scan for any event data") {
+    val s = imp
+    val genEvents: Gen[List[(Int, Int, Long)]] =
+      Gen.listOfN(30, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 4), Gen.choose(0L, 40L)))
+    forAll(genEvents) { evs0 =>
+      whenever(evs0.nonEmpty) {
+        val types = Array("view", "click", "purchase", "error", "signup")
+        val evs = evs0.zipWithIndex.map { case ((u, t, ts), i) =>
+          (i.toLong, u.toLong, types(t % types.length), ts * 1000000L)
+        }
+        val dir = java.nio.file.Files.createTempDirectory("graft-prop-funnel").toString
+        import s._
+        evs.map { case (id, u, et, us) => (id, u, et, us, 0.0, "{}") }
+          .toDF("event_id", "user_id", "event_type", "_us", "value", "props")
+          .select(col("event_id"),
+            org.apache.spark.sql.functions.to_timestamp(
+              col("_us").cast("double") / 1e6).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").parquet(dir + "/events.parquet")
+        val got = Queries.q_funnel(spark, dir)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))).toMap
+        evs.groupBy(_._2).foreach { case (u, rows) =>
+          val sorted = rows.sortBy(_._4)
+          val t1 = sorted.filter(_._3 == "view").map(_._4).minOption
+          val t2 = t1.flatMap(a => sorted.filter(r => r._3 == "click" && r._4 >= a)
+            .map(_._4).minOption)
+          val t3 = t2.flatMap(a => sorted.filter(r => r._3 == "purchase" && r._4 >= a)
+            .map(_._4).minOption)
+          val stage = if (t3.isDefined) 3L else if (t2.isDefined) 2L
+            else if (t1.isDefined) 1L else 0L
+          assert(got(u) == ((t1.getOrElse(-1L), t2.getOrElse(-1L),
+            t3.getOrElse(-1L), stage)), s"user $u")
+        }
+      }
+    }
+  }
 }
