@@ -1080,6 +1080,30 @@ object Queries {
         .drop("n_events")
     }, "update", dir)
 
+  /** Streaming twin of the KMV distinct sketch (Streaming.kmvStream): the
+    * order-key universe sketched on an unbounded stream — narrow
+    * per-partition k-min pre-shrink per micro-batch, then one O(k)
+    * mapGroupsWithState merge; the distinct universe never shuffles. A
+    * bounded run's final (h_k, n_h, est) equals the batch sketch of the
+    * whole table, replayed by the oracle. */
+  def q_stream_kmv(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => graft.streaming.Streaming
+      .kmvStream(src, col("l_orderkey").cast("string"), 512,
+        portable = portableMode)
+      .toDF("h_k", "n_h", "est"),
+      "update", dir, table = "lineitem")
+
+  private val q_stream_kmv_sql =
+    """WITH hs AS (SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |k AS (SELECT h FROM hs ORDER BY h LIMIT 512),
+      |a AS (SELECT max(h) AS h_k, count(*) AS n_h FROM k)
+      |SELECT h_k, n_h,
+      |  CASE WHEN n_h < 512 THEN CAST(n_h AS DOUBLE)
+      |       ELSE 511 * power(2.0, 60) / CAST(h_k AS DOUBLE) END AS est
+      |FROM a""".stripMargin
+
   /** window_join (src/operator/window/aggr/join.rs:79-99): per-(user, day
     * window) cartesian of clicks × purchases — equi-join on (key, window). */
   def q_window_join(s: SparkSession, dir: String): DataFrame = {
@@ -3880,6 +3904,7 @@ object Queries {
     "q_stream_wordcount" -> (q_stream_wordcount _),
     "q_stream_dedup" -> (q_stream_dedup _),
     "q_stream_funnel" -> (q_stream_funnel _),
+    "q_stream_kmv" -> (q_stream_kmv _),
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
     "q_asof_nearest" -> (q_asof_nearest _),
@@ -4027,6 +4052,7 @@ object Queries {
     "q_stream_wordcount" -> q_wordcount_file_sql,
     "q_stream_dedup" -> q_dedup_exact_sql,
     "q_stream_funnel" -> q_funnel_sql,
+    "q_stream_kmv" -> q_stream_kmv_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
     "q_asof_forward" -> q_asof_forward_sql,
