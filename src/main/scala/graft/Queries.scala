@@ -1451,6 +1451,32 @@ object Queries {
               col("next").cast("long").as("dst"))
   }
 
+  /** Multi-source shortest paths (Graph.sssp — delta-iterate Bellman–Ford
+    * relaxation) over the weighted nation chains: edge weight = dst key + 1,
+    * sources = each region's chain head. The chain structure gives the
+    * oracle a closed form — dist = running sum of (key+1) along the region
+    * chain, zero at the head — while the operator itself is the general
+    * frontier relaxation (GraphSpec pins it ≡ driver-side Dijkstra on
+    * random cyclic graphs). */
+  def q_sssp(s: SparkSession, dir: String): DataFrame = {
+    val edges = nationChain(s, dir)
+      .select(col("src"), col("dst"), (col("dst") + 1).as("w"))
+    val heads = tbl(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(min(col("n_nationkey")).cast("long").as("node"))
+      .select(col("node"))
+    graft.algorithms.Graph.sssp(edges, heads, parallelism = Some(1))
+  }
+
+  private val q_sssp_sql =
+    """WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r,
+      |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+      |  FROM nation)
+      |SELECT CAST(k AS BIGINT) AS node,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE k + 1 END)
+      |    OVER (PARTITION BY r ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dist
+      |FROM n""".stripMargin
+
   /** connected components via min-label propagation (reference:
     * examples/connected_components.rs) on the bipartite customer–order graph.
     * Oracle: each star's min label is its customer key. */
@@ -3954,6 +3980,7 @@ object Queries {
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
     "q_pagerank_delta" -> (q_pagerank_delta _),
+    "q_sssp" -> (q_sssp _),
     "q_triangles" -> (q_triangles _),
     "q_kmeans" -> (q_kmeans _),
     "q_dedup_exact" -> (q_dedup_exact _),
@@ -4103,6 +4130,7 @@ object Queries {
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,
     "q_pagerank_delta" -> q_pagerank_delta_sql,
+    "q_sssp" -> q_sssp_sql,
     "q_triangles" -> q_triangles_sql,
     "q_kmeans" -> q_kmeans_sql,
     "q_dedup_exact" -> q_dedup_exact_sql,

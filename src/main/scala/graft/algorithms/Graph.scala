@@ -177,6 +177,66 @@ object Graph {
     }
   }
 
+  /** Multi-source shortest paths on [[Iteration.deltaIterate]] — the
+    * workset formulation of Bellman–Ford relaxation: only nodes whose
+    * distance IMPROVED last round propagate candidates along their
+    * out-edges, so per-round cost tracks the relaxation frontier, not the
+    * graph (the delta-iteration showcase next to [[pageRankDelta]]).
+    *
+    * edges: (src, dst, w) directed, non-negative integer weights;
+    * sources: (node) at distance 0. Returns (node, dist) for every node in
+    * the graph; unreachable nodes carry [[Graph.Unreachable]]. Termination:
+    * a node that receives only non-improving candidates drops out of the
+    * workset (its `improved` flag clears), so the loop ends one round after
+    * the last improvement — cycles don't livelock.
+    *
+    * Scale shape: the solution set is hash-partitioned once; each round is
+    * one join of the (frontier-sized) update set against the edge relation
+    * plus a per-dst min — the same cost as one sparse matrix-vector step. */
+  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 50,
+      parallelism: Option[Int] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    withShuffleWidth(spark, parallelism) {
+    val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
+    val e = e0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist()
+    e.count()
+    val srcSet = sources.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("_s", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(srcSet.select(col("node"))).distinct()
+    val init = nodes.join(srcSet, Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("_s"), 0L).otherwise(Unreachable).as("d"),
+        coalesce(col("_s"), lit(false)).as("imp"))
+      .as[(Long, Long, Boolean)].map(t => (t._1, (t._2, t._3)))
+
+    val res = Iteration.deltaIterate[Long, (Long, Boolean), Long, Long, Long](
+      init, maxIter, numPartitions = parallelism) { (_, s, ds) =>
+      var best = Long.MaxValue
+      ds.foreach(d => if (d < best) best = d)
+      val nd = math.min(s._1, best)
+      (nd, nd < s._1)
+    } { (_, s) => if (s._2) s._1 else -1L } { (_, s) => s._1 } { _ => true } { upd =>
+      upd.filter(_._2 >= 0L).toDF("src", "d")
+        .join(e, Seq("src"))
+        .select(col("dst"), (col("d") + col("w")).as("cand"))
+        .groupBy(col("dst")).agg(min(col("cand")).as("cand"))
+        .as[(Long, Long)]
+    }
+    val out = res.output.toDF("node", "dist")
+    e.unpersist(false)
+    out
+    }
+  }
+
+  /** The distance carried by nodes no relaxation reached (far above any
+    * real path sum; weights add without approaching overflow). */
+  val Unreachable: Long = Long.MaxValue / 4
+
   /** Transitive closure by path doubling — paths ⋈ paths instead of
     * paths ⋈ edges converges in O(log diameter) rounds (reference:
     * examples/transitive_closure.rs does edge-extension; doubling is the

@@ -88,4 +88,41 @@ class DeltaIterateSpec extends AnyFunSuite {
     assert(out(1L) == 3L) // three rounds of +1
     assert(out(2L) == 100L) // untouched key keeps its solution state
   }
+
+  test("sssp equals driver-side Dijkstra on random cyclic weighted graphs") {
+    val s = imp; import s._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 12 + trial
+      // random directed graph with cycles and alternative paths
+      val edges = (0 until n * 3).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong, (rng.nextInt(9) + 1).toLong)
+      }.distinct
+      val sources = Seq(0L, (n / 2).toLong).distinct
+      // driver-side Dijkstra (multi-source)
+      val INF = graft.algorithms.Graph.Unreachable
+      val adj = edges.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(e => (e._2, e._3)) }
+      val dist = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(INF)
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+        Ordering.by[(Long, Long), Long](_._1).reverse)
+      sources.foreach { src => dist(src) = 0L; pq.enqueue((0L, src)) }
+      while (pq.nonEmpty) {
+        val (d0, u) = pq.dequeue()
+        if (d0 == dist(u))
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            if (d0 + w < dist(v)) { dist(v) = d0 + w; pq.enqueue((d0 + w, v)) }
+          }
+      }
+      val got = graft.algorithms.Graph.sssp(
+          edges.toDF("src", "dst", "w"), sources.toDF("node"),
+          parallelism = Some(2))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = (edges.flatMap(e => Seq(e._1, e._2)) ++ sources).distinct
+      nodes.foreach { nd =>
+        assert(got(nd) == dist(nd), s"trial $trial node $nd")
+      }
+    }
+  }
 }
