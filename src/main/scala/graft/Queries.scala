@@ -912,6 +912,36 @@ object Queries {
       |FROM active CROSS JOIN cohort
       |GROUP BY day_offset, cohort_n""".stripMargin
 
+  /** Per-event sessionization (beyond-reference event analytics): the
+    * inactivity-gap rule assigns every event a dense per-user session id —
+    * a new session opens on the user's first event or after >12h of
+    * inactivity. Unlike the session-WINDOW aggregation (q_window_session,
+    * which collapses each session to one row), this keeps event grain: the
+    * shape downstream attribution joins consume.
+    *
+    * Scale: both window passes (the gap lag and the running session count)
+    * share ONE user_id Exchange and one (ts, event_id) sort — plan-pinned in
+    * EventAnalyticsSpec; O(1) state per row, no self-join. */
+  def q_sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WindowsDF.sessionize(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "event_id", 43200000000L)
+      .select(col("event_id"), col("user_id"), col("is_new"),
+        col("session_seq").as("session_id"))
+
+  private val q_sessionize_sql =
+    """WITH e AS (SELECT event_id, user_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |l AS (SELECT *, lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+      |n AS (SELECT *,
+      |        (prev_us IS NULL OR us - prev_us > 43200000000) AS is_new FROM l)
+      |SELECT event_id, user_id, is_new,
+      |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |FROM n""".stripMargin
+
   // =====================================================================
   // §2.6 interval join + window join
   // =====================================================================
@@ -3937,6 +3967,7 @@ object Queries {
     "q_funnel" -> (q_funnel _),
     "q_anomaly" -> (q_anomaly _),
     "q_retention" -> (q_retention _),
+    "q_sessionize" -> (q_sessionize _),
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
@@ -4087,6 +4118,7 @@ object Queries {
     "q_funnel" -> q_funnel_sql,
     "q_anomaly" -> q_anomaly_sql,
     "q_retention" -> q_retention_sql,
+    "q_sessionize" -> q_sessionize_sql,
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,

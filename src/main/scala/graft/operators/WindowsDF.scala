@@ -66,4 +66,31 @@ object WindowsDF {
     * key partitioning. */
   def lastKSpec(k: Int, keys: Seq[Column], order: Seq[Column]): WindowSpec =
     W.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(k - 1), 0)
+
+  /** Per-event session-ID assignment by the inactivity-gap rule — the flat
+    * sibling of [[sessionAgg]]: every event KEEPS its row and gains the
+    * session it belongs to (the clickstream sessionization step, where
+    * downstream joins need event-grain rows, not collapsed windows). An
+    * event opens a new session when it is the key's first or arrives more
+    * than `gapUs` after the key's previous event; `session_seq` is the
+    * running count of opens, so ids are dense per key and deterministic
+    * under the (ts, tie) total order (`tie` breaks equal timestamps).
+    *
+    * Scale: the lag pass and the running-sum pass share ONE (key) hash
+    * Exchange and ONE (ts, tie) sort — the second Window's required
+    * distribution/ordering is already satisfied by the first's output, so
+    * Catalyst inserts no further Exchange or Sort at any corpus size
+    * (plan-pinned in EventAnalyticsSpec); window state is O(1) per row. */
+  def sessionize(df: DataFrame, key: String, ts: String, tie: String,
+      gapUs: Long): DataFrame = {
+    val ord = W.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val us = unix_micros(col(ts))
+    df.withColumn("__prev_us", lag(us, 1).over(ord))
+      .withColumn("is_new",
+        col("__prev_us").isNull || us - col("__prev_us") > gapUs)
+      .withColumn("session_seq",
+        sum(when(col("is_new"), lit(1L)).otherwise(lit(0L)))
+          .over(ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .drop("__prev_us")
+  }
 }

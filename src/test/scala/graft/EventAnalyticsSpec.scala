@@ -117,4 +117,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 user_id shuffle, got $exchanges:\n$plan")
   }
+
+  private def sessionsOf(gapUs: Long, rows: Seq[(Long, Long, Long)]) = {
+    val s = spark; import s.implicits._
+    val df = rows.map { case (id, u, us) => (id, u, us) }
+      .toDF("event_id", "user_id", "_us")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("_us").cast("double") / 1e6).as("ts"))
+    graft.operators.WindowsDF.sessionize(df, "user_id", "ts", "event_id", gapUs)
+      .select("event_id", "is_new", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("sessionize: gap rule — first event opens, > gap reopens, = gap does not") {
+    val r = sessionsOf(1000000L, Seq(
+      (1L, 1L, 0L),        // first event of user 1 → session 1
+      (2L, 1L, 1000000L),  // exactly the gap after → SAME session (strict >)
+      (3L, 1L, 2000001L),  // gap+1 after event 2 → session 2
+      (4L, 1L, 2500000L),  // inside → session 2
+      (5L, 2L, 0L)))       // other user: own dense numbering
+    assert(r == Seq((1L, true, 1L), (2L, false, 1L), (3L, true, 2L),
+      (4L, false, 2L), (5L, true, 1L)))
+  }
+
+  test("sessionize: equal timestamps break by the tie column, ids stay dense") {
+    val r = sessionsOf(10L, Seq(
+      (2L, 9L, 5000000L), (1L, 9L, 5000000L), // same ts: event 1 is first
+      (3L, 9L, 5000100L)))                    // > gap after → new session
+    assert(r == Seq((1L, true, 1L), (2L, false, 1L), (3L, true, 2L)))
+  }
+
+  test("sessionize plan: the lag and running-sum windows share one Exchange") {
+    val plan = Queries.q_sessionize(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sessionize must not self-join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 user_id shuffle, got $exchanges:\n$plan")
+    val sorts = "Sort ".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected the two windows to share one sort, got $sorts:\n$plan")
+  }
 }
