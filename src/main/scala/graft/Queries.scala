@@ -2028,6 +2028,35 @@ object Queries {
     kmvReport(graft.functions.SketchStore.load(s, path), k)
   }
 
+  /** HyperLogLog distinct sketch of the order-key universe — the register-
+    * explicit sibling of q_distinct_kmv (Sketches.hllRegisters/hllReport):
+    * 256 registers via one map-side-partial hash aggregate (the exchange
+    * moves ≤ partitions·256 one-long rows at any corpus size), raw estimate
+    * derived from exact DECIMAL power-of-two sums so the oracle reproduces
+    * every register AND the estimate bit-for-bit. */
+  def q_distinct_hll(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.hllReport(
+      graft.functions.Sketches.hllRegisters(
+        tbl(s, dir, "lineitem"), col("l_orderkey").cast("string"), p = 8,
+        portable = portableMode), p = 8)
+
+  private val q_distinct_hll_sql =
+    """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (SELECT h // 4503599627370496 AS bucket,
+      |             h % 4503599627370496 AS w FROM h),
+      |regs AS (SELECT bucket,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+      |  FROM r GROUP BY bucket),
+      |t AS (SELECT sum(CAST(power(2.0, 63 - reg) AS DECIMAL(38,0))) AS s,
+      |             count(*) AS nb FROM regs),
+      |tot AS (SELECT s + (256 - nb) * CAST(power(2.0, 63) AS DECIMAL(38,0)) AS total,
+      |               nb FROM t)
+      |SELECT bucket, reg, nb AS nonzero,
+      |  0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * power(2.0, 63)
+      |    / CAST(total AS DOUBLE) AS est
+      |FROM regs, tot""".stripMargin
+
   private val q_distinct_kmv_sql =
     """WITH hs AS (SELECT DISTINCT
       |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -3979,6 +4008,7 @@ object Queries {
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
+    "q_distinct_hll" -> (q_distinct_hll _),
     "q_kmv_persist" -> (q_kmv_persist _),
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
@@ -4130,6 +4160,7 @@ object Queries {
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
+    "q_distinct_hll" -> q_distinct_hll_sql,
     "q_kmv_persist" -> q_distinct_kmv_sql,
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,

@@ -311,13 +311,96 @@ object Sketches {
   }
 
   // =====================================================================
+  // HyperLogLog distinct-count sketch (register-explicit, oracle-replayable)
+  // =====================================================================
+
+  /** Bits of hash left after the `p` bucket bits. */
+  private def hllWBits(p: Int, portable: Boolean): Int =
+    (if (portable) 60 else 63) - p
+
+  /** The HLL register table of `c` at precision `p` (m = 2^p registers):
+    * one row per NON-EMPTY bucket, (bucket, reg) where `reg` is the max
+    * rank (position of the highest set bit measured from the top of the
+    * post-bucket hash bits, 1-based; an all-zero remainder ranks wBits+1).
+    * Unlike Spark's built-in `approx_count_distinct` the state is plain
+    * rows: portable across engines (the DuckDB oracle recomputes registers
+    * bit-for-bit via `length(bin(w))`), storable, and mergeable by
+    * [[hllMerge]].
+    *
+    * Scale shape: rank is a narrow expression; `groupBy(bucket).max` does
+    * map-side partial aggregation with O(m) state per task, so the exchange
+    * carries at most partitions·m one-long rows regardless of corpus size —
+    * the classic HLL property, expressed as a plain hash aggregate. */
+  def hllRegisters(df: DataFrame, c: Column, p: Int,
+      portable: Boolean = false): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
+    val wBits = hllWBits(p, portable)
+    val h = itemHash(c, portable)
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    val rank = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.select(shiftright(h, wBits).as("bucket"), rank.cast("long").as("reg"))
+      .groupBy("bucket").agg(max(col("reg")).as("reg"))
+  }
+
+  /** Merge register tables (same p and mode): bucket-wise max. Associative,
+    * commutative, idempotent — per-shard sketches compose to the corpus
+    * sketch without re-reading data. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max(col("reg")).as("reg"))
+
+  /** `(bucket, reg, nonzero, est)` projection of a register table — the raw
+    * HLL estimate αm·m²/Σ2^−Mj (empty buckets contribute 2^0) alongside the
+    * registers, computed so the DuckDB oracle reproduces it BIT-FOR-BIT:
+    * each 2^(63−reg) term is an exact power of two summed in DECIMAL(38,0)
+    * (order-independent), and the single double division happens once at
+    * the end with an identical operation sequence on both engines. No
+    * small-/large-range correction here (ln() is libm-dependent across
+    * engines); [[hllEstimate]] applies the standard linear-counting branch
+    * driver-side. */
+  def hllReport(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    // 2^63 as DECIMAL(38,0), exactly (the double 2^63 is exact)
+    val scaleDec = lit(math.pow(2, 63)).cast("decimal(38,0)")
+    val term = pow(lit(2.0), lit(63.0) - col("reg").cast("double"))
+      .cast("decimal(38,0)")
+    val stats = regs.agg(
+      sum(term).as("s"), count(lit(1)).as("nb"))
+      .select(
+        (col("s") + (lit(m) - col("nb")).cast("decimal(38,0)") * scaleDec)
+          .as("total"),
+        col("nb"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.crossJoin(broadcast(stats))
+      .select(col("bucket"), col("reg"), col("nb").as("nonzero"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2, 63)) /
+          col("total").cast("double")).as("est"))
+  }
+
+  /** Driver-side distinct estimate from a register table: the raw HLL
+    * estimate with the standard small-range correction (linear counting
+    * m·ln(m/V) when empty buckets exist and the raw estimate ≤ 2.5m). */
+  def hllEstimate(regs: DataFrame, p: Int): Double = {
+    val m = 1L << p
+    val rows = regs.select(col("reg")).collect().map(_.getLong(0))
+    val nb = rows.length
+    val sumInv = rows.map(r => math.pow(2, -r.toDouble)).sum + (m - nb)
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val raw = alpha * m.toDouble * m.toDouble / sumInv
+    val zeros = m - nb
+    if (zeros > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  // =====================================================================
   // Built-in mergeable sketches, surfaced for API completeness
   // =====================================================================
 
   /** HyperLogLog++ distinct count (Spark built-in, mergeable, `rsd`
-    * relative standard deviation). Use over [[kmvSketch]] when only the
-    * NUMBER is needed and no cross-engine recomputation is required —
-    * HLL++ state is opaque, KMV state is portable rows. */
+    * relative standard deviation). Use over [[kmvSketch]] or
+    * [[hllRegisters]] when only the NUMBER is needed and no cross-engine
+    * recomputation is required — HLL++ state is opaque, ours is portable
+    * rows. */
   def hllDistinct(df: DataFrame, c: Column, rsd: Double = 0.05): Long =
     df.agg(approx_count_distinct(c, rsd)).head().getLong(0)
 

@@ -282,4 +282,54 @@ class SketchesSpec extends AnyFunSuite {
     assert(cmsPlan.contains("partial"), // map-side partial agg of grid cells
       s"CMS must partial-aggregate grid cells map-side:\n$cmsPlan")
   }
+
+  test("HLL registers match a driver-side reference implementation") {
+    val xs = (1 to 3000).map(i => s"item$i")
+    val p = 8
+    val got = Sketches.hllRegisters(strs(xs), col("v"), p, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: the same md5-derived 60-bit hash, split p top bits / rank
+    val wBits = 60 - p
+    val exp = xs.map { v =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16)
+      val w = h & ((1L << wBits) - 1)
+      val rank =
+        if (w == 0) wBits + 1
+        else wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (h >>> wBits, rank.toLong)
+    }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }
+    assert(got == exp)
+  }
+
+  test("HLL merge of shard registers equals the registers of the union") {
+    val a = strs((1 to 4000).map(i => s"u$i"))
+    val b = strs((2000 to 6000).map(i => s"u$i"))
+    val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(a, col("v"), 8), Sketches.hllRegisters(b, col("v"), 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val direct = Sketches.hllRegisters(a.unionByName(b), col("v"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(merged == direct)
+  }
+
+  test("HLL estimate lands near truth; registers partition-independent") {
+    val df = strs((1 to 20000).map(i => s"u$i"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("v"), 8), 8)
+    // expected rel-err ~ 1.04/sqrt(256) ≈ 6.5%; allow 3 sigma
+    assert(math.abs(est - 20000) / 20000 < 0.2, s"est=$est")
+    val r1 = Sketches.hllRegisters(df, col("v"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = Sketches.hllRegisters(df.repartition(13), col("v"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 == r2)
+  }
+
+  test("HLL small-range correction: exact-ish on tiny cardinalities") {
+    val df = strs((1 to 30).map(i => s"x$i"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("v"), 8), 8)
+    // linear counting on 256 registers is near-exact at n=30
+    assert(math.abs(est - 30) <= 3, s"est=$est")
+  }
 }
