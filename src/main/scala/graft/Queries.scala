@@ -1570,6 +1570,49 @@ object Queries {
       |         GROUP BY e.dst) s ON nd.node = s.node)
       |SELECT node, rank FROM r3""".stripMargin
 
+  /** Personalized PageRank from four anchor nations, 3 rounds on the nation
+    * chain (Graph.personalizedPageRank): teleport mass restricted to the
+    * source set, so rank concentrates downstream of the anchors — the
+    * random-walk-with-restart behind "related items". Chain in-degree ≤ 1
+    * keeps the FP order fixed; the oracle unrolls the identical
+    * arithmetic. */
+  def q_ppr(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.personalizedPageRank(nationChain(s, dir),
+      sources = Seq(0L, 7L, 14L, 21L), iterations = 3, parallelism = Some(1))
+
+  private val q_ppr_sql =
+    """WITH E AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+      |         CAST(lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS BIGINT) AS dst
+      |  FROM nation QUALIFY dst IS NOT NULL),
+      |nodes AS (SELECT src AS node FROM E UNION SELECT dst FROM E),
+      |od AS (SELECT src, count(*) AS outdeg FROM E GROUP BY src),
+      |r0 AS (SELECT node,
+      |         CASE WHEN node IN (0, 7, 14, 21) THEN CAST(1 AS DOUBLE) / 4 ELSE CAST(0 AS DOUBLE) END AS rank
+      |       FROM nodes),
+      |r1 AS (SELECT nd.node,
+      |         CASE WHEN nd.node IN (0, 7, 14, 21) THEN (1 - CAST(0.85 AS DOUBLE)) / 4 ELSE CAST(0 AS DOUBLE) END
+      |           + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+      |         FROM E e JOIN od ON e.src = od.src JOIN r0 r ON r.node = e.src
+      |         GROUP BY e.dst) s ON nd.node = s.node),
+      |r2 AS (SELECT nd.node,
+      |         CASE WHEN nd.node IN (0, 7, 14, 21) THEN (1 - CAST(0.85 AS DOUBLE)) / 4 ELSE CAST(0 AS DOUBLE) END
+      |           + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+      |         FROM E e JOIN od ON e.src = od.src JOIN r1 r ON r.node = e.src
+      |         GROUP BY e.dst) s ON nd.node = s.node),
+      |r3 AS (SELECT nd.node,
+      |         CASE WHEN nd.node IN (0, 7, 14, 21) THEN (1 - CAST(0.85 AS DOUBLE)) / 4 ELSE CAST(0 AS DOUBLE) END
+      |           + CAST(0.85 AS DOUBLE) * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS rank
+      |       FROM nodes nd LEFT JOIN (
+      |         SELECT e.dst AS node, sum(r.rank / od.outdeg) AS in_sum
+      |         FROM E e JOIN od ON e.src = od.src JOIN r2 r ON r.node = e.src
+      |         GROUP BY e.dst) s ON nd.node = s.node)
+      |SELECT node, rank FROM r3""".stripMargin
+
   /** Triangle count over the region cliques (the 5 nations of a region form
     * a 5-clique → C(5,3)=10 triangles each) in the reference's fold shape
     * (examples/triangles_fold.rs): group_by_fold adjacency → wedges → close
@@ -4040,6 +4083,7 @@ object Queries {
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
+    "q_ppr" -> (q_ppr _),
     "q_pagerank_delta" -> (q_pagerank_delta _),
     "q_sssp" -> (q_sssp _),
     "q_triangles" -> (q_triangles _),
@@ -4192,6 +4236,7 @@ object Queries {
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,
+    "q_ppr" -> q_ppr_sql,
     "q_pagerank_delta" -> q_pagerank_delta_sql,
     "q_sssp" -> q_sssp_sql,
     "q_triangles" -> q_triangles_sql,

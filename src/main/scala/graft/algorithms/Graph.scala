@@ -126,6 +126,43 @@ object Graph {
     out
     }
 
+  /** Personalized PageRank: the teleport restricted to a source set S —
+    * rank'(n) = (1-d)·[n∈S]/|S| + d·Σ_{m→n} rank(m)/outdeg(m) — so mass
+    * concentrates around S: the random-walk-with-restart behind "related
+    * items" / personalized recommendations. Same per-round plan shape as
+    * [[pageRank]] (edges ⋈ broadcast outdeg ⋈ ranks, one dst aggregation);
+    * source membership rides as a narrow isin/when column, costing no
+    * extra shuffle, so the 100 TB scaling argument is unchanged. */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
+      iterations: Int, damping: Double = 0.85,
+      parallelism: Option[Int] = None): DataFrame =
+    withShuffleWidth(edges.sparkSession, parallelism) {
+    require(sources.nonEmpty, "personalized PageRank needs >= 1 source node")
+    val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
+    val e = e0.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val sSize = sources.size.toDouble
+    val inS = col("node").isin(sources: _*)
+    val teleport = when(inS, lit((1.0 - damping) / sSize)).otherwise(lit(0.0))
+    val init = nodes.withColumn("rank",
+      when(inS, lit(1.0 / sSize)).otherwise(lit(0.0)))
+    val out = Iteration.loop(init, iterations) { (ranks, _) =>
+      val contrib = e
+        .join(broadcast(outdeg), Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+      val incoming = contrib.groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      nodes.join(incoming, Seq("node"), "left_outer")
+        .select(col("node"),
+          (teleport + lit(damping) * coalesce(col("in_sum"), lit(0.0)))
+            .as("rank"))
+    } { (_, _) => false } // fixed iteration count
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    out
+    }
+
   /** Incremental (delta) PageRank on [[graft.operators.Iteration.deltaIterate]]
     * — the reference's stateful-iteration pagerank
     * (reference: examples/pagerank_stateful.rs:55-85) re-expressed as a true

@@ -45,6 +45,27 @@ class DeltaIterateSpec extends AnyFunSuite {
         s"node ${c * 10 + k}: ${got(c * 10 + k)} vs ${expect(k)}")
   }
 
+  test("personalized pagerank: mass flows only downstream of the sources") {
+    val s = imp; import s._
+    // chain 0→1→2→3→4 plus a chain 10→11→12 DISCONNECTED from the source
+    val edges = ((0 until 4).map(i => (i.toLong, i + 1L)) ++
+      Seq((10L, 11L), (11L, 12L))).toDF("src", "dst")
+    val got = graft.algorithms.Graph.personalizedPageRank(
+        edges, sources = Seq(0L), iterations = 3, parallelism = Some(2))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val d = 0.85
+    // closed form after 3 rounds from a single source on a chain:
+    // r(0)=1-d; depth j<3 has d^j(1-d); the frontier (depth 3) holds d^3;
+    // beyond the frontier and off the source's component: exactly 0
+    assert(math.abs(got(0L) - (1 - d)) < 1e-15)
+    assert(math.abs(got(1L) - d * (1 - d)) < 1e-15)
+    assert(math.abs(got(2L) - d * d * (1 - d)) < 1e-15)
+    assert(math.abs(got(3L) - d * d * d) < 1e-15)
+    assert(got(4L) == 0.0)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 0.0), "unreachable nodes hold 0")
+    assert(got.values.sum <= 1.0 + 1e-12, "walk mass never exceeds 1")
+  }
+
   test("deltaIterate terminates immediately when no delta passes the condition") {
     val s = imp; import s._
     val init = Seq((1L, 0L), (2L, 0L)).toDS()
