@@ -2100,6 +2100,54 @@ object Queries {
       |    / CAST(total AS DOUBLE) AS est
       |FROM regs, tot""".stripMargin
 
+  /** Fixed-bound equi-width histogram of the price column (Sketches
+    * .histogram): 256 frozen-grid bins via one map-side-partial count — the
+    * mergeable, engine-portable quantile-sketch state (per-shard histograms
+    * bin-wise-sum into the corpus histogram across crawl cycles). */
+  def q_histogram(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.histogram(
+      tbl(s, dir, "lineitem"), col("l_extendedprice"), bins = 256,
+      lo = 900.0, hi = 105000.0)
+
+  private val q_histogram_sql =
+    """SELECT bin, count(*) AS cnt FROM (
+      |  SELECT greatest(0, least(255,
+      |    CAST(floor((l_extendedprice - 900.0) * 256.0 / (105000.0 - 900.0)) AS BIGINT))) AS bin
+      |  FROM lineitem) GROUP BY bin""".stripMargin
+
+  /** Interpolated quantiles from the frozen-grid histogram (Sketches
+    * .histogramQuantiles): rank = ceil(p·n), first crossing bin, linear
+    * interpolation inside it — each estimate within one bin width of exact.
+    * The whole quantile pass runs on the ≤256-row sketch (one tiny task);
+    * fixed-order double arithmetic keeps the oracle bit-identical. */
+  def q_quantile_hist(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.histogramQuantiles(
+      graft.functions.Sketches.histogram(
+        tbl(s, dir, "lineitem"), col("l_extendedprice"), bins = 256,
+        lo = 900.0, hi = 105000.0),
+      bins = 256, lo = 900.0, hi = 105000.0,
+      probs = Seq(0.25, 0.5, 0.75, 0.95, 0.99))
+
+  private val q_quantile_hist_sql =
+    """WITH h AS (SELECT greatest(0, least(255,
+      |    CAST(floor((l_extendedprice - 900.0) * 256.0 / (105000.0 - 900.0)) AS BIGINT))) AS bin
+      |  FROM lineitem),
+      |g AS (SELECT bin, count(*) AS cnt FROM h GROUP BY bin),
+      |c AS (SELECT bin, cnt,
+      |        CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(sum(cnt) OVER () AS BIGINT) AS n FROM g),
+      |p AS (SELECT CAST(p AS DOUBLE) AS p
+      |      FROM (VALUES (0.25), (0.5), (0.75), (0.95), (0.99)) AS t(p)),
+      |j AS (SELECT c.*, p.p,
+      |        CAST(ceil(p.p * CAST(n AS DOUBLE)) AS BIGINT) AS t
+      |      FROM c CROSS JOIN p)
+      |SELECT p,
+      |  900.0 + (CAST(bin AS DOUBLE)
+      |    + (CAST(t AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+      |    * ((105000.0 - 900.0) / 256) AS q_est,
+      |  n
+      |FROM j WHERE cum >= t AND cum - cnt < t""".stripMargin
+
   private val q_distinct_kmv_sql =
     """WITH hs AS (SELECT DISTINCT
       |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -4052,6 +4100,8 @@ object Queries {
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_distinct_hll" -> (q_distinct_hll _),
+    "q_histogram" -> (q_histogram _),
+    "q_quantile_hist" -> (q_quantile_hist _),
     "q_kmv_persist" -> (q_kmv_persist _),
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
@@ -4205,6 +4255,8 @@ object Queries {
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_distinct_hll" -> q_distinct_hll_sql,
+    "q_histogram" -> q_histogram_sql,
+    "q_quantile_hist" -> q_quantile_hist_sql,
     "q_kmv_persist" -> q_distinct_kmv_sql,
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,

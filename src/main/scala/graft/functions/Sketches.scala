@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable streaming sketches for cardinality and frequency at corpus
@@ -390,6 +391,63 @@ object Sketches {
     val zeros = m - nb
     if (zeros > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / zeros)
     else raw
+  }
+
+  // =====================================================================
+  // Fixed-bound equi-width histogram (mergeable quantile sketch)
+  // =====================================================================
+
+  /** Equi-width histogram of `c` under FROZEN bounds [lo, hi): one row per
+    * non-empty bin, (bin, cnt); values outside the bounds clamp to the edge
+    * bins (the ZOrder frozen-bounds discipline — crawl cycles histogram the
+    * same grid, so shard histograms stay mergeable forever). The engine-
+    * portable alternative to `percentile_approx` when the sketch must be
+    * stored, merged across cycles, or recomputed by another engine: binning
+    * is a narrow arithmetic Column and the aggregate is a plain map-side-
+    * partial count on ≤ `bins` keys — the exchange carries at most
+    * partitions·bins rows at any corpus size. */
+  def histogram(df: DataFrame, c: Column, bins: Int, lo: Double,
+      hi: Double): DataFrame = {
+    require(bins >= 2 && hi > lo, s"need bins >= 2 and hi > lo")
+    val bin = greatest(lit(0L), least(lit(bins - 1L),
+      floor((c.cast("double") - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
+        .cast("long")))
+    df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histograms built on the same grid: bin-wise sum. Associative,
+    * commutative — per-shard histograms compose without re-reading data. */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+
+  /** Interpolated quantile estimates from a histogram: for each `p`, the
+    * first bin whose cumulative count reaches rank ceil(p·n), linearly
+    * interpolated inside the bin. Error bound: within one bin width of an
+    * exact quantile (plus clamping at the frozen edges). Runs on the ≤bins-
+    * row sketch — one tiny task; every arithmetic step is a fixed-order
+    * double expression, so the DuckDB oracle reproduces estimates
+    * bit-for-bit. */
+  def histogramQuantiles(hist: DataFrame, bins: Int, lo: Double, hi: Double,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+    val ps = hist.sparkSession.createDataFrame(
+      probs.map(Tuple1.apply)).toDF("p")
+    val width = (hi - lo) / bins
+    cum.crossJoin(broadcast(ps))
+      .withColumn("t", ceil(col("p") * col("n").cast("double")).cast("long"))
+      .filter(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
+      .select(col("p"),
+        (lit(lo) + (col("bin").cast("double") +
+          (col("t").cast("double") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")) * lit(width)).as("q_est"),
+        col("n"))
   }
 
   // =====================================================================

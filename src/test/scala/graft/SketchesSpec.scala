@@ -326,6 +326,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("histogram: closed-form bins, edge clamping, merge = sum") {
+    val s = spark; import s.implicits._
+    // grid [0, 10) with 10 bins: value v lands in bin floor(v); outside clamps
+    val df = Seq(-5.0, 0.0, 0.999, 1.0, 5.5, 9.99, 10.0, 42.0).toDF("v")
+    val got = Sketches.histogram(df, col("v"), 10, 0.0, 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 3L, 1L -> 1L, 5L -> 1L, 9L -> 3L)) // clamps at 0 and 9
+    val a = Seq(1.5, 2.5).toDF("v"); val b = Seq(1.7, 8.0).toDF("v")
+    val merged = Sketches.histogramMerge(
+        Sketches.histogram(a, col("v"), 10, 0.0, 10.0),
+        Sketches.histogram(b, col("v"), 10, 0.0, 10.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Sketches.histogram(a.unionByName(b), col("v"), 10, 0.0, 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == direct)
+  }
+
+  test("histogram quantiles land within one bin width of exact") {
+    val s = spark; import s.implicits._
+    val xs = (1 to 10000).map(i => (i * 7919 % 10007).toDouble) // permutation-ish spread
+    val df = xs.toDF("v")
+    val bins = 128; val lo = 0.0; val hi = 10007.0
+    val width = (hi - lo) / bins
+    val hist = Sketches.histogram(df, col("v"), bins, lo, hi)
+    val probs = Seq(0.25, 0.5, 0.9, 0.99)
+    val got = Sketches.histogramQuantiles(hist, bins, lo, hi, probs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    val sorted = xs.sorted
+    probs.foreach { p =>
+      val exact = sorted(math.ceil(p * xs.size).toInt - 1)
+      assert(math.abs(got(p) - exact) <= width,
+        s"p=$p est=${got(p)} exact=$exact width=$width")
+    }
+  }
+
   test("HLL small-range correction: exact-ish on tiny cardinalities") {
     val df = strs((1 to 30).map(i => s"x$i"))
     val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("v"), 8), 8)
