@@ -1110,6 +1110,21 @@ object Queries {
         .drop("n_events")
     }, "update", dir)
 
+  /** Streaming twin of q_sessionize — the inactivity-gap session assignment
+    * through the flatMapGroupsWithState O(1)-state machine
+    * (Streaming.sessionizeStream). A bounded AvailableNow run is one
+    * per-user-sorted batch, so the assignment equals the batch window
+    * lowering exactly — oracle shared with q_sessionize. */
+  def q_stream_sessionize(s: SparkSession, dir: String): DataFrame =
+    runStream(s, { src =>
+      import org.apache.spark.sql.Encoders
+      val typed = src.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)](Encoders.product[(Long, Long, Long)])
+      graft.streaming.Streaming.sessionizeStream(typed, 43200000000L)
+        .toDF("event_id", "user_id", "is_new", "session_id")
+    }, "append", dir)
+
   /** Streaming twin of the KMV distinct sketch (Streaming.kmvStream): the
     * order-key universe sketched on an unbounded stream — narrow
     * per-partition k-min pre-shrink per micro-batch, then one O(k)
@@ -4080,6 +4095,7 @@ object Queries {
     "q_stream_wordcount" -> (q_stream_wordcount _),
     "q_stream_dedup" -> (q_stream_dedup _),
     "q_stream_funnel" -> (q_stream_funnel _),
+    "q_stream_sessionize" -> (q_stream_sessionize _),
     "q_stream_kmv" -> (q_stream_kmv _),
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
@@ -4234,6 +4250,7 @@ object Queries {
     "q_stream_wordcount" -> q_wordcount_file_sql,
     "q_stream_dedup" -> q_dedup_exact_sql,
     "q_stream_funnel" -> q_funnel_sql,
+    "q_stream_sessionize" -> q_sessionize_sql,
     "q_stream_kmv" -> q_stream_kmv_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,

@@ -121,6 +121,44 @@ object Streaming {
       }
   }
 
+  /** Streaming per-event sessionization — the stateful twin of
+    * `operators.WindowsDF.sessionize`: O(1) state per user (last event time
+    * + session counter) folded over each micro-batch's slice in (ts, id)
+    * order, emitting every event with its (is_new, session_id) assignment
+    * in Append mode. Same in-order-across-batches contract as
+    * [[funnelStream]]: batch boundaries must respect event-time order per
+    * key for cross-batch gaps to be measured against the true previous
+    * event (a bounded AvailableNow run is one sorted batch, so it equals
+    * the batch assignment exactly — the catalog twin's claim).
+    *
+    * rows: (event_id, user_id, us); out: (event_id, user_id, is_new,
+    * session_id). */
+  def sessionizeStream(ds: Dataset[(Long, Long, Long)], gapUs: Long)
+      : Dataset[(Long, Long, Boolean, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val eKey: Encoder[Long] = Encoders.scalaLong
+    implicit val eState: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
+    implicit val eOut: Encoder[(Long, Long, Boolean, Long)] =
+      Encoders.product[(Long, Long, Boolean, Long)]
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Boolean, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (lastUs, nSess) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r._3, r._1)).map { case (id, _, us) =>
+            // short-circuit guards the sentinel: nSess == 0 means no
+            // previous event, so lastUs is never read there
+            val isNew = nSess == 0L || us - lastUs > gapUs
+            if (isNew) nSess += 1
+            lastUs = us
+            (id, user, isNew, nSess)
+          }
+          state.update((lastUs, nSess))
+          out.iterator
+      }
+  }
+
   /** Streaming ProcessingTimeWindow.tumbling per key (reference:
     * descr/processing_time.rs:92-107): elements buffer in keyed state; a
     * wall-clock timeout of `sizeMs`, armed when the window opens (first

@@ -692,6 +692,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: cross-batch gaps measured against real last event") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)] // (event_id, user_id, us)
+    val out = Streaming.sessionizeStream(in.toDS.map(identity(_)), gapUs = 100L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessionize").start()
+    try {
+      // batch 1: user 1 opens a session; second event inside the gap
+      in.addData((1L, 1L, 0L), (2L, 1L, 50L))
+      q.processAllAvailable()
+      // batch 2: event at 120 — 70 after the CROSS-BATCH last (50): same
+      // session; event at 300 reopens; out-of-order within batch is sorted
+      in.addData((4L, 1L, 300L), (3L, 1L, 120L))
+      q.processAllAvailable()
+      val got = spark.table("sessionize")
+        .as[(Long, Long, Boolean, Long)].collect()
+        .map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq
+      assert(got == Seq((1L, true, 1L), (2L, false, 1L),
+        (3L, false, 1L), (4L, true, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming as-of join: keepRights=1 is latest-state enrichment") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
