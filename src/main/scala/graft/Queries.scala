@@ -912,6 +912,34 @@ object Queries {
       |FROM active CROSS JOIN cohort
       |GROUP BY day_offset, cohort_n""".stripMargin
 
+  /** Trending top-k (beyond-reference event analytics): the two hottest
+    * event types per tumbling day window with a deterministic (count desc,
+    * type asc) tie-break — the "what's trending now" report. The rank
+    * window runs over ALREADY-AGGREGATED rows (windows × types, far below
+    * the event count), and the `row_number <= k` filter lowers to
+    * WindowGroupLimit: map-side top-k per window BEFORE that second,
+    * aggregate-sized exchange. */
+  def q_trending(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.operators.WindowsDF.tumblingAgg(
+      events(s, dir), "ts", "1 day",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    val w = Window.partitionBy(col("w_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    agg.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .select(col("w_start"), col("event_type"), col("n"), col("rnk"))
+  }
+
+  private val q_trending_sql =
+    """WITH w AS (
+      |  SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER
+      |        (PARTITION BY w_start ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      |      FROM w)
+      |SELECT w_start, event_type, n, rnk FROM r WHERE rnk <= 2""".stripMargin
+
   /** Per-event sessionization (beyond-reference event analytics): the
     * inactivity-gap rule assigns every event a dense per-user session id —
     * a new session opens on the user's first event or after >12h of
@@ -1124,6 +1152,26 @@ object Queries {
       graft.streaming.Streaming.sessionizeStream(typed, 43200000000L)
         .toDF("event_id", "user_id", "is_new", "session_id")
     }, "append", dir)
+
+  /** Streaming twin of the HLL register table — hllRegisters IS a plain
+    * streaming aggregation (narrow rank expression + groupBy(bucket).max
+    * with partial aggregation), so the identical code runs on the unbounded
+    * stream in complete mode; the bounded run's final registers equal the
+    * batch sketch bit-for-bit (registers-only oracle — the estimate
+    * projection is batch arithmetic layered on this exact state). */
+  def q_stream_hll(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => graft.functions.Sketches.hllRegisters(
+        src, col("l_orderkey").cast("string"), p = 8, portable = portableMode),
+      "complete", dir, table = "lineitem")
+
+  private val q_stream_hll_sql =
+    """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (SELECT h // 4503599627370496 AS bucket,
+      |             h % 4503599627370496 AS w FROM h)
+      |SELECT bucket,
+      |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+      |FROM r GROUP BY bucket""".stripMargin
 
   /** Streaming twin of the KMV distinct sketch (Streaming.kmvStream): the
     * order-key universe sketched on an unbounded stream — narrow
@@ -2157,6 +2205,37 @@ object Queries {
       |        CAST(ceil(p.p * CAST(n AS DOUBLE)) AS BIGINT) AS t
       |      FROM c CROSS JOIN p)
       |SELECT p,
+      |  900.0 + (CAST(bin AS DOUBLE)
+      |    + (CAST(t AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+      |    * ((105000.0 - 900.0) / 256) AS q_est,
+      |  n
+      |FROM j WHERE cum >= t AND cum - cnt < t""".stripMargin
+
+  /** Per-group interpolated quantiles from frozen-grid histograms (Sketches
+    * .histogramPerGroup + histogramQuantilesPerGroup): p50/p95/p99 of the
+    * price per return flag — grouped quantile state bounded at groups·bins
+    * rows regardless of corpus size. */
+  def q_quantile_group(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.histogramQuantilesPerGroup(
+      graft.functions.Sketches.histogramPerGroup(
+        tbl(s, dir, "lineitem"), "l_returnflag", col("l_extendedprice"),
+        bins = 256, lo = 900.0, hi = 105000.0),
+      bins = 256, lo = 900.0, hi = 105000.0, probs = Seq(0.5, 0.95, 0.99))
+
+  private val q_quantile_group_sql =
+    """WITH h AS (SELECT l_returnflag AS g, greatest(0, least(255,
+      |    CAST(floor((l_extendedprice - 900.0) * 256.0 / (105000.0 - 900.0)) AS BIGINT))) AS bin
+      |  FROM lineitem),
+      |gg AS (SELECT g, bin, count(*) AS cnt FROM h GROUP BY g, bin),
+      |c AS (SELECT g, bin, cnt,
+      |        CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n FROM gg),
+      |p AS (SELECT CAST(p AS DOUBLE) AS p
+      |      FROM (VALUES (0.5), (0.95), (0.99)) AS t(p)),
+      |j AS (SELECT c.*, p.p,
+      |        CAST(ceil(p.p * CAST(n AS DOUBLE)) AS BIGINT) AS t
+      |      FROM c CROSS JOIN p)
+      |SELECT g, p,
       |  900.0 + (CAST(bin AS DOUBLE)
       |    + (CAST(t AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
       |    * ((105000.0 - 900.0) / 256) AS q_est,
@@ -4096,6 +4175,7 @@ object Queries {
     "q_stream_dedup" -> (q_stream_dedup _),
     "q_stream_funnel" -> (q_stream_funnel _),
     "q_stream_sessionize" -> (q_stream_sessionize _),
+    "q_stream_hll" -> (q_stream_hll _),
     "q_stream_kmv" -> (q_stream_kmv _),
     "q_asof_join" -> (q_asof_join _),
     "q_asof_forward" -> (q_asof_forward _),
@@ -4104,6 +4184,7 @@ object Queries {
     "q_anomaly" -> (q_anomaly _),
     "q_retention" -> (q_retention _),
     "q_sessionize" -> (q_sessionize _),
+    "q_trending" -> (q_trending _),
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
@@ -4118,6 +4199,7 @@ object Queries {
     "q_distinct_hll" -> (q_distinct_hll _),
     "q_histogram" -> (q_histogram _),
     "q_quantile_hist" -> (q_quantile_hist _),
+    "q_quantile_group" -> (q_quantile_group _),
     "q_kmv_persist" -> (q_kmv_persist _),
     "q_distinct_kmv_group" -> (q_distinct_kmv_group _),
     "q_skew_profile" -> (q_skew_profile _),
@@ -4251,6 +4333,7 @@ object Queries {
     "q_stream_dedup" -> q_dedup_exact_sql,
     "q_stream_funnel" -> q_funnel_sql,
     "q_stream_sessionize" -> q_sessionize_sql,
+    "q_stream_hll" -> q_stream_hll_sql,
     "q_stream_kmv" -> q_stream_kmv_sql,
     "q_window_join" -> q_window_join_sql,
     "q_asof_join" -> q_asof_join_sql,
@@ -4260,6 +4343,7 @@ object Queries {
     "q_anomaly" -> q_anomaly_sql,
     "q_retention" -> q_retention_sql,
     "q_sessionize" -> q_sessionize_sql,
+    "q_trending" -> q_trending_sql,
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,
@@ -4274,6 +4358,7 @@ object Queries {
     "q_distinct_hll" -> q_distinct_hll_sql,
     "q_histogram" -> q_histogram_sql,
     "q_quantile_hist" -> q_quantile_hist_sql,
+    "q_quantile_group" -> q_quantile_group_sql,
     "q_kmv_persist" -> q_distinct_kmv_sql,
     "q_distinct_kmv_group" -> q_distinct_kmv_group_sql,
     "q_skew_profile" -> q_skew_profile_sql,

@@ -450,6 +450,47 @@ object Sketches {
         col("n"))
   }
 
+  /** Per-GROUP equi-width histograms on the shared frozen grid: (g, bin,
+    * cnt) — grouped quantile state at groups·bins rows, the bounded
+    * alternative to an exact per-group sort. Same map-side partial-count
+    * discipline as [[histogram]]; merge = (g, bin)-wise sum. */
+  def histogramPerGroup(df: DataFrame, groupCol: String, c: Column, bins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2 && hi > lo, s"need bins >= 2 and hi > lo")
+    val bin = greatest(lit(0L), least(lit(bins - 1L),
+      floor((c.cast("double") - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
+        .cast("long")))
+    df.select(col(groupCol).as("g"), bin.as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group interpolated quantiles from [[histogramPerGroup]] state —
+    * the "p50/p95 per key" report. One (g) hash Exchange over the
+    * groups·bins-row sketch; identical fixed-order arithmetic to
+    * [[histogramQuantiles]], so the oracle replays estimates bit-for-bit. */
+  def histogramQuantilesPerGroup(hist: DataFrame, bins: Int, lo: Double,
+      hi: Double, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val w = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+    val ps = hist.sparkSession.createDataFrame(
+      probs.map(Tuple1.apply)).toDF("p")
+    val width = (hi - lo) / bins
+    cum.crossJoin(broadcast(ps))
+      .withColumn("t", ceil(col("p") * col("n").cast("double")).cast("long"))
+      .filter(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
+      .select(col("g"), col("p"),
+        (lit(lo) + (col("bin").cast("double") +
+          (col("t").cast("double") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")) * lit(width)).as("q_est"),
+        col("n"))
+  }
+
   // =====================================================================
   // Built-in mergeable sketches, surfaced for API completeness
   // =====================================================================

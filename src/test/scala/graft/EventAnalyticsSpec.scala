@@ -118,6 +118,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id shuffle, got $exchanges:\n$plan")
   }
 
+  test("trending plan: rank filter lowers to WindowGroupLimit over aggregated rows") {
+    val plan = Queries.q_trending(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number <= k must push map-side top-k per window:\n$plan")
+    val rows = Queries.q_trending(spark, "/root/testdata/sf0.001")
+      .groupBy("w_start").count().collect()
+    assert(rows.forall(_.getLong(1) <= 2), "at most k types per window")
+  }
+
   private def sessionsOf(gapUs: Long, rows: Seq[(Long, Long, Long)]) = {
     val s = spark; import s.implicits._
     val df = rows.map { case (id, u, us) => (id, u, us) }
