@@ -2272,6 +2272,29 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Bloom-pruned selective join (Scale.bloomPrunedJoin): lineitem probed
+    * against the ~2% of orders above the price cut — the build side's keys
+    * travel as broadcast Bloom bits that strip the probe shuffle to
+    * (match rate + fpp) of the corpus before the exchange. Like the other
+    * scale-machinery entries the oracle is the PLAIN join: identical
+    * output is the claim of a strategy-only change (Bloom FPs are
+    * re-checked by the join). */
+  def q_join_bloom(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.bloomPrunedJoin(
+        tbl(s, dir, "lineitem"),
+        tbl(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+        "l_orderkey", "o_orderkey", expectedItems = 1L << 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  private val q_join_bloom_sql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000.0
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Two-phase salted aggregation (Scale.saltedSum/saltedCount): per-flag
     * quantity sums and counts computed through 16 salt sub-groups then
     * merged — the hot-key aggregation lever. Decimal values so the partial
@@ -4205,6 +4228,7 @@ object Queries {
     "q_skew_profile" -> (q_skew_profile _),
     "q_join_estimate" -> (q_join_estimate _),
     "q_join_salted" -> (q_join_salted _),
+    "q_join_bloom" -> (q_join_bloom _),
     "q_join_bucketed" -> (q_join_bucketed _),
     "q_salted_agg" -> (q_salted_agg _),
     "q_vocab_encode" -> (q_vocab_encode _),
@@ -4364,6 +4388,7 @@ object Queries {
     "q_skew_profile" -> q_skew_profile_sql,
     "q_join_estimate" -> q_join_estimate_sql,
     "q_join_salted" -> q_join_salted_sql,
+    "q_join_bloom" -> q_join_bloom_sql,
     "q_join_bucketed" -> q_join_salted_sql,
     "q_salted_agg" -> q_salted_agg_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,

@@ -73,6 +73,37 @@ object Scale {
       .drop("_salt")
   }
 
+  /** Bloom-pruned join — the runtime-filter pattern as an explicit
+    * operator: build a Bloom filter over the build side's join keys (one
+    * scan, a driver-side bitset sized by expectedItems/fpp), broadcast it,
+    * and prefilter the PROBE side before its shuffle. The result is EXACT:
+    * the join re-checks every key, Bloom false positives merely survive
+    * pruning (they cost shuffle bytes, not correctness).
+    *
+    * When to use at 100 TB: the probe side is huge, the join is selective
+    * (most probe rows have no partner), and the build side is too big to
+    * broadcast outright — a broadcast-hash join would OOM, but a few MB of
+    * Bloom bits still travel to every executor and strip the probe shuffle
+    * down to (match rate + fpp) of the corpus. Complements AQE's own
+    * runtime filters by being available on any join the caller chooses,
+    * with an explicitly budgeted bitset.
+    *
+    * The probe predicate is a broadcast-Bloom UDF by necessity (the same
+    * justification as Dedup.exactIncremental's — no Column form exists for
+    * an arbitrary driver-built Bloom); it gates rows BEFORE the exchange,
+    * so the non-codegen cost is one virtual call per probe row in exchange
+    * for shuffling ~none of them. */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, expectedItems: Long, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    val bf = build.select(col(buildKey).cast("string").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bfB = probe.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    probe.filter(might(col(probeKey).cast("string")))
+      .join(build, probe(probeKey) === build(buildKey), joinType)
+  }
+
   /** Rebalance a narrow input up to the session shuffle width before a
     * stage that AMPLIFIES per-row work. Scan parallelism is bytes-based and
     * bounded below by parquet row-group granularity, so a small-file corpus

@@ -61,6 +61,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("bloomPrunedJoin equals the plain join; pruning actually strips the probe") {
+    val s = imp; import s._
+    // probe: 10k rows over 1k keys; build: 20 selective keys
+    val probe = (1 to 10000).map(i => (i.toLong % 1000, i.toLong)).toDF("k", "v")
+    val build = (0 until 20).map(i => (i * 50L, s"b$i")).toDF("bk", "tag")
+    val got = Scale.bloomPrunedJoin(probe, build, "k", "bk",
+        expectedItems = 1000)
+      .select("k", "v", "tag").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "v", "tag").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == plain && got.nonEmpty)
+    // a deliberately tiny, FP-heavy Bloom still yields the exact result —
+    // false positives only survive pruning, never the join
+    val sloppy = Scale.bloomPrunedJoin(probe, build, "k", "bk",
+        expectedItems = 4, fpp = 0.5)
+      .select("k", "v", "tag").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(sloppy == plain)
+    // the filter itself prunes: count the probe rows that pass the Bloom
+    val bf = build.select(col("bk").cast("string").as("__k"))
+      .stat.bloomFilter("__k", 1000, 0.01)
+    val passed = probe.collect().count(r =>
+      bf.mightContainString(r.getLong(0).toString))
+    assert(passed < 10000 / 2,
+      s"Bloom should strip most of a selective probe, passed $passed/10000")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val s = imp; import s._
     withPlanShapeConfs {
