@@ -912,6 +912,78 @@ object Queries {
       |FROM active CROSS JOIN cohort
       |GROUP BY day_offset, cohort_n""".stripMargin
 
+  /** TPC-H Q5-shaped six-table join — the flagship multi-join plan: revenue
+    * per nation for ASIA customers served by a supplier in the SAME nation,
+    * orders in a two-year slice. The point is what Catalyst does with the
+    * declarative form: region→nation→supplier dimension chains broadcast,
+    * the date and region filters push into the scans, the fact-side join
+    * order comes from the optimizer and AQE re-plans at runtime — nothing
+    * here is hand-scheduled. */
+  def q_tpch5(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(tbl(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(tbl(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+
+  private val q_tpch5_sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+      |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q3-shaped shipping-priority query: the 10 highest-revenue
+    * still-unshipped orders for one market segment — two selective
+    * dimension filters, a fact-side aggregate on (orderkey, orderdate),
+    * and a total-order top-k that lowers to TakeOrdered (no global
+    * sort materialization). */
+  def q_tpch3(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(
+        col("o_orderdate") < lit("1998-06-01").cast("timestamp") &&
+        col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private val q_tpch3_sql =
+    """SELECT l_orderkey,
+      |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_date_us,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-06-01'
+      |  AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** Trending top-k (beyond-reference event analytics): the two hottest
     * event types per tumbling day window with a deterministic (count desc,
     * type asc) tie-break — the "what's trending now" report. The rank
@@ -2241,6 +2313,45 @@ object Queries {
       |    * ((105000.0 - 900.0) / 256) AS q_est,
       |  n
       |FROM j WHERE cum >= t AND cum - cnt < t""".stripMargin
+
+  /** Per-group HLL distinct sketch — distinct order keys per return flag
+    * (Sketches.hllRegistersPerGroup/hllReportPerGroup): groups·256 bounded
+    * register rows, per-group estimates from the same exact-DECIMAL
+    * arithmetic, every register and estimate oracle-replayed. */
+  def q_distinct_hll_group(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.hllReportPerGroup(
+      graft.functions.Sketches.hllRegistersPerGroup(
+        tbl(s, dir, "lineitem"), "l_returnflag",
+        col("l_orderkey").cast("string"), p = 8, portable = portableMode),
+      p = 8)
+
+  private val q_distinct_hll_group_sql =
+    """WITH h AS (SELECT l_returnflag AS g,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (SELECT g, h // 4503599627370496 AS bucket,
+      |             h % 4503599627370496 AS w FROM h),
+      |regs AS (SELECT g, bucket,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+      |  FROM r GROUP BY g, bucket),
+      |t AS (SELECT g, bucket, reg,
+      |        CAST(sum(CAST(power(2.0, 63 - reg) AS DECIMAL(38,0))) OVER (PARTITION BY g) AS DECIMAL(38,0)) AS s,
+      |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nb
+      |      FROM regs)
+      |SELECT g, bucket, reg, nb AS nonzero,
+      |  0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * power(2.0, 63)
+      |    / CAST(s + (256 - nb) * CAST(power(2.0, 63) AS DECIMAL(38,0)) AS DOUBLE) AS est
+      |FROM t""".stripMargin
+
+  /** Streaming twin of q_histogram — the frozen-grid binning is a narrow
+    * expression and the count a plain streaming aggregation, so the
+    * identical Sketches.histogram code runs on the unbounded stream in
+    * complete mode; the bounded run's final bins hash-match the batch
+    * sketch (oracle shared with q_histogram). */
+  def q_stream_histogram(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => graft.functions.Sketches.histogram(
+        src, col("l_extendedprice"), bins = 256, lo = 900.0, hi = 105000.0),
+      "complete", dir, table = "lineitem")
 
   private val q_distinct_kmv_sql =
     """WITH hs AS (SELECT DISTINCT
@@ -4220,6 +4331,10 @@ object Queries {
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_distinct_hll" -> (q_distinct_hll _),
+    "q_distinct_hll_group" -> (q_distinct_hll_group _),
+    "q_stream_histogram" -> (q_stream_histogram _),
+    "q_tpch3" -> (q_tpch3 _),
+    "q_tpch5" -> (q_tpch5 _),
     "q_histogram" -> (q_histogram _),
     "q_quantile_hist" -> (q_quantile_hist _),
     "q_quantile_group" -> (q_quantile_group _),
@@ -4380,6 +4495,10 @@ object Queries {
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_distinct_hll" -> q_distinct_hll_sql,
+    "q_distinct_hll_group" -> q_distinct_hll_group_sql,
+    "q_stream_histogram" -> q_histogram_sql,
+    "q_tpch3" -> q_tpch3_sql,
+    "q_tpch5" -> q_tpch5_sql,
     "q_histogram" -> q_histogram_sql,
     "q_quantile_hist" -> q_quantile_hist_sql,
     "q_quantile_group" -> q_quantile_group_sql,

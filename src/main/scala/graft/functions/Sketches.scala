@@ -378,6 +378,45 @@ object Sketches {
           col("total").cast("double")).as("est"))
   }
 
+  /** Per-GROUP HLL register tables: (g, bucket, reg) — approximate
+    * distinct-per-key at groups·m bounded rows (the "distinct users per
+    * domain" report), same map-side partial-max discipline as
+    * [[hllRegisters]]; merge = (g, bucket)-wise max. */
+  def hllRegistersPerGroup(df: DataFrame, groupCol: String, c: Column, p: Int,
+      portable: Boolean = false): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
+    val wBits = hllWBits(p, portable)
+    val h = itemHash(c, portable)
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    val rank = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.select(col(groupCol).as("g"), shiftright(h, wBits).as("bucket"),
+        rank.cast("long").as("reg"))
+      .groupBy("g", "bucket").agg(max(col("reg")).as("reg"))
+  }
+
+  /** Per-group `(g, bucket, reg, nonzero, est)` projection — the grouped
+    * [[hllReport]]: per-group totals via whole-partition windows on the
+    * groups·m-row sketch, identical exact-DECIMAL + fixed-order-double
+    * arithmetic so the oracle replays every group's estimate
+    * bit-for-bit. */
+  def hllReportPerGroup(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val scaleDec = lit(math.pow(2, 63)).cast("decimal(38,0)")
+    val term = pow(lit(2.0), lit(63.0) - col("reg").cast("double"))
+      .cast("decimal(38,0)")
+    val wg = Window.partitionBy(col("g")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs
+      .withColumn("s", sum(term).over(wg))
+      .withColumn("nb", count(lit(1)).over(wg))
+      .select(col("g"), col("bucket"), col("reg"), col("nb").as("nonzero"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2, 63)) /
+          (col("s") + (lit(m) - col("nb")).cast("decimal(38,0)") * scaleDec)
+            .cast("double")).as("est"))
+  }
+
   /** Driver-side distinct estimate from a register table: the raw HLL
     * estimate with the standard small-range correction (linear counting
     * m·ln(m/V) when empty buckets exist and the raw estimate ≤ 2.5m). */

@@ -109,6 +109,20 @@ class JoinSpec extends AnyFunSuite {
     assert(a.except(b).collectVec().sorted == Seq(1, 2))
   }
 
+  test("tpch5 plan: date filter pushed into the orders scan, no cartesian") {
+    val df = Queries.q_tpch5(spark, "/root/testdata/sf0.001")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date lower bound must reach the parquet scan:\n$formatted")
+    assert(formatted.contains("LessThan(o_orderdate"),
+      s"date upper bound must reach the parquet scan:\n$formatted")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"six-table join must stay equi-join only:\n$physical")
+  }
+
   test("addTimestamps / reorder / dropTimestamps round-trip") {
     val s = imp
     import s._
