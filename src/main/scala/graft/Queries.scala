@@ -4103,6 +4103,34 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000 AS BIGINT) AS shard
       |FROM t""".stripMargin
 
+  /** Deterministic negative sampling (Sampling.negativeSample): two
+    * pseudo-random contrastive partners per anchor document — position via
+    * the distributed prefix sum (never a one-task global window), draw via
+    * portable hash mod N with a self-exclusion bump, resolution via one
+    * equi join. The oracle replays position assignment, hashing and the
+    * bump, so the pair set is engine-reproducible. */
+  def q_negative_sample(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.negativeSample(
+      tbl(s, dir, "documents"), "doc_id", k = 2, portable = portableMode)
+
+  private val q_negative_sample_sql =
+    """WITH pos AS (SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+      |  FROM documents),
+      |nn AS (SELECT count(*) AS n FROM pos),
+      |a AS (SELECT p.doc_id AS anchor_id, p.pos AS a_pos, t.j
+      |      FROM pos p CROSS JOIN (VALUES (0), (1)) AS t(j)),
+      |hh AS (SELECT anchor_id, j, a_pos,
+      |        ('0x' || substr(md5(anchor_id || '#' || j), 1, 15))::BIGINT
+      |          % (SELECT n FROM nn) AS raw
+      |       FROM a),
+      |tt AS (SELECT anchor_id, j,
+      |        CASE WHEN raw = a_pos THEN (raw + 1) % (SELECT n FROM nn)
+      |             ELSE raw END AS t_pos
+      |       FROM hh)
+      |SELECT anchor_id, CAST(j AS BIGINT) AS j, p.doc_id AS neg_id
+      |FROM tt JOIN pos p ON tt.t_pos = p.pos""".stripMargin
+
   /** Weighted sampling without replacement (Sampling.weightedSample —
     * Efraimidis–Spirakis A-Res ranked by the log-domain key ln(u)/w in
     * integer micro-units, on portable-hash uniforms): the 100
@@ -4388,6 +4416,7 @@ object Queries {
     "q_token_shards" -> (q_token_shards _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_weighted_sample" -> (q_weighted_sample _),
+    "q_negative_sample" -> (q_negative_sample _),
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_dedup_normalized" -> (q_dedup_normalized _),
@@ -4552,6 +4581,7 @@ object Queries {
     "q_token_shards" -> q_token_shards_sql,
     "q_pack_sequences" -> q_pack_sequences_sql,
     "q_weighted_sample" -> q_weighted_sample_sql,
+    "q_negative_sample" -> q_negative_sample_sql,
     "q_mixture_sample" -> q_mixture_sample_sql,
     "q_semantic_dedup" -> q_semantic_dedup_sql,
     "q_dedup_normalized" -> q_dedup_normalized_sql,

@@ -445,6 +445,49 @@ object Sampling {
     * bounds are sampled, so recomputation could repartition differently and
     * corrupt the offsets); the small (id, cost, shard) manifest output is
     * materialized, then the input cache is released. */
+  /** Deterministic negative sampling for contrastive training pairs: for
+    * every anchor document, `k` pseudo-random partner documents drawn
+    * uniformly from the corpus — negative j of anchor a is the document at
+    * position hash(a, j) mod N in doc_id order, bumped one slot if it would
+    * be the anchor itself. Fully deterministic given the hash mode (the
+    * oracle replays position assignment, hashing and the self-exclusion
+    * bump), so pair sets are reproducible across runs and engines — the
+    * property a training-data pipeline needs for resumable epoch builds.
+    *
+    * 100 TB shape: positions come from the distributed two-pass prefix sum
+    * ([[globalPrefix]] with cost 1 — never a one-task global window); the
+    * draw is a narrow hash projection; resolving positions to documents is
+    * ONE equi join on `pos` carrying k·N well-spread rows. Returns
+    * (anchor_id, j, neg_id). */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"need k >= 1 negatives, got $k")
+    val (starts, base) = globalPrefix(df.select(col(idCol)), idCol, lit(1L),
+      None, None)
+    try {
+      val pos = starts.select(col("doc_id"), col("c0").as("pos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = pos.count()
+      require(n >= 2, s"need >= 2 documents to draw negatives, got $n")
+      val anchors = pos
+        .select(col("doc_id").as("anchor_id"), col("pos").as("a_pos"))
+        .withColumn("j", explode(array((0 until k).map(lit): _*)))
+      val key = concat(col("anchor_id").cast("string"), lit("#"),
+        col("j").cast("string"))
+      val h =
+        if (portable) Dedup.portableHash60(key)
+        else greatest(abs(xxhash64(key)), lit(0L))
+      val raw = h % lit(n)
+      val tgt = when(raw === col("a_pos"), (raw + lit(1L)) % lit(n))
+        .otherwise(raw)
+      anchors.select(col("anchor_id"), col("j").cast("long").as("j"),
+          tgt.as("t_pos"))
+        .join(pos.select(col("doc_id").as("neg_id"), col("pos").as("t_pos")),
+          "t_pos")
+        .select(col("anchor_id"), col("j"), col("neg_id"))
+    } finally { base.unpersist(); () }
+  }
+
   def tokenShards(df: DataFrame, idCol: String, cost: Column, budget: Long,
       partitions: Option[Int] = None, orderCol: Option[Column] = None): DataFrame = {
     require(budget > 0, s"bad budget $budget")

@@ -782,4 +782,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == Seq("solo"))
     assert(got(3L) == Seq.empty && got(4L) == Seq.empty)
   }
+
+  test("negativeSample: k per anchor, never self, deterministic under repartition") {
+    val s = spark; import s.implicits._
+    val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val k = 3
+    val got = graft.functions.Sampling.negativeSample(df, "doc_id", k,
+        portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got.size == 200 * k, "exactly k negatives per anchor")
+    assert(got.forall { case (a, _, n) => a != n }, "anchor never its own negative")
+    assert(got.map { case (a, j, _) => (a, j) }.distinct.size == 200 * k)
+    val again = graft.functions.Sampling.negativeSample(df.repartition(7),
+        "doc_id", k, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == again, "draw independent of physical partitioning")
+    // reference replay on the driver: position = rank in doc_id order,
+    // negative = md5-derived hash mod N with the self-exclusion bump
+    val ids = (1L to 200L).toVector
+    val posOf = ids.zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    val exp = (for (a <- ids; j <- 0 until k) yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a#$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val raw = java.lang.Long.parseLong(md.take(15), 16) % 200L
+      val t = if (raw == posOf(a)) (raw + 1) % 200L else raw
+      (a, j.toLong, ids(t.toInt))
+    }).sorted.toSeq
+    assert(got == exp)
+  }
 }
