@@ -2487,7 +2487,7 @@ object Queries {
       |       FROM hl, rr GROUP BY 1, 2),
       |ip AS (SELECT sa.r, sum(sa.cnt * sb.cnt) AS ip
       |       FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY 1),
-      |e AS (SELECT min(ip) AS est FROM ip),
+      |e AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
       |t AS (SELECT count(*) AS true_n FROM orders JOIN lineitem
       |      ON o_orderkey = l_orderkey)
       |SELECT est, true_n FROM e, t""".stripMargin
