@@ -2406,6 +2406,30 @@ object Queries {
       |WHERE o_totalprice > 400000.0
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Last-writer-wins compaction (Scale.compactLatest): each customer's
+    * most recent order — the recrawl-upsert shape — as a struct-max
+    * aggregate: partial aggregation reduces each partition to ≤ #keys rows
+    * before the exchange (the row_number-window form would shuffle every
+    * order). Oracle replays the argmax with the identical
+    * (version desc, tie desc) rule. */
+  def q_compact_latest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.compactLatest(
+      tbl(s, dir, "orders").withColumn("o_date_us",
+        unix_micros(col("o_orderdate").cast("timestamp"))),
+      key = "o_custkey", version = "o_date_us", tie = "o_orderkey",
+      payload = Seq("o_totalprice", "o_orderpriority"))
+
+  private val q_compact_latest_sql =
+    """WITH t AS (SELECT o_custkey,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_date_us,
+      |    o_orderkey, o_totalprice, o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)) DESC,
+      |               o_orderkey DESC) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, o_date_us, o_orderkey, o_totalprice, o_orderpriority
+      |FROM t WHERE rn = 1""".stripMargin
+
   /** Two-phase salted aggregation (Scale.saltedSum/saltedCount): per-flag
     * quantity sums and counts computed through 16 salt sub-groups then
     * merged — the hot-key aggregation lever. Decimal values so the partial
@@ -4372,6 +4396,7 @@ object Queries {
     "q_join_estimate" -> (q_join_estimate _),
     "q_join_salted" -> (q_join_salted _),
     "q_join_bloom" -> (q_join_bloom _),
+    "q_compact_latest" -> (q_compact_latest _),
     "q_join_bucketed" -> (q_join_bucketed _),
     "q_salted_agg" -> (q_salted_agg _),
     "q_vocab_encode" -> (q_vocab_encode _),
@@ -4537,6 +4562,7 @@ object Queries {
     "q_join_estimate" -> q_join_estimate_sql,
     "q_join_salted" -> q_join_salted_sql,
     "q_join_bloom" -> q_join_bloom_sql,
+    "q_compact_latest" -> q_compact_latest_sql,
     "q_join_bucketed" -> q_join_salted_sql,
     "q_salted_agg" -> q_salted_agg_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,

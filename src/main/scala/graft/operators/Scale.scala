@@ -104,6 +104,24 @@ object Scale {
       .join(build, probe(probeKey) === build(buildKey), joinType)
   }
 
+  /** Last-writer-wins compaction — the CDC / recrawl-upsert step: one
+    * surviving row per key, the one greatest under (version, tie). Computed
+    * as a struct MAX AGGREGATE, not a row_number window: max is
+    * associative and commutative, so the partial aggregate reduces every
+    * partition to ≤ #keys rows BEFORE the exchange, where the window form
+    * shuffles every version of every key and then sorts it. Struct
+    * comparison is lexicographic in field order — (version, tie) lead the
+    * struct, payload columns ride behind; `tie` must be unique per key for
+    * a deterministic survivor (it breaks version collisions before the
+    * payload can). */
+  def compactLatest(df: DataFrame, key: String, version: String, tie: String,
+      payload: Seq[String]): DataFrame = {
+    val fields = Seq(version, tie) ++ payload
+    df.groupBy(col(key))
+      .agg(max(struct(fields.map(col): _*)).as("_latest"))
+      .select(col(key) +: fields.map(f => col(s"_latest.$f").as(f)): _*)
+  }
+
   /** Rebalance a narrow input up to the session shuffle width before a
     * stage that AMPLIFIES per-row work. Scan parallelism is bytes-based and
     * bounded below by parquet row-group granularity, so a small-file corpus

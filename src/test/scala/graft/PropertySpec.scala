@@ -276,4 +276,35 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sessionize == per-user sequential gap scan on random event sets") {
+    val s = imp
+    import s._
+    val gen = Gen.listOfN(60, for {
+      u <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 500L)
+    } yield (u, ts))
+    forAll(gen, Gen.choose(5L, 60L)) { (evs, gap) =>
+      whenever(evs.nonEmpty) {
+        val rows = evs.zipWithIndex.map { case ((u, ts), i) => (i.toLong, u, ts) }
+        val df = rows.toDF("event_id", "user_id", "_us")
+          .select(col("event_id"), col("user_id"),
+            org.apache.spark.sql.functions.to_timestamp(
+              col("_us").cast("double") / 1e6).as("ts"))
+        val got = graft.operators.WindowsDF
+          .sessionize(df, "user_id", "ts", "event_id", gap)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getBoolean(3), r.getLong(4)))).toMap
+        rows.groupBy(_._2).foreach { case (u, rs) =>
+          var last = 0L; var n = 0L
+          rs.sortBy(r => (r._3, r._1)).foreach { case (id, _, us) =>
+            val isNew = n == 0L || us - last > gap
+            if (isNew) n += 1
+            last = us
+            assert(got(id) == ((isNew, n)), s"user $u event $id gap $gap")
+          }
+        }
+      }
+    }
+  }
 }

@@ -90,6 +90,30 @@ class ScaleSpec extends AnyFunSuite {
       s"Bloom should strip most of a selective probe, passed $passed/10000")
   }
 
+  test("compactLatest: argmax survivor, partial-agg plan, no window sort") {
+    val s = imp; import s._
+    // key 1: versions 3 > 2 > 1; key 2: version TIE at 5 broken by tie id
+    val df = Seq(
+      (1L, 1L, 10L, "a"), (1L, 3L, 11L, "b"), (1L, 2L, 12L, "c"),
+      (2L, 5L, 20L, "d"), (2L, 5L, 21L, "e"))
+      .toDF("k", "v", "id", "payload")
+    val got = graft.operators.Scale.compactLatest(df, "k", "v", "id",
+        Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 11L, "b"), (2L, 5L, 21L, "e")))
+    // repartition-independent (max is assoc/comm)
+    val again = graft.operators.Scale.compactLatest(df.repartition(5), "k",
+        "v", "id", Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got == again)
+    val plan = graft.operators.Scale.compactLatest(df, "k", "v", "id",
+      Seq("payload")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not be a window argmax:\n$plan")
+    assert(plan.contains("partial"), s"needs map-side partial max:\n$plan")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val s = imp; import s._
     withPlanShapeConfs {
