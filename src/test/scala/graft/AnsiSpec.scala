@@ -93,7 +93,15 @@ class AnsiSpec extends AnyFunSuite {
       // round-7 late additions: nearest as-of, funnel staging, rolling
       // z-score (decimal frame sums), streaming tumbling twin
       "q_asof_nearest", "q_funnel", "q_anomaly", "q_retention",
-      "q_stream_tumbling")
+      "q_stream_tumbling",
+      // continuation additions: sessionization (lag/running-sum windows),
+      // HLL (bin/shiftright bit math), frozen-grid histogram quantiles
+      // (ceil/floor-heavy), PPR, trending WindowGroupLimit, Bloom-pruned
+      // and six-table joins, negative sampling (hash mod N), struct-max
+      // compaction
+      "q_sessionize", "q_distinct_hll", "q_quantile_hist",
+      "q_quantile_group", "q_ppr", "q_trending", "q_join_bloom",
+      "q_tpch3", "q_tpch5", "q_negative_sample", "q_compact_latest")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set
