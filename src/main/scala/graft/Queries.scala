@@ -2430,6 +2430,19 @@ object Queries {
       |SELECT o_custkey, o_date_us, o_orderkey, o_totalprice, o_orderpriority
       |FROM t WHERE rn = 1""".stripMargin
 
+  /** Streaming twin of q_compact_latest — the struct-max survivor is a
+    * plain streaming aggregation (associative, commutative, O(1) state per
+    * key), so the compaction runs unchanged on an unbounded recrawl stream
+    * in complete mode; the bounded run's final state equals the batch
+    * compaction under the shared oracle. */
+  def q_stream_compact(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => graft.operators.Scale.compactLatest(
+        src.withColumn("o_date_us",
+          unix_micros(col("o_orderdate").cast("timestamp"))),
+        key = "o_custkey", version = "o_date_us", tie = "o_orderkey",
+        payload = Seq("o_totalprice", "o_orderpriority")),
+      "complete", dir, table = "orders")
+
   /** Two-phase salted aggregation (Scale.saltedSum/saltedCount): per-flag
     * quantity sums and counts computed through 16 salt sub-groups then
     * merged — the hot-key aggregation lever. Decimal values so the partial
@@ -4397,6 +4410,7 @@ object Queries {
     "q_join_salted" -> (q_join_salted _),
     "q_join_bloom" -> (q_join_bloom _),
     "q_compact_latest" -> (q_compact_latest _),
+    "q_stream_compact" -> (q_stream_compact _),
     "q_join_bucketed" -> (q_join_bucketed _),
     "q_salted_agg" -> (q_salted_agg _),
     "q_vocab_encode" -> (q_vocab_encode _),
@@ -4563,6 +4577,7 @@ object Queries {
     "q_join_salted" -> q_join_salted_sql,
     "q_join_bloom" -> q_join_bloom_sql,
     "q_compact_latest" -> q_compact_latest_sql,
+    "q_stream_compact" -> q_compact_latest_sql,
     "q_join_bucketed" -> q_join_salted_sql,
     "q_salted_agg" -> q_salted_agg_sql,
     "q_vocab_encode" -> q_vocab_encode_sql,

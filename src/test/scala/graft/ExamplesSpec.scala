@@ -130,4 +130,17 @@ class ExamplesSpec extends AnyFunSuite {
     }.toDouble / data.length
     assert(acc >= 0.95, s"accuracy $acc")
   }
+
+  test("clickstream composition: event grain kept, one row per session and user") {
+    val dir = "/root/testdata/sf0.001"
+    val (nEvents, nSessions, nUsers) =
+      graft.examples.Clickstream.run(spark, dir)
+    val rawEvents = graft.Queries.events(spark, dir).count()
+    val rawUsers = graft.Queries.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(nEvents == rawEvents, "sessionize must keep every event")
+    assert(nUsers == rawUsers, "compaction keeps exactly one row per user")
+    assert(nSessions >= nUsers && nSessions <= nEvents,
+      s"sessions between users and events: $nUsers <= $nSessions <= $nEvents")
+  }
 }
