@@ -29,9 +29,12 @@ object Plans {
     // and would only show the memory-sink scan here; their streaming plans
     // are pinned by StreamingSpec
     val skip = Set("q_connected_components", "q_transitive_closure", "q_pagerank",
-      "q_kmeans", "q_pagerank_delta", "q_stream_session", "q_stream_interval_join",
+      "q_kmeans", "q_pagerank_delta", "q_ppr", "q_sssp",
+      "q_stream_session", "q_stream_interval_join",
       "q_stream_tumbling", "q_stream_sliding", "q_stream_wordcount",
-      "q_stream_dedup", "q_stream_funnel")
+      "q_stream_dedup", "q_stream_funnel", "q_stream_kmv",
+      "q_stream_sessionize", "q_stream_hll", "q_stream_histogram",
+      "q_stream_compact")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         try {
