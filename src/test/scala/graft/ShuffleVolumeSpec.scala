@@ -162,4 +162,21 @@ class ShuffleVolumeSpec extends AnyFunSuite {
         .foreach(_ => ()))
     assert(b == 0L, s"quantizeInt8 shuffled $b bytes")
   }
+
+  test("bloomPrunedJoin shuffles materially less probe than the plain join") {
+    val s = spark; import s.implicits._
+    // selective build side: 20 of 2000 probe keys match
+    val probe = (1 to 20000).map(i =>
+      (i.toLong % 2000, s"payload-$i-${"x" * 40}")).toDF("k", "v")
+    val build = (0 until 20).map(i => (i * 100L, s"b$i")).toDF("bk", "tag")
+    val plain = shuffleBytes {
+      probe.join(build, col("k") === col("bk")).foreach(_ => ())
+    }
+    val pruned = shuffleBytes {
+      graft.operators.Scale.bloomPrunedJoin(probe, build, "k", "bk",
+        expectedItems = 64).foreach(_ => ())
+    }
+    assert(pruned * 5 < plain,
+      s"Bloom pruning should cut the probe shuffle >5x: pruned=$pruned plain=$plain")
+  }
 }
