@@ -984,6 +984,44 @@ object Queries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q18-shaped large-volume-customer query: orders whose lineitems
+    * sum past a quantity threshold, joined back to customer detail, top-20
+    * by price. The aggregate-filter runs FIRST (partial+final hash
+    * aggregate on l_orderkey, then a decimal HAVING), so only the few
+    * qualifying order keys flow into the joins; the final top-k lowers to
+    * TakeOrdered. Decimal quantity sums keep the threshold compare and the
+    * output exact cross-engine. */
+  def q_tpch18(s: SparkSession, dir: String): DataFrame = {
+    val big = tbl(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("_sum_qty_d"))
+      .filter(col("_sum_qty_d") > 250)
+    tbl(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+        col("o_totalprice"),
+        col("_sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q_tpch18_sql =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |SELECT c_name, o_orderkey,
+      |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_date_us,
+      |  o_totalprice, CAST(sum_qty_d AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   /** Trending top-k (beyond-reference event analytics): the two hottest
     * event types per tumbling day window with a deterministic (count desc,
     * type asc) tie-break — the "what's trending now" report. The rank
@@ -4400,6 +4438,7 @@ object Queries {
     "q_stream_histogram" -> (q_stream_histogram _),
     "q_tpch3" -> (q_tpch3 _),
     "q_tpch5" -> (q_tpch5 _),
+    "q_tpch18" -> (q_tpch18 _),
     "q_histogram" -> (q_histogram _),
     "q_quantile_hist" -> (q_quantile_hist _),
     "q_quantile_group" -> (q_quantile_group _),
@@ -4567,6 +4606,7 @@ object Queries {
     "q_stream_histogram" -> q_histogram_sql,
     "q_tpch3" -> q_tpch3_sql,
     "q_tpch5" -> q_tpch5_sql,
+    "q_tpch18" -> q_tpch18_sql,
     "q_histogram" -> q_histogram_sql,
     "q_quantile_hist" -> q_quantile_hist_sql,
     "q_quantile_group" -> q_quantile_group_sql,

@@ -101,7 +101,8 @@ class AnsiSpec extends AnyFunSuite {
       // compaction
       "q_sessionize", "q_distinct_hll", "q_quantile_hist",
       "q_quantile_group", "q_ppr", "q_trending", "q_join_bloom",
-      "q_tpch3", "q_tpch5", "q_negative_sample", "q_compact_latest")
+      "q_tpch3", "q_tpch5", "q_tpch18", "q_negative_sample",
+      "q_compact_latest")
     def counts(s: SparkSession): Seq[(String, Long)] = {
       s.catalog.clearCache()
       // events.parquet stores TIMESTAMP(NANOS) — same conf Verify/Bench set
