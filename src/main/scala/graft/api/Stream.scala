@@ -379,6 +379,17 @@ final class Stream[T](val ds: Dataset[T],
   /** ORC sink (beyond-reference; pairs with `StreamContext.streamOrc`). */
   def writeOrc(path: String): Unit = ds.toDF().write.mode("overwrite").orc(path)
 
+  /** Hive-layout partitioned parquet sink (beyond-reference): one
+    * directory per value of `partitionCols` — the layout every warehouse
+    * reader partition-prunes on (`WHERE day = …` touches one directory's
+    * files, not the corpus). At 100 TB pair with a `repartition` on the
+    * partition columns first so each directory is written by the tasks
+    * that own its rows (otherwise every task opens a file per partition
+    * value — the classic small-files explosion). */
+  def writeParquetPartitioned(path: String, partitionCols: String*): Unit =
+    ds.toDF().write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Avro sink (reference: src/operator/sink/avro.rs:93). */
   def writeAvro(path: String): Unit =
     try ds.toDF().write.mode("overwrite").format("avro").save(path)

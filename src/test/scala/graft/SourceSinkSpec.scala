@@ -33,6 +33,28 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(parts == 1)
   }
 
+  test("partitioned parquet sink: hive layout, pruned scan, round-trip") {
+    val s = imp; import s._
+    val dir = tmp() + "/pp"
+    val typed = ctx.streamRange(100).map(x => (x, (x % 4).toString, s"v$x"))
+      .ds.toDF("id", "day", "v").as[(Long, String, String)]
+    ctx.fromDataset(typed).writeParquetPartitioned(dir, "day")
+    // hive directory layout: one dir per partition value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(dirs.toSeq == Seq("day=0", "day=1", "day=2", "day=3"))
+    // round-trip: all rows, partition column restored
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    // partition pruning: the filter becomes a PartitionFilter, not a scan
+    val pruned = back.filter(org.apache.spark.sql.functions.col("day") === "2")
+    val formatted = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter must prune partitions:\n$formatted")
+    assert(pruned.count() == 25)
+  }
+
   test("csv write/read round-trip with header and typed schema") {
     val s = imp; import s._
     val dir = tmp() + "/c"
