@@ -984,6 +984,46 @@ object Queries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Data-quality expectations report (functions.Expectations): the
+    * validate-before-training gate — completeness, range, predicate and
+    * exact-uniqueness rules in ONE partially-aggregated corpus scan, plus
+    * referential integrity via one left-anti join, all emitted as
+    * (rule, metric, pass) rows. Metrics are integer-count ratios divided
+    * once in double, so the oracle reproduces them bit-for-bit. */
+  def q_data_quality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expectations._
+    val li = tbl(s, dir, "lineitem")
+    check(li, Seq(
+      completenessRule("l_returnflag", 1.0),
+      rangeRule("l_quantity", 1.0, 50.0, 1.0),
+      predicateRule("discount_bounds",
+        col("l_discount") >= 0.0 && col("l_discount") <= 0.1, 0.95),
+      uniqueRule("l_orderkey", "l_linenumber")))
+      .unionByName(subsetRule(li, "l_orderkey", tbl(s, dir, "orders"),
+        "o_orderkey", 1.0))
+  }
+
+  private val q_data_quality_sql =
+    """WITH a AS (SELECT
+      |    CAST(count(l_returnflag) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m0,
+      |    CAST(count(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m1,
+      |    CAST(count(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m2,
+      |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m3
+      |  FROM lineitem),
+      |b AS (SELECT
+      |    CAST((SELECT count(*) FROM lineitem)
+      |         - (SELECT count(*) FROM lineitem
+      |            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS DOUBLE)
+      |      / CAST((SELECT count(*) FROM lineitem) AS DOUBLE) AS m4)
+      |SELECT 'completeness(l_returnflag)' AS rule, m0 AS metric, m0 >= 1.0 AS pass FROM a
+      |UNION ALL SELECT 'range(l_quantity)', m1, m1 >= 1.0 FROM a
+      |UNION ALL SELECT 'discount_bounds', m2, m2 >= 0.95 FROM a
+      |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', m3, m3 = 1.0 FROM a
+      |UNION ALL SELECT 'subset(l_orderkey)', m4, m4 >= 1.0 FROM b""".stripMargin
+
   /** TPC-H Q18-shaped large-volume-customer query: orders whose lineitems
     * sum past a quantity threshold, joined back to customer detail, top-20
     * by price. The aggregate-filter runs FIRST (partial+final hash
@@ -4439,6 +4479,7 @@ object Queries {
     "q_tpch3" -> (q_tpch3 _),
     "q_tpch5" -> (q_tpch5 _),
     "q_tpch18" -> (q_tpch18 _),
+    "q_data_quality" -> (q_data_quality _),
     "q_histogram" -> (q_histogram _),
     "q_quantile_hist" -> (q_quantile_hist _),
     "q_quantile_group" -> (q_quantile_group _),
@@ -4607,6 +4648,7 @@ object Queries {
     "q_tpch3" -> q_tpch3_sql,
     "q_tpch5" -> q_tpch5_sql,
     "q_tpch18" -> q_tpch18_sql,
+    "q_data_quality" -> q_data_quality_sql,
     "q_histogram" -> q_histogram_sql,
     "q_quantile_hist" -> q_quantile_hist_sql,
     "q_quantile_group" -> q_quantile_group_sql,

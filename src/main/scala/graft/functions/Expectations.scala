@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deequ-style data-quality expectations — the validation gate a curation
+  * pipeline runs on every crawl/ETL output before it may feed training:
+  * declare rules, get one (rule, metric, pass) row each, fail the batch on
+  * any `pass = false`.
+  *
+  * Scale shape: every declared metric is an AGGREGATE EXPRESSION, so a
+  * whole rule set is ONE partially-aggregated corpus scan (a single
+  * 1-row × N-metric aggregate, stacked to rows driver-free); only
+  * [[uniqueRule]] adds a distinct (its exactness requires the key
+  * shuffle — swap in the KMV/HLL sketches when approximate uniqueness is
+  * acceptable at 100 TB) and [[subsetRule]] one left-anti join against the
+  * reference keys.
+  *
+  * Determinism: metrics are count ratios — exact integer counts divided
+  * once in double, in a fixed operation order — so the DuckDB oracle
+  * reproduces every metric bit-for-bit.
+  */
+object Expectations {
+
+  /** One expectation: `metric` must be an aggregate Column yielding DOUBLE;
+    * `pass` maps the metric to the verdict (applied AFTER aggregation). */
+  final case class Rule(name: String, metric: Column, pass: Column => Column)
+
+  /** Fraction of non-null values in `c` ≥ `atLeast`. */
+  def completenessRule(c: String, atLeast: Double): Rule =
+    Rule(s"completeness($c)",
+      count(col(c)).cast("double") / count(lit(1)).cast("double"),
+      m => m >= atLeast)
+
+  /** Fraction of rows inside [lo, hi] (nulls count as violations) ≥
+    * `atLeast`. */
+  def rangeRule(c: String, lo: Double, hi: Double, atLeast: Double): Rule =
+    Rule(s"range($c)",
+      count(when(col(c) >= lo && col(c) <= hi, 1)).cast("double") /
+        count(lit(1)).cast("double"),
+      m => m >= atLeast)
+
+  /** Fraction of rows matching an arbitrary predicate ≥ `atLeast`. */
+  def predicateRule(name: String, pred: Column, atLeast: Double): Rule =
+    Rule(name,
+      count(when(pred, 1)).cast("double") / count(lit(1)).cast("double"),
+      m => m >= atLeast)
+
+  /** distinct(keys)/count = 1.0 ⟺ the key combination is unique. EXACT —
+    * costs the key-distinct shuffle. */
+  def uniqueRule(keys: String*): Rule =
+    Rule(s"unique(${keys.mkString(",")})",
+      countDistinct(keys.head, keys.tail: _*).cast("double") /
+        count(lit(1)).cast("double"),
+      m => m === 1.0)
+
+  /** Run a rule set in ONE aggregate pass: (rule, metric, pass) rows. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules declared")
+    val agg = df.agg(rules.head.metric.as("m0"),
+      rules.tail.zipWithIndex.map { case (r, i) => r.metric.as(s"m${i + 1}") }: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"m$i").as("metric"),
+        r.pass(col(s"m$i")).as("pass"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.rule"), col("r.metric"), col("r.pass"))
+  }
+
+  /** Referential integrity as a rule row: the fraction of `df` keys present
+    * in `ref`'s key column (one left-anti join; the violation side is
+    * usually tiny). Emitted in the same (rule, metric, pass) shape so it
+    * unions with [[check]]'s output. */
+  def subsetRule(df: DataFrame, key: String, ref: DataFrame, refKey: String,
+      atLeast: Double): DataFrame = {
+    val total = df.count()
+    val orphans =
+      df.select(col(key)).join(ref.select(col(refKey).as(key)), Seq(key),
+        "left_anti").count()
+    val metric = (total - orphans).toDouble / total.toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((s"subset($key)", metric, metric >= atLeast))
+      .toDF("rule", "metric", "pass")
+  }
+}

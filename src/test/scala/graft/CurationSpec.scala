@@ -783,6 +783,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) == Seq.empty && got(4L) == Seq.empty)
   }
 
+  test("expectations: clean data passes, each injected defect trips its rule") {
+    val s = spark; import s.implicits._
+    import graft.functions.Expectations._
+    val clean = Seq((1L, 1L, "A", 5.0), (1L, 2L, "B", 10.0), (2L, 1L, "A", 50.0))
+      .toDF("k", "ln", "flag", "qty")
+    val rules = Seq(
+      completenessRule("flag", 1.0),
+      rangeRule("qty", 1.0, 50.0, 1.0),
+      uniqueRule("k", "ln"))
+    val ok = check(clean, rules).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(ok.values.forall(identity), s"clean data must pass: $ok")
+    // defects: a null flag, an out-of-range qty, a duplicated (k, ln)
+    val dirty = clean.unionByName(
+      Seq((2L, 1L, null.asInstanceOf[String], 99.0)).toDF("k", "ln", "flag", "qty"))
+    val bad = check(dirty, rules).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(bad.forall(!_._3), s"every rule must trip: ${bad.toSeq}")
+    assert(bad.forall(r => r._2 == 0.75), s"metrics are exact ratios: ${bad.toSeq}")
+    // referential integrity: orphan key fails, covered key passes
+    val ref = Seq(1L).toDF("rk")
+    val sub = subsetRule(clean, "k", ref, "rk", 1.0).collect().head
+    assert(!sub.getBoolean(2) && sub.getDouble(1) == 2.0 / 3.0)
+    // one aggregate scan: no join/exchange beyond the single aggregate pair
+    val plan = check(clean, Seq(completenessRule("flag", 1.0),
+      rangeRule("qty", 1.0, 50.0, 1.0))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"rule set must be one scan:\n$plan")
+  }
+
   test("negativeSample: k per anchor, never self, deterministic under repartition") {
     val s = spark; import s.implicits._
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
