@@ -2421,6 +2421,35 @@ object Queries {
       |    / CAST(s + (256 - nb) * CAST(power(2.0, 63) AS DECIMAL(38,0)) AS DOUBLE) AS est
       |FROM t""".stripMargin
 
+  /** Persistent histogram store over two crawl cycles (HistStore): the
+    * corpus split at the median order key, each half histogrammed as its
+    * OWN increment on the frozen grid and bin-wise-summed with the stored
+    * state — exact algebra, so two cycles compose to the BIT-IDENTICAL
+    * histogram of the full corpus and the loaded store hash-matches the
+    * q_histogram oracle. Same fingerprint-cache discipline as
+    * q_kmv_persist. */
+  def q_hist_persist(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val fpRow = li.agg(count(lit(1)), coalesce(sum(
+      conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)), lit(0L))).head()
+    val path =
+      s"/tmp/graft_histstore_${sfTag}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val marker = java.nio.file.Paths.get(s"$path/_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.functions.HistStore.init(s, path, bins = 256, lo = 900.0,
+        hi = 105000.0)
+      val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+      graft.functions.HistStore.updateCycle(s, path, 1,
+        li.filter(col("l_orderkey") <= mid), col("l_extendedprice"))
+      graft.functions.HistStore.updateCycle(s, path, 2,
+        li.filter(col("l_orderkey") > mid), col("l_extendedprice"))
+      java.nio.file.Files.createFile(marker)
+    }
+    graft.functions.HistStore.load(s, path)
+  }
+
   /** Streaming twin of q_histogram — the frozen-grid binning is a narrow
     * expression and the count a plain streaming aggregation, so the
     * identical Sketches.histogram code runs on the unbounded stream in
@@ -4476,6 +4505,7 @@ object Queries {
     "q_distinct_hll" -> (q_distinct_hll _),
     "q_distinct_hll_group" -> (q_distinct_hll_group _),
     "q_stream_histogram" -> (q_stream_histogram _),
+    "q_hist_persist" -> (q_hist_persist _),
     "q_tpch3" -> (q_tpch3 _),
     "q_tpch5" -> (q_tpch5 _),
     "q_tpch18" -> (q_tpch18 _),
@@ -4645,6 +4675,7 @@ object Queries {
     "q_distinct_hll" -> q_distinct_hll_sql,
     "q_distinct_hll_group" -> q_distinct_hll_group_sql,
     "q_stream_histogram" -> q_histogram_sql,
+    "q_hist_persist" -> q_histogram_sql,
     "q_tpch3" -> q_tpch3_sql,
     "q_tpch5" -> q_tpch5_sql,
     "q_tpch18" -> q_tpch18_sql,

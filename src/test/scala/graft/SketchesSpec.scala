@@ -361,6 +361,29 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HistStore: cycles compose to the exact union histogram; grid frozen") {
+    val s = spark; import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-hist").toString + "/st"
+    graft.functions.HistStore.init(spark, path, bins = 10, lo = 0.0, hi = 100.0)
+    val a = (1 to 500).map(i => (i * 37 % 100).toDouble).toDF("v")
+    val b = (1 to 300).map(i => (i * 61 % 120).toDouble).toDF("v") // some clamp
+    graft.functions.HistStore.updateCycle(spark, path, 1, a, col("v"))
+    graft.functions.HistStore.updateCycle(spark, path, 2, b, col("v"))
+    val stored = graft.functions.HistStore.load(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Sketches.histogram(a.unionByName(b), col("v"), 10, 0.0, 100.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stored == direct, "bin-sum merge is exact")
+    // stale increment rejected; grid parameters read from the store
+    intercept[IllegalArgumentException] {
+      graft.functions.HistStore.updateCycle(spark, path, 2, a, col("v"))
+    }
+    assert(graft.functions.HistStore.params(spark, path) == ((10, 0.0, 100.0)))
+    val q = graft.functions.HistStore.quantiles(spark, path, Seq(0.5))
+      .collect().head
+    assert(q.getDouble(1) >= 0.0 && q.getDouble(1) <= 100.0)
+  }
+
   test("HLL small-range correction: exact-ish on tiny cardinalities") {
     val df = strs((1 to 30).map(i => s"x$i"))
     val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("v"), 8), 8)
