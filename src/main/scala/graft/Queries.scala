@@ -1024,6 +1024,32 @@ object Queries {
       |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', m3, m3 = 1.0 FROM a
       |UNION ALL SELECT 'subset(l_orderkey)', m4, m4 >= 1.0 FROM b""".stripMargin
 
+  /** Streaming twin of the expectations gate — the completeness/range/
+    * predicate rules are count aggregates, so the identical
+    * Expectations.check runs on the unbounded ingest stream in complete
+    * mode (exact-uniqueness and referential integrity stay batch: distinct
+    * and join-against-reference aren't single-stream aggregations). The
+    * bounded run's final report equals the batch rules on the same rows. */
+  def q_stream_quality(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => graft.functions.Expectations.check(src, Seq(
+        graft.functions.Expectations.completenessRule("l_returnflag", 1.0),
+        graft.functions.Expectations.rangeRule("l_quantity", 1.0, 50.0, 1.0),
+        graft.functions.Expectations.predicateRule("discount_bounds",
+          col("l_discount") >= 0.0 && col("l_discount") <= 0.1, 0.95))),
+      "complete", dir, table = "lineitem")
+
+  private val q_stream_quality_sql =
+    """WITH a AS (SELECT
+      |    CAST(count(l_returnflag) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m0,
+      |    CAST(count(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m1,
+      |    CAST(count(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m2
+      |  FROM lineitem)
+      |SELECT 'completeness(l_returnflag)' AS rule, m0 AS metric, m0 >= 1.0 AS pass FROM a
+      |UNION ALL SELECT 'range(l_quantity)', m1, m1 >= 1.0 FROM a
+      |UNION ALL SELECT 'discount_bounds', m2, m2 >= 0.95 FROM a""".stripMargin
+
   /** TPC-H Q18-shaped large-volume-customer query: orders whose lineitems
     * sum past a quantity threshold, joined back to customer detail, top-20
     * by price. The aggregate-filter runs FIRST (partial+final hash
@@ -4510,6 +4536,7 @@ object Queries {
     "q_tpch5" -> (q_tpch5 _),
     "q_tpch18" -> (q_tpch18 _),
     "q_data_quality" -> (q_data_quality _),
+    "q_stream_quality" -> (q_stream_quality _),
     "q_histogram" -> (q_histogram _),
     "q_quantile_hist" -> (q_quantile_hist _),
     "q_quantile_group" -> (q_quantile_group _),
@@ -4680,6 +4707,7 @@ object Queries {
     "q_tpch5" -> q_tpch5_sql,
     "q_tpch18" -> q_tpch18_sql,
     "q_data_quality" -> q_data_quality_sql,
+    "q_stream_quality" -> q_stream_quality_sql,
     "q_histogram" -> q_histogram_sql,
     "q_quantile_hist" -> q_quantile_hist_sql,
     "q_quantile_group" -> q_quantile_group_sql,
