@@ -2476,6 +2476,50 @@ object Queries {
     graft.functions.HistStore.load(s, path)
   }
 
+  /** Distribution drift between two crawl cycles (Sketches.histogramDrift):
+    * the price distribution of the first half of the order keys vs the
+    * second, on the shared frozen grid — per-bin KL contributions in
+    * integer micro-nats whose total is an exact integer sum
+    * (order-independent), all replayed by the oracle. The drift pass runs
+    * on two 256-row sketches, corpus-scale-independent. */
+  def q_drift(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+    val h = (half: DataFrame) => graft.functions.Sketches.histogram(
+      half, col("l_extendedprice"), bins = 256, lo = 900.0, hi = 105000.0)
+    graft.functions.Sketches.histogramDrift(
+      h(li.filter(col("l_orderkey") <= mid)),
+      h(li.filter(col("l_orderkey") > mid)), bins = 256)
+  }
+
+  private val q_drift_sql =
+    """WITH mid AS (SELECT max(l_orderkey) // 2 AS m FROM lineitem),
+      |ha AS (SELECT bin, count(*) AS cnt FROM (
+      |  SELECT greatest(0, least(255,
+      |    CAST(floor((l_extendedprice - 900.0) * 256.0 / (105000.0 - 900.0)) AS BIGINT))) AS bin
+      |  FROM lineitem WHERE l_orderkey <= (SELECT m FROM mid)) GROUP BY bin),
+      |hb AS (SELECT bin, count(*) AS cnt FROM (
+      |  SELECT greatest(0, least(255,
+      |    CAST(floor((l_extendedprice - 900.0) * 256.0 / (105000.0 - 900.0)) AS BIGINT))) AS bin
+      |  FROM lineitem WHERE l_orderkey > (SELECT m FROM mid)) GROUP BY bin),
+      |grid AS (SELECT unnest(generate_series(0, 255)) AS bin),
+      |j AS (SELECT CAST(g.bin AS BIGINT) AS bin,
+      |        coalesce(ha.cnt, 0) AS cnt_a, coalesce(hb.cnt, 0) AS cnt_b
+      |      FROM grid g LEFT JOIN ha ON g.bin = ha.bin
+      |                  LEFT JOIN hb ON g.bin = hb.bin),
+      |t AS (SELECT bin, cnt_a, cnt_b,
+      |        CAST(sum(cnt_a) OVER () AS BIGINT) AS ta,
+      |        CAST(sum(cnt_b) OVER () AS BIGINT) AS tb FROM j),
+      |c AS (SELECT bin, cnt_a, cnt_b,
+      |        CAST(round((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 256.0)
+      |          * ln(((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 256.0))
+      |               / ((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + 256.0)))
+      |          * 1000000.0, 0) AS BIGINT) AS kl_contrib_micro
+      |      FROM t)
+      |SELECT bin, cnt_a, cnt_b, kl_contrib_micro,
+      |  CAST(sum(kl_contrib_micro) OVER () AS BIGINT) AS kl_micro
+      |FROM c""".stripMargin
+
   /** Streaming twin of q_histogram — the frozen-grid binning is a narrow
     * expression and the count a plain streaming aggregation, so the
     * identical Sketches.histogram code runs on the unbounded stream in
@@ -4532,6 +4576,7 @@ object Queries {
     "q_distinct_hll_group" -> (q_distinct_hll_group _),
     "q_stream_histogram" -> (q_stream_histogram _),
     "q_hist_persist" -> (q_hist_persist _),
+    "q_drift" -> (q_drift _),
     "q_tpch3" -> (q_tpch3 _),
     "q_tpch5" -> (q_tpch5 _),
     "q_tpch18" -> (q_tpch18 _),
@@ -4703,6 +4748,7 @@ object Queries {
     "q_distinct_hll_group" -> q_distinct_hll_group_sql,
     "q_stream_histogram" -> q_histogram_sql,
     "q_hist_persist" -> q_histogram_sql,
+    "q_drift" -> q_drift_sql,
     "q_tpch3" -> q_tpch3_sql,
     "q_tpch5" -> q_tpch5_sql,
     "q_tpch18" -> q_tpch18_sql,

@@ -530,6 +530,41 @@ object Sketches {
         col("n"))
   }
 
+  /** Distribution drift between two SAME-GRID histograms — the crawl-cycle
+    * drift alarm (pairs with [[HistStore]]): per-bin KL(P‖Q) contributions
+    * under Laplace smoothing (`alpha` pseudo-counts, so empty bins are
+    * defined), in INTEGER MICRO-NATS. Each bin's contribution is one
+    * fixed-order double expression rounded to a BIGINT; the total is then
+    * an EXACT integer sum — aggregation-order-independent, so the oracle
+    * reproduces both the contributions and the total bit-for-bit (the
+    * quality-classifier integer-gradient discipline applied to drift).
+    * Returns all `bins` rows: (bin, cnt_a, cnt_b, kl_contrib_micro,
+    * kl_micro); `kl_micro/1e6` ≈ KL(P‖Q) in nats. Runs on the two ≤bins-row
+    * sketches — corpus-scale-independent. */
+  def histogramDrift(a: DataFrame, b: DataFrame, bins: Int,
+      alpha: Double = 1.0): DataFrame = {
+    require(bins >= 2 && alpha > 0)
+    val spark = a.sparkSession
+    val grid = spark.range(bins).select(col("id").as("bin"))
+    val j = grid
+      .join(a.select(col("bin"), col("cnt").as("cnt_a")), Seq("bin"), "left")
+      .join(b.select(col("bin"), col("cnt").as("cnt_b")), Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = j
+      .withColumn("ta", sum(col("cnt_a")).over(w))
+      .withColumn("tb", sum(col("cnt_b")).over(w))
+    val p = (col("cnt_a").cast("double") + lit(alpha)) /
+      (col("ta").cast("double") + lit(alpha * bins))
+    val q = (col("cnt_b").cast("double") + lit(alpha)) /
+      (col("tb").cast("double") + lit(alpha * bins))
+    val contrib = round(p * log(p / q) * lit(1000000.0), 0).cast("long")
+    t.withColumn("kl_contrib_micro", contrib)
+      .select(col("bin"), col("cnt_a"), col("cnt_b"), col("kl_contrib_micro"),
+        sum(col("kl_contrib_micro")).over(w).as("kl_micro"))
+  }
+
   // =====================================================================
   // Built-in mergeable sketches, surfaced for API completeness
   // =====================================================================

@@ -384,6 +384,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(q.getDouble(1) >= 0.0 && q.getDouble(1) <= 100.0)
   }
 
+  test("histogramDrift: zero on identical, positive on shifted, smoothed empties") {
+    val s = spark; import s.implicits._
+    def h(xs: Seq[Double]) =
+      Sketches.histogram(xs.toDF("v"), col("v"), 10, 0.0, 10.0)
+    val base = (1 to 1000).map(i => (i % 10).toDouble)
+    val self = Sketches.histogramDrift(h(base), h(base), 10)
+      .select("kl_micro").head().getLong(0)
+    assert(self == 0L, s"identical distributions must have zero drift, got $self")
+    // shifted mass: half the distribution concentrated in two bins
+    val shifted = (1 to 1000).map(i => (i % 2).toDouble)
+    val d1 = Sketches.histogramDrift(h(base), h(shifted), 10)
+      .select("kl_micro").head().getLong(0)
+    assert(d1 > 100000L, s"a real shift must register (>0.1 nats), got $d1")
+    // all 10 grid rows present even where a side has empty bins (smoothing)
+    val rows = Sketches.histogramDrift(h(base), h(shifted), 10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(4) == d1), "total rides on every row")
+  }
+
   test("HLL small-range correction: exact-ish on tiny cardinalities") {
     val df = strs((1 to 30).map(i => s"x$i"))
     val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("v"), 8), 8)
