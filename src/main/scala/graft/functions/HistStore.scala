@@ -71,4 +71,31 @@ object HistStore {
     val (bins, lo, hi) = params(spark, path)
     Sketches.histogramQuantiles(load(spark, path), bins, lo, hi, probs)
   }
+
+  /** Retention: delete all but the newest `keepLast` increments (merged
+    * state REPLACES its predecessor, so old increments are audit trail
+    * only). The increment counter stays monotone — `updateCycle`'s
+    * stale-write guard keeps holding after a vacuum. Returns the deleted
+    * increment numbers. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Seq[Int] =
+    StoreOps.vacuum(spark, path, keepLast)
+}
+
+/** Shared increment-directory retention for the replace-style stores
+  * ([[SketchStore]], [[HistStore]] — NOT [[DigestStore]], whose history IS
+  * the data). */
+private[functions] object StoreOps {
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the newest increment")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs = fs.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.startsWith("inc=") => s.drop(4).toInt }
+      .sorted
+    val drop = incs.dropRight(keepLast)
+    drop.foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"inc=$i"), true); ()
+    }
+    drop.toSeq
+  }
 }

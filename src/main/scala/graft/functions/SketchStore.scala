@@ -75,4 +75,11 @@ object SketchStore {
     val (k, portable) = params(spark, path)
     Sketches.kmvEstimate(load(spark, path), k, portable)
   }
+
+  /** Retention: delete all but the newest `keepLast` increments (a merged
+    * sketch REPLACES its predecessor; old increments are audit trail). The
+    * counter stays monotone, so the stale-write guard keeps holding.
+    * Returns the deleted increment numbers. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Seq[Int] =
+    StoreOps.vacuum(spark, path, keepLast)
 }

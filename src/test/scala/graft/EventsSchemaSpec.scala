@@ -75,6 +75,34 @@ class EventsSchemaSpec extends AnyFunSuite {
     assert(fmt(a).map(_(1).asInstanceOf[Long]).toSeq == rows.map(_._2))
   }
 
+  test("orders date logic survives timestamp vs string o_orderdate encodings") {
+    // the events-ts lesson applied to the OTHER driver date column the
+    // catalog leans on (q_tpch3/5/18, q_compact_latest): every consumer
+    // casts o_orderdate to timestamp first, so a regeneration that flips
+    // the parquet encoding between timestamp[us]/NTZ and ISO strings must
+    // not change a single output row.
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, "O", 100.0, "2024-03-01 00:00:00", "1-URGENT"),
+      (2L, 10L, "F", 200.0, "2024-05-02 00:00:00", "2-HIGH"),
+      (3L, 11L, "O", 300.0, "2024-05-02 00:00:00", "3-MEDIUM"))
+    val base = Files.createTempDirectory("graft-orders").toString
+    val dirT = s"$base/ts"; val dirS = s"$base/str"
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$dirT/orders.parquet")
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dirS/orders.parquet")
+    val fmt = (dir: String) => Queries.q_compact_latest(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val t = fmt(dirT); val s2 = fmt(dirS)
+    assert(t == s2, s"encodings diverged:\n$t\nvs\n$s2")
+    // survivor logic sanity on the fixture: customer 10 keeps order 2
+    assert(t.map(r => (r.head, r(2))) == Seq((10L, 2L), (11L, 3L)))
+  }
+
   test("an unexpected ts dtype still yields a usable timestamp (string ISO input)") {
     // defensive: a string ts (e.g. CSV-originated events) goes through the
     // cast branch rather than erroring at plan time

@@ -382,6 +382,15 @@ class SketchesSpec extends AnyFunSuite {
     val q = graft.functions.HistStore.quantiles(spark, path, Seq(0.5))
       .collect().head
     assert(q.getDouble(1) >= 0.0 && q.getDouble(1) <= 100.0)
+    // vacuum: old increments dropped, newest state intact, guard monotone
+    val deleted = graft.functions.HistStore.vacuum(spark, path, keepLast = 1)
+    assert(deleted == Seq(0, 1))
+    val afterVac = graft.functions.HistStore.load(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(afterVac == direct, "newest state survives the vacuum")
+    intercept[IllegalArgumentException] {
+      graft.functions.HistStore.updateCycle(spark, path, 1, a, col("v"))
+    }
   }
 
   test("histogramDrift: zero on identical, positive on shifted, smoothed empties") {
