@@ -2476,6 +2476,40 @@ object Queries {
     graft.functions.HistStore.load(s, path)
   }
 
+  /** Daily-active-users estimation (the windowed distinct-count sketch):
+    * per-day HLL registers over the user column — the DAU/WAU dashboard at
+    * days×256 bounded rows, mergeable across shards and days (WAU = max of
+    * the seven daily register tables). Reuses hllRegistersPerGroup with
+    * the tumbling day window as the group; registers AND the per-day
+    * estimates oracle-replayed bit-for-bit. */
+  def q_window_dau(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.hllReportPerGroup(
+      graft.functions.Sketches.hllRegistersPerGroup(
+        events(s, dir).select(
+          unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+          col("user_id")),
+        "day_us", col("user_id").cast("string"), p = 8,
+        portable = portableMode),
+      p = 8)
+
+  private val q_window_dau_sql =
+    """WITH h AS (SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS g,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (SELECT g, h // 4503599627370496 AS bucket,
+      |             h % 4503599627370496 AS w FROM h),
+      |regs AS (SELECT g, bucket,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+      |  FROM r GROUP BY g, bucket),
+      |t AS (SELECT g, bucket, reg,
+      |        CAST(sum(CAST(power(2.0, 63 - reg) AS DECIMAL(38,0))) OVER (PARTITION BY g) AS DECIMAL(38,0)) AS s,
+      |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nb
+      |      FROM regs)
+      |SELECT g, bucket, reg, nb AS nonzero,
+      |  0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * power(2.0, 63)
+      |    / CAST(s + (256 - nb) * CAST(power(2.0, 63) AS DECIMAL(38,0)) AS DOUBLE) AS est
+      |FROM t""".stripMargin
+
   /** Distribution drift between two crawl cycles (Sketches.histogramDrift):
     * the price distribution of the first half of the order keys vs the
     * second, on the shared frozen grid — per-bin KL contributions in
@@ -4577,6 +4611,7 @@ object Queries {
     "q_stream_histogram" -> (q_stream_histogram _),
     "q_hist_persist" -> (q_hist_persist _),
     "q_drift" -> (q_drift _),
+    "q_window_dau" -> (q_window_dau _),
     "q_tpch3" -> (q_tpch3 _),
     "q_tpch5" -> (q_tpch5 _),
     "q_tpch18" -> (q_tpch18 _),
@@ -4749,6 +4784,7 @@ object Queries {
     "q_stream_histogram" -> q_histogram_sql,
     "q_hist_persist" -> q_histogram_sql,
     "q_drift" -> q_drift_sql,
+    "q_window_dau" -> q_window_dau_sql,
     "q_tpch3" -> q_tpch3_sql,
     "q_tpch5" -> q_tpch5_sql,
     "q_tpch18" -> q_tpch18_sql,
