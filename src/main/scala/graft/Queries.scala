@@ -2476,6 +2476,78 @@ object Queries {
     graft.functions.HistStore.load(s, path)
   }
 
+  /** Pairwise Pearson correlation matrix over the lineitem measures — ONE
+    * partially-aggregated scan collecting exact DECIMAL moment sums
+    * (n, Σx, Σx², Σxy per pair), then each coefficient as a fixed-order
+    * double expression over those exact sums: aggregation-order-
+    * independent, so the oracle reproduces every coefficient bit-for-bit
+    * (the Welford-free discipline of q_group_stats, extended to the full
+    * matrix). */
+  def q_corr_matrix(s: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity")); val p = dec(col("l_extendedprice"))
+    val d0 = dec(col("l_discount"))
+    val agg = tbl(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(q).as("sq"), sum(p).as("sp"), sum(d0).as("sd"),
+      sum((q * q).cast("decimal(38,4)")).as("sqq"),
+      sum((p * p).cast("decimal(38,4)")).as("spp"),
+      sum((d0 * d0).cast("decimal(38,4)")).as("sdd"),
+      sum((q * p).cast("decimal(38,4)")).as("sqp"),
+      sum((q * d0).cast("decimal(38,4)")).as("sqd"),
+      sum((p * d0).cast("decimal(38,4)")).as("spd"))
+    // round(…, 9): the DECIMAL(38,4)→DOUBLE conversion of the huge moment
+    // sums is 1-ULP engine-dependent (int128·10⁻⁴ vs BigDecimal's single
+    // correct rounding), so the raw coefficient can differ in the last
+    // bit; nine decimals is far above the noise and far below any
+    // analytical use of a correlation.
+    def corr(sx: String, sy: String, sxx: String, syy: String,
+        sxy: String): Column = {
+      val n = col("n").cast("double")
+      round((n * col(sxy).cast("double") -
+        col(sx).cast("double") * col(sy).cast("double")) /
+        (sqrt(n * col(sxx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double")) *
+         sqrt(n * col(syy).cast("double") -
+          col(sy).cast("double") * col(sy).cast("double"))), 9)
+    }
+    agg.select(explode(array(
+        struct(lit("quantity~price").as("pair"),
+          corr("sq", "sp", "sqq", "spp", "sqp").as("corr")),
+        struct(lit("quantity~discount").as("pair"),
+          corr("sq", "sd", "sqq", "sdd", "sqd").as("corr")),
+        struct(lit("price~discount").as("pair"),
+          corr("sp", "sd", "spp", "sdd", "spd").as("corr")))).as("r"))
+      .select(col("r.pair"), col("r.corr"))
+  }
+
+  private val q_corr_matrix_sql =
+    """WITH a AS (SELECT count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+      |    sum(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+      |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sqq,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS spp,
+      |    sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sdd,
+      |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sqp,
+      |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sqd,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS spd
+      |  FROM lineitem)
+      |SELECT 'quantity~price' AS pair,
+      |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 9) AS corr
+      |FROM a
+      |UNION ALL SELECT 'quantity~discount',
+      |  round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 9)
+      |FROM a
+      |UNION ALL SELECT 'price~discount',
+      |  round((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 9)
+      |FROM a""".stripMargin
+
   /** Daily-active-users estimation (the windowed distinct-count sketch):
     * per-day HLL registers over the user column — the DAU/WAU dashboard at
     * days×256 bounded rows, mergeable across shards and days (WAU = max of
@@ -2548,10 +2620,16 @@ object Queries {
       |        CAST(round((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 256.0)
       |          * ln(((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 256.0))
       |               / ((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + 256.0)))
-      |          * 1000000.0, 0) AS BIGINT) AS kl_contrib_micro
+      |          * 1000000.0, 0) AS BIGINT) AS kl_contrib_micro,
+      |        CAST(round(((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 256.0)
+      |            - (CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + 256.0))
+      |          * ln(((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 256.0))
+      |               / ((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + 256.0)))
+      |          * 1000000.0, 0) AS BIGINT) AS psi_contrib_micro
       |      FROM t)
-      |SELECT bin, cnt_a, cnt_b, kl_contrib_micro,
-      |  CAST(sum(kl_contrib_micro) OVER () AS BIGINT) AS kl_micro
+      |SELECT bin, cnt_a, cnt_b, kl_contrib_micro, psi_contrib_micro,
+      |  CAST(sum(kl_contrib_micro) OVER () AS BIGINT) AS kl_micro,
+      |  CAST(sum(psi_contrib_micro) OVER () AS BIGINT) AS psi_micro
       |FROM c""".stripMargin
 
   /** Streaming twin of q_histogram — the frozen-grid binning is a narrow
@@ -4612,6 +4690,7 @@ object Queries {
     "q_hist_persist" -> (q_hist_persist _),
     "q_drift" -> (q_drift _),
     "q_window_dau" -> (q_window_dau _),
+    "q_corr_matrix" -> (q_corr_matrix _),
     "q_tpch3" -> (q_tpch3 _),
     "q_tpch5" -> (q_tpch5 _),
     "q_tpch18" -> (q_tpch18 _),
@@ -4785,6 +4864,7 @@ object Queries {
     "q_hist_persist" -> q_histogram_sql,
     "q_drift" -> q_drift_sql,
     "q_window_dau" -> q_window_dau_sql,
+    "q_corr_matrix" -> q_corr_matrix_sql,
     "q_tpch3" -> q_tpch3_sql,
     "q_tpch5" -> q_tpch5_sql,
     "q_tpch18" -> q_tpch18_sql,

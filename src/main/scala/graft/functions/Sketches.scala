@@ -560,9 +560,15 @@ object Sketches {
     val q = (col("cnt_b").cast("double") + lit(alpha)) /
       (col("tb").cast("double") + lit(alpha * bins))
     val contrib = round(p * log(p / q) * lit(1000000.0), 0).cast("long")
+    // PSI (population stability index, the model-monitoring standard):
+    // (p−q)·ln(p/q) per bin — symmetric, ≥ 0; same integer-micro discipline
+    val psi = round((p - q) * log(p / q) * lit(1000000.0), 0).cast("long")
     t.withColumn("kl_contrib_micro", contrib)
+      .withColumn("psi_contrib_micro", psi)
       .select(col("bin"), col("cnt_a"), col("cnt_b"), col("kl_contrib_micro"),
-        sum(col("kl_contrib_micro")).over(w).as("kl_micro"))
+        col("psi_contrib_micro"),
+        sum(col("kl_contrib_micro")).over(w).as("kl_micro"),
+        sum(col("psi_contrib_micro")).over(w).as("psi_micro"))
   }
 
   // =====================================================================

@@ -409,7 +409,18 @@ class SketchesSpec extends AnyFunSuite {
     // all 10 grid rows present even where a side has empty bins (smoothing)
     val rows = Sketches.histogramDrift(h(base), h(shifted), 10).collect()
     assert(rows.length == 10)
-    assert(rows.forall(_.getLong(4) == d1), "total rides on every row")
+    assert(rows.forall(r => r.getLong(r.fieldIndex("kl_micro")) == d1),
+      "total rides on every row")
+    // PSI: symmetric-ish and positive on a real shift, zero on identical
+    val psiSelf = Sketches.histogramDrift(h(base), h(base), 10)
+      .select("psi_micro").head().getLong(0)
+    assert(psiSelf == 0L)
+    val psi = Sketches.histogramDrift(h(base), h(shifted), 10)
+      .select("psi_micro").head().getLong(0)
+    val psiRev = Sketches.histogramDrift(h(shifted), h(base), 10)
+      .select("psi_micro").head().getLong(0)
+    assert(psi > 0L && math.abs(psi - psiRev) <= 10,
+      s"PSI symmetric up to rounding: $psi vs $psiRev")
   }
 
   test("HLL small-range correction: exact-ish on tiny cardinalities") {
