@@ -90,6 +90,32 @@ class ScaleSpec extends AnyFunSuite {
       s"Bloom should strip most of a selective probe, passed $passed/10000")
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in plan)") {
+    val s = imp; import s._
+    // 1 key holds ~all left rows; thresholds lowered so sf-tiny data skews
+    val left = (1 to 50000).map(i => (if (i % 50 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val right = (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("rk", "w")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = left.join(right, col("k") === col("rk"))
+      // execute THIS QueryExecution (count()/foreach plan separate queries
+      // and leave j's adaptive plan unfinalized)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join side:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("compactLatest: argmax survivor, partial-agg plan, no window sort") {
     val s = imp; import s._
     // key 1: versions 3 > 2 > 1; key 2: version TIE at 5 broken by tie id
