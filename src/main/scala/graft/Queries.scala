@@ -1116,6 +1116,65 @@ object Queries {
       |      FROM w)
       |SELECT w_start, event_type, n, rnk FROM r WHERE rnk <= 2""".stripMargin
 
+  /** Streaming twin of q_trending: the windowed counts stream (complete
+    * mode — a plain streaming aggregation); the top-k rank then runs over
+    * the MATERIALIZED aggregate, exactly as a dashboard queries its sink
+    * table. The rank input is windows×types rows, so the batch epilogue is
+    * report-sized at any event volume. Oracle shared with q_trending. */
+  def q_stream_trending(s: SparkSession, dir: String): DataFrame = {
+    val counts = runStream(s, src => src
+      .groupBy(window(col("ts"), "1 day").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("ws")).as("w_start"), col("event_type"),
+        col("n")),
+      "complete", dir)
+    val w = Window.partitionBy(col("w_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .select(col("w_start"), col("event_type"), col("n"), col("rnk"))
+  }
+
+  /** Funnel conversion summary (the report layer over q_funnel): users
+    * reaching each stage and the step conversion rates — exact integer
+    * counts, divisions once in double. One aggregate over the per-user
+    * staging (user-count rows). */
+  def q_funnel_summary(s: SparkSession, dir: String): DataFrame =
+    q_funnel(s, dir).agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("stage") >= 1, 1)).as("n_view"),
+        count(when(col("stage") >= 2, 1)).as("n_click"),
+        count(when(col("stage") >= 3, 1)).as("n_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast("double") / col("n_view").cast("double"))
+          .as("view_to_click"),
+        (col("n_purchase").cast("double") / col("n_click").cast("double"))
+          .as("click_to_purchase"))
+
+  private val q_funnel_summary_sql =
+    """WITH e AS (SELECT user_id, event_type,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM e),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= t1 THEN us END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= t2 THEN us END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |staged AS (SELECT user_id,
+      |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |  FROM w3 GROUP BY user_id, t1, t2, t3),
+      |a AS (SELECT count(*) AS n_users,
+      |    count(CASE WHEN stage >= 1 THEN 1 END) AS n_view,
+      |    count(CASE WHEN stage >= 2 THEN 1 END) AS n_click,
+      |    count(CASE WHEN stage >= 3 THEN 1 END) AS n_purchase
+      |  FROM staged)
+      |SELECT n_users, n_view, n_click, n_purchase,
+      |  CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS view_to_click,
+      |  CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE) AS click_to_purchase
+      |FROM a""".stripMargin
+
   /** Per-event sessionization (beyond-reference event analytics): the
     * inactivity-gap rule assigns every event a dense per-user session id —
     * a new session opens on the user's first event or after >12h of
@@ -4673,6 +4732,8 @@ object Queries {
     "q_retention" -> (q_retention _),
     "q_sessionize" -> (q_sessionize _),
     "q_trending" -> (q_trending _),
+    "q_stream_trending" -> (q_stream_trending _),
+    "q_funnel_summary" -> (q_funnel_summary _),
     "q_range_join" -> (q_range_join _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
@@ -4847,6 +4908,8 @@ object Queries {
     "q_retention" -> q_retention_sql,
     "q_sessionize" -> q_sessionize_sql,
     "q_trending" -> q_trending_sql,
+    "q_stream_trending" -> q_trending_sql,
+    "q_funnel_summary" -> q_funnel_summary_sql,
     "q_range_join" -> q_range_join_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,

@@ -67,6 +67,20 @@ object Expectations {
       .select(col("r.rule"), col("r.metric"), col("r.pass"))
   }
 
+  /** Fail-fast gate: run [[check]] and THROW (with every failing rule and
+    * its metric in the message) if any rule fails — the shape a pipeline
+    * driver wants between "crawl landed" and "training may read". Returns
+    * the report when all rules pass. */
+  def enforce(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val report = check(df, rules)
+    val failed = report.filter(!col("pass"))
+      .collect().map(r => s"${r.getString(0)}=${r.getDouble(1)}")
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"data-quality gate failed: ${failed.mkString(", ")}")
+    report
+  }
+
   /** Referential integrity as a rule row: the fraction of `df` keys present
     * in `ref`'s key column (one left-anti join; the violation side is
     * usually tiny). Emitted in the same (rule, metric, pass) shape so it

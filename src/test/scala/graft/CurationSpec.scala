@@ -812,6 +812,19 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"rule set must be one scan:\n$plan")
   }
 
+  test("expectations enforce: passes silently, throws with failing rules named") {
+    val s = spark; import s.implicits._
+    import graft.functions.Expectations._
+    val clean = Seq((1L, "A", 5.0), (2L, "B", 10.0)).toDF("k", "flag", "qty")
+    val rules = Seq(completenessRule("flag", 1.0), rangeRule("qty", 1.0, 50.0, 1.0))
+    assert(enforce(clean, rules).count() == 2)
+    val dirty = clean.unionByName(
+      Seq((3L, null.asInstanceOf[String], 99.0)).toDF("k", "flag", "qty"))
+    val e = intercept[IllegalStateException] { enforce(dirty, rules) }
+    assert(e.getMessage.contains("completeness(flag)") &&
+      e.getMessage.contains("range(qty)"), e.getMessage)
+  }
+
   test("negativeSample: k per anchor, never self, deterministic under repartition") {
     val s = spark; import s.implicits._
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
