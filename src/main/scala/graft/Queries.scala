@@ -1192,6 +1192,32 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("is_new"),
         col("session_seq").as("session_id"))
 
+  /** Per-session engagement stats (examples.Clickstream.sessionStats over
+    * [[q_sessionize]]'s assignment): events, span and value sum per
+    * (user, session) — the session-grain warehouse table. The groupBy
+    * reuses the user_id partitioning the sessionize windows installed, so
+    * only (user, session)-grain aggregate rows move beyond the first
+    * Exchange. */
+  def q_session_stats(s: SparkSession, dir: String): DataFrame =
+    graft.examples.Clickstream.sessionStats(
+      graft.operators.WindowsDF.sessionize(
+        events(s, dir), "user_id", "ts", "event_id", 43200000000L))
+
+  private val q_session_stats_sql =
+    """WITH e AS (SELECT event_id, user_id, value,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |l AS (SELECT *, lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+      |n AS (SELECT *,
+      |        (prev_us IS NULL OR us - prev_us > 43200000000) AS is_new FROM l),
+      |sess AS (SELECT *, CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM n)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  max(us) - min(us) AS span_us,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, session_seq""".stripMargin
+
   private val q_sessionize_sql =
     """WITH e AS (SELECT event_id, user_id,
       |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
@@ -4731,6 +4757,7 @@ object Queries {
     "q_anomaly" -> (q_anomaly _),
     "q_retention" -> (q_retention _),
     "q_sessionize" -> (q_sessionize _),
+    "q_session_stats" -> (q_session_stats _),
     "q_trending" -> (q_trending _),
     "q_stream_trending" -> (q_stream_trending _),
     "q_funnel_summary" -> (q_funnel_summary _),
@@ -4907,6 +4934,7 @@ object Queries {
     "q_anomaly" -> q_anomaly_sql,
     "q_retention" -> q_retention_sql,
     "q_sessionize" -> q_sessionize_sql,
+    "q_session_stats" -> q_session_stats_sql,
     "q_trending" -> q_trending_sql,
     "q_stream_trending" -> q_trending_sql,
     "q_funnel_summary" -> q_funnel_summary_sql,
