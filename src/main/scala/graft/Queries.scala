@@ -2633,6 +2633,39 @@ object Queries {
       |     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 9)
       |FROM a""".stripMargin
 
+  /** Live drift monitor (streaming twin of q_drift): the LIVE side's
+    * histogram accumulates as a streaming aggregation over the ingest
+    * stream; the drift report then compares it against the batch baseline
+    * histogram — three session primitives composed (stream histogram,
+    * frozen grid, drift metric). The epilogue runs on two 256-row
+    * sketches. Oracle shared with q_drift (identical halves). */
+  def q_stream_drift(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+    val baseline = graft.functions.Sketches.histogram(
+      li.filter(col("l_orderkey") <= mid), col("l_extendedprice"),
+      bins = 256, lo = 900.0, hi = 105000.0)
+    val live = runStream(s, src => graft.functions.Sketches.histogram(
+        src.filter(col("l_orderkey") > mid), col("l_extendedprice"),
+        bins = 256, lo = 900.0, hi = 105000.0),
+      "complete", dir, table = "lineitem")
+    graft.functions.Sketches.histogramDrift(baseline, live, bins = 256)
+  }
+
+  /** Degree distribution of the customer→order graph — the graph-profiling
+    * two-level aggregate (aggregate OF an aggregate): orders per customer,
+    * then customers per order-count. Both levels partial-aggregate; the
+    * second exchange moves degree-cardinality rows only. */
+  def q_degree_dist(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers"))
+
+  private val q_degree_dist_sql =
+    """SELECT n_orders, count(*) AS n_customers FROM (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+      |GROUP BY n_orders""".stripMargin
+
   /** Daily-active-users estimation (the windowed distinct-count sketch):
     * per-day HLL registers over the user column — the DAU/WAU dashboard at
     * days×256 bounded rows, mergeable across shards and days (WAU = max of
@@ -4777,6 +4810,8 @@ object Queries {
     "q_stream_histogram" -> (q_stream_histogram _),
     "q_hist_persist" -> (q_hist_persist _),
     "q_drift" -> (q_drift _),
+    "q_stream_drift" -> (q_stream_drift _),
+    "q_degree_dist" -> (q_degree_dist _),
     "q_window_dau" -> (q_window_dau _),
     "q_corr_matrix" -> (q_corr_matrix _),
     "q_tpch3" -> (q_tpch3 _),
@@ -4954,6 +4989,8 @@ object Queries {
     "q_stream_histogram" -> q_histogram_sql,
     "q_hist_persist" -> q_histogram_sql,
     "q_drift" -> q_drift_sql,
+    "q_stream_drift" -> q_drift_sql,
+    "q_degree_dist" -> q_degree_dist_sql,
     "q_window_dau" -> q_window_dau_sql,
     "q_corr_matrix" -> q_corr_matrix_sql,
     "q_tpch3" -> q_tpch3_sql,
