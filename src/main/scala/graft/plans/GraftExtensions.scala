@@ -29,8 +29,12 @@ import org.apache.spark.sql.types.IntegerType
   * | `graft_ngram_jaccard(a, b, n)` | [[NgramJaccard]] (per-pair exact verify) |
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // observe-only scale linter (PlanLint) — inert unless the session sets
+    // spark.graft.lint=warn|fail
+    ext.injectOptimizerRule(session => PlanLint.LintRule(session))
+  }
 }
 
 object GraftExtensions {

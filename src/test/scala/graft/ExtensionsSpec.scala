@@ -19,6 +19,28 @@ class ExtensionsSpec extends AnyFunSuite {
   def emb = { spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") }
 
+  test("plan lint: flags cartesian joins and global windows, passes scalable plans") {
+    import graft.plans.PlanLint
+    val s = spark; import s.implicits._
+    val a = (1 to 10).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+    val b = (1 to 10).map(i => (i.toLong, s"b$i")).toDF("bk", "w")
+    // cartesian
+    val cross = a.crossJoin(b)
+    assert(PlanLint.check(cross).exists(_.kind == "cartesian"))
+    intercept[IllegalStateException] { PlanLint.assertScalable(cross) }
+    // global window (empty partition spec): whole input through one task
+    val gw = a.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+    assert(PlanLint.check(gw).exists(_.kind == "global-window"))
+    // a scalable shape: equi join + keyed aggregate + partitioned window
+    val ok = a.join(b, col("k") === col("bk"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("k")).orderBy(col("n"))))
+    assert(PlanLint.check(ok).isEmpty, PlanLint.check(ok).toString)
+    PlanLint.assertScalable(ok)
+  }
+
   test("registered SQL functions equal the Column API") {
     GraftExtensions.register(spark)
     emb.createOrReplaceTempView("emb_ext")
