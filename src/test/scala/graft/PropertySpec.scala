@@ -277,6 +277,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("compactLatest == window argmax on random versioned rows, any partitioning") {
+    val s = imp
+    import s._
+    val gen = Gen.listOfN(50, for {
+      k <- Gen.choose(1L, 6L)
+      v <- Gen.choose(0L, 20L)
+    } yield (k, v))
+    forAll(gen, Gen.choose(1, 5)) { (rows, parts) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, v, i.toLong, s"p$i") }
+          .toDF("k", "v", "id", "payload").repartition(parts)
+        val got = graft.operators.Scale.compactLatest(df, "k", "v", "id",
+            Seq("payload"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        val exp = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, v, i.toLong) }
+          .groupBy(_._1).toSeq
+          .map { case (k, rs) => rs.maxBy(r => (r._2, r._3)) }
+          .sortBy(_._1)
+        assert(got == exp)
+      }
+    }
+  }
+
   test("sessionize == per-user sequential gap scan on random event sets") {
     val s = imp
     import s._
