@@ -41,6 +41,21 @@ class ExtensionsSpec extends AnyFunSuite {
     PlanLint.assertScalable(ok)
   }
 
+  test("plan lint audit representatives: flagged epilogues flagged, hot paths clean") {
+    import graft.plans.PlanLint
+    val dir = "/root/testdata/sf0.001"
+    // intentional report-sized epilogues stay visible to the linter
+    assert(PlanLint.check(Queries.q_retention(spark, dir))
+      .exists(_.kind == "cartesian"), "retention's broadcast-scalar epilogue")
+    assert(PlanLint.check(Queries.q_distinct_kmv(spark, dir))
+      .exists(_.kind == "global-window"), "kmv's sketch-sized report window")
+    // the corpus-scale hot paths carry NO lint findings
+    Seq(Queries.q1_agg _, Queries.q_tpch5 _, Queries.q_sessionize _,
+      Queries.q_dedup_exact _, Queries.q_histogram _).foreach { q =>
+      assert(PlanLint.check(q(spark, dir)).isEmpty)
+    }
+  }
+
   test("registered SQL functions equal the Column API") {
     GraftExtensions.register(spark)
     emb.createOrReplaceTempView("emb_ext")
