@@ -1050,6 +1050,34 @@ object Queries {
       |UNION ALL SELECT 'range(l_quantity)', m1, m1 >= 1.0 FROM a
       |UNION ALL SELECT 'discount_bounds', m2, m2 >= 0.95 FROM a""".stripMargin
 
+  /** The expectations gate over the documents corpus — the actual
+    * pre-training validation: text present, lengths in the plausible band,
+    * ids unique, language tags from the known set. Same one-scan engine as
+    * q_data_quality, pointed at the table a curation pipeline ships. */
+  def q_docs_quality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expectations._
+    check(tbl(s, dir, "documents"), Seq(
+      completenessRule("text", 1.0),
+      rangeRule("n_chars", 1.0, 100000.0, 1.0),
+      predicateRule("lang_known",
+        col("lang").isin("en", "es", "de", "fr", "zh"), 0.9),
+      uniqueRule("doc_id")))
+  }
+
+  private val q_docs_quality_sql =
+    """WITH a AS (SELECT
+      |    CAST(count(text) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m0,
+      |    CAST(count(CASE WHEN n_chars >= 1.0 AND n_chars <= 100000.0 THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m1,
+      |    CAST(count(CASE WHEN lang IN ('en','es','de','fr','zh') THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m2,
+      |    CAST(count(DISTINCT doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m3
+      |  FROM documents)
+      |SELECT 'completeness(text)' AS rule, m0 AS metric, m0 >= 1.0 AS pass FROM a
+      |UNION ALL SELECT 'range(n_chars)', m1, m1 >= 1.0 FROM a
+      |UNION ALL SELECT 'lang_known', m2, m2 >= 0.9 FROM a
+      |UNION ALL SELECT 'unique(doc_id)', m3, m3 = 1.0 FROM a""".stripMargin
+
   /** TPC-H Q18-shaped large-volume-customer query: orders whose lineitems
     * sum past a quantity threshold, joined back to customer detail, top-20
     * by price. The aggregate-filter runs FIRST (partial+final hash
@@ -4818,6 +4846,7 @@ object Queries {
     "q_tpch5" -> (q_tpch5 _),
     "q_tpch18" -> (q_tpch18 _),
     "q_data_quality" -> (q_data_quality _),
+    "q_docs_quality" -> (q_docs_quality _),
     "q_stream_quality" -> (q_stream_quality _),
     "q_histogram" -> (q_histogram _),
     "q_quantile_hist" -> (q_quantile_hist _),
@@ -4997,6 +5026,7 @@ object Queries {
     "q_tpch5" -> q_tpch5_sql,
     "q_tpch18" -> q_tpch18_sql,
     "q_data_quality" -> q_data_quality_sql,
+    "q_docs_quality" -> q_docs_quality_sql,
     "q_stream_quality" -> q_stream_quality_sql,
     "q_histogram" -> q_histogram_sql,
     "q_quantile_hist" -> q_quantile_hist_sql,
