@@ -1078,6 +1078,31 @@ object Queries {
       |UNION ALL SELECT 'lang_known', m2, m2 >= 0.9 FROM a
       |UNION ALL SELECT 'unique(doc_id)', m3, m3 = 1.0 FROM a""".stripMargin
 
+  /** Per-source quality drill-down (Expectations.checkPerGroup): the same
+    * text rules evaluated within each crawl source — the "which source is
+    * broken" report a corpus-level pass can hide. One grouped aggregate
+    * scan, sources × rules rows out. */
+  def q_source_quality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Expectations._
+    checkPerGroup(tbl(s, dir, "documents"), "source", Seq(
+      completenessRule("text", 1.0),
+      rangeRule("n_chars", 1.0, 100000.0, 1.0),
+      predicateRule("lang_known",
+        col("lang").isin("en", "es", "de", "fr", "zh"), 0.85)))
+  }
+
+  private val q_source_quality_sql =
+    """WITH a AS (SELECT source AS g,
+      |    CAST(count(text) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m0,
+      |    CAST(count(CASE WHEN n_chars >= 1.0 AND n_chars <= 100000.0 THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m1,
+      |    CAST(count(CASE WHEN lang IN ('en','es','de','fr','zh') THEN 1 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS m2
+      |  FROM documents GROUP BY source)
+      |SELECT g, 'completeness(text)' AS rule, m0 AS metric, m0 >= 1.0 AS pass FROM a
+      |UNION ALL SELECT g, 'range(n_chars)', m1, m1 >= 1.0 FROM a
+      |UNION ALL SELECT g, 'lang_known', m2, m2 >= 0.85 FROM a""".stripMargin
+
   /** TPC-H Q18-shaped large-volume-customer query: orders whose lineitems
     * sum past a quantity threshold, joined back to customer detail, top-20
     * by price. The aggregate-filter runs FIRST (partial+final hash
@@ -2693,6 +2718,38 @@ object Queries {
     """SELECT n_orders, count(*) AS n_customers FROM (
       |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
       |GROUP BY n_orders""".stripMargin
+
+  /** Weekly-active-users over ROLLING 7-day windows (the sliding sibling
+    * of q_window_dau): each event's user hash lands in the seven daily-
+    * slid windows covering it (map-side Expand), registers partial-max per
+    * (window, bucket) — rolling distinct-count at windows×256 bounded
+    * rows, never a distinct shuffle. Registers and per-window estimates
+    * oracle-replayed. */
+  def q_window_wau(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.hllReportPerGroup(
+      graft.functions.Sketches.hllRegistersPerWindow(
+        events(s, dir), "ts", "7 days", "1 day",
+        col("user_id").cast("string"), p = 8, portable = portableMode),
+      p = 8)
+
+  private val q_window_wau_sql =
+    """WITH e AS (SELECT
+      |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) - k.k * 86400000000 AS g,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) k),
+      |r AS (SELECT g, h // 4503599627370496 AS bucket,
+      |             h % 4503599627370496 AS w FROM e),
+      |regs AS (SELECT g, bucket,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+      |  FROM r GROUP BY g, bucket),
+      |t AS (SELECT g, bucket, reg,
+      |        CAST(sum(CAST(power(2.0, 63 - reg) AS DECIMAL(38,0))) OVER (PARTITION BY g) AS DECIMAL(38,0)) AS s,
+      |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nb
+      |      FROM regs)
+      |SELECT g, bucket, reg, nb AS nonzero,
+      |  0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * power(2.0, 63)
+      |    / CAST(s + (256 - nb) * CAST(power(2.0, 63) AS DECIMAL(38,0)) AS DOUBLE) AS est
+      |FROM t""".stripMargin
 
   /** Daily-active-users estimation (the windowed distinct-count sketch):
     * per-day HLL registers over the user column — the DAU/WAU dashboard at
@@ -4841,6 +4898,8 @@ object Queries {
     "q_stream_drift" -> (q_stream_drift _),
     "q_degree_dist" -> (q_degree_dist _),
     "q_window_dau" -> (q_window_dau _),
+    "q_window_wau" -> (q_window_wau _),
+    "q_source_quality" -> (q_source_quality _),
     "q_corr_matrix" -> (q_corr_matrix _),
     "q_tpch3" -> (q_tpch3 _),
     "q_tpch5" -> (q_tpch5 _),
@@ -5021,6 +5080,8 @@ object Queries {
     "q_stream_drift" -> q_drift_sql,
     "q_degree_dist" -> q_degree_dist_sql,
     "q_window_dau" -> q_window_dau_sql,
+    "q_window_wau" -> q_window_wau_sql,
+    "q_source_quality" -> q_source_quality_sql,
     "q_corr_matrix" -> q_corr_matrix_sql,
     "q_tpch3" -> q_tpch3_sql,
     "q_tpch5" -> q_tpch5_sql,

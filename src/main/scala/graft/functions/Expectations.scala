@@ -67,6 +67,25 @@ object Expectations {
       .select(col("r.rule"), col("r.metric"), col("r.pass"))
   }
 
+  /** Per-GROUP rule report: every rule evaluated within each value of
+    * `groupCol` — the "which SOURCE is broken" drill-down (a corpus can
+    * pass globally while one crawl source ships garbage). Same one-scan
+    * discipline: a single grouped aggregate over all metrics, stacked to
+    * (g, rule, metric, pass) rows. */
+  def checkPerGroup(df: DataFrame, groupCol: String,
+      rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules declared")
+    val agg = df.groupBy(col(groupCol).as("g")).agg(
+      rules.head.metric.as("m0"),
+      rules.tail.zipWithIndex.map { case (r, i) => r.metric.as(s"m${i + 1}") }: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"m$i").as("metric"),
+        r.pass(col(s"m$i")).as("pass"))
+    }
+    agg.select(col("g"), explode(array(rows: _*)).as("r"))
+      .select(col("g"), col("r.rule"), col("r.metric"), col("r.pass"))
+  }
+
   /** Fail-fast gate: run [[check]] and THROW (with every failing rule and
     * its metric in the message) if any rule fails — the shape a pipeline
     * driver wants between "crawl landed" and "training may read". Returns

@@ -395,6 +395,28 @@ object Sketches {
       .groupBy("g", "bucket").agg(max(col("reg")).as("reg"))
   }
 
+  /** HLL registers per SLIDING event-time window: each row's hash lands in
+    * every size/slide window covering it (the same map-side Expand as any
+    * sliding aggregation), then (window, bucket) partial-max — the
+    * WAU-over-rolling-7-days shape at windows×m bounded rows. Feed the
+    * result to [[hllReportPerGroup]] (g = window-start micros). */
+  def hllRegistersPerWindow(df: DataFrame, ts: String, size: String,
+      slide: String, c: Column, p: Int,
+      portable: Boolean = false): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
+    val wBits = hllWBits(p, portable)
+    val h = itemHash(c, portable)
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    val rank = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.select(col(ts), shiftright(h, wBits).as("bucket"),
+        rank.cast("long").as("reg"))
+      .groupBy(window(col(ts), size, slide).getField("start").as("ws"),
+        col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(unix_micros(col("ws")).as("g"), col("bucket"), col("reg"))
+  }
+
   /** Per-group `(g, bucket, reg, nonzero, est)` projection — the grouped
     * [[hllReport]]: per-group totals via whole-partition windows on the
     * groups·m-row sketch, identical exact-DECIMAL + fixed-order-double
