@@ -26,32 +26,31 @@ object Expectations {
     * `pass` maps the metric to the verdict (applied AFTER aggregation). */
   final case class Rule(name: String, metric: Column, pass: Column => Column)
 
+  /** Count ratio that is NULL (not an ANSI divide-by-zero error) on an
+    * empty batch; [[check]] coalesces the null verdict to FAIL. */
+  private def ratio(num: Column): Column =
+    try_divide(num.cast("double"), count(lit(1)).cast("double"))
+
   /** Fraction of non-null values in `c` ≥ `atLeast`. */
   def completenessRule(c: String, atLeast: Double): Rule =
-    Rule(s"completeness($c)",
-      count(col(c)).cast("double") / count(lit(1)).cast("double"),
-      m => m >= atLeast)
+    Rule(s"completeness($c)", ratio(count(col(c))), m => m >= atLeast)
 
   /** Fraction of rows inside [lo, hi] (nulls count as violations) ≥
     * `atLeast`. */
   def rangeRule(c: String, lo: Double, hi: Double, atLeast: Double): Rule =
     Rule(s"range($c)",
-      count(when(col(c) >= lo && col(c) <= hi, 1)).cast("double") /
-        count(lit(1)).cast("double"),
+      ratio(count(when(col(c) >= lo && col(c) <= hi, 1))),
       m => m >= atLeast)
 
   /** Fraction of rows matching an arbitrary predicate ≥ `atLeast`. */
   def predicateRule(name: String, pred: Column, atLeast: Double): Rule =
-    Rule(name,
-      count(when(pred, 1)).cast("double") / count(lit(1)).cast("double"),
-      m => m >= atLeast)
+    Rule(name, ratio(count(when(pred, 1))), m => m >= atLeast)
 
   /** distinct(keys)/count = 1.0 ⟺ the key combination is unique. EXACT —
     * costs the key-distinct shuffle. */
   def uniqueRule(keys: String*): Rule =
     Rule(s"unique(${keys.mkString(",")})",
-      countDistinct(keys.head, keys.tail: _*).cast("double") /
-        count(lit(1)).cast("double"),
+      ratio(countDistinct(keys.head, keys.tail: _*)),
       m => m === 1.0)
 
   /** Run a rule set in ONE aggregate pass: (rule, metric, pass) rows. */
@@ -60,8 +59,11 @@ object Expectations {
     val agg = df.agg(rules.head.metric.as("m0"),
       rules.tail.zipWithIndex.map { case (r, i) => r.metric.as(s"m${i + 1}") }: _*)
     val rows = rules.zipWithIndex.map { case (r, i) =>
+      // null metric (0/0 count ratio on an empty batch) must FAIL, not
+      // null-propagate through enforce's filter(!pass) — an empty crawl
+      // output is the most broken input a gate can see
       struct(lit(r.name).as("rule"), col(s"m$i").as("metric"),
-        r.pass(col(s"m$i")).as("pass"))
+        coalesce(r.pass(col(s"m$i")), lit(false)).as("pass"))
     }
     agg.select(explode(array(rows: _*)).as("r"))
       .select(col("r.rule"), col("r.metric"), col("r.pass"))
@@ -80,7 +82,7 @@ object Expectations {
       rules.tail.zipWithIndex.map { case (r, i) => r.metric.as(s"m${i + 1}") }: _*)
     val rows = rules.zipWithIndex.map { case (r, i) =>
       struct(lit(r.name).as("rule"), col(s"m$i").as("metric"),
-        r.pass(col(s"m$i")).as("pass"))
+        coalesce(r.pass(col(s"m$i")), lit(false)).as("pass"))
     }
     agg.select(col("g"), explode(array(rows: _*)).as("r"))
       .select(col("g"), col("r.rule"), col("r.metric"), col("r.pass"))
@@ -93,7 +95,8 @@ object Expectations {
   def enforce(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val report = check(df, rules)
     val failed = report.filter(!col("pass"))
-      .collect().map(r => s"${r.getString(0)}=${r.getDouble(1)}")
+      .collect().map(r => s"${r.getString(0)}=" +
+        (if (r.isNullAt(1)) "null" else r.getDouble(1).toString))
     if (failed.nonEmpty)
       throw new IllegalStateException(
         s"data-quality gate failed: ${failed.mkString(", ")}")

@@ -238,8 +238,10 @@ object Sampling {
     val out = pre.flatMap { case (id, st, c, before) =>
       if (bBudgets.value.get(st).forall(before < _)) Some((id, st, c)) else None
     }.toDF("doc_id", "stratum", "cost")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      // eager localCheckpoint: materialized ONCE while `base` is still hot,
+      // lineage cut, and the blocks are GC-managed — persist() here leaked a
+      // cached table per call for the session's lifetime
+      .localCheckpoint()
     base.unpersist()
     out
   }
@@ -362,8 +364,7 @@ object Sampling {
         val copies = full + (if (before < rem) 1L else 0L)
         (0L until copies).map(e => (id, st, c, e))
       }.toDF("doc_id", "stratum", "cost", "epoch")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
+        .localCheckpoint() // eager; GC-managed blocks, no session-life leak
       out
     } finally { base.unpersist(); () }
   }
@@ -464,8 +465,9 @@ object Sampling {
     require(k >= 1, s"need k >= 1 negatives, got $k")
     val (starts, base) = globalPrefix(df.select(col(idCol)), idCol, lit(1L),
       None, None)
+    var pos: DataFrame = null
     try {
-      val pos = starts.select(col("doc_id"), col("c0").as("pos"))
+      pos = starts.select(col("doc_id"), col("c0").as("pos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = pos.count()
       require(n >= 2, s"need >= 2 documents to draw negatives, got $n")
@@ -485,7 +487,12 @@ object Sampling {
         .join(pos.select(col("doc_id").as("neg_id"), col("pos").as("t_pos")),
           "t_pos")
         .select(col("anchor_id"), col("j"), col("neg_id"))
-    } finally { base.unpersist(); () }
+    } finally {
+      // release BOTH caches — pos outlived the call in earlier revisions,
+      // leaking a cached table per invocation for the session's lifetime
+      if (pos != null) pos.unpersist()
+      base.unpersist(); ()
+    }
   }
 
   def tokenShards(df: DataFrame, idCol: String, cost: Column, budget: Long,
@@ -497,8 +504,7 @@ object Sampling {
       // `div` keeps the division exact past 2^53 total tokens
       val out = starts
         .select(col("doc_id"), col("cost"), expr(s"c0 div $budget").as("shard"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
+        .localCheckpoint() // eager; GC-managed blocks, no session-life leak
       out
     } finally { base.unpersist(); () }
   }
@@ -581,8 +587,7 @@ object Sampling {
           (greatest(col("c0"), col("row_id") * L) - col("row_id") * L).as("row_off"),
           (least(col("c0") + col("cost"), (col("row_id") + 1) * L)
             - greatest(col("c0"), col("row_id") * L)).as("len"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
+        .localCheckpoint() // eager; GC-managed blocks, no session-life leak
       out
     } finally { base.unpersist(); () }
   }

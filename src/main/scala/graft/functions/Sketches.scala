@@ -319,6 +319,16 @@ object Sketches {
   private def hllWBits(p: Int, portable: Boolean): Int =
     (if (portable) 60 else 63) - p
 
+  /** Bias-correction constant α_m. The asymptotic 0.7213/(1+1.079/m) only
+    * holds for m ≥ 128; Flajolet et al. give exact small-m constants for
+    * m = 16/32/64, used here so estimates at p = 4..6 are unbiased. */
+  private[graft] def hllAlpha(m: Long): Double = m match {
+    case 16L => 0.673
+    case 32L => 0.697
+    case 64L => 0.709
+    case _   => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
   /** The HLL register table of `c` at precision `p` (m = 2^p registers):
     * one row per NON-EMPTY bucket, (bucket, reg) where `reg` is the max
     * rank (position of the highest set bit measured from the top of the
@@ -371,7 +381,7 @@ object Sketches {
         (col("s") + (lit(m) - col("nb")).cast("decimal(38,0)") * scaleDec)
           .as("total"),
         col("nb"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val alpha = lit(hllAlpha(m))
     regs.crossJoin(broadcast(stats))
       .select(col("bucket"), col("reg"), col("nb").as("nonzero"),
         (alpha * lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2, 63)) /
@@ -429,7 +439,7 @@ object Sketches {
       .cast("decimal(38,0)")
     val wg = Window.partitionBy(col("g")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val alpha = lit(hllAlpha(m))
     regs
       .withColumn("s", sum(term).over(wg))
       .withColumn("nb", count(lit(1)).over(wg))
@@ -447,7 +457,7 @@ object Sketches {
     val rows = regs.select(col("reg")).collect().map(_.getLong(0))
     val nb = rows.length
     val sumInv = rows.map(r => math.pow(2, -r.toDouble)).sum + (m - nb)
-    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val alpha = hllAlpha(m)
     val raw = alpha * m.toDouble * m.toDouble / sumInv
     val zeros = m - nb
     if (zeros > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / zeros)

@@ -96,6 +96,15 @@ object Scale {
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, expectedItems: Long, fpp: Double = 0.01,
       joinType: String = "inner"): DataFrame = {
+    // Prefiltering the probe side is only sound when unmatched probe rows
+    // carry nothing to the result. Outer joins must emit them null-extended
+    // and anti joins must emit them AS the result — pruning would silently
+    // drop required output, so those types are rejected, not miscomputed.
+    val safe = Set("inner", "leftsemi", "cross", "semi")
+    require(safe.contains(joinType.toLowerCase.replace("_", "")),
+      s"bloomPrunedJoin supports only inner/left_semi/cross joins " +
+        s"(probe-side pruning drops rows an outer/anti join must emit); " +
+        s"got '$joinType'")
     val bf = build.select(col(buildKey).cast("string").as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
     val bfB = probe.sparkSession.sparkContext.broadcast(bf)

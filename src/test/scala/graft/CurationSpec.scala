@@ -825,6 +825,23 @@ class CurationSpec extends AnyFunSuite {
       e.getMessage.contains("range(qty)"), e.getMessage)
   }
 
+  test("expectations: an EMPTY batch fails every count-ratio rule, not null-passes") {
+    val s = spark; import s.implicits._
+    import graft.functions.Expectations._
+    val empty = Seq.empty[(Long, String, Double)].toDF("k", "flag", "qty")
+    val rules = Seq(completenessRule("flag", 0.5), rangeRule("qty", 1.0, 50.0, 0.5),
+      uniqueRule("k"))
+    val rep = check(empty, rules).collect()
+      .map(r => (r.getString(0), r.isNullAt(1), r.getBoolean(2)))
+    // metrics are 0/0 = null; pass must coalesce to FALSE so the gate trips
+    assert(rep.forall(r => r._2 && !r._3), s"empty batch must fail: ${rep.toSeq}")
+    val e = intercept[IllegalStateException] { enforce(empty, rules) }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    // grouped variant: no groups → no rows, and a non-empty group with an
+    // empty-ratio metric still coalesces (smoke: runs without NPE)
+    assert(checkPerGroup(empty, "flag", rules.take(2)).count() == 0)
+  }
+
   test("negativeSample: k per anchor, never self, deterministic under repartition") {
     val s = spark; import s.implicits._
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
@@ -851,5 +868,13 @@ class CurationSpec extends AnyFunSuite {
       (a, j.toLong, ids(t.toInt))
     }).sorted.toSeq
     assert(got == exp)
+    // no cache leak: both internal persists (prefix base + positions) must
+    // be released before the call returns (delta-based: earlier suites may
+    // hold GC-managed localCheckpoint blocks of their own)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.functions.Sampling.negativeSample(df, "doc_id", k, portable = true)
+      .count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"negativeSample leaked cached RDDs: $leaked")
   }
 }

@@ -88,6 +88,19 @@ class ScaleSpec extends AnyFunSuite {
       bf.mightContainString(r.getLong(0).toString))
     assert(passed < 10000 / 2,
       s"Bloom should strip most of a selective probe, passed $passed/10000")
+    // outer/anti joins must emit unmatched probe rows — pruning would drop
+    // them, so those join types are rejected up front, never miscomputed
+    for (bad <- Seq("left_outer", "full_outer", "left_anti")) {
+      val e = intercept[IllegalArgumentException] {
+        Scale.bloomPrunedJoin(probe, build, "k", "bk",
+          expectedItems = 1000, joinType = bad)
+      }
+      assert(e.getMessage.contains("bloomPrunedJoin"), e.getMessage)
+    }
+    // semi stays allowed (probe-side-only output, pruning-safe)
+    val semi = Scale.bloomPrunedJoin(probe, build, "k", "bk",
+      expectedItems = 1000, joinType = "left_semi").count()
+    assert(semi == plain.map(t => (t._1, t._2)).distinct.size.toLong)
   }
 
   test("AQE splits a skewed sort-merge join partition (skew=true in plan)") {

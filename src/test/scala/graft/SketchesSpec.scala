@@ -326,6 +326,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("HLL small-m alpha uses the exact Flajolet constants; p=4..6 estimates sane") {
+    assert(Sketches.hllAlpha(16) == 0.673)
+    assert(Sketches.hllAlpha(32) == 0.697)
+    assert(Sketches.hllAlpha(64) == 0.709)
+    assert(math.abs(Sketches.hllAlpha(256) -
+      0.7213 / (1.0 + 1.079 / 256.0)) < 1e-12)
+    // at p=5 (m=32, rel-err ~18%) the corrected estimate should land within
+    // a loose 3-sigma band of truth for a 5k-distinct input
+    val df = strs((1 to 5000).map(i => s"x$i"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("v"), 5), 5)
+    assert(math.abs(est - 5000) / 5000 < 0.55, s"p=5 est=$est")
+  }
+
   test("histogram: closed-form bins, edge clamping, merge = sum") {
     val s = spark; import s.implicits._
     // grid [0, 10) with 10 bins: value v lands in bin floor(v); outside clamps
