@@ -4999,7 +4999,7 @@ object Queries {
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_diversity_sample" -> (q_diversity_sample _),
     "q_pii_redact" -> (q_pii_redact _)
-  )
+  ) ++ TpchQueries.all
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1_sql,
@@ -5181,5 +5181,5 @@ object Queries {
     "q_sample_stratified" -> q_sample_stratified_sql,
     "q_diversity_sample" -> q_diversity_sample_sql,
     "q_pii_redact" -> q_pii_redact_sql
-  )
+  ) ++ TpchQueries.oracle
 }
