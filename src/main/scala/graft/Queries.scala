@@ -1665,6 +1665,31 @@ object Queries {
       |WHERE a.c_custkey < b.c_custkey
       |AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Entity-resolution similarity join (EntityResolution.erSelfJoin): all
+    * distinct part-name pairs sharing a 2-byte prefix block whose
+    * Jaro–Winkler similarity reaches 0.82. The score is a native
+    * expression pinned to DuckDB's byte-level semantics; both engines
+    * round to 9 dp BEFORE thresholding, so the cut cannot flip on a
+    * last-ulp divide difference. Blocking is the operator's spec — the
+    * oracle replays the same prefix blocks (recall trade documented on
+    * the operator). */
+  def q_er_join(s: SparkSession, dir: String): DataFrame =
+    graft.functions.EntityResolution.erSelfJoin(
+      tbl(s, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id")),
+      "id", "p_name", threshold = 0.82)
+
+  private val q_er_join_sql =
+    """WITH names AS (
+      |  SELECT p_name AS s, min(p_partkey) AS id FROM part GROUP BY p_name),
+      |blocked AS (
+      |  SELECT a.id AS a_id, b.id AS b_id, a.s AS a_str, b.s AS b_str,
+      |    round(jaro_winkler_similarity(a.s, b.s), 9) AS sim
+      |  FROM names a JOIN names b
+      |    ON substr(a.s, 1, 2) = substr(b.s, 1, 2) AND a.id < b.id)
+      |SELECT a_id, b_id, a_str, b_str, sim
+      |FROM blocked WHERE sim >= 0.82""".stripMargin
+
   /** Character-bigram LM quality score (TextAnalysis.charLmScore): the
     * cheap perplexity proxy, trained on the corpus itself with add-1
     * smoothing. Per-bigram log-probs are 6-dp-rounded and integer-scaled
@@ -4889,6 +4914,7 @@ object Queries {
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
+    "q_er_join" -> (q_er_join _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_distinct_hll" -> (q_distinct_hll _),
     "q_distinct_hll_group" -> (q_distinct_hll_group _),
@@ -5071,6 +5097,7 @@ object Queries {
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
+    "q_er_join" -> q_er_join_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_distinct_hll" -> q_distinct_hll_sql,
     "q_distinct_hll_group" -> q_distinct_hll_group_sql,

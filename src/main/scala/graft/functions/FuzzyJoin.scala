@@ -35,8 +35,7 @@ object FuzzyJoin {
     // computing it once instead of twice is a measured win. The variant
     // cache is RELEASED before returning (result materialized first), so
     // repeated library calls don't leak executor blocks; the returned
-    // result itself stays persisted (the documented persisted-result
-    // contract, same as packSequences)
+    // result is an eager localCheckpoint (GC-managed, same as packSequences)
     val vars = graft.operators.Scale.fanOut(df)
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
@@ -59,8 +58,10 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select("a_id", "b_id", "a_str", "b_str", "dist")
       .distinct()
-      .persist()
-    out.count() // materialize before dropping the variant cache
+      // eager localCheckpoint: materialized once while the variant cache is
+      // hot, lineage cut, blocks GC-managed — persist() here leaked a cached
+      // table per call for the session's lifetime
+      .localCheckpoint()
     vars.unpersist()
     out
   }

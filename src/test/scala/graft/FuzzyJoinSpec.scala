@@ -55,4 +55,45 @@ class FuzzyJoinSpec extends AnyFunSuite {
         s"fuzzy join planned a quadratic join:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
   }
+
+  test("Jaro-Winkler matches the reference vectors (DuckDB-probed semantics)") {
+    import graft.plans.JaroWinklerExpr.{similarity => jw}
+    def s(x: String) = x.getBytes("UTF-8")
+    // classic published vectors, plus the semantics pins probed against
+    // DuckDB's jaro_winkler_similarity: bytes (not codepoints), empty -> 0,
+    // floor(t/2) transpositions, boost only above 0.7
+    assert(math.abs(jw(s("martha"), s("marhta")) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw(s("DIXON"), s("DICKSONX")) - 0.8133333333333332) < 1e-15)
+    assert(jw(s(""), s("")) == 0.0 && jw(s("a"), s("")) == 0.0)
+    assert(jw(s("abc"), s("abc")) == 1.0)
+    assert(jw(s("ab"), s("ba")) == 0.0) // window 0: no cross-position match
+    // odd transposition count floors: (1 + 1 + 5/6)/3, NOT (... 4.5/6 ...)
+    assert(math.abs(jw(s("abcdef"), s("bcadef")) - 0.9444444444444445) < 1e-15)
+    // jaro <= 0.7 gets NO winkler boost despite the shared prefix
+    assert(jw(s("abcdefgh"), s("abzzzzzz")) == 0.5)
+    // byte orientation: 'número'/'numero' compares UTF-8 bytes (len 7 vs 6)
+    assert(math.abs(jw(s("número"), s("numero")) - 0.8642857142857143) < 1e-15)
+    // the Column wrapper evaluates the same function distributed
+    val sp = spark; import sp.implicits._
+    val got = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(graft.functions.EntityResolution.jaroWinkler(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(math.abs(got - 0.9611111111111111) < 1e-15)
+  }
+
+  test("erSelfJoin: blocked pairs only, threshold on the rounded score") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "martha"), (2L, "marhta"), (3L, "maxine"),
+      (4L, "zzdiff"), (5L, "ma"), (6L, "xx")).toDF("id", "name")
+    val got = graft.functions.EntityResolution
+      .erSelfJoin(df, "id", "name", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // all survivors share the 2-byte block "ma"; zzdiff/xx pair with nobody
+    assert(got.map(_._1).forall(Set(1L, 2L, 3L, 5L)) &&
+      got.map(_._2).forall(Set(2L, 3L, 5L)))
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L &&
+      math.abs(t._3 - 0.961111111) < 1e-9))
+    // cross-block pair never scored even though similar ("xx" vs "zz...")
+    assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
+  }
 }
