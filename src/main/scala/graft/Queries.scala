@@ -1690,6 +1690,68 @@ object Queries {
       |SELECT a_id, b_id, a_str, b_str, sim
       |FROM blocked WHERE sim >= 0.82""".stripMargin
 
+  /** Market-basket co-occurrence (CoOccurrence.pairs): part pairs sharing
+    * an order, with exact-ratio Jaccard and lift. Basket cap + map-side
+    * pair aggregation keep the quadratic constant-bounded (doc on the
+    * operator); counts are exact integers, ratios divide once in double. */
+  def q_copurchase(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+
+  private val q_copurchase_sql =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |sized AS (
+      |  SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 20),
+      |kept AS (SELECT bi.* FROM bi JOIN sized USING (bk)),
+      |item_n AS (SELECT it, count(*) AS n_it FROM kept GROUP BY it),
+      |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM kept),
+      |ab AS (
+      |  SELECT a.it AS a_item, b.it AS b_item, count(*) AS n_ab
+      |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT a_item, b_item, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(na.n_it AS BIGINT) AS n_a, CAST(nbi.n_it AS BIGINT) AS n_b,
+      |  CAST(n_ab AS DOUBLE) / CAST(na.n_it + nbi.n_it - n_ab AS DOUBLE) AS jaccard,
+      |  CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+      |    / (CAST(na.n_it AS DOUBLE) * CAST(nbi.n_it AS DOUBLE)) AS lift
+      |FROM ab
+      |JOIN item_n na ON ab.a_item = na.it
+      |JOIN item_n nbi ON ab.b_item = nbi.it
+      |CROSS JOIN nb""".stripMargin
+
+  /** Related-items top-k (CoOccurrence.topPartners): each part's 5 most
+    * co-ordered partners, rank-filtered per item — lowers to
+    * WindowGroupLimit, so partitions keep k rows per item before the
+    * exchange. Total (n_ab desc, partner) order makes the cut exact. */
+  def q_related_items(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CoOccurrence.topPartners(
+      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .select("a_item", "b_item", "n_ab"),
+      k = 5)
+
+  private val q_related_items_sql =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |sized AS (
+      |  SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 20),
+      |kept AS (SELECT bi.* FROM bi JOIN sized USING (bk)),
+      |ab AS (
+      |  SELECT a.it AS a_item, b.it AS b_item, count(*) AS n_ab
+      |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (
+      |  SELECT a_item AS item, b_item AS partner, n_ab FROM ab
+      |  UNION ALL
+      |  SELECT b_item AS item, a_item AS partner, n_ab FROM ab),
+      |rk AS (
+      |  SELECT item, partner, CAST(n_ab AS BIGINT) AS n_ab,
+      |    CAST(row_number() OVER (PARTITION BY item
+      |      ORDER BY n_ab DESC, partner) AS BIGINT) AS rk
+      |  FROM sym)
+      |SELECT item, partner, n_ab, rk FROM rk WHERE rk <= 5""".stripMargin
+
   /** Character-bigram LM quality score (TextAnalysis.charLmScore): the
     * cheap perplexity proxy, trained on the corpus itself with add-1
     * smoothing. Per-bigram log-probs are 6-dp-rounded and integer-scaled
@@ -4915,6 +4977,8 @@ object Queries {
     "q_char_lm" -> (q_char_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_er_join" -> (q_er_join _),
+    "q_copurchase" -> (q_copurchase _),
+    "q_related_items" -> (q_related_items _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_distinct_hll" -> (q_distinct_hll _),
     "q_distinct_hll_group" -> (q_distinct_hll_group _),
@@ -5098,6 +5162,8 @@ object Queries {
     "q_char_lm" -> q_char_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_er_join" -> q_er_join_sql,
+    "q_copurchase" -> q_copurchase_sql,
+    "q_related_items" -> q_related_items_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_distinct_hll" -> q_distinct_hll_sql,
     "q_distinct_hll_group" -> q_distinct_hll_group_sql,

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.CoOccurrence
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Market-basket co-occurrence: counts dedup within a basket, oversized
+  * baskets drop whole, ratios are exact, and the per-item top-k lowers
+  * to a WindowGroupLimit. */
+class CoOccurrenceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pairs: in-basket duplicates collapse; oversized baskets drop whole") {
+    val s = spark; import s.implicits._
+    // basket 1: items a,b (b twice — must count once); basket 2: a,b,c;
+    // basket 3: a,b; basket 9: 4 items, over the cap of 3 — contributes
+    // NOTHING (neither pairs nor item counts nor the basket total)
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"),
+      (9L, "a"), (9L, "b"), (9L, "x"), (9L, "y")
+    ).toDF("bk", "it")
+    val got = CoOccurrence.pairs(df, "bk", "it", maxBasketSize = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (nAb, nA, nB, jac, lift) = got(("a", "b"))
+    assert(nAb == 3 && nA == 3 && nB == 3) // basket 9 excluded everywhere
+    assert(jac == 3.0 / 3.0 && lift == 3.0 * 3.0 / (3.0 * 3.0))
+    assert(got(("a", "c"))._1 == 1 && got(("a", "c"))._4 == 1.0 / 3.0)
+  }
+
+  test("pairs equal a naive all-pairs count on capped baskets; minCount filters") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i => (rnd.nextInt(60).toLong, s"it${rnd.nextInt(25)}"))
+    val df = rows.toDF("bk", "it")
+    val naive = rows.distinct.groupBy(_._1).values
+      .filter(_.size <= 100)
+      .flatMap(b => for (x <- b; y <- b if x._2 < y._2) yield (x._2, y._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val got = CoOccurrence.pairs(df, "bk", "it", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == naive)
+  }
+
+  test("topPartners: exactly k per item, ordered, and plans a WindowGroupLimit") {
+    val s = spark; import s.implicits._
+    val pairs = CoOccurrence.pairs(
+      (1 to 300).map(i => (i.toLong % 40, s"it${i % 17}")).toDF("bk", "it"),
+      "bk", "it")
+    val top = CoOccurrence.topPartners(pairs.select("a_item", "b_item", "n_ab"), 3)
+    val rows = top.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length.toLong).toSeq)
+      // rank respects (n_ab desc, partner asc)
+      assert(sorted.sliding(2).forall { w =>
+        w.length < 2 || {
+          val (x, y) = (w(0), w(1))
+          x._3 > y._3 || (x._3 == y._3 && x._2 < y._2)
+        }
+      })
+    }
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-item top-k should lower to WindowGroupLimit:\n$plan")
+  }
+}
