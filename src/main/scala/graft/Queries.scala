@@ -1752,6 +1752,49 @@ object Queries {
       |  FROM sym)
       |SELECT item, partner, n_ab, rk FROM rk WHERE rk <= 5""".stripMargin
 
+  /** Label-propagation communities (Graph.labelPropagation) over the
+    * co-purchase pair graph: 2 synchronous rounds, most-frequent neighbor
+    * label, smallest-label ties — fully deterministic, so the oracle
+    * unrolls both rounds in SQL. The per-round argmax is an aggregate
+    * (max over (cnt, −label) structs), never a window. */
+  def q_label_prop(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.labelPropagation(
+      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .select(col("a_item").as("src"), col("b_item").as("dst")),
+      rounds = 2)
+
+  private val q_label_prop_sql =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |sized AS (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 20),
+      |kept AS (SELECT bi.* FROM bi JOIN sized USING (bk)),
+      |ab AS (
+      |  SELECT a.it AS a_item, b.it AS b_item
+      |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS (
+      |  SELECT a_item AS src, b_item AS dst FROM ab
+      |  UNION SELECT b_item, a_item FROM ab),
+      |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+      |c1 AS (
+      |  SELECT und.src AS node, l0.label, count(*) AS cnt
+      |  FROM und JOIN l0 ON und.dst = l0.node GROUP BY 1, 2),
+      |l1 AS (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+      |    FROM c1) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT und.src AS node, l1.label, count(*) AS cnt
+      |  FROM und JOIN l1 ON und.dst = l1.node GROUP BY 1, 2),
+      |l2 AS (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+      |    FROM c2) WHERE rn = 1)
+      |SELECT node, label FROM l2""".stripMargin
+
   /** Character-bigram LM quality score (TextAnalysis.charLmScore): the
     * cheap perplexity proxy, trained on the corpus itself with add-1
     * smoothing. Per-bigram log-probs are 6-dp-rounded and integer-scaled
@@ -4979,6 +5022,7 @@ object Queries {
     "q_er_join" -> (q_er_join _),
     "q_copurchase" -> (q_copurchase _),
     "q_related_items" -> (q_related_items _),
+    "q_label_prop" -> (q_label_prop _),
     "q_distinct_kmv" -> (q_distinct_kmv _),
     "q_distinct_hll" -> (q_distinct_hll _),
     "q_distinct_hll_group" -> (q_distinct_hll_group _),
@@ -5164,6 +5208,7 @@ object Queries {
     "q_er_join" -> q_er_join_sql,
     "q_copurchase" -> q_copurchase_sql,
     "q_related_items" -> q_related_items_sql,
+    "q_label_prop" -> q_label_prop_sql,
     "q_distinct_kmv" -> q_distinct_kmv_sql,
     "q_distinct_hll" -> q_distinct_hll_sql,
     "q_distinct_hll_group" -> q_distinct_hll_group_sql,

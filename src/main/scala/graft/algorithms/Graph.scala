@@ -96,6 +96,60 @@ object Graph {
     }
   }
 
+  /** Deterministic synchronous label propagation (community detection):
+    * every node starts as its own label; each round, every node adopts
+    * the MOST FREQUENT label among its neighbors, ties broken by the
+    * SMALLEST label — the classic LPA made reproducible (asynchronous
+    * LPA's output depends on visit order; the sync+tie-break variant is
+    * a pure function of the graph and `rounds`). Runs a FIXED number of
+    * rounds: sync LPA on bipartite-ish structures can oscillate rather
+    * than converge, so a fixpoint test is the wrong stop condition.
+    *
+    * edges: (src, dst) undirected (both directions derived). Returns
+    * (node, label).
+    *
+    * Scale shape per round: one labels-side shuffle into the cached
+    * pre-partitioned edge relation, then a (node, label)-keyed count and
+    * a node-keyed argmax — both partial-aggregated map-side. The argmax
+    * is a max over (cnt, −label) structs, NOT a window: the aggregate
+    * reduces each partition to ≤ #nodes rows before its exchange where a
+    * row_number window would shuffle and sort every candidate row. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      parallelism: Option[Int] = None): DataFrame = {
+    require(rounds >= 1, s"need >= 1 rounds, got $rounds")
+    val autoSize = parallelism.isEmpty
+    val src = if (autoSize) edges.persist() else edges
+    val width = parallelism.getOrElse(Iteration.sizedWidth(2L * src.count()))
+    withShuffleWidth(edges.sparkSession, Some(width)) {
+      val e0 = src.repartition(width)
+      val both = e0.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("src"), col("e.d").as("dst"))
+      val undirected = both.distinct().repartition(col("dst")).persist()
+      if (autoSize) {
+        undirected.count()
+        src.unpersist()
+      }
+      val init = undirected.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val out = Iteration.loop(init, rounds, materialize = false) { (labels, _) =>
+        // every node of an undirected edge set has >= 1 neighbor, so the
+        // message join covers the full node set — no keep-own fallback
+        undirected
+          .join(labels.withColumnRenamed("node", "dst2"),
+            col("dst") === col("dst2"))
+          .select(col("src").as("node"), col("label"))
+          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("node"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label"))
+      } { (_, _) => false } // fixed-round: never early-stop
+      undirected.unpersist()
+      out
+    }
+  }
+
   /** PageRank without dangling-mass redistribution:
     * rank'(n) = (1-d)/N + d * sum_{m->n} rank(m)/outdeg(m).
     * edges: (src, dst) directed. Deterministic: per-node incoming sums in

@@ -75,4 +75,23 @@ class CoOccurrenceSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"per-item top-k should lower to WindowGroupLimit:\n$plan")
   }
+
+  test("labelPropagation: two cliques bridged by one edge separate; deterministic") {
+    val s = spark; import s.implicits._
+    // clique A = {1,2,3,4}, clique B = {10,11,12,13}, one bridge 4-10
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L, 10L)).toDF("src", "dst")
+    val got = graft.algorithms.Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member of each clique lands on that clique's minimum label;
+    // the single bridge edge cannot outvote three clique neighbors
+    assert(Seq(1L, 2L, 3L, 4L).map(got).distinct.size == 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(got).distinct.size == 1)
+    assert(got(1L) != got(10L), s"bridge must not merge the cliques: $got")
+    val again = graft.algorithms.Graph
+      .labelPropagation(edges.repartition(5), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again, "result must be partition-independent")
+  }
 }
