@@ -3907,6 +3907,53 @@ object Queries {
       |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= CAST(0.5 AS DOUBLE)""".stripMargin
 
+  /** Exact length deciles (Sampling.quantileBuckets): every document's
+    * global rank and decile in (n_chars, doc_id) order via the
+    * distributed two-pass prefix sum — the curriculum-bucketing
+    * primitive computed without the one-task `ntile() OVER (ORDER BY …)`
+    * window. Rank and bucket are exact integer arithmetic. */
+  def q_quantile_buckets(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.quantileBuckets(tbl(s, dir, "documents"),
+      "doc_id", col("n_chars"), q = 10, partitions = Some(8))
+
+  private val q_quantile_buckets_sql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rank
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, rank, rank * 10 // n AS bucket
+      |FROM r CROSS JOIN n""".stripMargin
+
+  /** Asymmetric n-gram containment (Dedup.ngramContainment): the
+    * subset-duplication pass Jaccard misses — a short doc quoted whole
+    * inside a long one scores cont_a = 1 at tiny Jaccard. Same df-cap +
+    * pair-keyed aggregation shape as q_ngram_jaccard; both direction
+    * ratios divide exact integers once in double. */
+  def q_ngram_containment(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Dedup.ngramContainment(tbl(s, dir, "documents"),
+      "doc_id", "text", "lang", n = 3, maxId = 2000, minContainment = 0.8,
+      maxDf = 50)
+
+  private val q_ngram_containment_sql =
+    """WITH g0 AS (
+      |  SELECT DISTINCT doc_id, lang, array_to_string(w[i:i+2], ' ') AS g
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents WHERE doc_id < 2000),
+      |       UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |keep AS (SELECT g FROM (SELECT g, count(*) AS c FROM g0 GROUP BY g) WHERE c <= 50),
+      |g AS (SELECT g0.* FROM g0 JOIN keep USING (g)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+      |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+      |  CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+      |  CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+      |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+      |   OR CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.8""".stripMargin
+
   /** LSH candidates → exact verify, the end-to-end near-dup pipeline —
     * oracle-checkable because the verified output equals the full exact
     * pairwise jaccard at this threshold (miss probability ≈ 1e-12 for the
@@ -5103,6 +5150,8 @@ object Queries {
     "q_shuffle_shards" -> (q_shuffle_shards _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
+    "q_ngram_containment" -> (q_ngram_containment _),
+    "q_quantile_buckets" -> (q_quantile_buckets _),
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_embed_int8" -> (q_embed_int8 _),
@@ -5289,6 +5338,8 @@ object Queries {
     "q_shuffle_shards" -> q_shuffle_shards_sql,
     "q_dedup_simhash" -> q_dedup_simhash_sql,
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
+    "q_ngram_containment" -> q_ngram_containment_sql,
+    "q_quantile_buckets" -> q_quantile_buckets_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
     "q_embed_int8" -> q_embed_int8_sql,

@@ -609,6 +609,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the subset-duplication detector
+    * Jaccard structurally misses: a short document wholly quoted inside a
+    * long one scores Jaccard ≈ |A|/|B| (arbitrarily small) but containment
+    * C(A,B) = |A∩B|/|A| = 1. This is the boilerplate/quotation/wrapper-page
+    * signal a curation pipeline needs ALONGSIDE resemblance dedup
+    * (Broder's distinction: resemblance vs containment).
+    *
+    * Same scale discipline as [[ngramJaccard]]: distinct grams per doc, a
+    * df-cap drops stop-grams before the gram equi-join (bounding each
+    * gram's join fan-out at maxDf²), intersection counts aggregate
+    * pair-keyed with map-side partials. Emits BOTH directions' scores;
+    * pairs survive when either reaches `minContainment`. Ratios divide
+    * exact integer counts once in double. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int, maxId: Long, minContainment: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val grams0 = df.filter(col(idCol) < maxId)
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val grams = if (maxDf == Int.MaxValue) grams0 else {
+      val keep = grams0.groupBy(col("g")).agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= maxDf).select(col("g"))
+      grams0.join(keep, Seq("g"))
+    }
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.lang") === col("y.lang")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / col("na").cast("double")).as("cont_a"),
+        (col("inter").cast("double") / col("nb").cast("double")).as("cont_b"))
+      .filter(col("cont_a") >= minContainment ||
+        col("cont_b") >= minContainment)
+  }
+
   /** Near-dup cluster resolution — the final step of a fuzzy-dedup pipeline.
     * Pair lists ((a_id, b_id) from [[minhashNearDups]] / [[ngramJaccard]] /
     * [[simhashNearDups]]) are not directly actionable: near-dup similarity is

@@ -568,6 +568,31 @@ object Sampling {
     * segments per doc = 1 + cost/seqLen, so the manifest is linear in
     * corpus tokens / seqLen. The single-partition global-window cumsum
     * this replaces is the classic driver-funnel scale bug. */
+  /** Exact global quantile buckets (deciles, percentiles, …) WITHOUT a
+    * one-partition window: rank every row in (`orderCol`, id) order via
+    * the distributed two-pass prefix sum, then bucket = rank·q / N by
+    * exact integer arithmetic. The curriculum/winsorization primitive —
+    * "which quality decile is this document in" — computed at any corpus
+    * size where the textbook `ntile() OVER (ORDER BY …)` collapses onto
+    * one task. `orderCol` must be integer-valued (scale fractional scores
+    * before calling — exactness of the bucket edges depends on it).
+    * Returns (doc_id, rank, bucket) with rank 0-based and bucket in
+    * [0, q). */
+  def quantileBuckets(df: DataFrame, idCol: String, orderCol: Column, q: Int,
+      partitions: Option[Int] = None): DataFrame = {
+    require(q >= 1, s"need q >= 1 buckets, got $q")
+    val (starts, base) = globalPrefix(df, idCol, lit(1L),
+      Some(orderCol), partitions)
+    try {
+      val out = starts
+        .select(col("doc_id"), col("c0").as("rank"))
+        .localCheckpoint() // same contract as the siblings: eager, GC-managed
+      val n = out.count()
+      out.select(col("doc_id"), col("rank"),
+        expr(s"(rank * ${q}L) div ${math.max(n, 1L)}L").as("bucket"))
+    } finally { base.unpersist(); () }
+  }
+
   def packSequences(df: DataFrame, idCol: String, cost: Column, seqLen: Long,
       partitions: Option[Int] = None,
       orderCol: Option[Column] = None): DataFrame = {

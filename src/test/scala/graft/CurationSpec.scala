@@ -877,4 +877,32 @@ class CurationSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"negativeSample leaked cached RDDs: $leaked")
   }
+
+  test("quantileBuckets: matches the window ntile reference; partition-independent; no leak") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("doc_id", "len")
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val got = graft.functions.Sampling
+      .quantileBuckets(df, "doc_id", org.apache.spark.sql.functions.col("len"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // reference: rank in (len, id) order, bucket = rank*q/N
+    val ref = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, l) => (l, id) }.zipWithIndex
+      .map { case ((id, _), rk) => (id, rk.toLong, rk.toLong * 10L / 500L) }
+      .sortBy(_._1).sortBy(identity).toSeq.sorted
+    assert(got == ref)
+    // exact decile sizes on a divisible count
+    assert(got.groupBy(_._3).values.map(_.size).toSet == Set(50))
+    val again = graft.functions.Sampling
+      .quantileBuckets(df.repartition(7), "doc_id",
+        org.apache.spark.sql.functions.col("len"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == again, "buckets must be partition-independent")
+    // the prefix base cache is released; at most the GC-managed
+    // localCheckpoint of the small rank table may linger until collected
+    val after = sp.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 2,
+      s"quantileBuckets left persisted RDDs beyond its checkpoints: $after")
+  }
 }

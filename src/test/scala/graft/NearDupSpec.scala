@@ -581,4 +581,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(lshCandidateProb(0.25, b, r) < 0.1)
     assert(lshCandidateProb(0.75, b, r) > 0.95)
   }
+
+  test("ngramContainment: whole-quote subset scores cont=1 where jaccard is small") {
+    val sp = spark; import sp.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = ("intro words here " + short + " and then a very long tail " +
+      (1 to 40).map(i => s"filler$i").mkString(" "))
+    val other = "completely different content with no shared trigrams at all ok"
+    val df = Seq((1L, short, "en"), (2L, long, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.functions.Dedup
+      .ngramContainment(df, "doc_id", "text", "lang", n = 3, maxId = 100,
+        minContainment = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    val (ca, cb) = got((1L, 2L))
+    assert(ca == 1.0, "every trigram of the short doc appears in the long one")
+    assert(cb < 0.2, "jaccard-style symmetry would have missed this pair")
+    // different-language twin never pairs
+    val lang = graft.functions.Dedup
+      .ngramContainment(Seq((1L, short, "en"), (2L, long, "de"))
+        .toDF("doc_id", "text", "lang"), "doc_id", "text", "lang", 3, 100, 0.5)
+    assert(lang.count() == 0)
+  }
 }
