@@ -3907,6 +3907,50 @@ object Queries {
       |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= CAST(0.5 AS DOUBLE)""".stripMargin
 
+  /** k-core degree peeling (Graph.kCore): 4 fixed peel rounds at k=2 over
+    * the co-purchase graph — the dense-community extractor. Fixed rounds
+    * make the computation a pure set-algebra function both engines run
+    * verbatim (the fixpoint needs recursion over a SHRINKING set, beyond
+    * plain recursive CTEs); extra rounds past the fixpoint are no-ops.
+    * The library default peels to the true fixpoint (spec-pinned on a
+    * fixture); the oracle CTEs are MATERIALIZED — inlined, the a1..a4
+    * chain re-evaluates its upstream exponentially. */
+  def q_kcore(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.kCore(
+      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .select(col("a_item").as("src"), col("b_item").as("dst")),
+      k = 2, rounds = Some(4))
+
+  private val q_kcore_sql =
+    """WITH bi AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |sized AS MATERIALIZED (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 20),
+      |kept AS MATERIALIZED (SELECT bi.* FROM bi JOIN sized USING (bk)),
+      |ab AS MATERIALIZED (
+      |  SELECT a.it AS a_item, b.it AS b_item
+      |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT a_item AS src, b_item AS dst FROM ab
+      |  UNION SELECT b_item, a_item FROM ab),
+      |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+      |a1 AS MATERIALIZED (SELECT src AS node FROM und
+      |  WHERE src IN (SELECT node FROM a0) AND dst IN (SELECT node FROM a0)
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |a2 AS MATERIALIZED (SELECT src AS node FROM und
+      |  WHERE src IN (SELECT node FROM a1) AND dst IN (SELECT node FROM a1)
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |a3 AS MATERIALIZED (SELECT src AS node FROM und
+      |  WHERE src IN (SELECT node FROM a2) AND dst IN (SELECT node FROM a2)
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |a4 AS MATERIALIZED (SELECT src AS node FROM und
+      |  WHERE src IN (SELECT node FROM a3) AND dst IN (SELECT node FROM a3)
+      |  GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM und
+      |WHERE src IN (SELECT node FROM a4) AND dst IN (SELECT node FROM a4)
+      |GROUP BY 1""".stripMargin
+
   /** Exact length deciles (Sampling.quantileBuckets): every document's
     * global rank and decile in (n_chars, doc_id) order via the
     * distributed two-pass prefix sum — the curriculum-bucketing
@@ -5152,6 +5196,7 @@ object Queries {
     "q_ngram_jaccard" -> (q_ngram_jaccard _),
     "q_ngram_containment" -> (q_ngram_containment _),
     "q_quantile_buckets" -> (q_quantile_buckets _),
+    "q_kcore" -> (q_kcore _),
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_embed_int8" -> (q_embed_int8 _),
@@ -5340,6 +5385,7 @@ object Queries {
     "q_ngram_jaccard" -> q_ngram_jaccard_sql,
     "q_ngram_containment" -> q_ngram_containment_sql,
     "q_quantile_buckets" -> q_quantile_buckets_sql,
+    "q_kcore" -> q_kcore_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
     "q_embed_int8" -> q_embed_int8_sql,

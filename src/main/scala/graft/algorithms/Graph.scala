@@ -150,6 +150,71 @@ object Graph {
     }
   }
 
+  /** k-core by iterative degree peeling: repeatedly remove nodes whose
+    * degree within the REMAINING graph is below k. `rounds = None` peels
+    * to the true k-core fixpoint (count-stable — the count is also the
+    * per-round materializing action); `rounds = Some(r)` runs exactly r
+    * peels, a well-defined prefix of the computation that a SQL oracle
+    * can unroll verbatim (the fixpoint needs a recursive query over a
+    * SHRINKING set, which plain recursive CTEs cannot express). Returns
+    * (node, degree) with degree measured inside the surviving subgraph.
+    *
+    * Scale shape per round: degrees are one node-keyed partial-aggregated
+    * count; the survivor filter is two LEFT SEMI joins of the cached
+    * undirected edges against the (much smaller) survivor set — edges
+    * shuffle once up front, survivor sets shuffle per round at node
+    * cardinality. */
+  def kCore(edges: DataFrame, k: Int, rounds: Option[Int] = None,
+      maxIter: Int = 100, parallelism: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val autoSize = parallelism.isEmpty
+    val src = if (autoSize) edges.persist() else edges
+    val width = parallelism.getOrElse(Iteration.sizedWidth(2L * src.count()))
+    withShuffleWidth(edges.sparkSession, Some(width)) {
+      val e0 = src.repartition(width)
+      val both = e0.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("src"), col("e.d").as("dst"))
+      val undirected = both.distinct().repartition(col("src")).persist()
+      if (autoSize) {
+        undirected.count()
+        src.unpersist()
+      }
+      def degrees(active: DataFrame): DataFrame =
+        undirected
+          .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      val init = undirected.select(col("src").as("node")).distinct()
+      // each round's survivor set is an EAGER localCheckpoint: degrees()
+      // references `active` twice, so an unbroken lineage doubles the
+      // logical plan per round — exponential plan strings OOM the driver
+      // long before the data does. The checkpoint truncates lineage to the
+      // materialized set (node-cardinality rows, GC-managed blocks).
+      var active = init.localCheckpoint()
+      var n = active.count()
+      var i = 0
+      val limit = rounds.getOrElse(maxIter)
+      var stable = false
+      while (i < limit && !stable) {
+        val next = degrees(active)
+          .filter(col("degree") >= k).select(col("node"))
+          .localCheckpoint()
+        val nn = next.count()
+        // fixpoint mode stops on count stability (peeling only removes);
+        // fixed-round mode always runs out the budget
+        stable = rounds.isEmpty && nn == n
+        active = next
+        n = nn
+        i += 1
+      }
+      val out = degrees(active).localCheckpoint()
+      undirected.unpersist()
+      out
+    }
+  }
+
   /** PageRank without dangling-mass redistribution:
     * rank'(n) = (1-d)/N + d * sum_{m->n} rank(m)/outdeg(m).
     * edges: (src, dst) directed. Deterministic: per-node incoming sums in

@@ -94,4 +94,23 @@ class CoOccurrenceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == again, "result must be partition-independent")
   }
+
+  test("kCore: clique survives with full degree, pendant chain peels away") {
+    val s = spark; import s.implicits._
+    // K4 clique {1,2,3,4} + a chain 4-20-21-22 hanging off it
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      Seq((4L, 20L), (20L, 21L), (21L, 22L))).toDF("src", "dst")
+    val core = graft.algorithms.Graph.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 3-core is exactly the clique; chain nodes peel off one per round
+    // (22 first, then 21, then 20 — multi-round, not single-pass-degree)
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+    // fixpoint mode equals a generous fixed-round run
+    val fixed = graft.algorithms.Graph.kCore(edges, k = 3, rounds = Some(10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == fixed)
+    // k above the max degree empties the graph without error
+    assert(graft.algorithms.Graph.kCore(edges, k = 5).count() == 0)
+  }
 }
