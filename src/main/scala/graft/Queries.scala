@@ -3951,6 +3951,71 @@ object Queries {
       |WHERE src IN (SELECT node FROM a4) AND dst IN (SELECT node FROM a4)
       |GROUP BY 1""".stripMargin
 
+  /** Per-node clustering coefficient (Graph.clusteringCoefficient) over
+    * the co-purchase graph: wedge-closure triangle counts per CENTER,
+    * hub nodes above the degree cap dropped whole (the wedge quadratic
+    * lives on hubs), coefficients dividing exact integers once. */
+  def q_clustering_coeff(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.clusteringCoefficient(
+      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .select(col("a_item").as("src"), col("b_item").as("dst")),
+      maxDegree = 50)
+
+  private val q_clustering_coeff_sql =
+    """WITH bi AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |sized AS MATERIALIZED (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 20),
+      |kept0 AS MATERIALIZED (SELECT bi.* FROM bi JOIN sized USING (bk)),
+      |ab AS MATERIALIZED (
+      |  SELECT a.it AS a_item, b.it AS b_item
+      |  FROM kept0 a JOIN kept0 b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT a_item AS src, b_item AS dst FROM ab
+      |  UNION SELECT b_item, a_item FROM ab),
+      |keepn AS MATERIALIZED (
+      |  SELECT src AS node FROM und GROUP BY 1 HAVING count(*) <= 50),
+      |ke AS MATERIALIZED (
+      |  SELECT * FROM und
+      |  WHERE src IN (SELECT node FROM keepn) AND dst IN (SELECT node FROM keepn)),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree FROM ke GROUP BY 1),
+      |closed AS MATERIALIZED (
+      |  SELECT x.src AS node, count(*) AS triangles
+      |  FROM ke x JOIN ke y ON x.src = y.src AND x.dst < y.dst
+      |  JOIN ke e ON e.src = x.dst AND e.dst = y.dst
+      |  GROUP BY 1)
+      |SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+      |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+      |  CASE WHEN degree < 2 THEN 0.0
+      |    ELSE 2.0 * CAST(coalesce(triangles, 0) AS DOUBLE)
+      |      / CAST(degree * (degree - 1) AS DOUBLE) END AS coeff
+      |FROM deg LEFT JOIN closed ON deg.node = closed.node""".stripMargin
+
+  /** Skip-gram training pairs (SequencePairs.skipGramCounts): per-user
+    * event sequences in (ts, event_id) order, neighbors within ±2
+    * positions counted by (target, context, offset). Pairing is an
+    * offset EXPLODE + one (user, position) equi-join — rows·2w output,
+    * never a per-key quadratic self-join. */
+  def q_skipgrams(s: SparkSession, dir: String): DataFrame =
+    graft.functions.SequencePairs.skipGramCounts(events(s, dir),
+      "user_id", Seq(col("ts"), col("event_id")), "event_type", window = 2)
+
+  private val q_skipgrams_sql =
+    """WITH pos AS (
+      |  SELECT user_id AS k, event_type AS item,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pos
+      |  FROM events),
+      |wanted AS (
+      |  SELECT k, item AS target, pos, o.offset, pos + o.offset AS b_pos
+      |  FROM pos CROSS JOIN (
+      |    SELECT unnest([-2, -1, 1, 2]) AS offset) o)
+      |SELECT w.target, p.item AS context,
+      |  CAST(w.offset AS BIGINT) AS offset, CAST(count(*) AS BIGINT) AS n
+      |FROM wanted w JOIN pos p ON w.k = p.k AND w.b_pos = p.pos
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Exact length deciles (Sampling.quantileBuckets): every document's
     * global rank and decile in (n_chars, doc_id) order via the
     * distributed two-pass prefix sum — the curriculum-bucketing
@@ -5197,6 +5262,8 @@ object Queries {
     "q_ngram_containment" -> (q_ngram_containment _),
     "q_quantile_buckets" -> (q_quantile_buckets _),
     "q_kcore" -> (q_kcore _),
+    "q_clustering_coeff" -> (q_clustering_coeff _),
+    "q_skipgrams" -> (q_skipgrams _),
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
     "q_embed_int8" -> (q_embed_int8 _),
@@ -5386,6 +5453,8 @@ object Queries {
     "q_ngram_containment" -> q_ngram_containment_sql,
     "q_quantile_buckets" -> q_quantile_buckets_sql,
     "q_kcore" -> q_kcore_sql,
+    "q_clustering_coeff" -> q_clustering_coeff_sql,
+    "q_skipgrams" -> q_skipgrams_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
     "q_embed_int8" -> q_embed_int8_sql,

@@ -113,4 +113,45 @@ class CoOccurrenceSpec extends AnyFunSuite {
     // k above the max degree empties the graph without error
     assert(graft.algorithms.Graph.kCore(edges, k = 5).count() == 0)
   }
+
+  test("clusteringCoefficient: closed-form on triangle+pendant; hub cap subgraph") {
+    val s = spark; import s.implicits._
+    // triangle {1,2,3} with pendant 4 off node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.algorithms.Graph.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)) && got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 2.0 * 1 / (3 * 2))))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    // a hub above the cap drops WHOLE and its edges with it: capping at 2
+    // removes node 3 (degree 3), leaving edge 1-2 only
+    val capped = graft.algorithms.Graph.clusteringCoefficient(edges, maxDegree = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(capped.keySet == Set(1L, 2L) &&
+      capped.values.toSet == Set((1L, 0L)), s"got $capped")
+  }
+
+  test("skipGramCounts: closed-form window pairs; no per-key quadratic blowup") {
+    val s = spark; import s.implicits._
+    // one user, sequence a b c (positions 1,2,3), window 1:
+    // (a,b,+1) (b,a,-1) (b,c,+1) (c,b,-1) each once
+    val df = Seq((7L, 1L, "a"), (7L, 2L, "b"), (7L, 3L, "c"))
+      .toDF("user", "t", "item")
+    val got = graft.functions.SequencePairs
+      .skipGramCounts(df, "user", Seq(col("t")), "item", window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", "b", 1L, 1L), ("b", "a", -1L, 1L),
+      ("b", "c", 1L, 1L), ("c", "b", -1L, 1L)))
+    // volume law: output pair INSTANCES = sum over rows of reachable
+    // neighbors — for a single key of n rows and window w, exactly
+    // 2*(n*w - w*(w+1)/2); never n^2
+    val n = 200; val w2 = 2
+    val big = (1 to n).map(i => (1L, i.toLong, s"x${i % 5}")).toDF("user", "t", "item")
+    val total = graft.functions.SequencePairs
+      .skipGramCounts(big, "user", Seq(col("t")), "item", window = w2)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == 2L * (n * w2 - w2 * (w2 + 1) / 2))
+  }
 }
