@@ -117,23 +117,22 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
       parallelism: Option[Int] = None): DataFrame = {
     require(rounds >= 1, s"need >= 1 rounds, got $rounds")
-    val autoSize = parallelism.isEmpty
-    val src = if (autoSize) edges.persist() else edges
-    val width = parallelism.getOrElse(Iteration.sizedWidth(2L * src.count()))
+    // ONE pass over the (possibly expensive) edge pipeline: the undirected
+    // build is persisted FIRST and its count both materializes it and sizes
+    // the loop width — the upstream never runs twice
+    val both = edges.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    val undirected0 = both.distinct().persist()
+    val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
-      val e0 = src.repartition(width)
-      val both = e0.select(explode(array(
-          struct(col("src").as("s"), col("dst").as("d")),
-          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-        .select(col("e.s").as("src"), col("e.d").as("dst"))
-      val undirected = both.distinct().repartition(col("dst")).persist()
-      if (autoSize) {
-        undirected.count()
-        src.unpersist()
-      }
+      // pre-partition on the join key at loop width: the cached relation
+      // keeps this partitioning, so each round shuffles only the labels side
+      val undirected = undirected0.repartition(col("dst")).persist()
       val init = undirected.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
-      val out = Iteration.loop(init, rounds, materialize = false) { (labels, _) =>
+      val folded = Iteration.loop(init, rounds, materialize = false) { (labels, _) =>
         // every node of an undirected edge set has >= 1 neighbor, so the
         // message join covers the full node set — no keep-own fallback
         undirected
@@ -145,7 +144,14 @@ object Graph {
           .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
           .select(col("node"), (-col("m.nl")).as("label"))
       } { (_, _) => false } // fixed-round: never early-stop
+      // fixed-round mode never ran an action, so the rounds are still lazy:
+      // materialize (eager checkpoint, GC-managed blocks) while the edge
+      // cache is ALIVE — unpersisting first would recompute the full
+      // upstream once per round-reference at the caller's action
+      val out = folded.localCheckpoint()
+      folded.unpersist()
       undirected.unpersist()
+      undirected0.unpersist()
       out
     }
   }
@@ -167,20 +173,16 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Option[Int] = None,
       maxIter: Int = 100, parallelism: Option[Int] = None): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val autoSize = parallelism.isEmpty
-    val src = if (autoSize) edges.persist() else edges
-    val width = parallelism.getOrElse(Iteration.sizedWidth(2L * src.count()))
+    // same one-pass sizing as labelPropagation: persist the undirected
+    // build, count once (materialize + width), never rerun the upstream
+    val both = edges.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    val undirected0 = both.distinct().persist()
+    val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
-      val e0 = src.repartition(width)
-      val both = e0.select(explode(array(
-          struct(col("src").as("s"), col("dst").as("d")),
-          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-        .select(col("e.s").as("src"), col("e.d").as("dst"))
-      val undirected = both.distinct().repartition(col("src")).persist()
-      if (autoSize) {
-        undirected.count()
-        src.unpersist()
-      }
+      val undirected = undirected0.repartition(col("src")).persist()
       def degrees(active: DataFrame): DataFrame =
         undirected
           .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -211,6 +213,7 @@ object Graph {
       }
       val out = degrees(active).localCheckpoint()
       undirected.unpersist()
+      undirected0.unpersist()
       out
     }
   }
