@@ -1315,28 +1315,67 @@ object Queries {
       |AND epoch_us(CAST(b.ts AS TIMESTAMP)) BETWEEN epoch_us(CAST(a.ts AS TIMESTAMP)) - 7200000000
       |                                          AND epoch_us(CAST(a.ts AS TIMESTAMP)) + 7200000000""".stripMargin
 
-  /** Runs a Structured Streaming plan to completion over the events parquet
-    * (file source, AvailableNow → one bounded run) and returns the sink table.
-    * The driver's gate is batch-shaped, so the streaming twins execute the
-    * real streaming operators synchronously and hand back their final result.
+  /** Runs a Structured Streaming plan to completion over the table's parquet
+    * and returns the sink table. The input is split into
+    * `GRAFT_STREAM_BATCHES` (default 3) time-contiguous part files replayed
+    * one per trigger (`maxFilesPerTrigger=1` under AvailableNow), so every
+    * stateful operator crosses ≥3 REAL micro-batch boundaries — watermarks
+    * advance between batches, state carries and is merged incrementally —
+    * and the driver's DuckDB oracle then certifies the INCREMENTAL result,
+    * not one-batch batch-equivalence. Time-contiguity (range split on the
+    * event-time / key column) is what makes the replay a valid log: no
+    * retroactively-late data, so watermark eviction provably never drops a
+    * row a batch run would keep (min ts of batch k+1 ≥ max ts of batch k).
+    * `GRAFT_STREAM_BATCHES=1` restores the zero-copy single-symlink run.
     */
   private def runStream(s: SparkSession,
       build: DataFrame => DataFrame, mode: String, dir: String,
       table: String = "events"): DataFrame = {
     val path = s"$dir/$table.parquet"
     val raw = s.read.parquet(path)
-    // the file streaming source requires a DIRECTORY base path; the driver's
-    // table is a single file, so expose it through a symlinked temp dir
-    // (zero data copy — production points the stream at a real directory)
+    val nBatches = math.max(1, sys.env.getOrElse("GRAFT_STREAM_BATCHES", "3").toInt)
+    // the file streaming source requires a DIRECTORY base path
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve(s"$table.parquet"), java.nio.file.Paths.get(path))
-    val src0 = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+    if (nBatches == 1) {
+      // zero data copy — production points the stream at a real directory
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(s"$table.parquet"), java.nio.file.Paths.get(path))
+    } else {
+      // range-split on event time (events) / stable key (other tables) into
+      // nBatches ascending part files — partition i of repartitionByRange IS
+      // range i, and part file names sort by partition id
+      val orderCol = table match {
+        case "events"    => "ts"
+        case "documents" => "doc_id"
+        case "lineitem"  => "l_orderkey"
+        case "orders"    => "o_orderkey"
+        case _           => raw.columns.head
+      }
+      raw.repartitionByRange(nBatches, col(orderCol))
+        .sortWithinPartitions(orderCol)
+        .write.mode("overwrite").parquet(streamDir.toString)
+      // the file source replays in (mtime, path) order — stamp strictly
+      // increasing mtimes so replay order is range order (= time order)
+      val dirStream = java.nio.file.Files.list(streamDir)
+      val parts0 = try {
+        import scala.jdk.CollectionConverters._
+        dirStream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toVector
+      } finally dirStream.close()
+      val t0 = System.currentTimeMillis() - 86400000L
+      parts0.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+      }
+    }
+    var reader = s.readStream.schema(raw.schema)
+    if (nBatches > 1) reader = reader.option("maxFilesPerTrigger", "1")
+    val src0 = reader.parquet(streamDir.toString)
     val src = if (table == "events") normalizeTs(src0) else src0
     val name = "graft_s" + java.util.UUID.randomUUID().toString.replace("-", "")
     // state-store partition count: each streaming state partition pays a
-    // fixed open/commit/snapshot cost PER MICROBATCH, so a bounded one-batch
-    // run wants few, large state partitions (the opposite of the batch
+    // fixed open/commit/snapshot cost PER MICROBATCH, so a bounded replay
+    // wants few, large state partitions (the opposite of the batch
     // shuffle default) — GRAFT_STREAM_PARTS overrides for measurement
     val parts = sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -1347,7 +1386,20 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      System.err.println(s"[graft-stream] table=$table mode=$mode batches=$fed")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the memory sink holds the rows; the split copy is no longer needed
+      if (nBatches > 1) {
+        val ds = java.nio.file.Files.list(streamDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          ds.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally ds.close()
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
+    }
     s.table(name)
   }
 
@@ -1435,13 +1487,15 @@ object Queries {
       "complete", dir, table = "documents")
 
   /** Streaming twin of q_funnel — the ordered staging through the
-    * mapGroupsWithState O(1)-state machine (streaming.Streaming.funnelStream).
-    * A bounded AvailableNow run is ONE micro-batch, and the state machine
-    * sorts each user's batch slice by timestamp, so the result equals the
-    * batch windows exactly (shared oracle); the incremental multi-batch
-    * behavior is pinned separately in StreamingSpec. */
-  def q_stream_funnel(s: SparkSession, dir: String): DataFrame =
-    runStream(s, { src =>
+    * mapGroupsWithState O(1)-state machine (streaming.Streaming.funnelStream)
+    * replayed over ≥3 time-split micro-batches. Update mode emits each
+    * user's running state once per batch the user appears in; `n_events`
+    * is strictly increasing across a user's emits (that's why funnelStream
+    * outputs it), so the per-user max-by-n_events row IS the final state —
+    * the exact upsert a keyed update sink (Delta/JDBC) applies. The shared
+    * q_funnel oracle then certifies the full incremental run. */
+  def q_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+    val emits = runStream(s, { src =>
       import org.apache.spark.sql.Encoders
       val typed = src.select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
@@ -1449,8 +1503,14 @@ object Queries {
       graft.streaming.Streaming
         .funnelStream(typed, ("view", "click", "purchase"))
         .toDF("user_id", "n_events", "view_us", "click_us", "purchase_us", "stage")
-        .drop("n_events")
     }, "update", dir)
+    emits.groupBy(col("user_id"))
+      .agg(max_by(struct(col("view_us"), col("click_us"),
+        col("purchase_us"), col("stage")), col("n_events")).as("f"))
+      .select(col("user_id"), col("f.view_us").as("view_us"),
+        col("f.click_us").as("click_us"),
+        col("f.purchase_us").as("purchase_us"), col("f.stage").as("stage"))
+  }
 
   /** Streaming twin of q_sessionize — the inactivity-gap session assignment
     * through the flatMapGroupsWithState O(1)-state machine
@@ -1494,11 +1554,16 @@ object Queries {
     * bounded run's final (h_k, n_h, est) equals the batch sketch of the
     * whole table, replayed by the oracle. */
   def q_stream_kmv(s: SparkSession, dir: String): DataFrame =
+    // update mode over the multi-batch replay emits the cumulative sketch
+    // once per batch; the sketch is monotone (n_h grows to k, then h_k only
+    // shrinks), so (max n_h, min h_k) IS the final emit — the keyed-upsert
+    // selection, report-sized (one row per batch)
     runStream(s, src => graft.streaming.Streaming
       .kmvStream(src, col("l_orderkey").cast("string"), 512,
         portable = portableMode)
       .toDF("h_k", "n_h", "est"),
       "update", dir, table = "lineitem")
+      .orderBy(col("n_h").desc, col("h_k").asc).limit(1)
 
   private val q_stream_kmv_sql =
     """WITH hs AS (SELECT DISTINCT
@@ -1726,9 +1791,8 @@ object Queries {
     * exchange. Total (n_ab desc, partner) order makes the cut exact. */
   def q_related_items(s: SparkSession, dir: String): DataFrame =
     graft.functions.CoOccurrence.topPartners(
-      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
-        .select("a_item", "b_item", "n_ab"),
+      graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
       k = 5)
 
   private val q_related_items_sql =
@@ -1759,7 +1823,7 @@ object Queries {
     * (max over (cnt, −label) structs), never a window. */
   def q_label_prop(s: SparkSession, dir: String): DataFrame =
     graft.algorithms.Graph.labelPropagation(
-      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+      graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .select(col("a_item").as("src"), col("b_item").as("dst")),
       rounds = 2)
@@ -3917,7 +3981,7 @@ object Queries {
     * chain re-evaluates its upstream exponentially. */
   def q_kcore(s: SparkSession, dir: String): DataFrame =
     graft.algorithms.Graph.kCore(
-      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+      graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .select(col("a_item").as("src"), col("b_item").as("dst")),
       k = 2, rounds = Some(4))
@@ -3957,7 +4021,7 @@ object Queries {
     * lives on hubs), coefficients dividing exact integers once. */
   def q_clustering_coeff(s: SparkSession, dir: String): DataFrame =
     graft.algorithms.Graph.clusteringCoefficient(
-      graft.functions.CoOccurrence.pairs(tbl(s, dir, "lineitem"),
+      graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .select(col("a_item").as("src"), col("b_item").as("dst")),
       maxDegree = 50)
