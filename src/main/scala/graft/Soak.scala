@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Scale soak: runs the scale-sensitive pipeline families once at a given
+  * SF directory and prints per-pipeline wall time + total shuffle-write
+  * bytes — the evidence that the plan shapes grow sub-quadratically from
+  * sf0.1 to a self-generated ~sf1 (10×) input (SCALE.md records the
+  * sweep). Not a benchmark (single pass, cold); the RATIO between scales
+  * is the signal, not the absolute numbers.
+  *
+  *   sbt "runMain graft.Soak /root/testdata/sf0.1"
+  *   sbt "runMain graft.Soak /tmp/soak_sf1"     # 10× generated tables
+  */
+object Soak {
+  private final class ShuffleAcc extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Queries.portableMode = false // production hash mode
+    val acc = new ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+
+    def run(name: String)(f: => Long): Unit = {
+      // settle the async listener bus between pipelines
+      Thread.sleep(1000)
+      val b0 = acc.bytes.get()
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      val mb = (acc.bytes.get() - b0) / 1048576.0
+      println(f"""{"pipeline":"$name","rows":$rows,"sec":$secs%.2f,"shuffle_mb":$mb%.1f,"dir":"$dir"}""")
+    }
+
+    run("warmup")(Queries.tbl(spark, dir, "documents").count())
+    run("dedup_minhash") {
+      val p = graft.functions.Dedup.minhashNearDups(
+        Queries.tbl(spark, dir, "documents"), "doc_id", "text", minEstSim = 0.5)
+      val n = p.count(); p.unpersist(); n
+    }
+    run("dedup_verified")(graft.functions.Dedup.nearDupPipeline(
+      Queries.tbl(spark, dir, "documents"), "doc_id", "text", minJaccard = 0.8).count())
+    run("dedup_clusters") {
+      val p = graft.functions.Dedup.minhashNearDups(
+        Queries.tbl(spark, dir, "documents"), "doc_id", "text", minEstSim = 0.5)
+      val n = graft.functions.Dedup.nearDupClusters(p).count(); p.unpersist(); n
+    }
+    run("ann_ivfpq")(Queries.q_ann_ivfpq(spark, dir).count())
+    run("heavy_hitters")(Queries.q_heavy_hitters(spark, dir).count())
+    run("connected_components")(Queries.q_connected_components(spark, dir).count())
+    spark.stop()
+  }
+}
