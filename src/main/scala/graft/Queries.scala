@@ -393,6 +393,67 @@ object Queries {
       |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS DOUBLE) AS double_price
       |FROM part WHERE p_size >= 30""".stripMargin
 
+  /** rich_map (src/operator/mod.rs:1085): the init-once-per-partition
+    * RESOURCE pattern — one MessageDigest per partition, reused for every
+    * element. This is the rich-state use an oracle can certify: the state
+    * amortizes setup, it is not cross-element memory, so each output row
+    * is a pure function of its input and partition-layout-independent.
+    * (Cross-element rich state is pinned in FacadeSpec, where the layout
+    * is controlled.) */
+  def q_rich_map(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = new graft.api.Stream(
+      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
+        .as[(Long, Int)])
+    in.richMap(() => java.security.MessageDigest.getInstance("MD5")) { (md, x) =>
+        md.reset()
+        val h = md.digest(s"${x._1}|${x._2}".getBytes("UTF-8"))
+        (x._1, x._2, h.map("%02x".format(_)).mkString)
+      }.ds.toDF("l_orderkey", "l_linenumber", "h")
+  }
+
+  private val q_rich_map_sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS h
+      |FROM lineitem""".stripMargin
+
+  /** rich_filter_map (src/operator/mod.rs:461): per-partition compiled
+    * regex (the expensive-resource init), Option-returning extraction —
+    * emit each document's first digit run, drop digit-free documents. */
+  def q_rich_filter_map(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = new graft.api.Stream(
+      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)])
+    in.richFilterMap(() => java.util.regex.Pattern.compile("[0-9]+")) { (re, x) =>
+        val m = re.matcher(x._2)
+        if (m.find()) Some((x._1, m.group())) else None
+      }.ds.toDF("doc_id", "num")
+  }
+
+  private val q_rich_filter_map_sql =
+    """SELECT doc_id, regexp_extract(text, '[0-9]+') AS num FROM documents
+      |WHERE regexp_matches(text, '[0-9]+')""".stripMargin
+
+  /** map_memo_by (src/operator/mod.rs:677, map_memo.rs:17-50): per-key
+    * memoized map over a low-cardinality key — f depends only on the memo
+    * key (the cache-correctness contract), so the memo is semantically
+    * invisible and the oracle replays f per row. 5 distinct priorities →
+    * 5 misses per partition, every other row is a cache hit. */
+  def q_map_memo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = new graft.api.Stream(
+      tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .as[(Long, String)])
+    in.mapMemoBy(16)((x: (Long, String)) => x._2) { x =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (x._2, md.digest(x._2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }.ds.toDF("o_orderpriority", "h")
+  }
+
+  private val q_map_memo_sql =
+    """SELECT o_orderpriority, md5(o_orderpriority) AS h FROM orders""".stripMargin
+
   /** flat_map / flatten (src/operator/mod.rs:1158, :1210): wordcount over
     * documents — explode stays map-side; the count is partial-aggregated. */
   def q_flat_map(s: SparkSession, dir: String): DataFrame =
@@ -5183,6 +5244,9 @@ object Queries {
     "q_fold_scan" -> (q_fold_scan _),
     "q_reduce_scan_keyed" -> (q_reduce_scan_keyed _),
     "q_map" -> (q_map _),
+    "q_rich_map" -> (q_rich_map _),
+    "q_rich_filter_map" -> (q_rich_filter_map _),
+    "q_map_memo" -> (q_map_memo _),
     "q_filter" -> (q_filter _),
     "q_filter_map" -> (q_filter_map _),
     "q_flat_map" -> (q_flat_map _),
@@ -5373,6 +5437,9 @@ object Queries {
     "q_fold_scan" -> q_fold_scan_sql,
     "q_reduce_scan_keyed" -> q_reduce_scan_keyed_sql,
     "q_map" -> q_map_sql,
+    "q_rich_map" -> q_rich_map_sql,
+    "q_rich_filter_map" -> q_rich_filter_map_sql,
+    "q_map_memo" -> q_map_memo_sql,
     "q_filter" -> q_filter_sql,
     "q_filter_map" -> q_filter_map_sql,
     "q_flat_map" -> q_flat_map_sql,
