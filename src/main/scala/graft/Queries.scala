@@ -1396,38 +1396,67 @@ object Queries {
     val raw = s.read.parquet(path)
     val nBatches = math.max(1, sys.env.getOrElse("GRAFT_STREAM_BATCHES", "3").toInt)
     // the file streaming source requires a DIRECTORY base path
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    if (nBatches == 1) {
+    val streamDir: java.nio.file.Path = if (nBatches == 1) {
       // zero data copy — production points the stream at a real directory
+      val d = java.nio.file.Files.createTempDirectory("graft-stream")
       java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve(s"$table.parquet"), java.nio.file.Paths.get(path))
+        d.resolve(s"$table.parquet"), java.nio.file.Paths.get(path))
+      d
     } else {
-      // range-split on event time (events) / stable key (other tables) into
-      // nBatches ascending part files — partition i of repartitionByRange IS
-      // range i, and part file names sort by partition id
-      val orderCol = table match {
-        case "events"    => "ts"
-        case "documents" => "doc_id"
-        case "lineitem"  => "l_orderkey"
-        case "orders"    => "o_orderkey"
-        case _           => raw.columns.head
+      // the split is deterministic per (table contents, nBatches), so it is
+      // written ONCE under a content-fingerprinted stable path and reused by
+      // every twin on the same table (the q_wordcount_file discipline: a
+      // regenerated corpus changes the fingerprint instead of silently
+      // reusing a stale split; the same-filesystem directory move is atomic
+      // so concurrent sessions never observe a half-written split)
+      val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val fpRow = raw.agg(count(lit(1)), coalesce(sum(
+        pmod(xxhash64(raw.columns.map(col): _*), lit(2147483647L))), lit(0L))).head()
+      val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      val base = java.nio.file.Paths.get(
+        s"/tmp/graft_streamsplit_${table}_${sfTag}_${nBatches}_$fp")
+      if (!java.nio.file.Files.isDirectory(base)) {
+        // range-split on event time (events) / stable key (other tables)
+        // into nBatches ascending part files — partition i of
+        // repartitionByRange IS range i, part file names sort by partition id
+        val orderCol = table match {
+          case "events"    => "ts"
+          case "documents" => "doc_id"
+          case "lineitem"  => "l_orderkey"
+          case "orders"    => "o_orderkey"
+          case _           => raw.columns.head
+        }
+        val tmp = java.nio.file.Paths.get(
+          base.toString + ".tmp." + java.util.UUID.randomUUID())
+        raw.repartitionByRange(nBatches, col(orderCol))
+          .sortWithinPartitions(orderCol)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // the file source replays in (mtime, path) order — stamp strictly
+        // increasing mtimes so replay order is range order (= time order)
+        val dirStream = java.nio.file.Files.list(tmp)
+        val parts0 = try {
+          import scala.jdk.CollectionConverters._
+          dirStream.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toVector
+        } finally dirStream.close()
+        val t0 = System.currentTimeMillis() - 86400000L
+        parts0.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+        }
+        try java.nio.file.Files.move(tmp, base,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          // another session won the race — its split is identical
+          val ds2 = java.nio.file.Files.list(tmp)
+          try {
+            import scala.jdk.CollectionConverters._
+            ds2.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally ds2.close()
+          java.nio.file.Files.deleteIfExists(tmp)
+        }
       }
-      raw.repartitionByRange(nBatches, col(orderCol))
-        .sortWithinPartitions(orderCol)
-        .write.mode("overwrite").parquet(streamDir.toString)
-      // the file source replays in (mtime, path) order — stamp strictly
-      // increasing mtimes so replay order is range order (= time order)
-      val dirStream = java.nio.file.Files.list(streamDir)
-      val parts0 = try {
-        import scala.jdk.CollectionConverters._
-        dirStream.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-")).toVector
-      } finally dirStream.close()
-      val t0 = System.currentTimeMillis() - 86400000L
-      parts0.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
-      }
+      base
     }
     var reader = s.readStream.schema(raw.schema)
     if (nBatches > 1) reader = reader.option("maxFilesPerTrigger", "1")
@@ -1449,18 +1478,7 @@ object Queries {
       q.awaitTermination()
       val fed = q.recentProgress.count(_.numInputRows > 0)
       System.err.println(s"[graft-stream] table=$table mode=$mode batches=$fed")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // the memory sink holds the rows; the split copy is no longer needed
-      if (nBatches > 1) {
-        val ds = java.nio.file.Files.list(streamDir)
-        try {
-          import scala.jdk.CollectionConverters._
-          ds.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally ds.close()
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
-    }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 
