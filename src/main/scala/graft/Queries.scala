@@ -1834,6 +1834,27 @@ object Queries {
       |SELECT a_id, b_id, a_str, b_str, sim
       |FROM blocked WHERE sim >= 0.82""".stripMargin
 
+  /** Entity consolidation: the ER pair graph closed into entities —
+    * q_er_join's match pairs fed through connectedComponents, each matched
+    * record labeled with its entity's min id (the canonical-record pick).
+    * The record-linkage end state: pairs are evidence, entities are the
+    * deliverable. Oracle: recursive closure over the same pair SQL. */
+  def q_er_clusters(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.connectedComponents(
+      q_er_join(s, dir).select(col("a_id").as("src"), col("b_id").as("dst")),
+      dedupeEdges = false)
+      .select(col("node").as("id"), col("component").as("entity_id"))
+
+  private val q_er_clusters_sql =
+    s"""WITH RECURSIVE pairs AS ($q_er_join_sql),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+       |SELECT id, min(r) AS entity_id FROM reach GROUP BY id""".stripMargin
+
   /** Market-basket co-occurrence (CoOccurrence.pairs): part pairs sharing
     * an order, with exact-ratio Jaccard and lift. Basket cap + map-side
     * pair aggregation keep the quadratic constant-bounded (doc on the
@@ -2088,6 +2109,42 @@ object Queries {
       |WHERE o_orderkey % 100 = 0
       |AND l_extendedprice BETWEEN o_totalprice/5 - 500 AND o_totalprice/5 + 500
       |GROUP BY 1""".stripMargin
+
+  /** Interval-overlap join (RangeJoin.intervalOverlap): click windows
+    * [ts, ts+2h] × purchase windows [ts, ts+1h] of the same user — all
+    * overlapping pairs via the bin-explode equi-join, each pair emitted
+    * exactly once at the canonical bin containing max(lo_a, lo_b) (no
+    * post-join distinct). The oracle is the plain theta join. */
+  def q_overlap_join(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val a = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("us").as("a_lo"), (col("us") + lit(7200000000L)).as("a_hi"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("b_id"), col("user_id").as("user_id"),
+        col("us").as("b_lo"), (col("us") + lit(3600000000L)).as("b_hi"))
+    graft.operators.RangeJoin.intervalOverlap(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = 3600000000.0, keys = Seq("user_id"),
+        maxBinsPerInterval = 4)
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_hi"), col("b_hi")) -
+          greatest(col("a_lo"), col("b_lo"))).as("overlap_us"))
+  }
+
+  private val q_overlap_join_sql =
+    """WITH a AS (SELECT event_id AS a_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS a_lo,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS a_hi
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS b_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS b_lo,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS b_hi
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a_id, b_id,
+      |  least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
+      |FROM a JOIN b USING (user_id)
+      |WHERE a_lo <= b_hi AND b_lo <= a_hi""".stripMargin
 
   /** Z-order (Morton) clustering key over lineitem's (l_orderkey, l_partkey)
     * plane (operators.ZOrder — beyond-reference data-layout lever): 8-bit
@@ -3194,6 +3251,40 @@ object Queries {
       |  FROM orders)
       |SELECT o_custkey, o_date_us, o_orderkey, o_totalprice, o_orderpriority
       |FROM t WHERE rn = 1""".stripMargin
+
+  /** Snapshot diff (Scale.snapshotDiff — compactLatest's CDC sibling):
+    * two simulated crawl snapshots of orders (different key subsets, some
+    * payloads bumped) compared into per-key added/removed/changed. The
+    * Spark side joins (key, xxhash64 digest) pairs only; the oracle
+    * derives the SAME change labels by comparing payloads directly, so a
+    * digest that ever mislabeled a row would hash-mismatch. */
+  def q_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val cur = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+    graft.operators.Scale.snapshotDiff(prev, cur, "o_orderkey",
+      Seq("o_totalprice", "o_orderpriority"))
+  }
+
+  private val q_snapshot_diff_sql =
+    """WITH prev AS (SELECT o_orderkey AS k, o_totalprice AS p1,
+      |    o_orderpriority AS p2 FROM orders WHERE o_orderkey % 7 <> 0),
+      |cur AS (SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS p1,
+      |    o_orderpriority AS p2 FROM orders WHERE o_orderkey % 5 <> 0),
+      |d AS (SELECT coalesce(p.k, c.k) AS o_orderkey,
+      |    CASE WHEN p.k IS NULL THEN 'added'
+      |         WHEN c.k IS NULL THEN 'removed'
+      |         WHEN p.p1 <> c.p1 OR p.p2 <> c.p2 THEN 'changed'
+      |         ELSE 'unchanged' END AS change
+      |  FROM prev p FULL OUTER JOIN cur c ON p.k = c.k)
+      |SELECT o_orderkey, change FROM d WHERE change <> 'unchanged'""".stripMargin
 
   /** Streaming twin of q_compact_latest — the struct-max survivor is a
     * plain streaming aggregation (associative, commutative, O(1) state per
@@ -5312,6 +5403,9 @@ object Queries {
     "q_stream_trending" -> (q_stream_trending _),
     "q_funnel_summary" -> (q_funnel_summary _),
     "q_range_join" -> (q_range_join _),
+    "q_overlap_join" -> (q_overlap_join _),
+    "q_snapshot_diff" -> (q_snapshot_diff _),
+    "q_er_clusters" -> (q_er_clusters _),
     "q_zorder" -> (q_zorder _),
     "q_bpe" -> (q_bpe _),
     "q_chunk" -> (q_chunk _),
@@ -5506,6 +5600,9 @@ object Queries {
     "q_stream_trending" -> q_trending_sql,
     "q_funnel_summary" -> q_funnel_summary_sql,
     "q_range_join" -> q_range_join_sql,
+    "q_overlap_join" -> q_overlap_join_sql,
+    "q_snapshot_diff" -> q_snapshot_diff_sql,
+    "q_er_clusters" -> q_er_clusters_sql,
     "q_zorder" -> q_zorder_sql,
     "q_bpe" -> q_bpe_sql,
     "q_chunk" -> q_chunk_sql,

@@ -75,4 +75,54 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(reserved)
   }
+
+  /** Interval × interval OVERLAP join — the sibling of [[pointInInterval]]
+    * for two interval sets (session vs session, ad slot vs visit, shift vs
+    * incident): all pairs with `lLo <= rHi && rLo <= lHi` (inclusive
+    * overlap) and equal `keys`.
+    *
+    * Same bin-explode lowering, both sides exploded; the duplicate-free
+    * trick generalizes: every overlapping pair's intervals BOTH contain
+    * max(lLo, rLo) (overlap means max(lo) <= min(hi)), so both carry the
+    * bin of that point and the pair is emitted ONLY there — one canonical
+    * bin per pair, no post-join distinct. Cost: shuffles of
+    * N·(1 + len/binWidth) rows per side into an equi-join; never N·M.
+    *
+    * @param left   one interval per row; all columns kept; degenerate
+    *               (hi < lo) intervals match nothing and are dropped
+    * @param right  one interval per row; non-key columns kept — rename
+    *               collisions first; same degenerate-interval rule
+    * @param binWidth near the TYPICAL interval length (see class doc) */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+      binWidth: Double, keys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val reserved = "__bin"
+    require(!(left.columns ++ right.columns).contains(reserved),
+      s"intervalOverlap reserves column name $reserved")
+    val lPayload = left.columns.filterNot(keys.contains).toSeq
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"column collision ${lPayload.intersect(rPayload).mkString(",")}: " +
+        "rename right-side payload columns before joining")
+
+    def bin(c: String) = floor(col(c) / lit(binWidth)).cast("long")
+    def exploded(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) >= col(lo))
+      .withColumn(reserved, explode(sequence(
+        when(bin(hi) - bin(lo) <= maxBinsPerInterval, bin(lo))
+          .otherwise(raise_error(concat(
+            lit(s"intervalOverlap: interval spans more than " +
+              s"$maxBinsPerInterval bins at binWidth=$binWidth ["), col(lo),
+            lit(", "), col(hi), lit("] — increase binWidth")))),
+        bin(hi))))
+    exploded(left, lLoCol, lHiCol)
+      .join(exploded(right, rLoCol, rHiCol), keys :+ reserved)
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      // canonical bin: the one containing max(lLo, rLo) — emit once
+      .filter(col(reserved) ===
+        floor(greatest(col(lLoCol), col(rLoCol)) / lit(binWidth)).cast("long"))
+      .drop(reserved)
+  }
 }

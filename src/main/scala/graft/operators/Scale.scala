@@ -131,6 +131,37 @@ object Scale {
       .select(col(key) +: fields.map(f => col(s"_latest.$f").as(f)): _*)
   }
 
+  /** Snapshot diff — the other half of the CDC story ([[compactLatest]]
+    * collapses a change stream into a snapshot; this compares two
+    * snapshots): for each key, emit whether it was `added`, `removed` or
+    * `changed` between the old and new version of a keyed table (one row
+    * per key per snapshot — compactLatest output composes directly).
+    *
+    * Scale shape: each side's payload is digested to ONE 64-bit column
+    * BEFORE the join, so the full-outer comparison shuffles (key, digest)
+    * pairs — never the payload — and the output is CHURN-sized once
+    * unchanged keys are dropped (`keepUnchanged = true` retains them for
+    * audits). On a 100 TB recrawl where 1% of keys move, the exchange
+    * carries 16 bytes/key and the result is 1% of the key space. Null
+    * payload cells digest as a reserved sentinel, so null vs empty-string
+    * cannot collide. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      payload: Seq[String], keepUnchanged: Boolean = false): DataFrame = {
+    require(payload.nonEmpty, "snapshotDiff needs at least one payload column")
+    def digested(df: DataFrame, d: String) = df.select(col(key),
+      xxhash64(payload.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*).as(d))
+    digested(oldDf, "_d_old")
+      .join(digested(newDf, "_d_new"), Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("_d_old").isNull, lit("added"))
+          .when(col("_d_new").isNull, lit("removed"))
+          .when(col("_d_old") =!= col("_d_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(lit(keepUnchanged) || col("change") =!= "unchanged")
+      .select(col(key), col("change"))
+  }
+
   /** Rebalance a narrow input up to the session shuffle width before a
     * stage that AMPLIFIES per-row work. Scan parallelism is bytes-based and
     * bounded below by parquet row-group granularity, so a small-file corpus

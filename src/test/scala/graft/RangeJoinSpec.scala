@@ -95,4 +95,51 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  // ---- interval × interval overlap ----
+
+  def overlapFixtures(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    // mixed lengths incl. empty (hi < lo), exact-touch endpoints, nesting
+    val l = (0 until 40).map { i =>
+      val lo = i * 1.3 - 8.0
+      (i.toLong, lo, lo + (i % 6) * 1.5 - 2.0) // lengths -2 .. +5.5
+    }.toDF("l_id", "l_lo", "l_hi")
+    val r = (0 until 35).map { i =>
+      val lo = i * 1.9 - 10.0
+      (i.toLong, lo, lo + (i % 4) * 2.5 - 1.0) // lengths -1 .. +6.5
+    }.toDF("r_id", "r_lo", "r_hi")
+    (l, r)
+  }
+
+  test("intervalOverlap matches the naive theta join across bin widths, duplicate-free") {
+    val (l, r) = overlapFixtures()
+    // degenerate (hi < lo) intervals match nothing — same semantics as
+    // pointInInterval; the raw theta condition is meaningless on them
+    val expect = l.filter(col("l_hi") >= col("l_lo"))
+      .join(r.filter(col("r_hi") >= col("r_lo")),
+        col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    for (w <- Seq(0.7, 2.0, 5.0, 50.0)) {
+      val rows = RangeJoin.intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+          binWidth = w)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(rows.length == rows.toSet.size, s"duplicates at binWidth=$w")
+      assert(rows.toSet == expect, s"mismatch at binWidth=$w")
+    }
+  }
+
+  test("intervalOverlap honors equi-keys and exact endpoint touch") {
+    import spark.implicits._
+    val l = Seq((1L, "u", 0.0, 10.0), (2L, "v", 0.0, 10.0))
+      .toDF("l_id", "k", "l_lo", "l_hi")
+    val r = Seq((7L, "u", 10.0, 20.0), (8L, "u", 10.000001, 20.0),
+        (9L, "v", 30.0, 40.0))
+      .toDF("r_id", "k", "r_lo", "r_hi")
+    val got = RangeJoin.intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+        binWidth = 5.0, keys = Seq("k"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // inclusive touch at 10.0 matches; 10.000001 does not; key v blocks 9
+    assert(got == Set((1L, 7L)))
+  }
 }

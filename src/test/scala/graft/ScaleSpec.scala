@@ -153,6 +153,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial"), s"needs map-side partial max:\n$plan")
   }
 
+  test("snapshotDiff: added/removed/changed labels; digests, not payloads, shuffle") {
+    val s = imp; import s._
+    val prev = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+        (5L, null.asInstanceOf[String], 5.0))
+      .toDF("k", "p1", "p2")
+    val cur = Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 4.0),
+        (5L, "", 5.0))
+      .toDF("k", "p1", "p2")
+    val got = graft.operators.Scale.snapshotDiff(prev, cur, "k",
+        Seq("p1", "p2"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // 1 unchanged (dropped), 2 changed, 3 removed, 4 added,
+    // 5 null -> "" must read as CHANGED (the sentinel separates them)
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (4L, "added"),
+      (5L, "changed")))
+    val all = graft.operators.Scale.snapshotDiff(prev, cur, "k",
+        Seq("p1", "p2"), keepUnchanged = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(all.contains((1L, "unchanged")) && all.length == 5)
+    // the join input schema carries (key, digest) only — payloads pruned
+    // before the exchange
+    val plan = graft.operators.Scale.snapshotDiff(prev, cur, "k",
+      Seq("p1", "p2")).queryExecution.executedPlan.toString
+    assert(!plan.contains("p1#") || !plan.split("Exchange").last.contains("p1#"),
+      s"payload columns must not survive to the join:\n$plan")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val s = imp; import s._
     withPlanShapeConfs {
