@@ -2643,6 +2643,25 @@ object Queries {
       Seq("dup", "spark", "vector"), k = 20)
   }
 
+  /** Exact phrase search (InvertedIndex.buildPositional + phraseQuery):
+    * every (doc, start) occurrence of a 3-token phrase. Postings are
+    * pruned to the phrase's terms up front (bucket + term predicates —
+    * posting-list-sized I/O on a saved index), slots align map-side, and
+    * ONE (doc, start)-keyed aggregate replaces the per-slot N-way
+    * self-join chain. */
+  def q_phrase_search(s: SparkSession, dir: String): DataFrame =
+    graft.functions.InvertedIndex.phraseQuery(
+      graft.functions.InvertedIndex.buildPositional(
+        tbl(s, dir, "documents"), "doc_id", "text"),
+      Seq("slow", "hash", "batch"))
+
+  private val q_phrase_search_sql =
+    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS start
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |     UNNEST(range(1, len(w) + 1)) AS t(i)
+      |WHERE i + 2 <= len(w)
+      |  AND w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch'""".stripMargin
+
   /** Exact grouped quantiles: interpolated p50/p95 per return flag — Spark
     * `percentile` ≡ DuckDB `quantile_cont` (both sort-exact, linearly
     * interpolated; 6-dp rounding absorbs the interpolation-arithmetic
@@ -5471,6 +5490,7 @@ object Queries {
     "q_analytic" -> (q_analytic _),
     "q_bm25" -> (q_bm25 _),
     "q_inverted_index" -> (q_inverted_index _),
+    "q_phrase_search" -> (q_phrase_search _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
     "q_pagerank" -> (q_pagerank _),
@@ -5668,6 +5688,7 @@ object Queries {
     "q_analytic" -> q_analytic_sql,
     "q_bm25" -> q_bm25_sql,
     "q_inverted_index" -> q_bm25_sql,
+    "q_phrase_search" -> q_phrase_search_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
     "q_pagerank" -> q_pagerank_sql,

@@ -67,6 +67,52 @@ object InvertedIndex {
       stats.getLong(0), stats.getLong(1))
   }
 
+  /** Positional postings: (doc_id, term, pos, bucket) with `pos` the raw
+    * 0-based token index from the SAME tokenization as [[build]] (empty
+    * tokens are dropped from the postings but still consume positions, so
+    * adjacency means adjacency in the original text). Save with
+    * `partitionBy("bucket")` exactly like the tf postings for a
+    * partition-pruned phrase index. */
+  def buildPositional(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("bucket", termBucket(col("term")))
+
+  /** Exact phrase query over positional postings: every (doc, start)
+    * where `phrase(i)` occurs at `start + i` for ALL i. Lowering: keep
+    * only the phrase's terms (bucket + term pruning — posting-list-sized
+    * I/O on a saved index), emit (doc, pos − i, i) map-side for each
+    * phrase slot the term fills, and one (doc, start)-keyed aggregate
+    * keeps groups filling all `phrase.length` slots. A position holds one
+    * term, so (doc, start, i) rows are distinct and the count IS the
+    * filled-slot count — candidate-sized work end to end, no self-join
+    * chain (a per-slot N-way join would exchange the postings N times). */
+  def phraseQuery(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = positional.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("term", "slot")
+    val buckets = phrase
+      .map(t => math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L),
+        TermBuckets.toLong).toInt)
+      .distinct
+    positional
+      .filter(col("bucket").isInCollection(buckets)
+        && col("term").isInCollection(phrase))
+      .join(broadcast(slots), Seq("term"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("_filled"))
+      .filter(col("_filled") === phrase.length)
+      .select(col("doc_id"), col("start"))
+  }
+
   /** BM25 top-k for a bag of query terms against the index. Identical
     * scoring to [[TextAnalysis.bm25TopDocs]]; the postings filter carries
     * both the bucket predicate (partition pruning on a saved index) and
