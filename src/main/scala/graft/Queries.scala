@@ -1926,7 +1926,7 @@ object Queries {
       graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .select(col("a_item").as("src"), col("b_item").as("dst")),
-      rounds = 2)
+      rounds = 2, dedupeEdges = false)
 
   private val q_label_prop_sql =
     """WITH bi AS (
@@ -4173,7 +4173,7 @@ object Queries {
       graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .select(col("a_item").as("src"), col("b_item").as("dst")),
-      k = 2, rounds = Some(4))
+      k = 2, rounds = Some(4), dedupeEdges = false)
 
   private val q_kcore_sql =
     """WITH bi AS MATERIALIZED (
@@ -4213,7 +4213,7 @@ object Queries {
       graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .select(col("a_item").as("src"), col("b_item").as("dst")),
-      maxDegree = 50)
+      maxDegree = 50, dedupeEdges = false)
 
   private val q_clustering_coeff_sql =
     """WITH bi AS MATERIALIZED (

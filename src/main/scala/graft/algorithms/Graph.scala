@@ -115,7 +115,7 @@ object Graph {
     * reduces each partition to ≤ #nodes rows before its exchange where a
     * row_number window would shuffle and sort every candidate row. */
   def labelPropagation(edges: DataFrame, rounds: Int,
-      parallelism: Option[Int] = None): DataFrame = {
+      parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame = {
     require(rounds >= 1, s"need >= 1 rounds, got $rounds")
     // ONE pass over the (possibly expensive) edge pipeline: the undirected
     // build is persisted FIRST and its count both materializes it and sizes
@@ -124,7 +124,9 @@ object Graph {
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-    val undirected0 = both.distinct().persist()
+    // dedupeEdges=false: the caller vouches the edge list is duplicate-free
+    // (a<b pair tables are) — skips a full-edge exchange+aggregate
+    val undirected0 = (if (dedupeEdges) both.distinct() else both).persist()
     val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
       // pre-partition on the join key at loop width: the cached relation
@@ -171,7 +173,8 @@ object Graph {
     * shuffle once up front, survivor sets shuffle per round at node
     * cardinality. */
   def kCore(edges: DataFrame, k: Int, rounds: Option[Int] = None,
-      maxIter: Int = 100, parallelism: Option[Int] = None): DataFrame = {
+      maxIter: Int = 100, parallelism: Option[Int] = None,
+      dedupeEdges: Boolean = true): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     // same one-pass sizing as labelPropagation: persist the undirected
     // build, count once (materialize + width), never rerun the upstream
@@ -179,7 +182,9 @@ object Graph {
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-    val undirected0 = both.distinct().persist()
+    // dedupeEdges=false: the caller vouches the edge list is duplicate-free
+    // (a<b pair tables are) — skips a full-edge exchange+aggregate
+    val undirected0 = (if (dedupeEdges) both.distinct() else both).persist()
     val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val undirected = undirected0.repartition(col("src")).persist()
@@ -233,14 +238,17 @@ object Graph {
     * cached) edge set; coefficients divide exact integer counts once in
     * double. Returns (node, degree, triangles, coeff) for kept nodes;
     * coeff = 2·tri / (deg·(deg−1)), 0 when degree < 2. */
-  def clusteringCoefficient(edges: DataFrame, maxDegree: Int = 1000): DataFrame = {
+  def clusteringCoefficient(edges: DataFrame, maxDegree: Int = 1000,
+      dedupeEdges: Boolean = true): DataFrame = {
     require(maxDegree >= 2, s"need maxDegree >= 2, got $maxDegree")
-    val both = edges.select(explode(array(
+    val both0 = edges.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // dedupeEdges=false: the caller vouches the edge list is duplicate-free
+    // (a<b pair tables are) — skips a full-edge exchange+aggregate
+    val both = if (dedupeEdges) both0.distinct() else both0
     val keep = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("d0"))
       .filter(col("d0") <= maxDegree).select(col("node"))
     val kept = both
