@@ -3780,6 +3780,67 @@ object Queries {
       |  GROUP BY 1)
       |SELECT gram, est FROM est WHERE est >= 40""".stripMargin
 
+  /** Corpus-vs-corpus token JS divergence (CorpusMetrics.jsDivergence):
+    * the English corpus against everything else — one vocabulary-sized
+    * full-outer join, totals as a broadcast scalar, contributions
+    * integer-nano-scaled before the single closing aggregate (the q_drift
+    * FP discipline), one report row out. */
+  def q_corpus_divergence(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    graft.functions.CorpusMetrics.jsDivergence(
+      d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"), "text")
+  }
+
+  private val q_corpus_divergence_sql =
+    """WITH ca AS (SELECT tok, count(*) AS na FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |    WHERE lang = 'en') WHERE tok <> '' GROUP BY tok),
+      |cb AS (SELECT tok, count(*) AS nb FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |    WHERE lang <> 'en') WHERE tok <> '' GROUP BY tok),
+      |j AS (SELECT coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+      |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+      |t AS (SELECT na, nb,
+      |    CAST(sum(na) OVER () AS BIGINT) AS ta,
+      |    CAST(sum(nb) OVER () AS BIGINT) AS tb FROM j),
+      |c AS (SELECT na, nb,
+      |    CASE WHEN na > 0 THEN CAST(round(
+      |      CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+      |      * log2(2.0 * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+      |        / (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+      |           + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+      |      * 1000000000.0, 0) AS BIGINT) ELSE 0 END AS ca_nano,
+      |    CASE WHEN nb > 0 THEN CAST(round(
+      |      CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)
+      |      * log2(2.0 * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+      |        / (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+      |           + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+      |      * 1000000000.0, 0) AS BIGINT) ELSE 0 END AS cb_nano
+      |  FROM t)
+      |SELECT CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(count(CASE WHEN na > 0 AND nb > 0 THEN 1 END) AS BIGINT) AS vocab_shared,
+      |  CAST(sum(na) AS BIGINT) AS tokens_a,
+      |  CAST(sum(nb) AS BIGINT) AS tokens_b,
+      |  CAST(sum(ca_nano + cb_nano) AS BIGINT) AS js2_nano_bits
+      |FROM c""".stripMargin
+
+  /** Distinct-bigram diversity per source (CorpusMetrics.distinctNgrams):
+    * the boilerplate detector as an aggregate OF an aggregate — the
+    * distinct never materializes a set, both levels partial-aggregate. */
+  def q_distinct_ngrams(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CorpusMetrics.distinctNgrams(
+      tbl(s, dir, "documents"), "source", "text", 2)
+
+  private val q_distinct_ngrams_sql =
+    """WITH g AS (SELECT source AS key, array_to_string(w[i:i+1], ' ') AS gram
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(range(1, len(w))) AS t(i)),
+      |c AS (SELECT key, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT key, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio
+      |FROM c GROUP BY key""".stripMargin
+
   // =====================================================================
   // Training-data pipeline operators (dedup / similarity / text / multimodal)
   // =====================================================================
@@ -5479,6 +5540,8 @@ object Queries {
     "q_corpus_health" -> (q_corpus_health _),
     "q_domain_filter" -> (q_domain_filter _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
+    "q_corpus_divergence" -> (q_corpus_divergence _),
+    "q_distinct_ngrams" -> (q_distinct_ngrams _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
     "q_tfidf" -> (q_tfidf _),
@@ -5677,6 +5740,8 @@ object Queries {
     "q_corpus_health" -> q_corpus_health_sql,
     "q_domain_filter" -> q_domain_filter_sql,
     "q_heavy_hitters" -> q_heavy_hitters_sql,
+    "q_corpus_divergence" -> q_corpus_divergence_sql,
+    "q_distinct_ngrams" -> q_distinct_ngrams_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,
     "q_tfidf" -> q_tfidf_sql,
