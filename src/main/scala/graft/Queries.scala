@@ -4306,6 +4306,49 @@ object Queries {
       |      / CAST(degree * (degree - 1) AS DOUBLE) END AS coeff
       |FROM deg LEFT JOIN closed ON deg.node = closed.node""".stripMargin
 
+  /** Common-neighbor link prediction (Graph.commonNeighbors) over the
+    * co-purchase graph: non-adjacent part pairs sharing ≥ 2 neighbors,
+    * scored by neighborhood Jaccard — the candidate generator for a
+    * related-items expansion. Hub cap 50, wedge machinery shared with
+    * q_clustering_coeff. */
+  def q_link_predict(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.commonNeighbors(
+      graft.functions.CoOccurrence.pairCounts(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .select(col("a_item").as("src"), col("b_item").as("dst")),
+      maxDegree = 50, minCommon = 2L, dedupeEdges = false)
+
+  private val q_link_predict_sql =
+    """WITH bi AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |sized AS MATERIALIZED (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 20),
+      |kept0 AS MATERIALIZED (SELECT bi.* FROM bi JOIN sized USING (bk)),
+      |ab AS MATERIALIZED (
+      |  SELECT a.it AS a_item, b.it AS b_item
+      |  FROM kept0 a JOIN kept0 b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT a_item AS src, b_item AS dst FROM ab
+      |  UNION SELECT b_item, a_item FROM ab),
+      |keepn AS MATERIALIZED (
+      |  SELECT src AS node FROM und GROUP BY 1 HAVING count(*) <= 50),
+      |ke AS MATERIALIZED (
+      |  SELECT * FROM und
+      |  WHERE src IN (SELECT node FROM keepn) AND dst IN (SELECT node FROM keepn)),
+      |deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree FROM ke GROUP BY 1),
+      |cand AS MATERIALIZED (
+      |  SELECT x.dst AS a, y.dst AS b, count(*) AS common
+      |  FROM ke x JOIN ke y ON x.src = y.src AND x.dst < y.dst
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |nonadj AS MATERIALIZED (
+      |  SELECT c.* FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM ke k WHERE k.src = c.a AND k.dst = c.b))
+      |SELECT a, b, CAST(common AS BIGINT) AS common,
+      |  CAST(da.degree AS BIGINT) AS deg_a, CAST(db.degree AS BIGINT) AS deg_b,
+      |  CAST(common AS DOUBLE)
+      |    / CAST(da.degree + db.degree - common AS DOUBLE) AS jaccard
+      |FROM nonadj JOIN deg da ON a = da.node JOIN deg db ON b = db.node""".stripMargin
+
   /** Skip-gram training pairs (SequencePairs.skipGramCounts): per-user
     * event sequences in (ts, event_id) order, neighbors within ±2
     * positions counted by (target, context, offset). Pairing is an
@@ -5586,6 +5629,7 @@ object Queries {
     "q_quantile_buckets" -> (q_quantile_buckets _),
     "q_kcore" -> (q_kcore _),
     "q_clustering_coeff" -> (q_clustering_coeff _),
+    "q_link_predict" -> (q_link_predict _),
     "q_skipgrams" -> (q_skipgrams _),
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
@@ -5786,6 +5830,7 @@ object Queries {
     "q_quantile_buckets" -> q_quantile_buckets_sql,
     "q_kcore" -> q_kcore_sql,
     "q_clustering_coeff" -> q_clustering_coeff_sql,
+    "q_link_predict" -> q_link_predict_sql,
     "q_skipgrams" -> q_skipgrams_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,

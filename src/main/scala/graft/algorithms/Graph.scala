@@ -277,6 +277,56 @@ object Graph {
     out
   }
 
+  /** Common-neighbor link prediction: for every NON-adjacent node pair
+    * sharing ≥ `minCommon` neighbors, the common-neighbor count and the
+    * neighborhood Jaccard |N(u)∩N(w)| / |N(u)∪N(w)| — the classic
+    * "people you may know" / related-entity candidate generator.
+    *
+    * Same wedge machinery as [[clusteringCoefficient]] (a common neighbor
+    * of (u, w) IS a wedge centered at v), same hub discipline: the
+    * candidate quadratic lives on hub centers, so nodes above `maxDegree`
+    * drop WHOLE and every count is measured inside the hub-free subgraph.
+    * Adjacent pairs are removed by one left-anti join against the edge
+    * set (they're predictions of nothing). Returns
+    * (a, b, common, deg_a, deg_b, jaccard) with a < b. */
+  def commonNeighbors(edges: DataFrame, maxDegree: Int = 1000,
+      minCommon: Long = 1L, dedupeEdges: Boolean = true): DataFrame = {
+    require(maxDegree >= 2, s"need maxDegree >= 2, got $maxDegree")
+    val both0 = edges.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val both = if (dedupeEdges) both0.distinct() else both0
+    val keep = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("d0"))
+      .filter(col("d0") <= maxDegree).select(col("node"))
+    val kept = both
+      .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .persist()
+    kept.count()
+    val deg = kept.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      // adjacency kills the prediction — kept holds both directions, so
+      // one anti join on the (a, b) orientation suffices
+      .join(kept.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+    val out = cand
+      .join(deg.select(col("node").as("a"), col("degree").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"))
+      .localCheckpoint()
+    kept.unpersist()
+    out
+  }
+
   /** PageRank without dangling-mass redistribution:
     * rank'(n) = (1-d)/N + d * sum_{m->n} rank(m)/outdeg(m).
     * edges: (src, dst) directed. Deterministic: per-node incoming sums in
