@@ -4516,6 +4516,30 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
       |WHERE rn <= 3""".stripMargin
 
+  /** Embedding QA (Similarity.centroidCosine): every vector's cosine to
+    * its own label's centroid — mislabeled/corrupt embeddings surface at
+    * the bottom. Centroid = (labels × dim) partial-aggregated mean,
+    * broadcast back as a labels-row array table; scores are one narrow
+    * fused-dot pass. */
+  def q_centroid_cosine(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.centroidCosine(
+      tbl(s, dir, "embeddings"), "vec_id", "label", "embedding")
+
+  private val q_centroid_cosine_sql =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, label, unnest(vec) AS x,
+      |    generate_subscripts(vec, 1) AS i FROM v),
+      |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
+      |dotn AS (SELECT e.vec_id, e.label, sum(e.x * cent.c) AS dp,
+      |    sqrt(sum(e.x * e.x)) AS nx
+      |  FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i
+      |  GROUP BY 1, 2),
+      |nc AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1)
+      |SELECT d.vec_id, d.label, round(dp / (nx * nc.nc), 6) AS cos_centroid
+      |FROM dotn d JOIN nc ON d.label = nc.label""".stripMargin
+
   /** Shared oracle-SQL prelude recomputing the portable LSH bucket per
     * vector: quantized integer votes against md5-derived ±1 hyperplanes —
     * exact integer arithmetic, bit-identical to
@@ -5633,6 +5657,7 @@ object Queries {
     "q_skipgrams" -> (q_skipgrams _),
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
+    "q_centroid_cosine" -> (q_centroid_cosine _),
     "q_embed_int8" -> (q_embed_int8 _),
     "q_ann_int8" -> (q_ann_int8 _),
     "q_ann_lsh" -> (q_ann_lsh _),
@@ -5834,6 +5859,7 @@ object Queries {
     "q_skipgrams" -> q_skipgrams_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,
+    "q_centroid_cosine" -> q_centroid_cosine_sql,
     "q_embed_int8" -> q_embed_int8_sql,
     "q_ann_int8" -> q_ann_int8_sql,
     "q_ann_lsh" -> q_ann_lsh_sql,

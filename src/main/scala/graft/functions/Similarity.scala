@@ -31,6 +31,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-label centroid cosine — the embedding QA pass: how well does each
+    * vector agree with its own label's centroid (mislabeled or corrupt
+    * embeddings score low; feed the bottom quantile to review or drop).
+    *
+    * Scale shape: the centroid is a (labels × dim)-row partial-aggregated
+    * mean (vectors explode once, map-side combine collapses per
+    * partition), collected into a LABELS-row array table and broadcast
+    * back — the per-row score is then one narrow fused-dot pass; the
+    * corpus never joins on anything wider than its label. Cosines round
+    * to `dp` decimals (the cross-engine tolerance absorbing double-sum
+    * association order, as everywhere in this family). */
+  def centroidCosine(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, dp: Int = 6): DataFrame = {
+    val e = df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("label"), col("i"), col("x").cast("double").as("x"))
+    val cent = e.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+    val dv = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol), col(labelCol).as("label"), dv.as("v"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col(idCol), col("label"),
+        round(dotFast(col("v"), col("cvec")) /
+          (norm(col("v")) * norm(col("cvec"))), dp).as("cos_centroid"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/IO compression
     * step for embedding tables (4 bytes/dim → 1: the shape FAISS/ScaNN
     * store the corpus in, rescaling at score time). scale = max|xᵢ|/127;
