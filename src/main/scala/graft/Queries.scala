@@ -27,6 +27,10 @@ object Queries {
     * runs — the two concerns round 2 accidentally coupled. */
   @volatile var portableMode: Boolean = false
 
+  /** Input-fed micro-batch count of the most recent [[runStream]] run —
+    * test hook pinning that the streaming twins really replay multi-batch. */
+  @volatile private[graft] var lastStreamBatches: Int = 0
+
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1477,6 +1481,7 @@ object Queries {
         .start()
       q.awaitTermination()
       val fed = q.recentProgress.count(_.numInputRows > 0)
+      lastStreamBatches = fed
       System.err.println(s"[graft-stream] table=$table mode=$mode batches=$fed")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)

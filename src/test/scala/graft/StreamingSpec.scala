@@ -738,4 +738,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((1, Some(20L)), (2, None)))
     } finally q.stop()
   }
+
+  test("catalog stream twins replay MULTI-batch and still equal the batch result") {
+    // the driver's oracle certifies values; this pins the replay SHAPE so a
+    // regression to one-batch (or a broken split cache) fails a named test
+    // instead of silently weakening the incremental-state evidence
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Queries.q_stream_tumbling(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(Queries.lastStreamBatches >= 3,
+      s"expected >= 3 input-fed micro-batches, got ${Queries.lastStreamBatches}")
+    val batch = Queries.q_window_tumbling(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
 }
