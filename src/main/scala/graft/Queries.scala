@@ -4311,6 +4311,30 @@ object Queries {
       |      / CAST(degree * (degree - 1) AS DOUBLE) END AS coeff
       |FROM deg LEFT JOIN closed ON deg.node = closed.node""".stripMargin
 
+  /** HITS hubs/authorities (Graph.hits), 2 unnormalized rounds over the
+    * customer→order graph: every score an exact BIGINT, so the oracle
+    * unrolls both rounds with zero floating point. */
+  def q_hits(s: SparkSession, dir: String): DataFrame =
+    graft.algorithms.Graph.hits(
+      tbl(s, dir, "orders").select(col("o_custkey").as("src"),
+        (col("o_orderkey") + 10000000L).as("dst")),
+      rounds = 2, dedupeEdges = false)
+
+  private val q_hits_sql =
+    """WITH e AS (SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |a1 AS (SELECT dst AS node, count(*) AS v FROM e GROUP BY 1),
+      |h1 AS (SELECT e.src AS node, sum(coalesce(a1.v, 0)) AS v
+      |  FROM e LEFT JOIN a1 ON e.dst = a1.node GROUP BY 1),
+      |a2 AS (SELECT e.dst AS node, sum(coalesce(h1.v, 0)) AS v
+      |  FROM e LEFT JOIN h1 ON e.src = h1.node GROUP BY 1),
+      |h2 AS (SELECT e.src AS node, sum(coalesce(a2.v, 0)) AS v
+      |  FROM e LEFT JOIN a2 ON e.dst = a2.node GROUP BY 1)
+      |SELECT n.node, CAST(coalesce(h2.v, 0) AS BIGINT) AS hub,
+      |  CAST(coalesce(a2.v, 0) AS BIGINT) AS auth
+      |FROM n LEFT JOIN h2 ON n.node = h2.node
+      |       LEFT JOIN a2 ON n.node = a2.node""".stripMargin
+
   /** Common-neighbor link prediction (Graph.commonNeighbors) over the
     * co-purchase graph: non-adjacent part pairs sharing ≥ 2 neighbors,
     * scored by neighborhood Jaccard — the candidate generator for a
@@ -5659,6 +5683,7 @@ object Queries {
     "q_kcore" -> (q_kcore _),
     "q_clustering_coeff" -> (q_clustering_coeff _),
     "q_link_predict" -> (q_link_predict _),
+    "q_hits" -> (q_hits _),
     "q_skipgrams" -> (q_skipgrams _),
     "q_dedup_verified" -> (q_dedup_verified _),
     "q_cosine_topk" -> (q_cosine_topk _),
@@ -5861,6 +5886,7 @@ object Queries {
     "q_kcore" -> q_kcore_sql,
     "q_clustering_coeff" -> q_clustering_coeff_sql,
     "q_link_predict" -> q_link_predict_sql,
+    "q_hits" -> q_hits_sql,
     "q_skipgrams" -> q_skipgrams_sql,
     "q_dedup_verified" -> q_dedup_verified_sql,
     "q_cosine_topk" -> q_cosine_topk_sql,

@@ -277,6 +277,48 @@ object Graph {
     out
   }
 
+  /** HITS hubs-and-authorities, UNNORMALIZED fixed-round form: h₀ ≡ 1,
+    * aᵢ(u) = Σ_{v→u} hᵢ₋₁(v), hᵢ(u) = Σ_{u→v} aᵢ(v). Without the norm
+    * step every score is an exact BIGINT — a pure integer function of the
+    * graph and `rounds` that an external engine replays bit-for-bit (the
+    * classic normalized variant just rescales within a round, so rankings
+    * match). Keep `rounds` small: scores grow like (largest-eigenvalue)²
+    * per round, a few rounds of a power iteration, not a convergence loop.
+    *
+    * Scale shape per round: two edge⋈score joins + node-keyed
+    * partial-aggregated sums over the cached edge set; each round's score
+    * table is an eager localCheckpoint (node-cardinality, lineage
+    * truncated). Returns (node, hub, auth). */
+  def hits(edges: DataFrame, rounds: Int, parallelism: Option[Int] = None,
+      dedupeEdges: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"need >= 1 rounds, got $rounds")
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (dedupeEdges) e0.distinct() else e0).persist()
+    val width = parallelism.getOrElse(Iteration.sizedWidth(e.count()))
+    withShuffleWidth(edges.sparkSession, Some(width)) {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      var h = nodes.withColumn("hub", lit(1L)).localCheckpoint()
+      var a = nodes.withColumn("auth", lit(0L))
+      for (_ <- 1 to rounds) {
+        a = nodes.join(
+            e.join(h.select(col("node").as("src"), col("hub")), Seq("src"))
+              .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")),
+            Seq("node"), "left")
+          .na.fill(0L, Seq("auth")).localCheckpoint()
+        h = nodes.join(
+            e.join(a.select(col("node").as("dst"), col("auth")), Seq("dst"))
+              .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")),
+            Seq("node"), "left")
+          .na.fill(0L, Seq("hub")).localCheckpoint()
+      }
+      val out = h.join(a, Seq("node"))
+        .select(col("node"), col("hub"), col("auth")).localCheckpoint()
+      nodes.unpersist(); e.unpersist()
+      out
+    }
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent node pair
     * sharing ≥ `minCommon` neighbors, the common-neighbor count and the
     * neighborhood Jaccard |N(u)∩N(w)| / |N(u)∪N(w)| — the classic
