@@ -977,6 +977,51 @@ object Queries {
       |FROM active CROSS JOIN cohort
       |GROUP BY day_offset, cohort_n""".stripMargin
 
+  /** Cohort retention matrix — the full (signup week × week offset) grid
+    * q_retention's single-cohort curve generalizes to. One user-keyed
+    * Exchange derives each user's signup time, the (user, cohort, offset)
+    * activity distinct and both aggregation levels partial-aggregate, and
+    * cohort sizes join back at cohort-week cardinality (AQE broadcasts).
+    * Exact integer counts; the ratio divides once in double. */
+  def q_cohort_matrix(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val w = Window.partitionBy(col("user_id"))
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t0",
+        min(when(col("event_type") === "signup", col("us"))).over(w))
+      .filter(col("t0").isNotNull && col("us") >= col("t0"))
+    val act = e.select(col("user_id"),
+        floor(col("t0") / lit(weekUs)).as("cohort_w"),
+        floor((col("us") - col("t0")) / lit(weekUs)).as("offset_w"))
+      .distinct()
+    val sizes = act.filter(col("offset_w") === 0)
+      .groupBy(col("cohort_w")).agg(count(lit(1)).as("cohort_n"))
+    act.groupBy(col("cohort_w"), col("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_w"))
+      .select(col("cohort_w"), col("offset_w"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_n")).as("retention"))
+  }
+
+  private val q_cohort_matrix_sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |w AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+      |        OVER (PARTITION BY user_id) AS t0 FROM e),
+      |act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(t0 / 604800000000) AS BIGINT) AS cohort_w,
+      |    CAST(floor((us - t0) / 604800000000) AS BIGINT) AS offset_w
+      |  FROM w WHERE t0 IS NOT NULL AND us >= t0),
+      |sizes AS (SELECT cohort_w, count(*) AS cohort_n FROM act
+      |  WHERE offset_w = 0 GROUP BY 1)
+      |SELECT act.cohort_w, offset_w, count(*) AS n_active,
+      |  CAST(count(*) AS DOUBLE) / cohort_n AS retention
+      |FROM act JOIN sizes ON act.cohort_w = sizes.cohort_w
+      |GROUP BY act.cohort_w, offset_w, cohort_n""".stripMargin
+
   /** TPC-H Q5-shaped six-table join — the flagship multi-join plan: revenue
     * per nation for ASIA customers served by a supplier in the SAME nation,
     * orders in a two-year slice. The point is what Catalyst does with the
@@ -5573,6 +5618,7 @@ object Queries {
     "q_funnel" -> (q_funnel _),
     "q_anomaly" -> (q_anomaly _),
     "q_retention" -> (q_retention _),
+    "q_cohort_matrix" -> (q_cohort_matrix _),
     "q_sessionize" -> (q_sessionize _),
     "q_session_stats" -> (q_session_stats _),
     "q_trending" -> (q_trending _),
@@ -5776,6 +5822,7 @@ object Queries {
     "q_funnel" -> q_funnel_sql,
     "q_anomaly" -> q_anomaly_sql,
     "q_retention" -> q_retention_sql,
+    "q_cohort_matrix" -> q_cohort_matrix_sql,
     "q_sessionize" -> q_sessionize_sql,
     "q_session_stats" -> q_session_stats_sql,
     "q_trending" -> q_trending_sql,
