@@ -3874,6 +3874,25 @@ object Queries {
       |  CAST(sum(ca_nano + cb_nano) AS BIGINT) AS js2_nano_bits
       |FROM c""".stripMargin
 
+  /** Zipf slope of the documents corpus (CorpusMetrics.zipfSlope): the
+    * ln(freq)-on-ln(rank) fit over the top tokens — corpus collapses to
+    * counts, TakeOrdered keeps K, the window + regression are
+    * report-sized. */
+  def q_zipf_slope(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CorpusMetrics.zipfSlope(
+      tbl(s, dir, "documents"), "text", topK = 1000)
+
+  private val q_zipf_slope_sql =
+    """WITH c AS (SELECT tok, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok),
+      |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 1000),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      |  FROM top)
+      |SELECT round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+      |    ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+      |  CAST(count(*) AS BIGINT) AS n_tokens_fit FROM r""".stripMargin
+
   /** Distinct-bigram diversity per source (CorpusMetrics.distinctNgrams):
     * the boilerplate detector as an aggregate OF an aggregate — the
     * distinct never materializes a set, both levels partial-aggregate. */
@@ -5684,6 +5703,7 @@ object Queries {
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_corpus_divergence" -> (q_corpus_divergence _),
     "q_distinct_ngrams" -> (q_distinct_ngrams _),
+    "q_zipf_slope" -> (q_zipf_slope _),
     "q_dup_spans" -> (q_dup_spans _),
     "q_winnow" -> (q_winnow _),
     "q_tfidf" -> (q_tfidf _),
@@ -5888,6 +5908,7 @@ object Queries {
     "q_heavy_hitters" -> q_heavy_hitters_sql,
     "q_corpus_divergence" -> q_corpus_divergence_sql,
     "q_distinct_ngrams" -> q_distinct_ngrams_sql,
+    "q_zipf_slope" -> q_zipf_slope_sql,
     "q_dup_spans" -> q_dup_spans_sql,
     "q_winnow" -> q_winnow_sql,
     "q_tfidf" -> q_tfidf_sql,

@@ -59,6 +59,28 @@ object CorpusMetrics {
         sum(col("ca_nano") + col("cb_nano")).as("js2_nano_bits"))
   }
 
+  /** Zipf slope — the corpus-health scalar: the least-squares slope of
+    * ln(frequency) on ln(rank) over the top-`topK` tokens. Natural text
+    * sits near −1; machine-generated or templated corpora drift flat
+    * (> −0.7) or cliff-steep. The corpus collapses to token counts
+    * (partial-aggregated), top-K lowers to TakeOrdered, and the rank
+    * window + regression run on the REPORT-sized K rows — one row out,
+    * `dp`-rounded (double-sum tolerance, as everywhere). Ties rank by
+    * token for a deterministic fit. */
+  def zipfSlope(df: DataFrame, textCol: String, topK: Int = 1000,
+      dp: Int = 6): DataFrame = {
+    require(topK >= 3, s"need topK >= 3 for a fit, got $topK")
+    val top = tokenCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("tok")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    top.withColumn("rank", row_number().over(w))
+      .agg(
+        round(regr_slope(log(col("cnt").cast("double")),
+          log(col("rank").cast("double"))), dp).as("zipf_slope"),
+        count(lit(1)).as("n_tokens_fit"))
+  }
+
   /** Distinct-n diversity per group — the boilerplate detector: the share
     * of a group's n-grams that are distinct (1.0 = every n-gram unique,
     * →0 = the source repeats itself). Computed as an aggregate OF an
