@@ -409,10 +409,11 @@ object Queries {
     val in = new graft.api.Stream(
       tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
         .as[(Long, Int)])
-    in.richMap(() => java.security.MessageDigest.getInstance("MD5")) { (md, x) =>
+    in.richMap(() => (java.security.MessageDigest.getInstance("MD5"),
+        java.util.HexFormat.of())) { (st, x) =>
+        val (md, hex) = st
         md.reset()
-        val h = md.digest(s"${x._1}|${x._2}".getBytes("UTF-8"))
-        (x._1, x._2, h.map("%02x".format(_)).mkString)
+        (x._1, x._2, hex.formatHex(md.digest(s"${x._1}|${x._2}".getBytes("UTF-8"))))
       }.ds.toDF("l_orderkey", "l_linenumber", "h")
   }
 
@@ -451,7 +452,8 @@ object Queries {
         .as[(Long, String)])
     in.mapMemoBy(16)((x: (Long, String)) => x._2) { x =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        (x._2, md.digest(x._2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        (x._2, java.util.HexFormat.of()
+          .formatHex(md.digest(x._2.getBytes("UTF-8"))))
       }.ds.toDF("o_orderpriority", "h")
   }
 
