@@ -277,6 +277,52 @@ object Graph {
     out
   }
 
+  /** Weighted PageRank in FIXED-POINT arithmetic: ranks are exact BIGINT
+    * pico-units (1e12 = mass 1), and each edge's contribution
+    * d·rank(m)·w(m,n)/W(m) is computed in one fixed double-op order and
+    * rounded to an integer BEFORE the incoming sum. The per-node sum is
+    * then integer — associative, commutative — so the result is EXACTLY
+    * reproducible across partitionings, retries and engines, unlike
+    * float PR whose incoming sums drift with reduction order (the
+    * determinism lever that matters when a rank feeds a dedup/keep
+    * decision and reruns must agree). Quantization error is ≤ 0.5e-12
+    * mass per edge per round.
+    *
+    * edges: (src, dst, weight ≥ 1 integer). Per round: one edge⋈rank join
+    * against the cached weighted edge set, one node-keyed integer sum.
+    * Returns (node, rank_pico). */
+  def pageRankWeightedFixed(edges: DataFrame, iterations: Int,
+      damping: Double = 0.85, parallelism: Option[Int] = None): DataFrame = {
+    require(iterations >= 1, s"need >= 1 iterations, got $iterations")
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("w")).persist()
+    val width = parallelism.getOrElse(Iteration.sizedWidth(e.count()))
+    withShuffleWidth(edges.sparkSession, Some(width)) {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      val n = nodes.count().toDouble
+      val wOut = e.groupBy(col("src")).agg(sum(col("w")).as("w_out")).persist()
+      val basePico = math.round((1 - damping) / n * 1e12)
+      var r = nodes.withColumn("rank_pico", lit(math.round(1e12 / n)))
+        .localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val contrib = e.join(broadcast(wOut), Seq("src"))
+          .join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            round(lit(damping) * col("rank_pico").cast("double")
+              * col("w").cast("double") / col("w_out").cast("double"), 0)
+              .cast("long").as("c"))
+        r = nodes.join(contrib.groupBy(col("node")).agg(sum(col("c")).as("ip")),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(basePico) + coalesce(col("ip"), lit(0L))).as("rank_pico"))
+          .localCheckpoint()
+      }
+      nodes.unpersist(); wOut.unpersist(); e.unpersist()
+      r
+    }
+  }
+
   /** HITS hubs-and-authorities, UNNORMALIZED fixed-round form: h₀ ≡ 1,
     * aᵢ(u) = Σ_{v→u} hᵢ₋₁(v), hᵢ(u) = Σ_{u→v} aᵢ(v). Without the norm
     * step every score is an exact BIGINT — a pure integer function of the
