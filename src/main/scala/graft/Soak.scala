@@ -66,6 +66,18 @@ object Soak {
     run("ann_ivfpq")(Queries.q_ann_ivfpq(spark, dir).count())
     run("heavy_hitters")(Queries.q_heavy_hitters(spark, dir).count())
     run("connected_components")(Queries.q_connected_components(spark, dir).count())
+    run("copurchase_pairs")(graft.functions.CoOccurrence.pairCounts(
+      Queries.tbl(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
+      maxBasketSize = 20, minCount = 2L).count())
+    run("label_prop") {
+      val edges = graft.functions.CoOccurrence.pairCounts(
+          Queries.tbl(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
+          maxBasketSize = 20, minCount = 2L)
+        .select(org.apache.spark.sql.functions.col("a_item").as("src"),
+          org.apache.spark.sql.functions.col("b_item").as("dst"))
+      graft.algorithms.Graph.labelPropagation(edges, rounds = 2,
+        dedupeEdges = false).count()
+    }
     spark.stop()
   }
 }
