@@ -303,8 +303,9 @@ object Graph {
       val n = nodes.count().toDouble
       val wOut = e.groupBy(col("src")).agg(sum(col("w")).as("w_out")).persist()
       val basePico = math.round((1 - damping) / n * 1e12)
+      // linear lineage (each rank references only the previous one plus the
+      // caches) — rounds stay lazy, one materializing checkpoint at the end
       var r = nodes.withColumn("rank_pico", lit(math.round(1e12 / n)))
-        .localCheckpoint()
       for (_ <- 1 to iterations) {
         val contrib = e.join(broadcast(wOut), Seq("src"))
           .join(r.withColumnRenamed("node", "src"), Seq("src"))
@@ -316,10 +317,10 @@ object Graph {
             Seq("node"), "left")
           .select(col("node"),
             (lit(basePico) + coalesce(col("ip"), lit(0L))).as("rank_pico"))
-          .localCheckpoint()
       }
+      val out = r.localCheckpoint()
       nodes.unpersist(); wOut.unpersist(); e.unpersist()
-      r
+      out
     }
   }
 
@@ -344,19 +345,24 @@ object Graph {
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
-      var h = nodes.withColumn("hub", lit(1L)).localCheckpoint()
+      // hits lineage grows LINEARLY in rounds (each score references only
+      // the previous one plus the cached edges/nodes), so intermediate
+      // rounds stay lazy — one materializing checkpoint at the end, while
+      // the caches are still alive, is all the truncation needed (contrast
+      // kCore, whose degrees() references its state twice per round)
+      var h = nodes.withColumn("hub", lit(1L))
       var a = nodes.withColumn("auth", lit(0L))
       for (_ <- 1 to rounds) {
         a = nodes.join(
             e.join(h.select(col("node").as("src"), col("hub")), Seq("src"))
               .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")),
             Seq("node"), "left")
-          .na.fill(0L, Seq("auth")).localCheckpoint()
+          .na.fill(0L, Seq("auth"))
         h = nodes.join(
             e.join(a.select(col("node").as("dst"), col("auth")), Seq("dst"))
               .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")),
             Seq("node"), "left")
-          .na.fill(0L, Seq("hub")).localCheckpoint()
+          .na.fill(0L, Seq("hub"))
       }
       val out = h.join(a, Seq("node"))
         .select(col("node"), col("hub"), col("auth")).localCheckpoint()
