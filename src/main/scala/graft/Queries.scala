@@ -5073,6 +5073,41 @@ object Queries {
       |  CAST(1 + octet_length(CAST(text AS BLOB)) % 24 AS INTEGER) AS n_frames
       |FROM documents""".stripMargin
 
+  /** Per-frame audio features through the REAL WAV codec
+    * (Multimodal.encodeWav → audioFrameFeatures): deterministic synthetic
+    * PCM per document (a pure integer function of doc_id) is encoded,
+    * decoded and framed on the executors; frame energy and zero-crossing
+    * counts are exact integers, so the oracle replays the generating
+    * formula with zero FP while the Spark side exercises the actual
+    * encode→decode→frame pipeline (the codec itself is pinned by
+    * MultimodalSpec's golden fixtures). */
+  def q_audio_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val pcm = Array.tabulate(192)(i =>
+          (((id * 31 + i * 17 + 7) % 65536) - 32768).toShort)
+        graft.functions.Multimodal.MediaRecord(id, "wav",
+          graft.functions.Multimodal.encodeWav(pcm))
+      }
+    graft.functions.Multimodal.audioFrameFeatures(media, frameSize = 64).toDF()
+  }
+
+  private val q_audio_features_sql =
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |    CAST((doc_id * 31 + i * 17 + 7) % 65536 - 32768 AS BIGINT) AS v,
+      |    CAST(i // 64 AS INTEGER) AS frame_idx
+      |  FROM documents, UNNEST(range(0, 192)) AS t(i)),
+      |l AS (SELECT doc_id, frame_idx, i, v,
+      |    lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id AS media_id, frame_idx, CAST(64 AS INTEGER) AS n_samples,
+      |  CAST(sum(v * v) AS BIGINT) AS energy,
+      |  CAST(count(CASE WHEN (pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0)
+      |    THEN 1 END) AS INTEGER) AS zero_crossings
+      |FROM l GROUP BY 1, 2""".stripMargin
+
   /** wordcount-assoc over a TEXT FILE — the reference's hero benchmark
     * (README.md:62-96, benches/wordcount.rs): stream_file → flat_map →
     * group_by_count. The file is materialized once per (sf, content hash)
@@ -5850,6 +5885,7 @@ object Queries {
     "q_embedding_neardup" -> (q_embedding_neardup _),
     "q_text_profile" -> (q_text_profile _),
     "q_multimodal" -> (q_multimodal _),
+    "q_audio_features" -> (q_audio_features _),
     "nx_q1" -> (nx_q1 _),
     "nx_q2" -> (nx_q2 _),
     "nx_q3" -> (nx_q3 _),
@@ -6056,6 +6092,7 @@ object Queries {
     "q_embedding_neardup" -> q_embedding_neardup_sql,
     "q_text_profile" -> q_text_profile_sql,
     "q_multimodal" -> q_multimodal_sql,
+    "q_audio_features" -> q_audio_features_sql,
     "nx_q1" -> nx_q1_sql,
     "nx_q2" -> nx_q2_sql,
     "nx_q3" -> nx_q3_sql,

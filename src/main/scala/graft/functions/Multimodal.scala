@@ -210,6 +210,83 @@ object Multimodal {
     })
   }
 
+  /** PCM16 mono samples of a WAV payload (the [[decodeWav]] chunk walk,
+    * returning the data instead of folding it). */
+  private[graft] def wavSamples(p: Array[Byte]): Array[Short] = {
+    var off = 12
+    var bits = 0; var channels = 0
+    var dataOff = -1; var dataLen = 0L
+    var walking = true
+    while (walking && off + 8 <= p.length) {
+      val id = new String(p.slice(off, off + 4), "US-ASCII")
+      val len = u32le(p, off + 4)
+      if (id == "fmt ") { channels = u16le(p, off + 10); bits = u16le(p, off + 22) }
+      else if (id == "data") { dataOff = off + 8; dataLen = len }
+      if (len.toInt < 0) walking = false
+      else off += 8 + len.toInt + (len.toInt & 1)
+    }
+    require(dataOff >= 0 && bits == 16 && channels == 1,
+      "wavSamples expects PCM16 mono")
+    val end = math.min(dataOff + dataLen, p.length.toLong).toInt
+    val out = new Array[Short]((end - dataOff) / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = u16le(p, dataOff + 2 * i).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Minimal PCM16 mono WAV encoder — the fixture/round-trip counterpart
+    * of [[decodeWav]]/[[wavSamples]]. */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
+      energy: Long, zero_crossings: Int)
+
+  /** Per-frame audio features over REAL decoded PCM — the classic
+    * speech/music-vs-silence gate a corpus pipeline runs before paying for
+    * transcription: frame ENERGY Σs² as an exact BIGINT (16-bit samples →
+    * a 2³⁰ bound per sample, no FP) and ZERO-CROSSING count (sign flips
+    * between consecutive samples inside the frame). Tail samples that
+    * don't fill a frame are dropped — frames are fixed-size by contract.
+    * Payloads never leave the executors; one narrow pass. */
+  def audioFrameFeatures(ds: Dataset[MediaRecord], frameSize: Int)
+      : Dataset[AudioFrame] = {
+    require(frameSize >= 2, s"need frameSize >= 2, got $frameSize")
+    implicit val enc: Encoder[AudioFrame] = Encoders.product[AudioFrame]
+    ds.flatMap { r =>
+      val s = wavSamples(r.payload)
+      (0 until s.length / frameSize).map { f =>
+        val base = f * frameSize
+        var energy = 0L; var zc = 0
+        var i = 0
+        while (i < frameSize) {
+          val v = s(base + i).toLong
+          energy += v * v
+          if (i > 0) {
+            val prev = s(base + i - 1)
+            if ((prev < 0 && s(base + i) >= 0) || (prev >= 0 && s(base + i) < 0)) zc += 1
+          }
+          i += 1
+        }
+        AudioFrame(r.media_id, f, frameSize, energy, zc)
+      }
+    }
+  }
+
   /** Frame sampling stub: every `stride`-th frame index of a decoded video —
     * the real implementation would slice the payload; the partitioning and
     * explode shape are the true article. */

@@ -80,4 +80,27 @@ class MultimodalSpec extends AnyFunSuite {
 
     assert(out(4L).format == "unknown")
   }
+
+  test("encodeWav round-trips through the decoder; frame features closed form") {
+    val s = spark; import s.implicits._
+    // 8 samples: [100, -100, 100, -100, 0, 0, 50, -50] — frame 4:
+    //  f0: energy 4*100² = 40000, zc 3 (sign flips at 1,2,3)
+    //  f1: energy 50²+50² = 5000, zc 1 (0→0 no flip, 0→50 no flip, 50→-50 flip)
+    val pcm = Array[Short](100, -100, 100, -100, 0, 0, 50, -50)
+    val bytes = Multimodal.encodeWav(pcm, sampleRate = 8000)
+    assert(Multimodal.wavSamples(bytes).toSeq == pcm.toSeq)
+    val info = Multimodal.decodeWav(bytes)
+    assert(info.format == "wav" && info.sampleRate == 8000 && info.nSamples == 8)
+    val frames = Multimodal.audioFrameFeatures(
+        Seq(MediaRecord(1L, "wav", bytes)).toDS(), frameSize = 4)
+      .collect().map(f => f.frame_idx -> ((f.energy, f.zero_crossings))).toMap
+    assert(frames(0) == ((40000L, 3)))
+    assert(frames(1) == ((5000L, 1)))
+    // tail samples that don't fill a frame drop whole
+    val tail = Multimodal.audioFrameFeatures(
+        Seq(MediaRecord(2L, "wav", Multimodal.encodeWav(pcm.take(7)))).toDS(),
+        frameSize = 4)
+      .collect()
+    assert(tail.length == 1 && tail.head.frame_idx == 0)
+  }
 }
