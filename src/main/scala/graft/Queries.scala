@@ -5108,6 +5108,36 @@ object Queries {
       |    THEN 1 END) AS INTEGER) AS zero_crossings
       |FROM l GROUP BY 1, 2""".stripMargin
 
+  /** Per-tile image statistics through the REAL PPM codec
+    * (Multimodal.encodePpm → imageTileStats): deterministic synthetic
+    * 16×12 RGB per document, encoded, decoded and cut into 4×4 patches on
+    * the executors — integer byte sums, so the oracle replays the pixel
+    * formula with zero FP while Spark exercises the actual
+    * encode→decode→tile path. */
+  def q_image_tiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val rgb = Array.tabulate(3 * 16 * 12) { k =>
+          ((id * 7 + k * 13) % 256).toByte
+        }
+        graft.functions.Multimodal.MediaRecord(id, "ppm",
+          graft.functions.Multimodal.encodePpm(16, 12, rgb))
+      }
+    graft.functions.Multimodal.imageTileStats(media, tile = 4).toDF()
+  }
+
+  private val q_image_tiles_sql =
+    """WITH px AS (
+      |  SELECT doc_id, CAST((k // 3) % 16 AS INTEGER) AS x,
+      |    CAST(k // 48 AS INTEGER) AS y,
+      |    (doc_id * 7 + k * 13) % 256 AS v
+      |  FROM documents, UNNEST(range(0, 576)) AS t(k))
+      |SELECT doc_id AS media_id, CAST(x // 4 AS INTEGER) AS tile_x,
+      |  CAST(y // 4 AS INTEGER) AS tile_y, CAST(16 AS INTEGER) AS n_px,
+      |  CAST(sum(v) AS BIGINT) AS rgb_sum
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
   /** wordcount-assoc over a TEXT FILE — the reference's hero benchmark
     * (README.md:62-96, benches/wordcount.rs): stream_file → flat_map →
     * group_by_count. The file is materialized once per (sf, content hash)
@@ -5886,6 +5916,7 @@ object Queries {
     "q_text_profile" -> (q_text_profile _),
     "q_multimodal" -> (q_multimodal _),
     "q_audio_features" -> (q_audio_features _),
+    "q_image_tiles" -> (q_image_tiles _),
     "nx_q1" -> (nx_q1 _),
     "nx_q2" -> (nx_q2 _),
     "nx_q3" -> (nx_q3 _),
@@ -6093,6 +6124,7 @@ object Queries {
     "q_text_profile" -> q_text_profile_sql,
     "q_multimodal" -> q_multimodal_sql,
     "q_audio_features" -> q_audio_features_sql,
+    "q_image_tiles" -> q_image_tiles_sql,
     "nx_q1" -> nx_q1_sql,
     "nx_q2" -> nx_q2_sql,
     "nx_q3" -> nx_q3_sql,

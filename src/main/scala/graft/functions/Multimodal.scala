@@ -253,6 +253,72 @@ object Multimodal {
     bb.array()
   }
 
+  /** Binary P6 PPM encoder — fixture/round-trip counterpart of
+    * [[decodePpm]]/[[ppmPixels]]. `rgb` is row-major interleaved RGB. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"need ${3 * w * h} bytes, got ${rgb.length}")
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+  }
+
+  /** (width, height, interleaved RGB bytes) of a P6 PPM payload — the
+    * [[decodePpm]] parse, returning the pixels instead of folding them. */
+  private[graft] def ppmPixels(p: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var off = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && off < p.length) {
+        if (p(off) == '#') while (off < p.length && p(off) != '\n') off += 1
+        else if (Character.isWhitespace(p(off))) off += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      while (off < p.length && p(off) >= '0' && p(off) <= '9') {
+        v = v * 10 + (p(off) - '0'); off += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxV = readInt()
+    off += 1
+    require(w > 0 && h > 0 && maxV > 0, "not a P6 PPM")
+    require(p.length - off >= 3 * w * h, "truncated P6 payload")
+    (w, h, p.slice(off, off + 3 * w * h))
+  }
+
+  case class ImageTile(media_id: Long, tile_x: Int, tile_y: Int,
+      n_px: Int, rgb_sum: Long)
+
+  /** Per-tile pixel statistics over REAL decoded pixels — the patch
+    * featurization step of a vision preprocessing pipeline (and the
+    * cheap all-black/all-white/banding detector): the image is cut into
+    * `tile`×`tile` patches and each patch's interleaved-RGB byte sum is
+    * an exact BIGINT (bytes ≤ 255 → no FP anywhere). Edge tiles that
+    * don't fill the full square are dropped — patches are fixed-size by
+    * contract (the ViT convention). One narrow executor-side pass. */
+  def imageTileStats(ds: Dataset[MediaRecord], tile: Int): Dataset[ImageTile] = {
+    require(tile >= 1, s"need tile >= 1, got $tile")
+    implicit val enc: Encoder[ImageTile] = Encoders.product[ImageTile]
+    ds.flatMap { r =>
+      val (w, h, px) = ppmPixels(r.payload)
+      for {
+        ty <- 0 until h / tile
+        tx <- 0 until w / tile
+      } yield {
+        var sum = 0L
+        var dy = 0
+        while (dy < tile) {
+          val rowBase = ((ty * tile + dy) * w + tx * tile) * 3
+          var k = 0
+          while (k < 3 * tile) { sum += (px(rowBase + k) & 0xff); k += 1 }
+          dy += 1
+        }
+        ImageTile(r.media_id, tx, ty, tile * tile, sum)
+      }
+    }
+  }
+
   case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
       energy: Long, zero_crossings: Int)
 

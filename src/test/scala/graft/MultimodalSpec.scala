@@ -103,4 +103,22 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     assert(tail.length == 1 && tail.head.frame_idx == 0)
   }
+
+  test("encodePpm round-trips; tile stats closed form with edge-tile drop") {
+    val s = spark; import s.implicits._
+    // 5x3 image, pixel bytes = k (row-major interleaved) — tile 2:
+    // full tiles: (0,0) and (1,0); x=4 column and y=2 row drop
+    val rgb = Array.tabulate(3 * 5 * 3)(_.toByte)
+    val bytes = Multimodal.encodePpm(5, 3, rgb)
+    val (w, h, px) = Multimodal.ppmPixels(bytes)
+    assert(w == 5 && h == 3 && px.toSeq == rgb.toSeq)
+    val tiles = Multimodal.imageTileStats(
+        Seq(MediaRecord(1L, "ppm", bytes)).toDS(), tile = 2)
+      .collect().map(t => (t.tile_x, t.tile_y) -> t.rgb_sum).toMap
+    // tile(0,0): rows 0-1, cols 0-1 -> bytes k in {0..5} ∪ {15..20}
+    assert(tiles((0, 0)) == (0 to 5).sum + (15 to 20).sum)
+    // tile(1,0): cols 2-3 -> {6..11} ∪ {21..26}
+    assert(tiles((1, 0)) == (6 to 11).sum + (21 to 26).sum)
+    assert(tiles.size == 2)
+  }
 }
