@@ -1357,6 +1357,45 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("is_new"),
         col("session_seq").as("session_id"))
 
+  /** Top user journeys: the most common event-type PATHS per session —
+    * sessionize, fold each (user, session)'s events into an ordered path
+    * string (sort_array over (ts, event_id)-keyed structs inside ONE
+    * aggregate — per-session work, bounded by session length), count
+    * paths, TakeOrdered top 20. The "what do users actually do" report:
+    * paths move at session grain, the count at path grain. */
+  def q_user_journeys(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.WindowsDF.sessionize(
+      events(s, dir), "user_id", "ts", "event_id", 43200000000L)
+    sess
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws("->", transform(
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))),
+        e => e.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+
+  private val q_user_journeys_sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS prev_us FROM e),
+      |n AS (SELECT *,
+      |    (prev_us IS NULL OR us - prev_us > 43200000000) AS is_new FROM l),
+      |sess AS (SELECT user_id, event_id, event_type, us,
+      |    sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS session_seq FROM n),
+      |paths AS (SELECT user_id, session_seq,
+      |    string_agg(event_type, '->' ORDER BY us, event_id) AS path
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions FROM paths
+      |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   /** Per-session engagement stats (examples.Clickstream.sessionStats over
     * [[q_sessionize]]'s assignment): events, span and value sum per
     * (user, session) — the session-grain warehouse table. The groupBy
@@ -5788,6 +5827,7 @@ object Queries {
     "q_retention" -> (q_retention _),
     "q_cohort_matrix" -> (q_cohort_matrix _),
     "q_sessionize" -> (q_sessionize _),
+    "q_user_journeys" -> (q_user_journeys _),
     "q_session_stats" -> (q_session_stats _),
     "q_trending" -> (q_trending _),
     "q_stream_trending" -> (q_stream_trending _),
@@ -5996,6 +6036,7 @@ object Queries {
     "q_retention" -> q_retention_sql,
     "q_cohort_matrix" -> q_cohort_matrix_sql,
     "q_sessionize" -> q_sessionize_sql,
+    "q_user_journeys" -> q_user_journeys_sql,
     "q_session_stats" -> q_session_stats_sql,
     "q_trending" -> q_trending_sql,
     "q_stream_trending" -> q_trending_sql,
