@@ -1396,6 +1396,55 @@ object Queries {
       |SELECT path, count(*) AS n_sessions FROM paths
       |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** Event-transition matrix (the Markov next-step model over sessions):
+    * P(next event type | current) from within-session consecutive pairs —
+    * one lead() over the user_id Exchange the sessionize windows already
+    * installed, then a (from, to)-grain count and a per-from total joined
+    * back at event-type cardinality. Exact integer counts, one division
+    * in double. */
+  def q_event_transitions(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.WindowsDF.sessionize(
+      events(s, dir), "user_id", "ts", "event_id", 43200000000L)
+    val ord = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = sess
+      .withColumn("next_type", lead(col("event_type"), 1).over(ord))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
+  private val q_event_transitions_sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS prev_us FROM e),
+      |n AS (SELECT *,
+      |    (prev_us IS NULL OR us - prev_us > 43200000000) AS is_new FROM l),
+      |sess AS (SELECT user_id, event_id, event_type, us,
+      |    sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS session_seq FROM n),
+      |p AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id, session_seq
+      |      ORDER BY us, event_id) AS to_type
+      |  FROM sess),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n_from AS BIGINT) AS n_from,
+      |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin
+
   /** Per-session engagement stats (examples.Clickstream.sessionStats over
     * [[q_sessionize]]'s assignment): events, span and value sum per
     * (user, session) — the session-grain warehouse table. The groupBy
@@ -5828,6 +5877,7 @@ object Queries {
     "q_cohort_matrix" -> (q_cohort_matrix _),
     "q_sessionize" -> (q_sessionize _),
     "q_user_journeys" -> (q_user_journeys _),
+    "q_event_transitions" -> (q_event_transitions _),
     "q_session_stats" -> (q_session_stats _),
     "q_trending" -> (q_trending _),
     "q_stream_trending" -> (q_stream_trending _),
@@ -6037,6 +6087,7 @@ object Queries {
     "q_cohort_matrix" -> q_cohort_matrix_sql,
     "q_sessionize" -> q_sessionize_sql,
     "q_user_journeys" -> q_user_journeys_sql,
+    "q_event_transitions" -> q_event_transitions_sql,
     "q_session_stats" -> q_session_stats_sql,
     "q_trending" -> q_trending_sql,
     "q_stream_trending" -> q_trending_sql,
