@@ -4097,6 +4097,33 @@ object Queries {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Per-source duplication-rate report — the corpus-governance view of
+    * exact dedup ("which feed is flooding us with copies"): per source,
+    * docs, distinct contents, duplicate count and rate. Aggregate OF an
+    * aggregate — (source, digest) grain first, both levels
+    * partial-aggregate, the distinct never materializes a set; exact
+    * integers, one division in double. */
+  def q_dup_rate_by_source(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy(col("source"), md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dups"),
+        ((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+
+  private val q_dup_rate_by_source_sql =
+    """WITH g AS (SELECT source, md5(text) AS digest, count(*) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(n) - count(*) AS BIGINT) AS n_dups,
+      |  CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate
+      |FROM g GROUP BY source""".stripMargin
+
   /** Persistent digest-history dedup over two crawl cycles (DigestStore):
     * the corpus split at the median doc id; each increment dedups against
     * the store (Bloom prefilter + exact residual — FPs never surface) and
@@ -5965,6 +5992,7 @@ object Queries {
     "q_triangles" -> (q_triangles _),
     "q_kmeans" -> (q_kmeans _),
     "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dup_rate_by_source" -> (q_dup_rate_by_source _),
     "q_digest_persist" -> (q_digest_persist _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
@@ -6175,6 +6203,7 @@ object Queries {
     "q_triangles" -> q_triangles_sql,
     "q_kmeans" -> q_kmeans_sql,
     "q_dedup_exact" -> q_dedup_exact_sql,
+    "q_dup_rate_by_source" -> q_dup_rate_by_source_sql,
     "q_digest_persist" -> q_digest_persist_sql,
     "q_dedup_minhash" -> q_dedup_minhash_sql,
     "q_dedup_incremental" -> q_dedup_incremental_sql,
