@@ -279,14 +279,20 @@ object Graph {
 
   /** Weighted PageRank in FIXED-POINT arithmetic: ranks are exact BIGINT
     * pico-units (1e12 = mass 1), and each edge's contribution
-    * d·rank(m)·w(m,n)/W(m) is computed in one fixed double-op order and
-    * rounded to an integer BEFORE the incoming sum. The per-node sum is
-    * then integer — associative, commutative — so the result is EXACTLY
+    * d·rank(m)·w(m,n)/W(m) is PURE INTEGER arithmetic — damping as the
+    * reduced rational dN/dD (17/20 for 0.85), contribution
+    * `(2·dN·rank·w + dD·w_out) div (2·dD·w_out)`, i.e. half-up rounding
+    * with no float op and therefore no `.5`-tie whose direction hangs on
+    * an engine's round() policy (double round() here mismatched DuckDB on
+    * 101 exactly-representable `.5` contributions). The per-node sum is
+    * integer — associative, commutative — so the result is EXACTLY
     * reproducible across partitionings, retries and engines, unlike
     * float PR whose incoming sums drift with reduction order (the
     * determinism lever that matters when a rank feeds a dedup/keep
     * decision and reruns must agree). Quantization error is ≤ 0.5e-12
-    * mass per edge per round.
+    * mass per edge per round. Overflow bound: 2·dN·rank_pico·w must fit
+    * int64 — rank mass is conserved at ~1e12 total, so w up to ~1e5 is
+    * safe at dN=17 (ANSI mode would raise, not wrap, beyond it).
     *
     * edges: (src, dst, weight ≥ 1 integer). Per round: one edge⋈rank join
     * against the cached weighted edge set, one node-keyed integer sum.
@@ -294,6 +300,11 @@ object Graph {
   def pageRankWeightedFixed(edges: DataFrame, iterations: Int,
       damping: Double = 0.85, parallelism: Option[Int] = None): DataFrame = {
     require(iterations >= 1, s"need >= 1 iterations, got $iterations")
+    val dNum0 = math.round(damping * 10000)
+    require(math.abs(dNum0 / 10000.0 - damping) < 1e-12,
+      s"damping must be a 4-decimal rational, got $damping")
+    val g = BigInt(dNum0).gcd(BigInt(10000L)).toLong
+    val dN = dNum0 / g; val dD = 10000L / g
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("long").as("w")).persist()
     val width = parallelism.getOrElse(Iteration.sizedWidth(e.count()))
@@ -310,9 +321,8 @@ object Graph {
         val contrib = e.join(broadcast(wOut), Seq("src"))
           .join(r.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"),
-            round(lit(damping) * col("rank_pico").cast("double")
-              * col("w").cast("double") / col("w_out").cast("double"), 0)
-              .cast("long").as("c"))
+            expr(s"(${2 * dN}L * rank_pico * w + ${dD}L * w_out)" +
+              s" DIV (${2 * dD}L * w_out)").as("c"))
         r = nodes.join(contrib.groupBy(col("node")).agg(sum(col("c")).as("ip")),
             Seq("node"), "left")
           .select(col("node"),
