@@ -2044,21 +2044,19 @@ object Queries {
       |    CAST(round((1 - 0.85) / (SELECT n FROM params) * 1e12, 0) AS BIGINT)
       |      + coalesce(s.ip, 0) AS rp
       |  FROM nodes nd LEFT JOIN (
-      |    SELECT e.dst AS node, sum(CAST(round(
-      |        0.85 * CAST(r.rp AS DOUBLE) * CAST(e.w AS DOUBLE)
-      |          / CAST(wo.w_out AS DOUBLE), 0) AS BIGINT)) AS ip
+      |    SELECT e.dst AS node,
+      |      sum(CAST((34*r.rp*e.w + 20*wo.w_out) // (40*wo.w_out) AS BIGINT)) AS ip
       |    FROM und e JOIN wout wo ON e.src = wo.src
       |    JOIN r0 r ON r.node = e.src GROUP BY 1) s ON nd.node = s.node),
       |r2 AS (SELECT nd.node,
       |    CAST(round((1 - 0.85) / (SELECT n FROM params) * 1e12, 0) AS BIGINT)
       |      + coalesce(s.ip, 0) AS rp
       |  FROM nodes nd LEFT JOIN (
-      |    SELECT e.dst AS node, sum(CAST(round(
-      |        0.85 * CAST(r.rp AS DOUBLE) * CAST(e.w AS DOUBLE)
-      |          / CAST(wo.w_out AS DOUBLE), 0) AS BIGINT)) AS ip
+      |    SELECT e.dst AS node,
+      |      sum(CAST((34*r.rp*e.w + 20*wo.w_out) // (40*wo.w_out) AS BIGINT)) AS ip
       |    FROM und e JOIN wout wo ON e.src = wo.src
       |    JOIN r1 r ON r.node = e.src GROUP BY 1) s ON nd.node = s.node)
-      |SELECT node, rp AS rank_pico FROM r2""".stripMargin
+      |SELECT node, CAST(rp AS BIGINT) AS rank_pico FROM r2""".stripMargin
 
   /** Entity consolidation: the ER pair graph closed into entities —
     * q_er_join's match pairs fed through connectedComponents, each matched

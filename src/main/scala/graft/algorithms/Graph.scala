@@ -291,12 +291,19 @@ object Graph {
     * determinism lever that matters when a rank feeds a dedup/keep
     * decision and reruns must agree). Quantization error is ≤ 0.5e-12
     * mass per edge per round. Overflow bound: 2·dN·rank_pico·w must fit
-    * int64 — rank mass is conserved at ~1e12 total, so w up to ~1e5 is
-    * safe at dN=17 (ANSI mode would raise, not wrap, beyond it).
+    * int64 — rank mass is conserved at ~1e12 total, so the safe max edge
+    * weight is ~2^63 / (2·dN·1.25e12); a runtime `require` on max(w)
+    * enforces the bound up-front (piggy-backed on the sizing pass, no
+    * extra job) instead of silently wrapping in non-ANSI mode.
     *
     * edges: (src, dst, weight ≥ 1 integer). Per round: one edge⋈rank join
     * against the cached weighted edge set, one node-keyed integer sum.
-    * Returns (node, rank_pico). */
+    * Returns (node, rank_pico).
+    *
+    * @param damping must be expressible as a 4-decimal rational k/10000
+    *   (e.g. 0.85, 0.9993) — it is lowered to the reduced fraction dN/dD
+    *   for the exact integer contribution; irrational or finer-grained
+    *   values (e.g. 1.0/3) are rejected with IllegalArgumentException. */
   def pageRankWeightedFixed(edges: DataFrame, iterations: Int,
       damping: Double = 0.85, parallelism: Option[Int] = None): DataFrame = {
     require(iterations >= 1, s"need >= 1 iterations, got $iterations")
@@ -307,7 +314,19 @@ object Graph {
     val dN = dNum0 / g; val dD = 10000L / g
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("long").as("w")).persist()
-    val width = parallelism.getOrElse(Iteration.sizedWidth(e.count()))
+    // single sizing job yields both the shuffle-width count and the
+    // overflow guard's max weight (no extra pass over the edges)
+    val statsRow = e.agg(count(lit(1)).as("n"), max(col("w")).as("mw")).head()
+    val edgeCount = statsRow.getLong(0)
+    val maxW = if (statsRow.isNullAt(1)) 1L else statsRow.getLong(1)
+    // contribution numerator 2·dN·rank_pico·w must fit int64; total rank
+    // mass stays ≈1e12 so any single rank is < ~1.25e12 incl. quantization
+    val maxSafeW = Long.MaxValue / (2L * dN) / 1250000000000L
+    require(maxW <= maxSafeW,
+      s"max edge weight $maxW would overflow the int64 fixed-point " +
+        s"contribution at damping $damping (dN=$dN); bound is $maxSafeW — " +
+        "rescale weights or use a coarser damping rational")
+    val width = parallelism.getOrElse(Iteration.sizedWidth(edgeCount))
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()

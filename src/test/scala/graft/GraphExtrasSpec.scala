@@ -66,4 +66,21 @@ class GraphExtrasSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r(2L) > rq(2L))
   }
+
+  test("pageRankWeightedFixed: overflow guard rejects weights past the int64 bound") {
+    val s = spark; import s.implicits._
+    // damping 0.9993 -> dN=9993: safe weight bound shrinks ~600x vs 0.85;
+    // a weight that silently wrapped pre-guard must now throw up-front
+    val big = Seq((1L, 2L, Long.MaxValue / 1000L), (2L, 1L, 1L))
+      .toDF("src", "dst", "weight")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankWeightedFixed(big, iterations = 1, damping = 0.9993)
+    }
+    assert(ex.getMessage.contains("overflow"))
+    // non-4-decimal damping is rejected, per the documented restriction
+    val ok = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeightedFixed(ok, iterations = 1, damping = 1.0 / 3)
+    }
+  }
 }
