@@ -1552,8 +1552,8 @@ object Queries {
       val fpRow = raw.agg(count(lit(1)), coalesce(sum(
         pmod(xxhash64(raw.columns.map(col): _*), lit(2147483647L))), lit(0L))).head()
       val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
-      val base = java.nio.file.Paths.get(
-        s"/tmp/graft_streamsplit_${table}_${sfTag}_${nBatches}_$fp")
+      val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
+        "streamsplit", version = 1, sfTag, Seq(table, nBatches), fp))
       if (!java.nio.file.Files.isDirectory(base)) {
         // range-split on event time (events) / stable key (other tables)
         // into nBatches ascending part files — partition i of
@@ -1984,16 +1984,19 @@ object Queries {
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val maxBasketSize = 20
+    val minCount = 2L
     val fpRow = li.agg(count(lit(1)), coalesce(sum(
       pmod(xxhash64(col("l_orderkey"), col("l_partkey")),
         lit(2147483647L))), lit(0L))).head()
-    val base = java.nio.file.Paths.get(
-      s"/tmp/graft_copurchase_${sfTag}_${fpRow.getLong(0)}_${fpRow.getLong(1)}")
+    val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
+      "copurchase", version = 1, sfTag, Seq(maxBasketSize, minCount),
+      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"))
     if (!java.nio.file.Files.isDirectory(base)) {
       val tmp = java.nio.file.Paths.get(
         base.toString + ".tmp." + java.util.UUID.randomUUID())
       graft.functions.CoOccurrence.pairCounts(li, "l_orderkey", "l_partkey",
-          maxBasketSize = 20, minCount = 2L)
+          maxBasketSize = maxBasketSize, minCount = minCount)
         .write.mode("overwrite").parquet(tmp.toString)
       try java.nio.file.Files.move(tmp, base,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -2854,7 +2857,8 @@ object Queries {
     val fpRow = docs.agg(count(lit(1)), coalesce(sum(
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
         % lit(2147483647L)), lit(0L))).head()
-    val path = s"/tmp/graft_invidx_${sfTag}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val path = graft.functions.CacheKey.path("invidx", version = 1, sfTag,
+      Seq("doc_id", "text"), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
     val marker = java.nio.file.Paths.get(s"$path/_complete")
     if (!java.nio.file.Files.exists(marker)) {
       graft.functions.InvertedIndex.save(
@@ -3005,8 +3009,8 @@ object Queries {
       conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
         .cast("long") % lit(2147483647L)), lit(0L))).head()
     val mode = if (portableMode) "p" else "x"
-    val path =
-      s"/tmp/graft_kmvstore_${sfTag}_${mode}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val path = graft.functions.CacheKey.path("kmvstore", version = 1, sfTag,
+      Seq(mode, k), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
     val marker = java.nio.file.Paths.get(s"$path/_complete")
     if (!java.nio.file.Files.exists(marker)) {
       graft.functions.SketchStore.init(s, path, k, portable = portableMode)
@@ -3170,12 +3174,14 @@ object Queries {
     val fpRow = li.agg(count(lit(1)), coalesce(sum(
       conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
         .cast("long") % lit(2147483647L)), lit(0L))).head()
-    val path =
-      s"/tmp/graft_histstore_${sfTag}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val bins = 256
+    val lo = 900.0
+    val hi = 105000.0
+    val path = graft.functions.CacheKey.path("histstore", version = 1, sfTag,
+      Seq(bins, lo, hi), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
     val marker = java.nio.file.Paths.get(s"$path/_complete")
     if (!java.nio.file.Files.exists(marker)) {
-      graft.functions.HistStore.init(s, path, bins = 256, lo = 900.0,
-        hi = 105000.0)
+      graft.functions.HistStore.init(s, path, bins = bins, lo = lo, hi = hi)
       val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
       graft.functions.HistStore.updateCycle(s, path, 1,
         li.filter(col("l_orderkey") <= mid), col("l_extendedprice"))
@@ -4924,12 +4930,15 @@ object Queries {
     val fpRow = emb.agg(count(lit(1)), coalesce(sum(
       conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % lit(2147483647L)), lit(0L))).head()
-    val path = s"/tmp/graft_ivf_${sfTag}_${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    val nlist = 8
+    val kmeansIters = 2
+    val path = graft.functions.CacheKey.path("ivf", version = 1, sfTag,
+      Seq(nlist, kmeansIters), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
     val marker = java.nio.file.Paths.get(s"$path/_complete")
     if (!java.nio.file.Files.exists(marker)) {
       graft.functions.IvfIndex.save(
         graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
-          nlist = 8, kmeansIters = 2), path)
+          nlist = nlist, kmeansIters = kmeansIters), path)
       java.nio.file.Files.createFile(marker)
     }
     val loaded = graft.functions.IvfIndex.load(s, path)
@@ -5269,7 +5278,8 @@ object Queries {
         conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
           % lit(2147483647L)), lit(0L))).head()
     val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
-    val path = s"/tmp/graft_wordcount_${sfTag}_$fp.txt"
+    val path = graft.functions.CacheKey.path("wordcount", version = 1, sfTag,
+      Nil, fp) + ".txt"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
       val tmp = path + ".tmpdir." + java.util.UUID.randomUUID()
       tbl(s, dir, "documents").select(col("text"))
