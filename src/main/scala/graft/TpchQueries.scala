@@ -9,8 +9,9 @@ import org.apache.spark.sql.expressions.Window
   * The testdata schema omits `partsupp`, the lineitem commit/receipt dates,
   * ship mode/instruct, and part container/mfgr, so:
   *
-  *  - Q2 and Q11 (pure partsupp queries) have no faithful adaptation and
-  *    are intentionally absent;
+  *  - Q2 and Q11 (pure partsupp queries) derive their supplier–part
+  *    relation from `lineitem` (Q2: supplycost := min extendedprice per
+  *    (part, supplier); Q11: value := Σ quantity·extendedprice);
   *  - Q4/Q12/Q21 re-express their lateness predicates against
   *    `l_shipdate - o_orderdate` instead of the missing commit/receipt
   *    dates;
@@ -89,6 +90,77 @@ object TpchQueries {
        |FROM lineitem
        |WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '2001-09-01'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // =====================================================================
+  // Q2 — minimum-cost supplier (partsupp via lineitem)
+  // =====================================================================
+
+  /** Q2 adapted: the schema has no `partsupp`, so the supplier–part
+    * relation is derived from lineitem the same way Q9/Q16/Q20 derive
+    * theirs — `ps_supplycost := min(l_extendedprice)` per (part,
+    * supplier), an exact DECIMAL aggregate. The correlated
+    * `min(ps_supplycost)` over the region's suppliers decorrelates into
+    * a per-part aggregate joined back on (partkey, exact-DECIMAL cost
+    * equality), preserving Q2's defining shape: dimension broadcasts
+    * (region→nation→supplier, filtered part), one fact-grain aggregate,
+    * the min-join, and a totally-ordered top-100. Ties on the minimum
+    * keep every attaining supplier, as in the original. */
+  def q_tpch2(s: SparkSession, dir: String): DataFrame = {
+    val eu = tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")
+          .join(broadcast(tbl(s, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val ps = tbl(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+    val psEu = ps
+      .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_brand"))),
+        col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = psEu.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("mc_cost"))
+    psEu.join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost") === col("mc_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("s_suppkey"),
+        col("ps_supplycost").cast("double").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  private val q_tpch2_sql =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |ps_eu AS (
+      |  SELECT *
+      |  FROM ps
+      |  JOIN part ON ps_partkey = p_partkey
+      |  JOIN eu ON ps_suppkey = s_suppkey
+      |  WHERE p_size <= 25 AND p_type = 'LARGE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,
+      |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+      |FROM ps_eu
+      |WHERE ps_supplycost = (
+      |  SELECT min(i.ps_supplycost) FROM ps_eu i
+      |  WHERE i.ps_partkey = ps_eu.ps_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+      |LIMIT 100""".stripMargin
 
   // =====================================================================
   // Q4 — order priority checking (lateness vs. ship date)
@@ -299,6 +371,51 @@ object TpchQueries {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
+
+  // =====================================================================
+  // Q11 — important stock identification (partsupp via lineitem)
+  // =====================================================================
+
+  /** Q11 adapted: stock "value" per part is derived from lineitem
+    * (no partsupp/availqty) as Σ l_quantity·l_extendedprice over one
+    * nation's suppliers — kept EXACT as a BIGINT of 1e-4 units (the
+    * scale-4 product is integer-valued after ×10⁴), following the
+    * pure-integer oracle idiom. The scalar-subquery threshold
+    * decorrelates into a 1-row broadcast total; the HAVING compare
+    * cross-multiplies integers (value·10⁴ > total, i.e. the original's
+    * `value > total·0.0001`) so no engine ever divides. Output stays
+    * BIGINT — no float conversion at all. */
+  def q_tpch11(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = tbl(s, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum((dec9(col("l_quantity")) * dec9(col("l_extendedprice")) *
+        lit(10000L).cast("decimal(5,0)")).cast("long")).as("value_micro"))
+    val total = value.agg(sum(col("value_micro")).as("total_micro"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_micro") * lit(10000L) > col("total_micro"))
+      .select(col("ps_partkey"), col("value_micro"))
+      .orderBy(col("value_micro").desc, col("ps_partkey"))
+  }
+
+  private val q_tpch11_sql =
+    """WITH value AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS value_micro
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY 1)
+      |SELECT ps_partkey, value_micro
+      |FROM value
+      |WHERE value_micro * 10000 > (SELECT sum(value_micro) FROM value)
+      |ORDER BY value_micro DESC, ps_partkey""".stripMargin
 
   // =====================================================================
   // Q12 — shipping lateness classes (no shipmode in schema)
@@ -667,12 +784,14 @@ object TpchQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch1" -> (q_tpch1 _),
+    "q_tpch2" -> (q_tpch2 _),
     "q_tpch4" -> (q_tpch4 _),
     "q_tpch6" -> (q_tpch6 _),
     "q_tpch7" -> (q_tpch7 _),
     "q_tpch8" -> (q_tpch8 _),
     "q_tpch9" -> (q_tpch9 _),
     "q_tpch10" -> (q_tpch10 _),
+    "q_tpch11" -> (q_tpch11 _),
     "q_tpch12" -> (q_tpch12 _),
     "q_tpch13" -> (q_tpch13 _),
     "q_tpch14" -> (q_tpch14 _),
@@ -686,12 +805,14 @@ object TpchQueries {
 
   val oracle: Map[String, String] = Map(
     "q_tpch1" -> q_tpch1_sql,
+    "q_tpch2" -> q_tpch2_sql,
     "q_tpch4" -> q_tpch4_sql,
     "q_tpch6" -> q_tpch6_sql,
     "q_tpch7" -> q_tpch7_sql,
     "q_tpch8" -> q_tpch8_sql,
     "q_tpch9" -> q_tpch9_sql,
     "q_tpch10" -> q_tpch10_sql,
+    "q_tpch11" -> q_tpch11_sql,
     "q_tpch12" -> q_tpch12_sql,
     "q_tpch13" -> q_tpch13_sql,
     "q_tpch14" -> q_tpch14_sql,
