@@ -440,6 +440,92 @@ object Queries {
     """SELECT doc_id, regexp_extract(text, '[0-9]+') AS num FROM documents
       |WHERE regexp_matches(text, '[0-9]+')""".stripMargin
 
+  /** rich_flat_map (src/operator/mod.rs:1104): the 0..n-emission sibling —
+    * one compiled regex per partition (the rich resource), each document
+    * flat-mapped into EVERY 6+-letter token it contains. Like q_rich_map,
+    * the state amortizes setup only, so each output multiset is a pure
+    * function of its input row and partition-layout-independent — exactly
+    * what a SQL oracle can replay (regexp_extract_all + unnest). */
+  def q_rich_flat_map(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = new graft.api.Stream(
+      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)])
+    in.richFlatMap(() => java.util.regex.Pattern.compile("[a-z]{6,}")) { (re, x) =>
+        val m = re.matcher(x._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        while (m.find()) out += ((x._1, m.group()))
+        out
+      }.ds.toDF("doc_id", "token")
+  }
+
+  private val q_rich_flat_map_sql =
+    """SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS token
+      |FROM documents""".stripMargin
+
+  /** map_async (src/operator/mod.rs:648, map_async.rs): the bounded
+    * ordered-pipeline async map. The async closure is pure per row (the
+    * cache/ordering machinery must be semantically invisible — same
+    * contract as map_memo), so the oracle replays f row-wise; what the
+    * driver row certifies is that the sliding-window future pipeline
+    * neither drops, duplicates, nor corrupts elements. */
+  def q_map_async(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Future
+    val in = new graft.api.Stream(
+      tbl(s, dir, "part").select(col("p_partkey"), col("p_type"), col("p_size"))
+        .as[(Long, String, Int)])
+    in.mapAsync(8) { x =>
+        Future { (x._1, s"${x._2}:${x._3}", x._3.toLong * x._1) }
+      }.ds.toDF("p_partkey", "type_size", "weight")
+  }
+
+  private val q_map_async_sql =
+    """SELECT p_partkey, p_type || ':' || CAST(p_size AS VARCHAR) AS type_size,
+      |  CAST(p_size AS BIGINT) * p_partkey AS weight FROM part""".stripMargin
+
+  /** rich_map_custom (src/operator/mod.rs:1132): the raw
+    * iterator-consuming custom operator, used here in its certifiable
+    * form — batched processing (grouped(128)) where each output row is a
+    * pure function of its input row, so the batching is observable only
+    * as amortized cost, never in the result multiset. */
+  def q_rich_map_custom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = new graft.api.Stream(
+      tbl(s, dir, "part").select(col("p_partkey"), col("p_type"))
+        .as[(Long, String)])
+    in.richMapCustom { it =>
+        it.grouped(128).flatMap(batch => batch.map(x => (x._1, x._2.reverse)))
+      }.ds.toDF("p_partkey", "rev_type")
+  }
+
+  private val q_rich_map_custom_sql =
+    "SELECT p_partkey, reverse(p_type) AS rev_type FROM part"
+
+  /** reorder (src/operator/reorder.rs): timestamp-sort within each
+    * partition. Sortedness IS certified through the driver's multiset
+    * compare: a trailing per-partition scan emits a monotonicity flag per
+    * row, so any out-of-order element yields a `sorted=false` row the
+    * oracle (all-true) cannot match. */
+  def q_reorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = new graft.api.Stream(
+      tbl(s, dir, "part").select(col("p_partkey"), col("p_size"))
+        .as[(Long, Int)])
+    in.addTimestamps(x => x._2.toLong).reorder.ds
+      .mapPartitions { it =>
+        var prev = Long.MinValue
+        it.map { case (v, ts) =>
+          val ok = ts >= prev; prev = ts; (v._1, ts, ok)
+        }
+      }.toDF("p_partkey", "ts", "sorted")
+  }
+
+  private val q_reorder_sql =
+    """SELECT p_partkey, CAST(p_size AS BIGINT) AS ts, true AS sorted
+      |FROM part""".stripMargin
+
   /** map_memo_by (src/operator/mod.rs:677, map_memo.rs:17-50): per-key
     * memoized map over a low-cardinality key — f depends only on the memo
     * key (the cache-correctness contract), so the memo is semantically
@@ -5867,7 +5953,11 @@ object Queries {
     "q_map" -> (q_map _),
     "q_rich_map" -> (q_rich_map _),
     "q_rich_filter_map" -> (q_rich_filter_map _),
+    "q_rich_flat_map" -> (q_rich_flat_map _),
     "q_map_memo" -> (q_map_memo _),
+    "q_map_async" -> (q_map_async _),
+    "q_rich_map_custom" -> (q_rich_map_custom _),
+    "q_reorder" -> (q_reorder _),
     "q_filter" -> (q_filter _),
     "q_filter_map" -> (q_filter_map _),
     "q_flat_map" -> (q_flat_map _),
@@ -6077,7 +6167,11 @@ object Queries {
     "q_map" -> q_map_sql,
     "q_rich_map" -> q_rich_map_sql,
     "q_rich_filter_map" -> q_rich_filter_map_sql,
+    "q_rich_flat_map" -> q_rich_flat_map_sql,
     "q_map_memo" -> q_map_memo_sql,
+    "q_map_async" -> q_map_async_sql,
+    "q_rich_map_custom" -> q_rich_map_custom_sql,
+    "q_reorder" -> q_reorder_sql,
     "q_filter" -> q_filter_sql,
     "q_filter_map" -> q_filter_map_sql,
     "q_flat_map" -> q_flat_map_sql,
