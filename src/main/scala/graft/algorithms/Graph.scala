@@ -304,6 +304,22 @@ object Graph {
     *   (e.g. 0.85, 0.9993) — it is lowered to the reduced fraction dN/dD
     *   for the exact integer contribution; irrational or finer-grained
     *   values (e.g. 1.0/3) are rejected with IllegalArgumentException. */
+  /** True iff every intermediate of the weighted fixed-point contribution
+    * `(2·dN·rank_pico·w + dD·w_out) DIV (2·dD·w_out)` fits int64 — the
+    * FULL numerator including the `dD·w_out` addend (bounding only the
+    * rank term let fine-grained damping rationals with huge out-weights
+    * slip past on the rank-bound slack alone), plus the denominator.
+    * Total rank mass is conserved at ≈1e12, so any single rank_pico is
+    * < ~1.25e12 including quantization error. */
+  private[graft] def fixedPointFits(dN: Long, dD: Long, maxW: Long,
+      maxWout: Long): Boolean = {
+    val rankCap = BigInt(1250000000000L)
+    val int64 = BigInt(Long.MaxValue)
+    BigInt(2L * dN) * BigInt(maxW) * rankCap +
+      BigInt(dD) * BigInt(maxWout) <= int64 &&
+    BigInt(2L * dD) * BigInt(maxWout) <= int64
+  }
+
   def pageRankWeightedFixed(edges: DataFrame, iterations: Int,
       damping: Double = 0.85, parallelism: Option[Int] = None): DataFrame = {
     require(iterations >= 1, s"need >= 1 iterations, got $iterations")
@@ -314,18 +330,23 @@ object Graph {
     val dN = dNum0 / g; val dD = 10000L / g
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("long").as("w")).persist()
-    // single sizing job yields both the shuffle-width count and the
-    // overflow guard's max weight (no extra pass over the edges)
-    val statsRow = e.agg(count(lit(1)).as("n"), max(col("w")).as("mw")).head()
-    val edgeCount = statsRow.getLong(0)
+    // single sizing job yields the shuffle-width count and BOTH overflow
+    // inputs — max edge weight and max per-src out-weight (the src-grain
+    // partial aggregate rides the same pass; no extra scan of the edges)
+    val statsRow = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("cnt"), sum(col("w")).as("sw"),
+        max(col("w")).as("mx"))
+      .agg(sum(col("cnt")).as("n"), max(col("mx")).as("mw"),
+        max(col("sw")).as("mwout"))
+      .head()
+    val edgeCount = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
     val maxW = if (statsRow.isNullAt(1)) 1L else statsRow.getLong(1)
-    // contribution numerator 2·dN·rank_pico·w must fit int64; total rank
-    // mass stays ≈1e12 so any single rank is < ~1.25e12 incl. quantization
-    val maxSafeW = Long.MaxValue / (2L * dN) / 1250000000000L
-    require(maxW <= maxSafeW,
-      s"max edge weight $maxW would overflow the int64 fixed-point " +
-        s"contribution at damping $damping (dN=$dN); bound is $maxSafeW — " +
-        "rescale weights or use a coarser damping rational")
+    val maxWout = if (statsRow.isNullAt(2)) 1L else statsRow.getLong(2)
+    require(fixedPointFits(dN, dD, maxW, maxWout),
+      s"edge weights (max w=$maxW, max per-src w_out=$maxWout) would " +
+        s"overflow the int64 fixed-point contribution at damping $damping " +
+        s"(dN=$dN, dD=$dD) — rescale weights or use a coarser damping " +
+        "rational")
     val width = parallelism.getOrElse(Iteration.sizedWidth(edgeCount))
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val nodes = e.select(col("src").as("node"))

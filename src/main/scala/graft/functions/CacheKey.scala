@@ -25,10 +25,17 @@ object CacheKey {
   private def token(v: Any): String =
     v.toString.replaceAll("[^0-9a-zA-Z.]", "-")
 
-  /** `/tmp/graft_{kind}_v{version}[_{p1}_{p2}...]_{sfTag}_{fp}` */
+  /** `/tmp/graft_{kind}_v{version}[_{p1}_{p2}...]_{sfTag}_{fp}`
+    *
+    * Every variable axis — params, sfTag AND fp — is rendered through
+    * [[token]], whose output never contains the `_` separator, so the
+    * rendered key is injective per (kind, version, param arity): distinct
+    * (sfTag, fp) pairs can no longer collide by smuggling separators
+    * (e.g. sfTag "a_b"+fp "c" vs sfTag "a"+fp "b_c"). `kind` is a
+    * per-site string literal, never data-derived. */
   def path(kind: String, version: Int, sfTag: String, params: Seq[Any],
       fp: String): String = {
     val p = if (params.isEmpty) "" else params.map(token).mkString("_", "_", "")
-    s"/tmp/graft_${kind}_v$version${p}_${sfTag}_$fp"
+    s"/tmp/graft_${kind}_v$version${p}_${token(sfTag)}_${token(fp)}"
   }
 }

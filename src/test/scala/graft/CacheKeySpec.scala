@@ -27,12 +27,22 @@ class CacheKeySpec extends AnyFunSuite {
       "7_9")
     // NB: Scala unifies the mixed literal Seq to Seq[Double], so the Int
     // bins renders as 256.0 — deterministic, which is all the key needs
-    assert(p == "/tmp/graft_histstore_v1_256.0_900.0_105000.0_sf0.01_7_9")
+    assert(p == "/tmp/graft_histstore_v1_256.0_900.0_105000.0_sf0.01_7-9")
     // strings with separators are sanitized, not passed through
     val q = CacheKey.path("invidx", 1, "tag", Seq("doc id", "a/b"), "1_2")
     assert(!q.drop("/tmp/".length).contains("/") && !q.contains(" "))
     // param-free form has no dangling separator
     assert(CacheKey.path("wordcount", 1, "t", Nil, "1_2")
-      == "/tmp/graft_wordcount_v1_t_1_2")
+      == "/tmp/graft_wordcount_v1_t_1-2")
+  }
+
+  test("cache key is injective: axis values cannot smuggle the separator") {
+    // pre-fix, sfTag/fp passed through raw, so distinct (sfTag, fp) pairs
+    // could render the SAME path by moving an '_' across the boundary
+    assert(CacheKey.path("k", 1, "a_b", Nil, "c")
+      != CacheKey.path("k", 1, "a", Nil, "b_c"))
+    // same for a param/sfTag boundary slide
+    assert(CacheKey.path("k", 1, "b_t", Seq("a"), "f")
+      != CacheKey.path("k", 1, "t", Seq("a_b"), "f"))
   }
 }

@@ -83,4 +83,18 @@ class GraphExtrasSpec extends AnyFunSuite {
       Graph.pageRankWeightedFixed(ok, iterations = 1, damping = 1.0 / 3)
     }
   }
+
+  test("fixedPointFits bounds the full numerator, not just the rank term") {
+    // damping 0.0001 reduces to dN=1, dD=10000: the rank-term-only bound
+    // admits w up to ~3.69e6 regardless of w_out. A per-src out-weight of
+    // 4e14 (≈1e8 such edges from one src) then wraps the dD·w_out addend
+    // — the pre-fix guard passed this; the full-numerator bound rejects it
+    assert(Graph.fixedPointFits(1L, 10000L, 3600000L, 3600000L))
+    assert(!Graph.fixedPointFits(1L, 10000L, 3600000L, 400000000000000L))
+    // denominator 2·dD·w_out must fit independently of the numerator
+    assert(!Graph.fixedPointFits(1L, 10000L, 1L, Long.MaxValue / 10000L))
+    // the classic damping keeps its old effective weight ceiling
+    assert(Graph.fixedPointFits(17L, 20L, 100000L, 2000000L))
+    assert(!Graph.fixedPointFits(17L, 20L, Long.MaxValue / 1000L, 1L))
+  }
 }
