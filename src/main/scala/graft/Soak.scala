@@ -38,16 +38,30 @@ object Soak {
     val acc = new ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
 
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failed = 0
+
     def run(name: String)(f: => Long): Unit = {
       // settle the async listener bus between pipelines
       Thread.sleep(1000)
       val b0 = acc.bytes.get()
       val t0 = System.nanoTime()
-      val rows = f
+      // a failing pipeline records pass:false and the soak continues — the
+      // artifact must show the whole sweep, not stop at the first casualty
+      val (rows, pass) =
+        try { (f, true) }
+        catch { case e: Exception =>
+          System.err.println(s"[soak] $name FAILED: ${e.getMessage}")
+          failed += 1; (-1L, false)
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000)
       val mb = (acc.bytes.get() - b0) / 1048576.0
-      println(f"""{"pipeline":"$name","rows":$rows,"sec":$secs%.2f,"shuffle_mb":$mb%.1f,"dir":"$dir"}""")
+      spark.catalog.clearCache() // Bench discipline: no cross-pipeline caches
+      val line =
+        f"""{"pipeline":"$name","rows":$rows,"sec":$secs%.2f,"shuffle_mb":$mb%.1f,"pass":$pass}"""
+      entries += line
+      println(line)
     }
 
     run("warmup")(Queries.tbl(spark, dir, "documents").count())
@@ -78,6 +92,33 @@ object Soak {
       graft.algorithms.Graph.labelPropagation(edges, rounds = 2,
         dedupeEdges = false).count()
     }
+    // the round-11 additions: the rest of the scale-sensitive catalog —
+    // graph fixpoints over the co-purchase edges, retrieval over the 10×
+    // corpus, event-time windows over 10× window keys, simhash/incremental
+    // dedup, the persistent-index ANN path, and the multi-batch streaming
+    // twins (real state-store commits at 10× the keyed state)
+    run("related_items")(Queries.q_related_items(spark, dir).count())
+    run("hits")(Queries.q_hits(spark, dir).count())
+    run("pagerank_delta")(Queries.q_pagerank_delta(spark, dir).count())
+    run("dedup_simhash")(Queries.q_dedup_simhash(spark, dir).count())
+    run("dedup_incremental")(Queries.q_dedup_incremental(spark, dir).count())
+    run("ann_ivf_persist")(Queries.q_ann_ivf_persist(spark, dir).count())
+    run("inverted_index_bm25")(Queries.q_bm25(spark, dir).count())
+    run("sessionize")(Queries.q_sessionize(spark, dir).count())
+    run("window_sliding")(Queries.q_window_sliding(spark, dir).count())
+    run("stream_dedup")(Queries.q_stream_dedup(spark, dir).count())
+    run("stream_session")(Queries.q_stream_session(spark, dir).count())
+    run("stream_interval_join")(Queries.q_stream_interval_join(spark, dir).count())
+
+    val out = sys.env.get("SPARK_GRAFT_SOAK_OUT")
+    out.foreach { p =>
+      val doc = s"""{"sf_dir":"$dir","cpus":$cpus,"failed":$failed,""" +
+        s""""pipelines":[${entries.mkString(",")}]}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[soak] wrote $p")
+    }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }
