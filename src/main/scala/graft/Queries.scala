@@ -2297,6 +2297,65 @@ object Queries {
       |  round(CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS lm_score
       |FROM sc""".stripMargin
 
+  /** Word-trigram stupid-backoff LM scoring (functions.NgramLm) — the
+    * CCNet-style perplexity filter with a real train/apply split: the model
+    * is counted on even doc_ids and applied to odd ones, so unseen trigrams
+    * genuinely walk the 3→2→1 backoff ladder (n_tri/n_bi/n_uni report the
+    * level mix per document). Per-trigram log-scores are 6-dp-rounded
+    * integer micros before summing (the q_char_lm discipline); the oracle
+    * rebuilds the same three count tables and the same backoff CASE in SQL. */
+  def q_ngram_lm(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.functions.NgramLm.scoreAgainst(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+  }
+
+  private val q_ngram_lm_sql =
+    """WITH tr AS (SELECT str_split(lower(text), ' ') AS l FROM documents WHERE doc_id % 2 = 0),
+      |sc AS (SELECT doc_id, str_split(lower(text), ' ') AS l FROM documents WHERE doc_id % 2 = 1),
+      |t1 AS (SELECT g, count(*) AS c
+      |       FROM (SELECT unnest(l) AS g FROM tr) GROUP BY 1),
+      |nv AS (SELECT sum(c) AS n, count(*) AS v FROM t1),
+      |t2 AS (SELECT array_to_string(l[i:i+1], ' ') AS g, count(*) AS c
+      |       FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tr) GROUP BY 1),
+      |t3 AS (SELECT array_to_string(l[i:i+2], ' ') AS g, count(*) AS c
+      |       FROM (SELECT l, unnest(range(1, len(l) - 1)) AS i FROM tr) GROUP BY 1),
+      |occ AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS g3
+      |        FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM sc)),
+      |dist AS (SELECT DISTINCT g3, str_split(g3, ' ') AS p FROM occ),
+      |j AS (SELECT dist.g3,
+      |        CASE WHEN t3.c IS NOT NULL THEN 3
+      |             WHEN t2b.c IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+      |        CASE WHEN t3.c IS NOT NULL THEN
+      |               CAST(round(round(ln(CAST(t3.c AS DOUBLE) / t2a.c), 6) * 1000000, 0) AS BIGINT)
+      |             WHEN t2b.c IS NOT NULL THEN
+      |               CAST(round(round(ln(CAST(0.4 AS DOUBLE) * t2b.c / t1a.c), 6) * 1000000, 0) AS BIGINT)
+      |             ELSE
+      |               CAST(round(round(ln(CAST(0.16 AS DOUBLE) * (COALESCE(t1b.c, 0) + 1)
+      |                 / CAST(nv.n + nv.v + 1 AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)
+      |        END AS lp_micro
+      |      FROM dist CROSS JOIN nv
+      |      LEFT JOIN t3 ON t3.g = dist.g3
+      |      LEFT JOIN t2 t2a ON t2a.g = p[1] || ' ' || p[2]
+      |      LEFT JOIN t2 t2b ON t2b.g = p[2] || ' ' || p[3]
+      |      LEFT JOIN t1 t1a ON t1a.g = p[2]
+      |      LEFT JOIN t1 t1b ON t1b.g = p[3]),
+      |agg AS (SELECT doc_id, count(*) AS n_grams,
+      |          sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS n_tri,
+      |          sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS n_bi,
+      |          sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS n_uni,
+      |          sum(lp_micro) AS micro
+      |        FROM occ JOIN j USING (g3) GROUP BY 1)
+      |SELECT sc.doc_id,
+      |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(COALESCE(n_bi, 0) AS BIGINT) AS n_bi,
+      |  CAST(COALESCE(n_uni, 0) AS BIGINT) AS n_uni,
+      |  CASE WHEN n_grams IS NULL THEN 0.0
+      |       ELSE round(CAST(micro AS DOUBLE) / 1000000.0 / n_grams, 6) END AS lm_score
+      |FROM (SELECT doc_id FROM sc) sc LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
     * 64-token chunks, 16-token overlap over documents — one narrow pass,
     * no shuffle. Oracle recomputes windows with DuckDB list slicing. */
@@ -6019,6 +6078,7 @@ object Queries {
     "q_epoch_mixture" -> (q_epoch_mixture _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
+    "q_ngram_lm" -> (q_ngram_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_er_join" -> (q_er_join _),
     "q_copurchase" -> (q_copurchase _),
@@ -6234,6 +6294,7 @@ object Queries {
     "q_epoch_mixture" -> q_epoch_mixture_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
+    "q_ngram_lm" -> q_ngram_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_er_join" -> q_er_join_sql,
     "q_copurchase" -> q_copurchase_sql,
