@@ -47,7 +47,9 @@ object DigestStore {
     val out = Dedup.exactIncremental(newDocs, load(spark, path), idCol,
         textCol, expectedItems = expectedItems, fpp = fpp)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // the append write below IS the materializing action: it computes `out`
+    // once, populating the persisted blocks as a side effect — a separate
+    // count() first would be a whole extra job per cycle
     out.select(col("digest")).write.mode("overwrite").parquet(s"$path/inc=$inc")
     out
   }
