@@ -2294,7 +2294,7 @@ object Queries {
       |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_micro) AS micro
       |       FROM bg JOIN lp USING (bg) GROUP BY 1)
       |SELECT doc_id, n_bigrams,
-      |  round(CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS lm_score
+      |  CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams AS lm_score
       |FROM sc""".stripMargin
 
   /** Word-trigram stupid-backoff LM scoring (functions.NgramLm) — the
@@ -2353,7 +2353,7 @@ object Queries {
       |  CAST(COALESCE(n_bi, 0) AS BIGINT) AS n_bi,
       |  CAST(COALESCE(n_uni, 0) AS BIGINT) AS n_uni,
       |  CASE WHEN n_grams IS NULL THEN 0.0
-      |       ELSE round(CAST(micro AS DOUBLE) / 1000000.0 / n_grams, 6) END AS lm_score
+      |       ELSE CAST(micro AS DOUBLE) / 1000000.0 / n_grams END AS lm_score
       |FROM (SELECT doc_id FROM sc) sc LEFT JOIN agg USING (doc_id)""".stripMargin
 
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):

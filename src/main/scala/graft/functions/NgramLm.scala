@@ -118,8 +118,12 @@ object NgramLm {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         coalesce(col("n_bi"), lit(0L)).as("n_bi"),
         coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        // no final rounding: the raw IEEE division of the exact integer
+        // micro sum is bit-identical in any engine, whereas a last
+        // round(x, 6) tie-breaks differently across round implementations
+        // (observed as a 1-micro mismatch at sf0.1)
         when(col("n_grams").isNull, lit(0.0))
-          .otherwise(round(col("micro").cast("double") / 1e6 / col("n_grams"), dp))
+          .otherwise(col("micro").cast("double") / 1e6 / col("n_grams"))
           .as("lm_score"))
       .persist()
     out.count()

@@ -269,8 +269,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("n") * col("lp_micro")).as("micro"))
+      // raw IEEE division, no final round: the integer micro sum divides
+      // bit-identically in any engine, whereas round(x, dp) tie-breaks
+      // differently across round implementations (a 1-micro q_ngram_lm
+      // mismatch at sf0.1 caught this class; hardened here too)
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("micro").cast("double") / 1e6 / col("n_bigrams"), dp)
+        (col("micro").cast("double") / 1e6 / col("n_bigrams"))
           .as("lm_score"))
       .persist()
     out.count() // materialize before dropping the bigram cache

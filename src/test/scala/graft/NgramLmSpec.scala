@@ -37,11 +37,7 @@ class NgramLmSpec extends AnyFunSuite {
       ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
     out.unpersist()
 
-    def expected(ms: Long*): Double = {
-      val s = ms.sum
-      BigDecimal(s.toDouble / 1e6 / ms.size)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    def expected(ms: Long*): Double = ms.sum.toDouble / 1e6 / ms.size
     val d1 = expected(micro(2.0 / 3), micro(0.16 * 1 / 14.0))
     assert(rows(1L) == ((2L, 1L, 0L, 1L, d1)))
     val d3 = expected(micro(1.0 / 2), micro(1.0 / 1))
