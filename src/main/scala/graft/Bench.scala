@@ -98,7 +98,19 @@ object Bench {
     }
     val results = acc.toSeq
     val sf = sfDir.split("/").last.stripPrefix("sf")
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
+    // BENCH_FULL.json is the committed sf0.1 convention (round-over-round
+    // comparisons read it assuming that scale); a run at any other SF that
+    // didn't name its own SPARK_GRAFT_FULL_OUT routes to a scale-suffixed
+    // file instead of silently overwriting the headline artifact (a round-10
+    // sf0.001 run did exactly that and read as a false 31% speedup)
+    val fullOutRaw = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
+    val fullOut =
+      if (fullOutRaw == "BENCH_FULL.json" && sf != "0.1") {
+        val redirected = s"BENCH_FULL_sf$sf.json"
+        System.err.println(
+          s"[bench] sf=$sf is not the BENCH_FULL.json convention (sf0.1); writing $redirected")
+        redirected
+      } else fullOutRaw
     val (fullLine, stdoutLine, failedNames) =
       renderArtifacts(results, repeat, sf, fullOut)
     java.nio.file.Files.write(

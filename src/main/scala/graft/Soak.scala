@@ -38,7 +38,17 @@ object Soak {
     val acc = new ShuffleAcc
     spark.sparkContext.addSparkListener(acc)
 
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    // SPARK_GRAFT_SOAK_REPEAT=N runs the whole sweep N times (default 1)
+    // and records each pipeline's MIN wall time across passes — the Bench
+    // estimator for the same reason (shared-host interference bursts only
+    // ever ADD time, and catalog-level passes put a full sweep between a
+    // pipeline's two runs so one burst poisons at most one of them).
+    // rows/shuffle_mb are deterministic per pipeline and must agree across
+    // passes; pass = true only if every pass passed.
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_SOAK_REPEAT").map(_.toInt).getOrElse(1))
+    final case class Cell(rows: Long, secs: Double, mb: Double, pass: Boolean)
+    val cells = scala.collection.mutable.LinkedHashMap.empty[String, Cell]
     var failed = 0
 
     def run(name: String)(f: => Long): Unit = {
@@ -52,18 +62,23 @@ object Soak {
         try { (f, true) }
         catch { case e: Exception =>
           System.err.println(s"[soak] $name FAILED: ${e.getMessage}")
-          failed += 1; (-1L, false)
+          (-1L, false)
         }
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000)
       val mb = (acc.bytes.get() - b0) / 1048576.0
       spark.catalog.clearCache() // Bench discipline: no cross-pipeline caches
-      val line =
-        f"""{"pipeline":"$name","rows":$rows,"sec":$secs%.2f,"shuffle_mb":$mb%.1f,"pass":$pass}"""
-      entries += line
-      println(line)
+      println(
+        f"""{"pipeline":"$name","rows":$rows,"sec":$secs%.2f,"shuffle_mb":$mb%.1f,"pass":$pass}""")
+      cells.get(name) match {
+        case Some(prev) => cells(name) = Cell(
+          if (pass) rows else prev.rows, math.min(prev.secs, secs),
+          math.min(prev.mb, mb), prev.pass && pass)
+        case None => cells(name) = Cell(rows, secs, mb, pass)
+      }
     }
 
+    def sweep(): Unit = {
     run("warmup")(Queries.tbl(spark, dir, "documents").count())
     run("dedup_minhash") {
       val p = graft.functions.Dedup.minhashNearDups(
@@ -103,16 +118,27 @@ object Soak {
     run("dedup_simhash")(Queries.q_dedup_simhash(spark, dir).count())
     run("dedup_incremental")(Queries.q_dedup_incremental(spark, dir).count())
     run("ann_ivf_persist")(Queries.q_ann_ivf_persist(spark, dir).count())
+    run("ngram_lm") {
+      val p = Queries.q_ngram_lm(spark, dir)
+      val n = p.count(); p.unpersist(); n
+    }
     run("inverted_index_bm25")(Queries.q_bm25(spark, dir).count())
     run("sessionize")(Queries.q_sessionize(spark, dir).count())
     run("window_sliding")(Queries.q_window_sliding(spark, dir).count())
     run("stream_dedup")(Queries.q_stream_dedup(spark, dir).count())
     run("stream_session")(Queries.q_stream_session(spark, dir).count())
     run("stream_interval_join")(Queries.q_stream_interval_join(spark, dir).count())
+    }
+
+    for (_ <- 1 to repeat) sweep()
+    failed = cells.valuesIterator.count(!_.pass)
+    val entries = cells.map { case (name, c) =>
+      f"""{"pipeline":"$name","rows":${c.rows},"sec":${c.secs}%.2f,"shuffle_mb":${c.mb}%.1f,"pass":${c.pass}}"""
+    }
 
     val out = sys.env.get("SPARK_GRAFT_SOAK_OUT")
     out.foreach { p =>
-      val doc = s"""{"sf_dir":"$dir","cpus":$cpus,"failed":$failed,""" +
+      val doc = s"""{"sf_dir":"$dir","cpus":$cpus,"repeat":$repeat,"failed":$failed,""" +
         s""""pipelines":[${entries.mkString(",")}]}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
