@@ -61,10 +61,13 @@ object NgramLm {
     def counts(df: DataFrame, n: Int): DataFrame =
       grams(df, n).groupBy(col("g")).agg(count(lit(1)).as("c"))
 
-    // model: unigram table persisted — it feeds the (N, V) sizing lookup
-    // plus two probe joins below; bigram/trigram tables are each read once
+    // model: the unigram and bigram tables are persisted — each feeds TWO
+    // consumers below (t1: the (N, V) sizing lookup + the w2/w3 probes;
+    // t2: the g12 context and g23 backoff probes) and Spark shares no
+    // common subplans, so unpersisted each would recount its gram stream
+    // once per consumer. The trigram table is read once.
     val t1 = counts(trainDf, 1).persist()
-    val t2 = counts(trainDf, 2)
+    val t2 = counts(trainDf, 2).persist()
     val t3 = counts(trainDf, 3)
     val sized = t1.agg(sum(col("c")), count(lit(1))).head()
     val nTok = if (sized.isNullAt(0)) 0L else sized.getLong(0)
@@ -129,6 +132,7 @@ object NgramLm {
     out.count()
     occ.unpersist()
     t1.unpersist()
+    t2.unpersist()
     out
   }
 }
