@@ -942,14 +942,26 @@ object Dedup {
     // returns a null buffer); an empty history also needs no dedup at all.
     // isEmpty is a limit-1 probe — trivial at any history size.
     if (hist.isEmpty) return inc
+    // the increment aggregate feeds BOTH the probable-dup probe and the
+    // final anti-join, and Spark shares no common subplans — unpersisted,
+    // the increment shuffle ran twice per materialization. Cache it for the
+    // result's own materialization only: the result is persisted, counted,
+    // and the increment cache released before returning (so the non-empty-
+    // history path returns eager-and-persisted; callers that write or
+    // re-aggregate it read the cache, and release it when consumed).
+    val incP = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf = hist.stat.bloomFilter("digest", expectedItems, fpp)
     val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
     val mightSeen = udf((d: String) => d != null && bfB.value.mightContainString(d))
-    val probable = inc.filter(mightSeen(col("digest")))
+    val probable = incP.filter(mightSeen(col("digest")))
     // exact confirmation: history-side scan, dup-bound broadcast joins
     val confirmed = hist
       .join(broadcast(probable.select(col("digest"))), Seq("digest"), "left_semi")
-    inc.join(broadcast(confirmed), Seq("digest"), "left_anti")
+    val out = incP.join(broadcast(confirmed), Seq("digest"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    incP.unpersist()
+    out
   }
 
   /** Drop training documents flagged by [[contamination]]. The flagged-id
