@@ -391,17 +391,16 @@ object TpchQueries {
           .filter(col("n_name") === "NATION_7")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
-    // persist the per-part value: BOTH the threshold total and the probe
-    // side read it, and Spark shares no common subplans — unpersisted, the
-    // lineitem scan + aggregate would run twice (2× the fact-scan cost at
-    // scale). The count() materializes before either consumer races to.
+    // deliberately NOT persisted across the threshold-total and probe
+    // consumers: both run inside ONE action, where AQE reuses the identical
+    // partial-aggregate exchange stage, so only the cheap reduce-side final
+    // aggregate duplicates — a persist+count was measured strictly worse
+    // (1.08 vs 0.81 s min-of-3 at sf0.1; SCALE.md "within one action" note)
     val value = tbl(s, dir, "lineitem")
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("ps_partkey"))
       .agg(sum((dec9(col("l_quantity")) * dec9(col("l_extendedprice")) *
         lit(10000L).cast("decimal(5,0)")).cast("long")).as("value_micro"))
-      .persist()
-    value.count()
     val total = value.agg(sum(col("value_micro")).as("total_micro"))
     value.crossJoin(broadcast(total))
       .filter(col("value_micro") * lit(10000L) > col("total_micro"))

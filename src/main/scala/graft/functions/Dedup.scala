@@ -943,12 +943,15 @@ object Dedup {
     // isEmpty is a limit-1 probe — trivial at any history size.
     if (hist.isEmpty) return inc
     // the increment aggregate feeds BOTH the probable-dup probe and the
-    // final anti-join, and Spark shares no common subplans — unpersisted,
-    // the increment shuffle ran twice per materialization. Cache it for the
-    // result's own materialization only: the result is persisted, counted,
-    // and the increment cache released before returning (so the non-empty-
-    // history path returns eager-and-persisted; callers that write or
-    // re-aggregate it read the cache, and release it when consumed).
+    // final anti-join. What makes the caching pay is the CROSS-ACTION
+    // shape, not the in-plan sharing (AQE already reuses the identical
+    // digest-grouping exchange stage within one action — SCALE.md "within
+    // one action" note): the eager result below is consumed again by the
+    // digest-store append write and the caller's own aggregation, each a
+    // separate action that would otherwise recompute the whole pipeline.
+    // The increment cache exists only for the result's materialization and
+    // is released before returning; the result comes back persisted
+    // (callers release it when consumed). Measured flat at sf0.1.
     val incP = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf = hist.stat.bloomFilter("digest", expectedItems, fpp)
     val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)

@@ -61,13 +61,16 @@ object NgramLm {
     def counts(df: DataFrame, n: Int): DataFrame =
       grams(df, n).groupBy(col("g")).agg(count(lit(1)).as("c"))
 
-    // model: the unigram and bigram tables are persisted — each feeds TWO
-    // consumers below (t1: the (N, V) sizing lookup + the w2/w3 probes;
-    // t2: the g12 context and g23 backoff probes) and Spark shares no
-    // common subplans, so unpersisted each would recount its gram stream
-    // once per consumer. The trigram table is read once.
+    // model: t1 is persisted because
+    // its consumers span TWO actions (the driver-side sizing head() below
+    // is its own job; the probes run in the result's job) — cross-action
+    // reuse is exactly what AQE stage-caching can NOT provide. t2's two
+    // probes both run inside the ONE result action, where AQE reuses the
+    // identical partial-count exchange stage — persisting it measured a
+    // wash-to-loss at sf0.1 (SCALE.md "within one action" note), so t2/t3
+    // stay unpersisted.
     val t1 = counts(trainDf, 1).persist()
-    val t2 = counts(trainDf, 2).persist()
+    val t2 = counts(trainDf, 2)
     val t3 = counts(trainDf, 3)
     val sized = t1.agg(sum(col("c")), count(lit(1))).head()
     val nTok = if (sized.isNullAt(0)) 0L else sized.getLong(0)
@@ -132,7 +135,6 @@ object NgramLm {
     out.count()
     occ.unpersist()
     t1.unpersist()
-    t2.unpersist()
     out
   }
 }
