@@ -2356,6 +2356,62 @@ object Queries {
       |       ELSE CAST(micro AS DOUBLE) / 1000000.0 / n_grams END AS lm_score
       |FROM (SELECT doc_id FROM sc) sc LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** Streaming twin of q_ngram_lm — the stream-STATIC join cell of the
+    * streaming matrix: the trigram model is counted once on the static
+    * even-doc split ([[graft.functions.NgramLm.trigramModel]], all three
+    * count tables persisted because every micro-batch is its own action
+    * re-reading the static side), and the odd-doc STREAM is scored per
+    * micro-batch through five stream-static left joins + a complete-mode
+    * per-doc aggregation. A per-doc NULL sentinel gram rides the explode so
+    * short documents still emit their zero row (a streaming groupBy can't
+    * left-join back against the static id list the way the batch scorer
+    * does). The bounded run's final state answers the SAME oracle as the
+    * batch twin — integer micro log-scores make the sums order- and
+    * batching-independent. */
+  def q_stream_ngram_lm(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val m = graft.functions.NgramLm.trigramModel(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    try runStream(s, src => {
+      val occ = src.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(concat(array(lit(null).cast("string")),
+            graft.functions.Dedup.shingles(lower(col("text")), 3))).as("g3"))
+      val p = split(col("g3"), " ")
+      val j = occ
+        .withColumn("g12", concat_ws(" ", p(0), p(1)))
+        .withColumn("g23", concat_ws(" ", p(1), p(2)))
+        .withColumn("w2", p(1)).withColumn("w3", p(2))
+        .join(m.t3.select(col("g").as("g3"), col("c").as("c3")), Seq("g3"), "left_outer")
+        .join(m.t2.select(col("g").as("g12"), col("c").as("c12")), Seq("g12"), "left_outer")
+        .join(m.t2.select(col("g").as("g23"), col("c").as("c23")), Seq("g23"), "left_outer")
+        .join(m.t1.select(col("g").as("w2"), col("c").as("cw2")), Seq("w2"), "left_outer")
+        .join(m.t1.select(col("g").as("w3"), col("c").as("cw3")), Seq("w3"), "left_outer")
+      def lpm(x: Column): Column = round(round(log(x), 6) * 1e6, 0).cast("long")
+      val isGram = col("g3").isNotNull
+      val lp = when(col("c3").isNotNull,
+          lpm(col("c3").cast("double") / col("c12")))
+        .when(col("c23").isNotNull,
+          lpm(lit(0.4) * col("c23") / col("cw2")))
+        .otherwise(lpm(lit(0.16) * (coalesce(col("cw3"), lit(0L)) + 1) /
+          lit((m.nTok + m.vSize + 1).toDouble)))
+      j.groupBy(col("doc_id"))
+        .agg(count(col("g3")).as("n_grams"),
+          sum(when(isGram && col("c3").isNotNull, 1L).otherwise(0L)).as("n_tri"),
+          sum(when(isGram && col("c3").isNull && col("c23").isNotNull, 1L)
+            .otherwise(0L)).as("n_bi"),
+          sum(when(isGram && col("c3").isNull && col("c23").isNull, 1L)
+            .otherwise(0L)).as("n_uni"),
+          sum(when(isGram, lp).otherwise(0L)).as("micro"))
+        .select(col("doc_id"), col("n_grams"), col("n_tri"), col("n_bi"),
+          col("n_uni"),
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(col("micro").cast("double") / 1e6 / col("n_grams"))
+            .as("lm_score"))
+    }, "complete", dir, table = "documents")
+    finally m.unpersistAll()
+  }
+
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
     * 64-token chunks, 16-token overlap over documents — one narrow pass,
     * no shuffle. Oracle recomputes windows with DuckDB list slicing. */
@@ -6079,6 +6135,7 @@ object Queries {
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
     "q_ngram_lm" -> (q_ngram_lm _),
+    "q_stream_ngram_lm" -> (q_stream_ngram_lm _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_er_join" -> (q_er_join _),
     "q_copurchase" -> (q_copurchase _),
@@ -6295,6 +6352,7 @@ object Queries {
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
     "q_ngram_lm" -> q_ngram_lm_sql,
+    "q_stream_ngram_lm" -> q_ngram_lm_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_er_join" -> q_er_join_sql,
     "q_copurchase" -> q_copurchase_sql,

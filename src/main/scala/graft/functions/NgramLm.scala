@@ -44,6 +44,29 @@ import org.apache.spark.sql.functions._
   * trigram a million times costs one model lookup, not a million. */
 object NgramLm {
 
+  /** The counted trigram model of a reference split, with all three count
+    * tables PERSISTED: built for stream-static scoring, where every
+    * micro-batch is its own action re-reading the static side — exactly
+    * the cross-action shape where an explicit cache pays (SCALE.md
+    * "within one action" note; contrast the batch scorer below, which
+    * leaves t2/t3 to AQE stage reuse inside its one action). Callers
+    * release with [[TrigramModel.unpersistAll]] once the stream stops. */
+  final case class TrigramModel(t3: DataFrame, t2: DataFrame, t1: DataFrame,
+      nTok: Long, vSize: Long) {
+    def unpersistAll(): Unit = Seq(t3, t2, t1).foreach(_.unpersist())
+  }
+
+  /** Count (trigram, bigram, unigram) tables + (N, V) on `trainDf`. */
+  def trigramModel(trainDf: DataFrame, textCol: String): TrigramModel = {
+    def counts(n: Int): DataFrame = trainDf
+      .select(explode(Dedup.shingles(lower(col(textCol)), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val t1 = counts(1).persist()
+    val sized = t1.agg(sum(col("c")), count(lit(1))).head()
+    TrigramModel(counts(3).persist(), counts(2).persist(), t1,
+      if (sized.isNullAt(0)) 0L else sized.getLong(0), sized.getLong(1))
+  }
+
   /** Score every `scoreDf` document against a trigram model counted on
     * `trainDf`. Returns one row per scored document:
     * (doc_id, n_grams, n_tri, n_bi, n_uni, lm_score) where n_tri/n_bi/n_uni

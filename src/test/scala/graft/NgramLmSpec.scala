@@ -47,6 +47,15 @@ class NgramLmSpec extends AnyFunSuite {
     assert(rows(7L) == ((1L, 0L, 1L, 0L, d7)))
   }
 
+  test("stream-static twin equals the batch scorer row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Queries.q_ngram_lm(spark, dir)
+    val b = batch.collect().map(_.toSeq).toSet
+    batch.unpersist()
+    val s = Queries.q_stream_ngram_lm(spark, dir).collect().map(_.toSeq).toSet
+    assert(s == b)
+  }
+
   test("self-scoring never backs off and is total") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = NgramLm.scoreAgainst(docs, docs, "doc_id", "text")
