@@ -35,7 +35,7 @@ object Plans {
       "q_stream_dedup", "q_stream_funnel", "q_stream_kmv",
       "q_stream_sessionize", "q_stream_hll", "q_stream_histogram",
       "q_stream_compact", "q_stream_quality", "q_stream_trending",
-      "q_stream_drift")
+      "q_stream_drift", "q_stream_ngram_lm")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         try {
