@@ -2356,6 +2356,39 @@ object Queries {
       |       ELSE CAST(micro AS DOUBLE) / 1000000.0 / n_grams END AS lm_score
       |FROM (SELECT doc_id FROM sc) sc LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** CCNet perplexity tiering (Sampling.perplexityTiers over the
+    * q_ngram_lm scores): exact global thirds by (score desc, doc_id) on
+    * the integer surrogate floor(score·1e9), head+middle kept, too-short
+    * docs tiered `unscored` outside the rank. The oracle replays the full
+    * scoring SQL and cuts with ntile(3) over the same surrogate — the
+    * ntile ceil-first rule and the 3·rank < k·n integer cut provably
+    * agree for every n. */
+  def q_perplexity_tiers(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val scored = graft.functions.NgramLm.scoreAgainst(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val out = graft.functions.Sampling.perplexityTiers(
+      scored, "doc_id", "lm_score", "n_grams")
+    scored.unpersist()
+    out
+  }
+
+  private def q_perplexity_tiers_sql: String =
+    s"""WITH scored AS ($q_ngram_lm_sql),
+       |r AS (SELECT doc_id, lm_score AS score,
+       |        ntile(3) OVER (ORDER BY
+       |          CAST(floor(lm_score * 1000000000.0) AS BIGINT) DESC,
+       |          doc_id) AS t
+       |      FROM scored WHERE n_grams > 0)
+       |SELECT doc_id, score,
+       |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+       |  t <= 2 AS kept
+       |FROM r
+       |UNION ALL
+       |SELECT doc_id, lm_score AS score, 'unscored' AS tier, false AS kept
+       |FROM scored WHERE n_grams = 0""".stripMargin
+
   /** Streaming twin of q_ngram_lm — the stream-STATIC join cell of the
     * streaming matrix: the trigram model is counted once on the static
     * even-doc split ([[graft.functions.NgramLm.trigramModel]], all three
@@ -6136,6 +6169,7 @@ object Queries {
     "q_char_lm" -> (q_char_lm _),
     "q_ngram_lm" -> (q_ngram_lm _),
     "q_stream_ngram_lm" -> (q_stream_ngram_lm _),
+    "q_perplexity_tiers" -> (q_perplexity_tiers _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_er_join" -> (q_er_join _),
     "q_copurchase" -> (q_copurchase _),
@@ -6353,6 +6387,7 @@ object Queries {
     "q_char_lm" -> q_char_lm_sql,
     "q_ngram_lm" -> q_ngram_lm_sql,
     "q_stream_ngram_lm" -> q_ngram_lm_sql,
+    "q_perplexity_tiers" -> q_perplexity_tiers_sql,
     "q_fuzzy_join" -> q_fuzzy_join_sql,
     "q_er_join" -> q_er_join_sql,
     "q_copurchase" -> q_copurchase_sql,

@@ -446,6 +446,50 @@ object Sampling {
     * bounds are sampled, so recomputation could repartition differently and
     * corrupt the offsets); the small (id, cost, shard) manifest output is
     * materialized, then the input cache is released. */
+  /** CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3: rank the
+    * corpus by LM score, cut into head/middle/tail thirds, train on
+    * head+middle): exact global rank of each SCORED document by
+    * (score desc, id), cut at the ntile-3 boundaries (first tiers take the
+    * ceil), `kept` = head|middle. Documents with `gramsCol` = 0 (too short
+    * to score — their 0.0 score would otherwise outrank everything) tier
+    * as `unscored`, kept = false, and do not consume rank slots.
+    *
+    * Ranking orders on the integer surrogate floor(score·1e9) (ties then
+    * broken by id): the score is an engine-bit-identical double (see
+    * [[NgramLm]]'s integer-micro discipline), so the surrogate — and hence
+    * the tiering — is reproducible by the SQL oracle, where raw
+    * double-ordering ULP ties would not be.
+    *
+    * 100 TB shape: the rank is [[globalPrefix]] with cost 1 — the
+    * distributed two-pass prefix sum (range exchange + #partitions-row
+    * collect + narrow running annotation), never a one-task global window;
+    * the tier cut is integer arithmetic against the scored count, riding
+    * the plan as literals. Returns (doc_id, score, tier, kept). */
+  def perplexityTiers(scored: DataFrame, idCol: String, scoreCol: String,
+      gramsCol: String): DataFrame = {
+    val in = scored.select(col(idCol).cast("long").as("doc_id"),
+      col(scoreCol).cast("double").as("score"),
+      col(gramsCol).cast("long").as("n_grams"))
+    val rankable = in.filter(col("n_grams") > 0)
+    val n = rankable.count()
+    val (starts, base) = globalPrefix(rankable, "doc_id", lit(1L),
+      Some(-floor(col("score") * 1e9).cast("long")), None)
+    val tier = when(col("rank") * 3 < n, "head")
+      .when(col("rank") * 3 < 2 * n, "middle")
+      .otherwise("tail")
+    val ranked = rankable.select(col("doc_id"), col("score"))
+      .join(starts.select(col("doc_id"), col("c0").as("rank")), Seq("doc_id"))
+      .select(col("doc_id"), col("score"), tier.as("tier"),
+        (col("rank") * 3 < 2 * n).as("kept"))
+    val out = ranked.unionByName(
+        in.filter(col("n_grams") <= 0).select(col("doc_id"), col("score"),
+          lit("unscored").as("tier"), lit(false).as("kept")))
+      .persist()
+    out.count()
+    base.unpersist()
+    out
+  }
+
   /** Deterministic negative sampling for contrastive training pairs: for
     * every anchor document, `k` pseudo-random partner documents drawn
     * uniformly from the corpus — negative j of anchor a is the document at

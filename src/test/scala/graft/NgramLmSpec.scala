@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.NgramLm
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, min}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the stupid-backoff trigram scorer (functions.NgramLm): exact level
@@ -54,6 +55,25 @@ class NgramLmSpec extends AnyFunSuite {
     batch.unpersist()
     val s = Queries.q_stream_ngram_lm(spark, dir).collect().map(_.toSeq).toSet
     assert(s == b)
+  }
+
+  test("perplexity tiers: ceil-first thirds, unscored outside the rank") {
+    val out = Queries.q_perplexity_tiers(spark, "/root/testdata/sf0.001")
+    val byTier = out.groupBy("tier").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byTier.getOrElse("head", 0L) + byTier.getOrElse("middle", 0L) +
+      byTier.getOrElse("tail", 0L)
+    // ntile ceil-first: head gets ceil(n/3), head+middle get ceil(2n/3)
+    assert(byTier("head") == (n + 2) / 3)
+    assert(byTier("head") + byTier("middle") == (2 * n + 2) / 3)
+    // kept ⇔ not tail/unscored; every head score ≥ every tail score
+    val kept = out.filter(col("kept")).groupBy("tier").count().collect()
+      .map(_.getString(0)).toSet
+    assert(kept == Set("head", "middle"))
+    val minHead = out.filter(col("tier") === "head").agg(min(col("score"))).head().getDouble(0)
+    val maxTail = out.filter(col("tier") === "tail").agg(max(col("score"))).head().getDouble(0)
+    assert(minHead >= maxTail)
+    out.unpersist()
   }
 
   test("self-scoring never backs off and is total") {
