@@ -178,6 +178,7 @@ object Bench {
     "q_ngram_jaccard", "q_cosine_topk", "q_ann_lsh", "q_ann_ivf",
     "q_embedding_neardup", "q_text_profile", "q_pipeline_clean",
     "q_bm25", "q_multimodal", "nx_q5", "nx_q8",
+    "q_tpch2", "q_ngram_lm", "q_perplexity_tiers",
     "q_dedup_minhash_portable", "q_ann_lsh_portable")
 
   /** Queries re-timed under portable (oracle-recomputable) hashing, reported

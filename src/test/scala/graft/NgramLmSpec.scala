@@ -76,6 +76,20 @@ class NgramLmSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("scores are partitioning-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val a = NgramLm.scoreAgainst(even, odd, "doc_id", "text")
+    val one = a.collect().map(_.toSeq).toSet
+    a.unpersist()
+    val b = NgramLm.scoreAgainst(even.repartition(7), odd.repartition(5),
+      "doc_id", "text")
+    val many = b.collect().map(_.toSeq).toSet
+    b.unpersist()
+    assert(one == many)
+  }
+
   test("self-scoring never backs off and is total") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = NgramLm.scoreAgainst(docs, docs, "doc_id", "text")
