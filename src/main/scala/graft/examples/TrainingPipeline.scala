@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * (with the leakage-guarded cluster-split report as the keep-near-dups
   * alternative) → benchmark decontamination → language/token stats →
   * seed-labeled trained quality classifier (the CCNet shape) →
+  * trusted-reference perplexity tiering (NgramLm + head/middle/tail cut) →
   * token-budget shard manifest → sequence packing, and a persistent ANN
   * index + int8-quantized corpus over the embeddings. Every stage is
   * the library operator a 100 TB run would use (each is individually
@@ -23,7 +24,7 @@ object TrainingPipeline {
       langs: Map[String, Long], shards: Long, packedRows: Long,
       packedTokens: Long, annResults: Long, classifierKept: Long,
       splitTrain: Long, splitEval: Long, int8Vectors: Long, c4Kept: Long,
-      dsirKept: Long, mixtureTokens: Long)
+      dsirKept: Long, mixtureTokens: Long, pplKept: Long)
 
   def run(spark: SparkSession, sfDir: String): Stats = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -125,6 +126,22 @@ object TrainingPipeline {
     val nKept = QualityClassifier.score(deconText, "doc_id", "text", model)
       .filter(col("keep") === 1).count()
 
+    // 5e. perplexity tiering (reported; the CCNet rank-and-cut): a trigram
+    // stupid-backoff LM counted on the trusted-source slice scores the rest
+    // of the surviving corpus, which is then ranked and cut into
+    // head/middle/tail thirds with head+middle kept — the third member of
+    // the trusted-reference selection family next to 5b's trained
+    // classifier (P(trusted)) and 5c's DSIR (importance weight): same
+    // signal, rank-based cut instead of a threshold
+    val trusted = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val pplScored = graft.functions.NgramLm.scoreAgainst(
+      deconText.filter(trusted), deconText.filter(!trusted),
+      "doc_id", "text")
+    val pplTiers = Sampling.perplexityTiers(
+      pplScored, "doc_id", "lm_score", "n_grams")
+    val nPpl = pplTiers.filter(col("kept")).count()
+    pplScored.unpersist(); pplTiers.unpersist()
+
     // 5c. DSIR importance selection (reported): score the surviving corpus
     // against the trusted-source slice's hashed-n-gram distribution — the
     // data-SELECTION sibling of the trained classifier's data-FILTERING;
@@ -175,7 +192,7 @@ object TrainingPipeline {
 
     Stats(total, nGated, nExact, nClean, nSpan, nDecon, langs, nShards,
       nRows, nTokens, nAnn, nKept, nTrain, nEval, nInt8, nC4, nDsir,
-      mixtureTokens)
+      mixtureTokens, nPpl)
   }
 
   def main(args: Array[String]): Unit = {
@@ -192,7 +209,8 @@ object TrainingPipeline {
     println(s"ANN_RESULTS=${s.annResults} CLASSIFIER_KEPT=${s.classifierKept} " +
       s"SPLIT_TRAIN=${s.splitTrain} SPLIT_EVAL=${s.splitEval} " +
       s"INT8_VECTORS=${s.int8Vectors} C4_KEPT=${s.c4Kept} " +
-      s"DSIR_KEPT=${s.dsirKept} MIXTURE_TOKENS=${s.mixtureTokens}")
+      s"DSIR_KEPT=${s.dsirKept} MIXTURE_TOKENS=${s.mixtureTokens} " +
+      s"PPL_KEPT=${s.pplKept}")
     spark.stop()
   }
 }

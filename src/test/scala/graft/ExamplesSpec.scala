@@ -101,6 +101,9 @@ class ExamplesSpec extends AnyFunSuite {
     assert(s.c4Kept > 0 && s.c4Kept < s.total)
     // DSIR selection keeps the requested half (rounded) of the final set
     assert(s.dsirKept > 0 && s.dsirKept <= s.decontaminated)
+    // perplexity tiering keeps head+middle of the non-trusted remainder —
+    // a strict subset of the final set, never empty
+    assert(s.pplKept > 0 && s.pplKept < s.decontaminated)
     // the temperature mixture spends at most the half-token budget plus
     // one first-crossing doc per stratum, and keeps something
     assert(s.mixtureTokens > 0)
