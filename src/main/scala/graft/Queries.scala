@@ -2297,6 +2297,34 @@ object Queries {
       |  CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams AS lm_score
       |FROM sc""".stripMargin
 
+  /** Character-distribution Shannon entropy per document
+    * (TextAnalysis.charEntropy) — the gibberish/degenerate-text quality
+    * signal. Fully narrow: the per-doc char distribution rides the native
+    * plans.CharCounts array and the entropy folds per row, so the plan has
+    * ZERO Exchanges at any corpus size. Integer-micro log terms (q_char_lm
+    * discipline) make the per-doc sum engine-exact; the keep flag is an
+    * exact integer compare against the 2.0-nat threshold. */
+  def q_char_entropy(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.charEntropy(tbl(s, dir, "documents"),
+      "doc_id", "text")
+
+  private val q_char_entropy_sql =
+    """WITH d AS (SELECT doc_id, text, length(text) AS nc FROM documents),
+      |ch AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+      |       FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM d)),
+      |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      |mic AS (SELECT cc.doc_id, count(*) AS dc,
+      |          sum(c * CAST(round(round(ln(CAST(c AS DOUBLE) / d.nc), 6)
+      |            * 1000000, 0) AS BIGINT)) AS micro
+      |        FROM cc JOIN d USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, CAST(d.nc AS BIGINT) AS n_chars,
+      |  CAST(COALESCE(dc, 0) AS BIGINT) AS distinct_chars,
+      |  CASE WHEN d.nc = 0 THEN 0.0
+      |       ELSE CAST(-micro AS DOUBLE) / 1000000.0 / d.nc END AS entropy,
+      |  CASE WHEN d.nc = 0 THEN false
+      |       ELSE -micro >= 2000000 * d.nc END AS keep
+      |FROM d LEFT JOIN mic ON mic.doc_id = d.doc_id""".stripMargin
+
   /** Word-trigram stupid-backoff LM scoring (functions.NgramLm) — the
     * CCNet-style perplexity filter with a real train/apply split: the model
     * is counted on even doc_ids and applied to odd ones, so unseen trigrams
@@ -6167,6 +6195,7 @@ object Queries {
     "q_epoch_mixture" -> (q_epoch_mixture _),
     "q_topk_group" -> (q_topk_group _),
     "q_char_lm" -> (q_char_lm _),
+    "q_char_entropy" -> (q_char_entropy _),
     "q_ngram_lm" -> (q_ngram_lm _),
     "q_stream_ngram_lm" -> (q_stream_ngram_lm _),
     "q_perplexity_tiers" -> (q_perplexity_tiers _),
@@ -6385,6 +6414,7 @@ object Queries {
     "q_epoch_mixture" -> q_epoch_mixture_sql,
     "q_topk_group" -> q_topk_group_sql,
     "q_char_lm" -> q_char_lm_sql,
+    "q_char_entropy" -> q_char_entropy_sql,
     "q_ngram_lm" -> q_ngram_lm_sql,
     "q_stream_ngram_lm" -> q_ngram_lm_sql,
     "q_perplexity_tiers" -> q_perplexity_tiers_sql,

@@ -124,6 +124,43 @@ object TextAnalysis {
       .otherwise("de")
   }
 
+  /** Per-document character-distribution Shannon entropy (nats) — the
+    * classic gibberish / binary-content / repeated-character quality signal
+    * (low entropy ⇒ degenerate text: padded runs, base64-ish blobs sit HIGH,
+    * natural prose sits ~3–4 nats). Deterministic across engines by the
+    * q_char_lm integer-micro discipline: each distinct char contributes
+    * `n · round(round(ln(n/N), 6)·1e6)` (an exact long), the per-doc sum is
+    * order-independent, and the single final division is one IEEE op.
+    *
+    * 100 TB shape: NO shuffle at all — the per-doc distribution comes out
+    * of the native [[graft.plans.CharCounts]] expression (alphabet-bounded
+    * array per row) and the entropy folds over it with one `aggregate`
+    * higher-order call. One narrow scan at any corpus size; contrast the
+    * composed form's corpus-sized char explode + (doc, char) aggregate.
+    *
+    * `keep` flags docs at or above `minEntropyNats` via the exact integer
+    * compare `-microSum >= micro(threshold)·N` — no float threshold drift.
+    * Empty documents get entropy 0 and keep=false. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String,
+      minEntropyNats: Double = 2.0): DataFrame = {
+    val counts = graft.plans.TextExpressions.charCounts(col(textCol))
+    val n = col("n_chars")
+    val microSum = aggregate(col("cc"), lit(0L), (acc, x) =>
+      acc + x.getField("n") *
+        round(round(log(x.getField("n").cast("double") / n), 6) * 1e6, 0)
+          .cast("long"))
+    val thresholdMicro = math.round(minEntropyNats * 1e6)
+    df.select(col(idCol).cast("long").as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"), counts.as("cc"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("cc")).cast("long").as("distinct_chars"),
+        (-microSum).as("neg_micro"))
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        when(n === 0L, 0.0)
+          .otherwise(col("neg_micro").cast("double") / 1e6 / n).as("entropy"),
+        (n > 0L && col("neg_micro") >= lit(thresholdMicro) * n).as("keep"))
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct token set —
     * stable under word order and duplication (bag-of-words identity). */
   def fingerprint(text: Column): Column =

@@ -72,6 +72,13 @@ object GraftExtensions {
         require(args.length == 2, s"graft_word_shingles expects 2 arguments, got ${args.length}")
         WordShingles(args(0), litInt(args(1), "graft_word_shingles", "n"))
       }),
+    (FunctionIdentifier("graft_char_counts"),
+      info("graft_char_counts",
+        "graft_char_counts(text) - array of (ch, n) distinct-character counts"),
+      { args =>
+        require(args.length == 1, s"graft_char_counts expects 1 argument, got ${args.length}")
+        CharCounts(args(0))
+      }),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(text) - 64-bit per-document SimHash signature"),

@@ -332,6 +332,103 @@ case class CharBigramCounts(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Per-row distinct-CHARACTER counts — the unigram sibling of
+  * [[CharBigramCounts]]: one JVM pass over the document's UTF-8 bytes
+  * produces `array<struct<ch: string, n: long>>`, one entry per distinct
+  * character (SQL `substring` char boundaries — TextExprSpec pins the
+  * multiset equivalence against the composed explode+groupBy form on the
+  * corpus plus unicode/degenerate edges). NULL text → NULL; empty → empty
+  * array.
+  *
+  * Why an Expression: this feeds the character-entropy quality signal
+  * ([[graft.functions.TextAnalysis.charEntropy]]), where the whole
+  * computation collapses to a NARROW per-row pass — the per-doc
+  * distribution lives in this array (alphabet-bounded, ~10²) and the
+  * entropy folds over it with one `aggregate` higher-order call, so the
+  * composed form's corpus-sized explode + (doc, char) hash-aggregate
+  * shuffle disappears entirely. At 100 TB the signal costs exactly one
+  * scan, zero Exchanges. Chars are ≤ 4 UTF-8 bytes, packed 0xFF-padded
+  * into one long key (0xFF never occurs in valid UTF-8 → injective) in the
+  * same open-addressed table scheme as the bigram pass. */
+case class CharCounts(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ch", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_counts needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val nB = bytes.length
+    if (nB == 0) return new GenericArrayData(Array.empty[Any])
+
+    // open-addressed long->count table (see CharBigramCounts); distinct
+    // chars are alphabet-bounded so this stays tiny for any document size
+    var cap = 256
+    var keys = new Array[Long](cap)
+    var cnts = new Array[Long](cap)
+    var offs = new Array[Int](cap)
+    var lens = new Array[Int](cap)
+    var used = 0
+
+    var i = 0
+    while (i < nB) {
+      val clen = UTF8String.numBytesForFirstByte(bytes(i))
+      var key = -1L // all-ones = all-0xFF padding
+      var p = i
+      val until = math.min(i + clen, nB)
+      while (p < until) { key = (key << 8) | (bytes(p) & 0xffL); p += 1 }
+      if (used * 2 >= cap) { // grow + rehash
+        val nc = cap * 2
+        val nk = new Array[Long](nc); val nn = new Array[Long](nc)
+        val no = new Array[Int](nc); val nl = new Array[Int](nc)
+        var s = 0
+        while (s < cap) {
+          if (cnts(s) != 0) {
+            var h = (java.lang.Long.hashCode(keys(s) * 0x9e3779b97f4a7c15L)) & (nc - 1)
+            while (nn(h) != 0) h = (h + 1) & (nc - 1)
+            nk(h) = keys(s); nn(h) = cnts(s); no(h) = offs(s); nl(h) = lens(s)
+          }
+          s += 1
+        }
+        cap = nc; keys = nk; cnts = nn; offs = no; lens = nl
+      }
+      var h = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L)) & (cap - 1)
+      while (cnts(h) != 0 && keys(h) != key) h = (h + 1) & (cap - 1)
+      if (cnts(h) == 0) {
+        keys(h) = key; offs(h) = i; lens(h) = until - i; used += 1
+      }
+      cnts(h) += 1
+      i += clen
+    }
+
+    val out = new Array[Any](used)
+    var s = 0
+    var o = 0
+    while (s < cap) {
+      if (cnts(s) != 0) {
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromBytes(bytes, offs(s), lens(s)), cnts(s))
+        o += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharCounts =
+    copy(child = newChild)
+}
+
 /** Native text normalization — exactly
   * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
   * "\\s+", " "))` (the [[graft.functions.TextAnalysis.normalizeText]]
@@ -550,6 +647,10 @@ object TextExpressions {
   /** Per-row char-bigram (bg, n) counts (see [[CharBigramCounts]]). */
   def charBigramCounts(text: Column): Column =
     ColumnBridge.column(CharBigramCounts(ColumnBridge.expr(text)))
+
+  /** Per-row distinct-char (ch, n) counts (see [[CharCounts]]). */
+  def charCounts(text: Column): Column =
+    ColumnBridge.column(CharCounts(ColumnBridge.expr(text)))
 
   /** Per-row SimHash signature (see [[SimHashExpr]]). */
   def simhashRow(text: Column, nBits: Int = 64): Column =
