@@ -353,6 +353,33 @@ object Queries {
       |  l_extendedprice / max(l_extendedprice) OVER (PARTITION BY l_returnflag) AS price_vs_key_max
       |FROM lineitem""".stripMargin
 
+  /** group_by_reduce (src/operator/mod.rs:1693) through the typed façade:
+    * KeyedStream.reduce lowers to `reduceGroups` (partial-aggregating —
+    * one row per key per partition crosses the shuffle). The reducer keeps
+    * the priciest order per priority, tie-broken on the lower key, so it
+    * is associative, commutative and deterministic; the result columns are
+    * copies of input values (no arithmetic → no float drift vs the
+    * oracle's window replay). */
+  def q_group_reduce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = new graft.api.Stream(
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)])
+    in.groupBy(_._1)
+      .reduce((a, b) =>
+        if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b)
+      .ds.map { case (_, v) => v }
+      .toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+  }
+
+  private val q_group_reduce_sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (
+      |    PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn = 1""".stripMargin
+
   // =====================================================================
   // §2.3 per-element transforms
   // =====================================================================
@@ -925,6 +952,55 @@ object Queries {
       |  w1 AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id),
       |  w2 AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** TransactionWindow (src/operator/window/transaction.rs) through the
+    * typed façade, batch path: per user, events ordered by (ts, event_id)
+    * accumulate into a transaction; a 'purchase' commits it, an 'error'
+    * discards it, anything else continues; a trailing uncommitted run is
+    * dropped. Each committed transaction folds to (first event id, count,
+    * cent-integer value sum) — integer cents make the fold order-exact, so
+    * the oracle's window replay (terminator-prefix-count group id, keep
+    * groups whose terminator is a purchase) hash-matches bit-for-bit.
+    * Scale shape: one hash Exchange on user_id; per-key state is that
+    * user's events (bounded by per-user activity, the same contract as the
+    * session window). */
+  def q_window_txn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.api.WindowDescr._
+    val in = new graft.api.Stream(
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+          col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)])
+    in.groupBy(_._1)
+      .window(TransactionWindow[(Long, Long, Long, String, Double), (Long, Long)](
+        e => e._4 match {
+          case "purchase" => Commit
+          case "error" => Discard
+          case _ => Continue
+        },
+        e => e._3 / 1000L, e => (e._3, e._2)))
+      .fold((Long.MaxValue, 0L, 0L)) { case ((fid, n, cents), e) =>
+        (math.min(fid, e._2), n + 1L, cents + math.round(e._5 * 100)) }
+      .ds.map { case (k, (fid, n, cents)) => (k, fid, n, cents) }
+      .toDF("user_id", "first_event", "n_events", "sum_cents")
+  }
+
+  private val q_window_txn_sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events),
+      |m AS (SELECT *,
+      |        CASE WHEN event_type IN ('purchase', 'error') THEN 1 ELSE 0 END AS term
+      |      FROM e),
+      |s AS (SELECT *, COALESCE(sum(term) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+      |      FROM m)
+      |SELECT user_id, min(event_id) AS first_event, count(*) AS n_events,
+      |  sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+      |FROM s GROUP BY user_id, sid
+      |HAVING bool_or(event_type = 'purchase')""".stripMargin
 
   /** Ordered funnel analysis (beyond-reference event analytics): per user,
     * the first 'view', the first 'click' at-or-after it, and the first
@@ -2728,6 +2804,48 @@ object Queries {
     """SELECT CAST(a.n_nationkey AS BIGINT) AS src, CAST(b.n_nationkey AS BIGINT) AS dst
       |FROM nation a JOIN nation b
       |ON a.n_regionkey = b.n_regionkey AND b.n_nationkey > a.n_nationkey""".stripMargin
+
+  /** `iterate` (src/operator/iteration/iterate.rs:371) — the dataset+state
+    * loop with a driver-folded stop condition — on the Collatz total
+    * stopping time over part-key-derived starts (the examples/collatz
+    * exhibit, made oracle-checkable: DuckDB replays the exact trajectory
+    * with a recursive CTE). Each Spark round advances every unfinished
+    * row up to 64 Collatz steps inside one narrow map (domain ≤ 998 ⇒
+    * trajectories ≤ 178 steps ⇒ 3 rounds), the folded state counts
+    * unfinished rows, and the loop exits when it hits zero — exercising
+    * body, foldState AND cond, with per-round persist/unpersist lineage
+    * truncation from the shared iterate driver. */
+  def q_iterate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val domain = tbl(s, dir, "part")
+      .select((col("p_partkey").cast("long") % 997L + 2L).as("n"))
+      .distinct().as[Long].map(n => (n, n, 0L))
+    val (_, fin) = graft.operators.Iteration.iterate(
+      domain, maxIter = 8, init = 1L) { (ds, _) =>
+        ds.map { case (start, cur0, steps0) =>
+          var cur = cur0; var steps = steps0; var i = 0
+          while (i < 64 && cur > 1L) {
+            cur = if (cur % 2 == 0) cur / 2 else 3 * cur + 1
+            steps += 1; i += 1
+          }
+          (start, cur, steps)
+        }
+      } { (ds, _) => ds.filter(_._2 > 1L).count() } { _ > 0L }
+    fin.map { case (start, _, steps) => (start, steps) }
+      .toDF("start_n", "steps")
+  }
+
+  private val q_iterate_sql =
+    """WITH RECURSIVE dom AS (
+      |  SELECT DISTINCT CAST(p_partkey % 997 + 2 AS BIGINT) AS n FROM part),
+      |c AS (
+      |  SELECT n AS start_n, n AS cur, CAST(0 AS BIGINT) AS steps FROM dom
+      |  UNION ALL
+      |  SELECT start_n,
+      |    CASE WHEN cur % 2 = 0 THEN cur // 2 ELSE 3 * cur + 1 END,
+      |    steps + 1
+      |  FROM c WHERE cur > 1)
+      |SELECT start_n, max(steps) AS steps FROM c GROUP BY 1""".stripMargin
 
   /** PageRank, 3 rounds, d=0.85, no dangling redistribution (reference:
     * examples/pagerank.rs). The chain graph has in-degree ≤ 1, so every FP
@@ -6126,6 +6244,7 @@ object Queries {
     "q_distinct" -> (q_distinct _),
     "q_fold_scan" -> (q_fold_scan _),
     "q_reduce_scan_keyed" -> (q_reduce_scan_keyed _),
+    "q_group_reduce" -> (q_group_reduce _),
     "q_map" -> (q_map _),
     "q_rich_map" -> (q_rich_map _),
     "q_rich_filter_map" -> (q_rich_filter_map _),
@@ -6154,6 +6273,7 @@ object Queries {
     "q_window_tumbling" -> (q_window_tumbling _),
     "q_window_sliding" -> (q_window_sliding _),
     "q_window_session" -> (q_window_session _),
+    "q_window_txn" -> (q_window_txn _),
     "q_window_count" -> (q_window_count _),
     "q_window_lastk" -> (q_window_lastk _),
     "q_window_first_last" -> (q_window_first_last _),
@@ -6262,6 +6382,7 @@ object Queries {
     "q_phrase_search" -> (q_phrase_search _),
     "q_connected_components" -> (q_connected_components _),
     "q_transitive_closure" -> (q_transitive_closure _),
+    "q_iterate" -> (q_iterate _),
     "q_pagerank" -> (q_pagerank _),
     "q_pagerank_weighted" -> (q_pagerank_weighted _),
     "q_ppr" -> (q_ppr _),
@@ -6344,6 +6465,7 @@ object Queries {
     "q_distinct" -> q_distinct_sql,
     "q_fold_scan" -> q_fold_scan_sql,
     "q_reduce_scan_keyed" -> q_reduce_scan_keyed_sql,
+    "q_group_reduce" -> q_group_reduce_sql,
     "q_map" -> q_map_sql,
     "q_rich_map" -> q_rich_map_sql,
     "q_rich_filter_map" -> q_rich_filter_map_sql,
@@ -6372,6 +6494,7 @@ object Queries {
     "q_window_tumbling" -> q_window_tumbling_sql,
     "q_window_sliding" -> q_window_sliding_sql,
     "q_window_session" -> q_window_session_sql,
+    "q_window_txn" -> q_window_txn_sql,
     "q_window_count" -> q_window_count_sql,
     "q_window_lastk" -> q_window_lastk_sql,
     "q_window_first_last" -> q_window_first_last_sql,
@@ -6481,6 +6604,7 @@ object Queries {
     "q_phrase_search" -> q_phrase_search_sql,
     "q_connected_components" -> q_connected_components_sql,
     "q_transitive_closure" -> q_transitive_closure_sql,
+    "q_iterate" -> q_iterate_sql,
     "q_pagerank" -> q_pagerank_sql,
     "q_pagerank_weighted" -> q_pagerank_weighted_sql,
     "q_ppr" -> q_ppr_sql,
