@@ -111,8 +111,14 @@ object Bench {
           s"[bench] sf=$sf is not the BENCH_FULL.json convention (sf0.1); writing $redirected")
         redirected
       } else fullOutRaw
+    // the PREVIOUS round's committed artifact is whatever sits at fullOut
+    // before we overwrite it — read it FIRST so every bench run carries a
+    // mechanical round-over-round common-key ratio (round-11 verdict #3:
+    // the narrative compared against an intra-round snapshot; the committed
+    // artifact is the only honest baseline, so compute it in code)
+    val prevQueries = readPrevQueries(fullOut)
     val (fullLine, stdoutLine, failedNames) =
-      renderArtifacts(results, repeat, sf, fullOut)
+      renderArtifacts(results, repeat, sf, fullOut, prevQueries)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -138,8 +144,26 @@ object Bench {
     * and by name in `failed_queries` — a total that silently excludes
     * erroring queries would read as "all green" while the catalog shrinks.
     */
+  /** Parse the `queries` map out of a prior BENCH_FULL.json (our own flat
+    * format: numeric values, no nesting). Empty on any miss — a first run
+    * or a format change must not fail the bench. */
+  def readPrevQueries(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qIdx = txt.indexOf("\"queries\":{")
+      if (qIdx < 0) Map.empty
+      else {
+        val body = txt.substring(qIdx + 11, txt.indexOf('}', qIdx))
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   def renderArtifacts(results: Seq[(String, Double)], repeat: Int, sf: String,
-      fullOut: String): (String, String, Seq[String]) = {
+      fullOut: String, prevQueries: Map[String, Double] = Map.empty)
+      : (String, String, Seq[String]) = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       if (v < 0) "-1.0"
@@ -151,14 +175,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v) if v < 0 => k }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"failed":${failedNames.size},"failed_queries":$failedJson,"queries":$fullJson,"sf":"$sf"}"""
+    // mechanical round-over-round comparison on keys PRESENT AND GREEN in
+    // both artifacts — new queries and failures on either side are excluded
+    // so the ratio measures the same work, not catalog growth
     val byName = results.toMap
+    val common = prevQueries.keySet.intersect(byName.keySet).toSeq
+      .filter(k => prevQueries(k) >= 0 && byName(k) >= 0)
+    val vsPrev =
+      if (common.isEmpty) """"vs_prev_round":null"""
+      else {
+        val prevSum = common.map(prevQueries).sum
+        val curSum = common.map(byName).sum
+        val ratio = if (prevSum > 0) curSum / prevSum else -1.0
+        s""""vs_prev_round":{"common_keys":${common.size},"prev_sec":${fmt(prevSum)},"cur_sec":${fmt(curSum)},"ratio":${fmt(ratio)}}"""
+      }
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"failed":${failedNames.size},"failed_queries":$failedJson,$vsPrev,"queries":$fullJson,"sf":"$sf"}"""
     val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf","queries_run":${results.size},"failed":${failedNames.size},"full":"$fullOut"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf","queries_run":${results.size},"failed":${failedNames.size},$vsPrev,"full":"$fullOut"}"""
     (fullLine, stdoutLine, failedNames)
   }
 

@@ -998,7 +998,7 @@ object Queries {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
       |      FROM m)
       |SELECT user_id, min(event_id) AS first_event, count(*) AS n_events,
-      |  sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM s GROUP BY user_id, sid
       |HAVING bool_or(event_type = 'purchase')""".stripMargin
 

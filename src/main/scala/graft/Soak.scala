@@ -71,9 +71,18 @@ object Soak {
       println(
         f"""{"pipeline":"$name","rows":$rows,"sec":$secs%.2f,"shuffle_mb":$mb%.1f,"pass":$pass}""")
       cells.get(name) match {
-        case Some(prev) => cells(name) = Cell(
-          if (pass) rows else prev.rows, math.min(prev.secs, secs),
-          math.min(prev.mb, mb), prev.pass && pass)
+        // timings from a FAILED pass are artifacts of the abort point, not
+        // of the pipeline — only a successful pass may lower the minima
+        // (mirroring the rows guard)
+        case Some(prev) =>
+          // a previously-failed cell's timings are also abort artifacts:
+          // the first successful pass replaces them instead of min-merging
+          val (mSecs, mMb) =
+            if (!pass) (prev.secs, prev.mb)
+            else if (!prev.pass) (secs, mb)
+            else (math.min(prev.secs, secs), math.min(prev.mb, mb))
+          cells(name) = Cell(
+            if (pass) rows else prev.rows, mSecs, mMb, prev.pass && pass)
         case None => cells(name) = Cell(rows, secs, mb, pass)
       }
     }

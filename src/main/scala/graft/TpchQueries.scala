@@ -118,12 +118,16 @@ object TpchQueries {
       .groupBy(col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"))
       .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+    // No forced broadcast on the part/supplier subsets: both grow with the
+    // scale factor (unlike nation/region's fixed 25/5 rows), so a hint here
+    // would force a multi-GB broadcast at 100×. AQE still auto-broadcasts
+    // either side while it fits under the threshold.
     val psEu = ps
-      .join(broadcast(tbl(s, dir, "part")
+      .join(tbl(s, dir, "part")
           .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
-          .select(col("p_partkey"), col("p_brand"))),
+          .select(col("p_partkey"), col("p_brand")),
         col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+      .join(eu, col("ps_suppkey") === col("s_suppkey"))
     val minCost = psEu.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("ps_supplycost")).as("mc_cost"))
     psEu.join(minCost, col("ps_partkey") === col("mc_partkey") &&
@@ -397,7 +401,9 @@ object TpchQueries {
     // aggregate duplicates — a persist+count was measured strictly worse
     // (1.08 vs 0.81 s min-of-3 at sf0.1; SCALE.md "within one action" note)
     val value = tbl(s, dir, "lineitem")
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      // natSupp is a supplier subset — SF-proportional, so no forced
+      // broadcast (AQE decides); only fixed-size nation keeps its hint
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("ps_partkey"))
       .agg(sum((dec9(col("l_quantity")) * dec9(col("l_extendedprice")) *
         lit(10000L).cast("decimal(5,0)")).cast("long")).as("value_micro"))

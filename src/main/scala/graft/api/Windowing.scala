@@ -289,6 +289,28 @@ final class WindowedStream[K, V](val ks: KeyedStream[K, V], val descr: WindowDes
       eks: Encoder[(K, Seq[V])]): Stream[(K, Seq[V])] =
     mapWindow(w => w: Seq[V])
 
+  /** Fold seeded by the window's FIRST element — no separate `init`, the
+    * accumulator type is the element type (reference: aggr/fold.rs:142
+    * `fold_first`). Empty windows produce no output row (a window only
+    * exists once an element is assigned to it, so the head always exists).
+    * Stays on the collect path like [[fold]]: an arbitrary combine is
+    * order-sensitive and the batch contract folds in key order. */
+  def foldFirst(f: (V, V) => V)(implicit ek: Encoder[K],
+      ekv: Encoder[(K, V)]): Stream[(K, V)] =
+    mapWindow(w => w.tail.foldLeft(w.head)(f))
+
+  /** Struct-of-arrays per window (reference: aggr/columnar.rs:51
+    * `to_arrow`): transposes a window of tuples into a tuple of columns —
+    * e.g. a window of `(Int, String)` becomes one `(Seq[Int], Seq[String])`
+    * row. The columnar shape is what a per-window vectorized kernel (or an
+    * Arrow hand-off) consumes; Spark's own Tungsten format stays columnar
+    * underneath either way, so this is a LAYOUT contract, not a performance
+    * fork — which is why it is sugar over [[mapWindow]]. Scalar element
+    * types degrade to the single-column `Seq[V]` (≡ [[toVec]]). */
+  def toColumnar[C](implicit soa: Windowing.StructOfArrays[V, C],
+      ek: Encoder[K], ekv: Encoder[(K, V)], ekc: Encoder[(K, C)]): Stream[(K, C)] =
+    mapWindow(soa.transpose)
+
   /** Per-key per-window cartesian product with another keyed stream sharing
     * the same descriptor semantics (reference: window `join`,
     * src/operator/window/aggr/join.rs:79-99). Implemented as a cogroup: both
@@ -308,5 +330,39 @@ final class WindowedStream[K, V](val ks: KeyedStream[K, V], val descr: WindowDes
         for (a <- lw(id).iterator; b <- rw(id)) yield (k, (a, b))
       }
     })
+  }
+}
+
+/** Companion utilities for the windowing layer. */
+object Windowing {
+
+  /** Evidence that a window of `V`s transposes to the struct-of-arrays
+    * value `C` — the typed analog of the reference's `Extend<Out> + Default`
+    * collection bound on `to_arrow` (aggr/columnar.rs:51). Tuple elements
+    * transpose column-wise; any scalar falls back to a single column. */
+  sealed trait StructOfArrays[V, C] extends Serializable {
+    def transpose(w: IndexedSeq[V]): C
+  }
+
+  object StructOfArrays extends LowPriorityStructOfArrays {
+    implicit def pair[A, B]: StructOfArrays[(A, B), (Seq[A], Seq[B])] =
+      new StructOfArrays[(A, B), (Seq[A], Seq[B])] {
+        def transpose(w: IndexedSeq[(A, B)]): (Seq[A], Seq[B]) =
+          (w.map(_._1), w.map(_._2))
+      }
+
+    implicit def triple[A, B, C]: StructOfArrays[(A, B, C), (Seq[A], Seq[B], Seq[C])] =
+      new StructOfArrays[(A, B, C), (Seq[A], Seq[B], Seq[C])] {
+        def transpose(w: IndexedSeq[(A, B, C)]): (Seq[A], Seq[B], Seq[C]) =
+          (w.map(_._1), w.map(_._2), w.map(_._3))
+      }
+  }
+
+  sealed trait LowPriorityStructOfArrays {
+    /** Scalar elements: the struct-of-arrays of one column is that column. */
+    implicit def scalar[A]: StructOfArrays[A, Seq[A]] =
+      new StructOfArrays[A, Seq[A]] {
+        def transpose(w: IndexedSeq[A]): Seq[A] = w
+      }
   }
 }

@@ -44,12 +44,11 @@ object DigestStore {
       newDocs: DataFrame, idCol: String, textCol: String,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     require(inc > 0, s"increment $inc must be > 0 (0 is the init marker)")
+    // exactIncremental returns its result already persisted AND
+    // materialized (it owns materialization — single owner, no second
+    // persist here); the append write below reads from that cache
     val out = Dedup.exactIncremental(newDocs, load(spark, path), idCol,
         textCol, expectedItems = expectedItems, fpp = fpp)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the append write below IS the materializing action: it computes `out`
-    // once, populating the persisted blocks as a side effect — a separate
-    // count() first would be a whole extra job per cycle
     out.select(col("digest")).write.mode("overwrite").parquet(s"$path/inc=$inc")
     out
   }

@@ -140,10 +140,12 @@ object TextAnalysis {
     *
     * `keep` flags docs at or above `minEntropyNats` via the exact integer
     * compare `-microSum >= micro(threshold)·N` — no float threshold drift.
-    * Empty documents get entropy 0 and keep=false. */
+    * Empty AND NULL documents both get entropy 0 and keep=false (NULL text
+    * is coalesced to "" up front so no tri-state NULL leaks into keep). */
   def charEntropy(df: DataFrame, idCol: String, textCol: String,
       minEntropyNats: Double = 2.0): DataFrame = {
-    val counts = graft.plans.TextExpressions.charCounts(col(textCol))
+    val txt = coalesce(col(textCol), lit(""))
+    val counts = graft.plans.TextExpressions.charCounts(txt)
     val n = col("n_chars")
     val microSum = aggregate(col("cc"), lit(0L), (acc, x) =>
       acc + x.getField("n") *
@@ -151,7 +153,7 @@ object TextAnalysis {
           .cast("long"))
     val thresholdMicro = math.round(minEntropyNats * 1e6)
     df.select(col(idCol).cast("long").as("doc_id"),
-        length(col(textCol)).cast("long").as("n_chars"), counts.as("cc"))
+        length(txt).cast("long").as("n_chars"), counts.as("cc"))
       .select(col("doc_id"), col("n_chars"),
         size(col("cc")).cast("long").as("distinct_chars"),
         (-microSum).as("neg_micro"))

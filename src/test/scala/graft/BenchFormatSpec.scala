@@ -24,15 +24,45 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("worst-case stdout line fits the driver's tail capture") {
     // worst case: every headline value at 7 chars ("999.999"), total at 8,
-    // four-digit queries_run — mirrors Bench.main's interpolation exactly
+    // four-digit queries_run, vs_prev_round at its widest — mirrors
+    // Bench.main's interpolation exactly
     val qs = Bench.headline.map(k => "\"" + k + "\":999.999")
       .mkString("{", ",", "}")
+    val vsPrev =
+      """"vs_prev_round":{"common_keys":9999,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999}"""
     val line =
-      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"failed":999,"full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"failed":999,$vsPrev,"full":"BENCH_FULL.json"}"""
     // 2000-char capture minus ~100 chars of sbt/Spark epilogue printed after
     // the line, minus slack for log lines that may interleave on shutdown
     assert(line.length < 1600,
       s"bench stdout line would be ${line.length} chars — trim the headline set " +
         "or its value precision before it outgrows the driver's tail capture")
+  }
+
+  test("vs_prev_round compares only keys green in BOTH rounds") {
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> -1.0, "gone" -> 5.0)
+    val cur = Seq("a" -> 2.0, "b" -> -1.0, "c" -> 3.0, "new" -> 9.0)
+    val (full, stdout, failed) =
+      Bench.renderArtifacts(cur, 2, "0.1", "BENCH_FULL.json", prev)
+    // only "a" is present and green on both sides: ratio = 2.0/1.0
+    val expect =
+      """"vs_prev_round":{"common_keys":1,"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""
+    assert(full.contains(expect), full)
+    assert(stdout.contains(expect))
+    assert(failed == Seq("b"))
+    // no prior artifact → explicit null, never a fabricated ratio
+    val (full2, _, _) = Bench.renderArtifacts(cur, 2, "0.1", "x.json")
+    assert(full2.contains(""""vs_prev_round":null"""))
+  }
+
+  test("readPrevQueries parses our own BENCH_FULL format and misses safely") {
+    val tmp = java.nio.file.Files.createTempFile("bench_prev", ".json")
+    val body =
+      """{"metric":"total","value":3.5,"unit":"sec","repeat":2,"failed":1,"failed_queries":["q_b"],"vs_prev_round":null,"queries":{"q_a":1.25,"q_b":-1.0,"q_c":2.25},"sf":"0.1"}"""
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    val m = Bench.readPrevQueries(tmp.toString)
+    assert(m == Map("q_a" -> 1.25, "q_b" -> -1.0, "q_c" -> 2.25))
+    assert(Bench.readPrevQueries("/nonexistent/path.json").isEmpty)
+    java.nio.file.Files.delete(tmp)
   }
 }

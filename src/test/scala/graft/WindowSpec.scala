@@ -100,6 +100,51 @@ class WindowSpec extends AnyFunSuite {
     assert(all == Seq(10L))
   }
 
+  test("foldFirst folds seeded by the first element (reference aggr/fold.rs:142)") {
+    val s = imp
+    import s._
+    // per window [0,2,4] and [4,6,8]: first-seeded left fold of (a,v)=>a*10+v
+    val r = ctx.streamIter(Seq(0L, 2L, 4L, 6L, 8L)).groupBy(_ => 0)
+      .window(CountWindow.sliding[Long, Long](3, 2)(identity))
+      .foldFirst((a, v) => a * 10 + v)
+      .collectVec().map(_._2).sorted
+    assert(r == Seq(24L, 468L)) // (0*10+2)*10+4 ; (4*10+6)*10+8
+    // singleton window: the seed IS the result, f never runs
+    val one = ctx.streamIter(Seq(7L)).groupBy(_ => 0)
+      .window(AllWindow[Long]())
+      .foldFirst((_, _) => sys.error("must not be called"): Long)
+      .collectVec().map(_._2)
+    assert(one == Seq(7L))
+    // foldFirst ≡ reduceLeft: cross-check against fold(head)(f) shape
+    val viaFold = ctx.streamIter(Seq(0L, 2L, 4L, 6L, 8L)).groupBy(_ => 0)
+      .window(CountWindow.sliding[Long, Long](3, 2)(identity))
+      .fold(Seq.empty[Long])((acc, v) => acc :+ v)
+      .collectVec().map { case (_, w) => w.reduceLeft((a, v) => a * 10 + v) }.sorted
+    assert(r == viaFold)
+  }
+
+  test("toColumnar transposes a window into struct-of-arrays (reference aggr/columnar.rs:51)") {
+    val s = imp
+    import s._
+    val data = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+    val ws = ctx.streamIter(data).groupBy(_._1 % 2)
+      .window(CountWindow.tumbling[(Long, String), Long](2)(_._1))
+    val cols = ws.toColumnar[(Seq[Long], Seq[String])].collectVec().sortBy(_._1)
+    assert(cols == Seq(
+      (0L, (Seq(0L, 2L), Seq("a", "c"))),
+      (1L, (Seq(1L, 3L), Seq("b", "d")))))
+    // scalar elements degrade to the single-column layout ≡ toVec
+    val scalarCols = ctx.streamRange(4).groupBy(_ % 2)
+      .window(CountWindow.tumbling[Long, Long](2)(identity))
+      .toColumnar[Seq[Long]].collectVec().sortBy(_._1)
+    assert(scalarCols == Seq((0L, Seq(0L, 2L)), (1L, Seq(1L, 3L))))
+    // triple elements
+    val t3 = ctx.streamIter(Seq((1L, "x", 0.5), (2L, "y", 1.5))).groupBy(_ => 0)
+      .window(AllWindow[(Long, String, Double)]())
+      .toColumnar[(Seq[Long], Seq[String], Seq[Double])].collectVec().map(_._2)
+    assert(t3 == Seq((Seq(1L, 2L), Seq("x", "y"), Seq(0.5, 1.5))))
+  }
+
   test("TransactionWindow: Commit / Discard / CommitAfter") {
     val s = imp
     import s._
