@@ -722,14 +722,15 @@ object Queries {
   // §2.6 joins
   // =====================================================================
 
-  /** inner equi-join chain with broadcast dims (ship_broadcast_right,
-    * join/ship.rs:45): revenue per nation. lineitem shuffles once on
-    * orderkey; nation/region/customer broadcast. */
+  /** inner equi-join chain (join/ship.rs:45): revenue per nation. Only the
+    * fixed-25-row nation keeps a broadcast hint; customer is
+    * SF-proportional, so AQE decides its join strategy (auto-broadcast
+    * under threshold at test scales, shuffle join at 100×). */
   def q_join_inner(s: SparkSession, dir: String): DataFrame = {
     val o = tbl(s, dir, "orders")
     val c = tbl(s, dir, "customer")
     val n = tbl(s, dir, "nation")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
@@ -952,6 +953,72 @@ object Queries {
       |  w1 AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id),
       |  w2 AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** Window `to_columnar` (reference: src/operator/window/aggr/columnar.rs:51)
+    * through the typed façade: per user, tumbling count windows of 5 events
+    * ordered by event_id, each window transposed to struct-of-arrays and
+    * emitted as one row of CSV-joined columns (arrays serialize to strings
+    * so the driver's hash compare is layout-stable across engines). The
+    * oracle replays the windowing with row_number()/5 groups and ordered
+    * string_agg. Scale shape: one hash Exchange on user_id, per-key state
+    * bounded by that user's events (the collect-path window contract). */
+  def q_window_columnar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.api.WindowDescr._
+    val in = new graft.api.Stream(
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .as[(Long, Long, String)])
+    in.groupBy(_._1)
+      .window(CountWindow.tumbling[(Long, Long, String), Long](5)(_._2))
+      .toColumnar[(Seq[Long], Seq[Long], Seq[String])]
+      .ds.map { case (k, (_, ids, types)) =>
+        (k, ids.mkString(","), types.mkString(",")) }
+      .toDF("user_id", "ids_csv", "types_csv")
+  }
+
+  private val q_window_columnar_sql =
+    """WITH r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+      |  FROM events)
+      |SELECT user_id,
+      |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids_csv,
+      |  string_agg(event_type, ',' ORDER BY event_id) AS types_csv
+      |FROM r GROUP BY user_id, rn // 5
+      |HAVING count(*) = 5""".stripMargin
+
+  /** Window `fold_first` (reference: src/operator/window/aggr/fold.rs:142)
+    * through the typed façade: tumbling count windows of 4 events per user
+    * ordered by event_id; the fold is SEEDED BY THE FIRST ELEMENT — the
+    * first component of the seed rides through untouched (pinning the
+    * seeded-by-first semantics), the second folds an order-sensitive
+    * base-31 chain over the ids. Exact integer arithmetic end-to-end; the
+    * oracle replays the chain with DuckDB's list_reduce (same first-element
+    * seeding). */
+  def q_window_foldfirst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.api.WindowDescr._
+    val in = new graft.api.Stream(
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_id"))
+        .as[(Long, Long, Long)])
+    in.groupBy(_._1)
+      .window(CountWindow.tumbling[(Long, Long, Long), Long](4)(_._2))
+      .foldFirst((a, v) => (a._1, a._2, a._3 * 31L + v._3))
+      .ds.map { case (k, (_, first, chain)) => (k, first, chain) }
+      .toDF("user_id", "first_event", "chain")
+  }
+
+  private val q_window_foldfirst_sql =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+      |  FROM events)
+      |SELECT user_id, min(event_id) AS first_event,
+      |  list_reduce(list(event_id ORDER BY event_id), (a, b) -> a * 31 + b) AS chain
+      |FROM r GROUP BY user_id, rn // 4
+      |HAVING count(*) = 4""".stripMargin
 
   /** TransactionWindow (src/operator/window/transaction.rs) through the
     * typed façade, batch path: per user, events ordered by (ts, event_id)
@@ -6275,6 +6342,8 @@ object Queries {
     "q_window_session" -> (q_window_session _),
     "q_window_txn" -> (q_window_txn _),
     "q_window_count" -> (q_window_count _),
+    "q_window_columnar" -> (q_window_columnar _),
+    "q_window_foldfirst" -> (q_window_foldfirst _),
     "q_window_lastk" -> (q_window_lastk _),
     "q_window_first_last" -> (q_window_first_last _),
     "q_interval_join" -> (q_interval_join _),
@@ -6496,6 +6565,8 @@ object Queries {
     "q_window_session" -> q_window_session_sql,
     "q_window_txn" -> q_window_txn_sql,
     "q_window_count" -> q_window_count_sql,
+    "q_window_columnar" -> q_window_columnar_sql,
+    "q_window_foldfirst" -> q_window_foldfirst_sql,
     "q_window_lastk" -> q_window_lastk_sql,
     "q_window_first_last" -> q_window_first_last_sql,
     "q_interval_join" -> q_interval_join_sql,

@@ -22,6 +22,19 @@ object Graph {
       parallelism: Option[Int])(f: => A): A =
     Iteration.withShuffleWidth(spark, parallelism)(f)
 
+  /** Node-count gate for per-round degree-table broadcasts. The per-node
+    * side tables (outdeg, w_out) are NODE-sized, so an unconditional
+    * `broadcast()` hint is an OOM cliff on billion-node graphs — but the
+    * loop bodies run with AQE off (shape-stable rounds; round-4 note), so
+    * without a hint Spark would sort-merge a table that fits in memory at
+    * every test scale. The node count is already computed before every
+    * loop, so gate on it: ≤2M nodes (~tens of MB as a HashedRelation)
+    * broadcasts, above that the join shuffles and AQE-less SMJ is the
+    * right plan anyway (both sides node-partitioned). */
+  private[graft] val BroadcastNodeLimit = 2_000_000L
+  private def maybeBroadcast(df: DataFrame, nodeCount: Long): DataFrame =
+    if (nodeCount <= BroadcastNodeLimit) broadcast(df) else df
+
   /** Min-label propagation connected components.
     * edges: (src: Long, dst: Long) undirected (both directions derived).
     * Returns (node, component = min reachable node id).
@@ -351,14 +364,15 @@ object Graph {
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
-      val n = nodes.count().toDouble
+      val nodeCount = nodes.count()
+      val n = nodeCount.toDouble
       val wOut = e.groupBy(col("src")).agg(sum(col("w")).as("w_out")).persist()
       val basePico = math.round((1 - damping) / n * 1e12)
       // linear lineage (each rank references only the previous one plus the
       // caches) — rounds stay lazy, one materializing checkpoint at the end
       var r = nodes.withColumn("rank_pico", lit(math.round(1e12 / n)))
       for (_ <- 1 to iterations) {
-        val contrib = e.join(broadcast(wOut), Seq("src"))
+        val contrib = e.join(maybeBroadcast(wOut, nodeCount), Seq("src"))
           .join(r.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"),
             expr(s"(${2 * dN}L * rank_pico * w + ${dD}L * w_out)" +
@@ -482,13 +496,14 @@ object Graph {
     val e = e0.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count().toDouble
+    val nodeCount = nodes.count()
+    val n = nodeCount.toDouble
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
 
     val init = nodes.withColumn("rank", lit(1.0 / n))
     val out = Iteration.loop(init, iterations) { (ranks, _) =>
       val contrib = e
-        .join(broadcast(outdeg), Seq("src"))
+        .join(maybeBroadcast(outdeg, nodeCount), Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
       val incoming = contrib.groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
@@ -517,6 +532,8 @@ object Graph {
     val e = e0.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    // materializes the persist and prices the broadcast gate in one action
+    val nodeCount = nodes.count()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
     val sSize = sources.size.toDouble
     val inS = col("node").isin(sources: _*)
@@ -525,7 +542,7 @@ object Graph {
       when(inS, lit(1.0 / sSize)).otherwise(lit(0.0)))
     val out = Iteration.loop(init, iterations) { (ranks, _) =>
       val contrib = e
-        .join(broadcast(outdeg), Seq("src"))
+        .join(maybeBroadcast(outdeg, nodeCount), Seq("src"))
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
       val incoming = contrib.groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
@@ -560,9 +577,10 @@ object Graph {
     val e = e0.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val n = nodes.count().toDouble
+    val nodeCount = nodes.count()
+    val n = nodeCount.toDouble
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eod = e.join(broadcast(outdeg), Seq("src"))
+    val eod = e.join(maybeBroadcast(outdeg, nodeCount), Seq("src"))
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
         col("outdeg"))
       .persist()

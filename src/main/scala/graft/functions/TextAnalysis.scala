@@ -206,7 +206,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     // tf is unique per (doc, term): df(term) = row count per term
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    // no forced broadcast: dfreq is VOCABULARY-sized (grows with the corpus
+    // — same class as the NgramLm model tables, which are deliberately not
+    // hinted). AQE auto-broadcasts it while it fits; at 100 TB the term
+    // join shuffles, which is the only plan that survives there.
+    val scored = tf.join(dfreq, Seq("term"))
       .withColumn("score",
         round(col("tf") * log(lit(nDocs.toDouble) / col("dfc").cast("double")),
           dp))
@@ -364,7 +368,8 @@ object TextAnalysis {
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("dfc").cast("double") + lit(0.5)) /
         (col("dfc").cast("double") + lit(0.5)))
-    val scored = tf.join(broadcast(dfc.withColumn("idf", idf)), Seq("term"))
+    // vocabulary-sized side — AQE decides (see tfidfTopTerms note)
+    val scored = tf.join(dfc.withColumn("idf", idf), Seq("term"))
       .join(lens, Seq("doc_id"))
       .withColumn("part",
         col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
