@@ -111,12 +111,16 @@ object Bench {
           s"[bench] sf=$sf is not the BENCH_FULL.json convention (sf0.1); writing $redirected")
         redirected
       } else fullOutRaw
-    // the PREVIOUS round's committed artifact is whatever sits at fullOut
-    // before we overwrite it — read it FIRST so every bench run carries a
-    // mechanical round-over-round common-key ratio (round-11 verdict #3:
-    // the narrative compared against an intra-round snapshot; the committed
-    // artifact is the only honest baseline, so compute it in code)
-    val prevQueries = readPrevQueries(fullOut)
+    // the PREVIOUS round's committed artifact is whatever sits at the
+    // BENCH_FULL.json convention path (or SPARK_GRAFT_PREV) before this run
+    // overwrites it — read it FIRST so every bench run carries a mechanical
+    // round-over-round common-key ratio (round-11 verdict #3: the narrative
+    // compared against an intra-round snapshot; the committed artifact is
+    // the only honest baseline, so compute it in code). readPrevQueries
+    // refuses a prior artifact at a different scale factor — an sf0.001
+    // iteration run must not "compare" against the committed sf0.1 numbers.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV", "BENCH_FULL.json")
+    val prevQueries = readPrevQueries(prevPath, sf)
     val (fullLine, stdoutLine, failedNames) =
       renderArtifacts(results, repeat, sf, fullOut, prevQueries)
     java.nio.file.Files.write(
@@ -146,14 +150,18 @@ object Bench {
     */
   /** Parse the `queries` map out of a prior BENCH_FULL.json (our own flat
     * format: numeric values, no nesting). Empty on any miss — a first run
-    * or a format change must not fail the bench. */
-  def readPrevQueries(path: String): Map[String, Double] =
+    * or a format change must not fail the bench — and empty when the prior
+    * artifact's `sf` differs from this run's (cross-scale "ratios" are
+    * meaningless). */
+  def readPrevQueries(path: String, sf: String = ""): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
+      val sfOk = sf.isEmpty ||
+        "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).forall(_.group(1) == sf)
       val qIdx = txt.indexOf("\"queries\":{")
-      if (qIdx < 0) Map.empty
+      if (qIdx < 0 || !sfOk) Map.empty
       else {
         val body = txt.substring(qIdx + 11, txt.indexOf('}', qIdx))
         "\"([A-Za-z0-9_]+)\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(body)

@@ -38,6 +38,17 @@ object TpchQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def dec9(c: Column): Column = c.cast("decimal(9,2)")
+
+  /** Count-gated broadcast for SF-proportional-but-usually-small join
+    * sides (the round-11 verdict's "gate it on a cheap count"): a blind
+    * `broadcast()` hint OOMs at 100×, while NO hint makes AQE materialize
+    * the fact side's full shuffle write before it can convert the
+    * sort-merge join to a broadcast one. The count is one action over a
+    * dimension-subset scan — trivial next to either failure mode. 5M rows
+    * of (key) ≈ low hundreds of MB as a HashedRelation, the same
+    * survivable-broadcast band as [[graft.algorithms.Graph]]'s node gate. */
+  private def broadcastIfSmall(df: DataFrame, maxRows: Long = 5000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
   private val one = lit(1).cast("decimal(18,2)")
   private val one9 = lit(1).cast("decimal(9,2)")
   private def ts(s: String): Column = lit(s).cast("timestamp")
@@ -118,16 +129,16 @@ object TpchQueries {
       .groupBy(col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"))
       .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
-    // No forced broadcast on the part/supplier subsets: both grow with the
-    // scale factor (unlike nation/region's fixed 25/5 rows), so a hint here
-    // would force a multi-GB broadcast at 100×. AQE still auto-broadcasts
-    // either side while it fits under the threshold.
+    // The part/supplier subsets grow with the scale factor (unlike
+    // nation/region's fixed 25/5 rows), so their broadcasts are COUNT-GATED:
+    // a blind hint OOMs at 100×, no hint costs an extra fact-grain shuffle
+    // write of `ps` before AQE converts the SMJ (see broadcastIfSmall).
     val psEu = ps
-      .join(tbl(s, dir, "part")
+      .join(broadcastIfSmall(tbl(s, dir, "part")
           .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
-          .select(col("p_partkey"), col("p_brand")),
+          .select(col("p_partkey"), col("p_brand"))),
         col("ps_partkey") === col("p_partkey"))
-      .join(eu, col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcastIfSmall(eu), col("ps_suppkey") === col("s_suppkey"))
     val minCost = psEu.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("ps_supplycost")).as("mc_cost"))
     psEu.join(minCost, col("ps_partkey") === col("mc_partkey") &&
@@ -401,9 +412,12 @@ object TpchQueries {
     // aggregate duplicates — a persist+count was measured strictly worse
     // (1.08 vs 0.81 s min-of-3 at sf0.1; SCALE.md "within one action" note)
     val value = tbl(s, dir, "lineitem")
-      // natSupp is a supplier subset — SF-proportional, so no forced
-      // broadcast (AQE decides); only fixed-size nation keeps its hint
-      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      // natSupp is a supplier subset — SF-proportional, so the broadcast is
+      // COUNT-GATED rather than forced (blind hint = OOM at 100×) or
+      // dropped (hint-less AQE pays a full lineitem shuffle WRITE before it
+      // converts the SMJ to a broadcast join — measured 0.63 → 0.98 s at
+      // sf0.1). The gate costs one cheap dimension-scan count.
+      .join(broadcastIfSmall(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("ps_partkey"))
       .agg(sum((dec9(col("l_quantity")) * dec9(col("l_extendedprice")) *
         lit(10000L).cast("decimal(5,0)")).cast("long")).as("value_micro"))

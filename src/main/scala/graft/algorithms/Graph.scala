@@ -32,7 +32,7 @@ object Graph {
     * broadcasts, above that the join shuffles and AQE-less SMJ is the
     * right plan anyway (both sides node-partitioned). */
   private[graft] val BroadcastNodeLimit = 2_000_000L
-  private def maybeBroadcast(df: DataFrame, nodeCount: Long): DataFrame =
+  private[graft] def maybeBroadcast(df: DataFrame, nodeCount: Long): DataFrame =
     if (nodeCount <= BroadcastNodeLimit) broadcast(df) else df
 
   /** Min-label propagation connected components.

@@ -62,6 +62,10 @@ class BenchFormatSpec extends AnyFunSuite {
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
     val m = Bench.readPrevQueries(tmp.toString)
     assert(m == Map("q_a" -> 1.25, "q_b" -> -1.0, "q_c" -> 2.25))
+    assert(Bench.readPrevQueries(tmp.toString, "0.1") == m,
+      "matching sf must not suppress the comparison")
+    assert(Bench.readPrevQueries(tmp.toString, "0.001").isEmpty,
+      "a prior artifact at a different scale factor must be ignored")
     assert(Bench.readPrevQueries("/nonexistent/path.json").isEmpty)
     java.nio.file.Files.delete(tmp)
   }

@@ -250,6 +250,20 @@ class ScaleSpec extends AnyFunSuite {
       ("c", 3L, 12L, 4L, 3.0 / 12)))
   }
 
+  test("graph degree-table broadcast gates on node count (OOM-cliff guard)") {
+    import spark.implicits._
+    val deg = Seq((1L, 2L), (2L, 1L)).toDF("src", "outdeg")
+    def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      }.nonEmpty
+    val lim = graft.algorithms.Graph.BroadcastNodeLimit
+    assert(hasHint(graft.algorithms.Graph.maybeBroadcast(deg, lim)),
+      "a graph at the limit should still broadcast its degree table")
+    assert(!hasHint(graft.algorithms.Graph.maybeBroadcast(deg, lim + 1)),
+      "a graph past the limit must NOT force a node-sized broadcast")
+  }
+
   test("narrow catalog family plans with zero exchanges (regression guard)") {
     imp
     // these queries' 100 TB claim is "linear scan, no shuffle at any
