@@ -1960,6 +1960,45 @@ object Queries {
         col("f.purchase_us").as("purchase_us"), col("f.stage").as("stage"))
   }
 
+  /** Streaming twin of q_window_columnar — exact tumbling count windows
+    * through the flatMapGroupsWithState state machine
+    * (Streaming.countTumblingOrdered): per-batch rows fold in event_id
+    * order, complete 5-windows emit their struct-of-arrays transpose,
+    * the trailing partial survives in state across micro-batches (a window
+    * SPLIT by a batch boundary must still come out whole — that is the
+    * cell's point). Oracle shared with the batch twin. */
+  def q_stream_columnar(s: SparkSession, dir: String): DataFrame =
+    runStream(s, { src =>
+      import s.implicits._
+      val typed = src.select(col("user_id"), col("event_id"), col("event_type"))
+        .as[(Long, Long, String)]
+        .map(t => (t._1, (t._2, t._3)))
+      graft.streaming.Streaming
+        .countTumblingOrdered(typed, 5, (v: (Long, String)) => v._1) { w =>
+          (w.map(_._1).mkString(","), w.map(_._2).mkString(","))
+        }
+        .map { case (k, (ids, types)) => (k, ids, types) }
+        .toDF("user_id", "ids_csv", "types_csv")
+    }, "append", dir)
+
+  /** Streaming twin of q_window_foldfirst — the first-element-seeded fold
+    * over exact tumbling 4-windows through the same ordered count-window
+    * state machine; the seed's first component rides untouched across a
+    * window even when a micro-batch boundary splits it. Oracle shared with
+    * the batch twin. */
+  def q_stream_foldfirst(s: SparkSession, dir: String): DataFrame =
+    runStream(s, { src =>
+      import s.implicits._
+      val typed = src.select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+      graft.streaming.Streaming
+        .countTumblingOrdered(typed, 4, (v: Long) => v) { w =>
+          (w.head, w.tail.foldLeft(w.head)((a, v) => a * 31L + v))
+        }
+        .map { case (k, (first, chain)) => (k, first, chain) }
+        .toDF("user_id", "first_event", "chain")
+    }, "append", dir)
+
   /** Streaming twin of q_sessionize — the inactivity-gap session assignment
     * through the flatMapGroupsWithState O(1)-state machine
     * (Streaming.sessionizeStream). A bounded AvailableNow run is one
@@ -6353,6 +6392,8 @@ object Queries {
     "q_stream_tumbling" -> (q_stream_tumbling _),
     "q_stream_sliding" -> (q_stream_sliding _),
     "q_stream_wordcount" -> (q_stream_wordcount _),
+    "q_stream_columnar" -> (q_stream_columnar _),
+    "q_stream_foldfirst" -> (q_stream_foldfirst _),
     "q_stream_dedup" -> (q_stream_dedup _),
     "q_stream_funnel" -> (q_stream_funnel _),
     "q_stream_sessionize" -> (q_stream_sessionize _),
@@ -6576,6 +6617,8 @@ object Queries {
     "q_stream_tumbling" -> q_window_tumbling_sql,
     "q_stream_sliding" -> q_window_sliding_sql,
     "q_stream_wordcount" -> q_wordcount_file_sql,
+    "q_stream_columnar" -> q_window_columnar_sql,
+    "q_stream_foldfirst" -> q_window_foldfirst_sql,
     "q_stream_dedup" -> q_dedup_exact_sql,
     "q_stream_funnel" -> q_funnel_sql,
     "q_stream_sessionize" -> q_sessionize_sql,

@@ -80,6 +80,35 @@ object Streaming {
           out.iterator
       }
 
+  /** [[countTumbling]] with a per-batch ORDER: each micro-batch's rows for
+    * a key are sorted by `order` before they fold into the running window
+    * buffer, so window membership is deterministic under Spark's arbitrary
+    * within-batch row order. The cross-batch contract matches the other
+    * state machines here (funnel/sessionize): batches arrive key-ascending
+    * in `order` (the log-ingestion case — runStream's ts-range split
+    * satisfies it since event time is monotone in the order key). State is
+    * the (size-bounded) open window buffer per key; complete windows emit,
+    * the trailing partial stays buffered — the batch CountWindow
+    * `exact=true` semantics (reference: descr/count.rs:99-137). */
+  def countTumblingOrdered[K, V, B, O](ds: Dataset[(K, V)], size: Int,
+      order: V => B)(agg: Seq[V] => O)(implicit ob: Ordering[B],
+      ek: Encoder[K], ev: Encoder[Seq[V]], eo: Encoder[(K, O)],
+      ekv: Encoder[(K, V)]): Dataset[(K, O)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[V], (K, O)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[Seq[V]]) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[V]
+          buf ++= state.getOption.getOrElse(Seq.empty[V])
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, O)]
+          rows.map(_._2).toVector.sortBy(order).foreach { v =>
+            buf += v
+            if (buf.size == size) { out += ((key, agg(buf.toSeq))); buf.clear() }
+          }
+          state.update(buf.toSeq)
+          out.iterator
+      }
+
   /** Per-user funnel progress ((t1, t2, t3, stage) after every update) —
     * the streaming twin of the batch ordered funnel (Queries.q_funnel):
     * first `stages(0)`, then the first `stages(1)` at-or-after it, then the

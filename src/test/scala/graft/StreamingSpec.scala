@@ -349,6 +349,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("countTumblingOrdered sorts each batch and carries partials across batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    // order-sensitive aggregate: the CSV pins window membership AND order
+    val out = Streaming.countTumblingOrdered(in.toDS(), 3, (v: Int) => v)(
+      w => w.mkString(","))
+    val q = out.toDF("k", "w").writeStream.outputMode("append")
+      .format("memory").queryName("cnto").start()
+    try {
+      // batch 1 arrives OUT OF ORDER: sorted fold → window [1,2,3] + open [4]
+      in.addData(("a", 3), ("a", 1), ("a", 4), ("a", 2))
+      q.processAllAvailable()
+      assert(spark.table("cnto").as[(String, String)].collect().toSet ==
+        Set(("a", "1,2,3")))
+      // batch 2 completes the carried partial: [4,5,6] — the boundary-split
+      // window comes out whole and ordered
+      in.addData(("a", 6), ("a", 5))
+      q.processAllAvailable()
+      assert(spark.table("cnto").as[(String, String)].collect().toSet ==
+        Set(("a", "1,2,3"), ("a", "4,5,6")))
+    } finally q.stop()
+  }
+
   test("streaming TransactionWindow: Commit and CommitAfter semantics") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
