@@ -938,8 +938,8 @@ object Dedup {
     // within-increment exact dedup: one increment-sized shuffle
     val inc = exact(newDocs, idCol, textCol)
     val hist = history.select(col(historyDigestCol).as("digest"))
-    // first-cycle guard: stat.bloomFilter NPEs on zero rows (its aggregate
-    // returns a null buffer); an empty history also needs no dedup at all.
+    // first-cycle guard: a zero-row Bloom aggregate returns NULL (no
+    // filter), and an empty history needs no dedup at all.
     // isEmpty is a limit-1 probe — trivial at any history size.
     if (hist.isEmpty) return inc
     // the increment aggregate feeds BOTH the probable-dup probe and the
@@ -953,10 +953,12 @@ object Dedup {
     // is released before returning; the result comes back persisted
     // (callers release it when consumed). Measured flat at sf0.1.
     val incP = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bf = hist.stat.bloomFilter("digest", expectedItems, fpp)
-    val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
-    val mightSeen = udf((d: String) => d != null && bfB.value.mightContainString(d))
-    val probable = incP.filter(mightSeen(col("digest")))
+    // native codegen'd Bloom build + probe (plans.BloomExpressions): the
+    // isEmpty guard above means the aggregate always sees >=1 row here
+    val bloom = graft.plans.BloomExpressions
+      .buildBloom(hist, col("digest"), expectedItems, fpp).get
+    val probable = incP.filter(
+      graft.plans.BloomExpressions.mightContain(bloom, col("digest")))
     // exact confirmation: history-side scan, dup-bound broadcast joins
     val confirmed = hist
       .join(broadcast(probable.select(col("digest"))), Seq("digest"), "left_semi")

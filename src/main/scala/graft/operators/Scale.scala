@@ -88,11 +88,10 @@ object Scale {
     * runtime filters by being available on any join the caller chooses,
     * with an explicitly budgeted bitset.
     *
-    * The probe predicate is a broadcast-Bloom UDF by necessity (the same
-    * justification as Dedup.exactIncremental's — no Column form exists for
-    * an arbitrary driver-built Bloom); it gates rows BEFORE the exchange,
-    * so the non-codegen cost is one virtual call per probe row in exchange
-    * for shuffling ~none of them. */
+    * The probe predicate is [[graft.plans.BloomExpressions.mightContain]] —
+    * a codegen'd native expression over a broadcast filter handle (no UDF
+    * bridge, no megabyte plan literal); it gates rows BEFORE the exchange,
+    * so the pruned rows never pay serialization or network at all. */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, expectedItems: Long, fpp: Double = 0.01,
       joinType: String = "inner"): DataFrame = {
@@ -105,12 +104,18 @@ object Scale {
       s"bloomPrunedJoin supports only inner/left_semi/cross joins " +
         s"(probe-side pruning drops rows an outer/anti join must emit); " +
         s"got '$joinType'")
-    val bf = build.select(col(buildKey).cast("string").as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
-    val bfB = probe.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: String) => k != null && bfB.value.mightContainString(k))
-    probe.filter(might(col(probeKey).cast("string")))
-      .join(build, probe(probeKey) === build(buildKey), joinType)
+    // native codegen'd build + probe (plans.BloomExpressions); an EMPTY
+    // build side returns no filter — the join below emits nothing for
+    // inner/semi anyway, so skip the prefilter instead of failing
+    graft.plans.BloomExpressions
+      .buildBloom(build, col(buildKey), expectedItems, fpp) match {
+      case Some(bloom) =>
+        probe.filter(graft.plans.BloomExpressions
+            .mightContain(bloom, col(probeKey)))
+          .join(build, probe(probeKey) === build(buildKey), joinType)
+      case None =>
+        probe.join(build, probe(probeKey) === build(buildKey), joinType)
+    }
   }
 
   /** Last-writer-wins compaction — the CDC / recrawl-upsert step: one

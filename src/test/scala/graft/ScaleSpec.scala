@@ -81,13 +81,20 @@ class ScaleSpec extends AnyFunSuite {
       .select("k", "v", "tag").collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
     assert(sloppy == plain)
-    // the filter itself prunes: count the probe rows that pass the Bloom
-    val bf = build.select(col("bk").cast("string").as("__k"))
-      .stat.bloomFilter("__k", 1000, 0.01)
-    val passed = probe.collect().count(r =>
-      bf.mightContainString(r.getLong(0).toString))
+    // the filter itself prunes: count the probe rows that pass the ACTUAL
+    // native prefilter (plans.BloomExpressions — the expression the join
+    // uses), and pin that an empty build side yields no filter at all
+    val bloom = graft.plans.BloomExpressions
+      .buildBloom(build, col("bk"), 1000, 0.01).get
+    val passed = probe.filter(
+      graft.plans.BloomExpressions.mightContain(bloom, col("k"))).count()
     assert(passed < 10000 / 2,
       s"Bloom should strip most of a selective probe, passed $passed/10000")
+    assert(graft.plans.BloomExpressions
+      .buildBloom(build.filter(lit(false)), col("bk"), 1000, 0.01).isEmpty)
+    // and the empty-build join itself degrades to the plain (empty) join
+    assert(Scale.bloomPrunedJoin(probe, build.filter(lit(false)), "k", "bk",
+      expectedItems = 1000).count() == 0L)
     // outer/anti joins must emit unmatched probe rows — pruning would drop
     // them, so those join types are rejected up front, never miscomputed
     for (bad <- Seq("left_outer", "full_outer", "left_anti")) {
