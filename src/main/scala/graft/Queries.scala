@@ -1834,8 +1834,12 @@ object Queries {
     // state-store partition count: each streaming state partition pays a
     // fixed open/commit/snapshot cost PER MICROBATCH, so a bounded replay
     // wants few, large state partitions (the opposite of the batch
-    // shuffle default) — GRAFT_STREAM_PARTS overrides for measurement
-    val parts = sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
+    // shuffle default) — GRAFT_STREAM_PARTS overrides for measurement.
+    // Measured on the 5 heaviest twins at sf0.1 (min-of-2 each):
+    // 8 parts 12.4 s, 4 parts 12.5 s, 2 parts 10.3 s, 1 part 11.1 s —
+    // 2 keeps two-way compute parallelism while halving commit count
+    // three more times; 1 serializes the state work and loses the gain.
+    val parts = sys.env.getOrElse("GRAFT_STREAM_PARTS", "2")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts)
     try {
