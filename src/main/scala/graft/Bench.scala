@@ -158,8 +158,11 @@ object Bench {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
+      // exists, not forall: an artifact MISSING its sf field must be
+      // treated as a scale mismatch (a vacuous pass here would compare,
+      // e.g., sf0.001 iteration times against committed sf0.1 numbers)
       val sfOk = sf.isEmpty ||
-        "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).forall(_.group(1) == sf)
+        "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sf)
       val qIdx = txt.indexOf("\"queries\":{")
       if (qIdx < 0 || !sfOk) Map.empty
       else {

@@ -47,7 +47,12 @@ object Soak {
     // passes; pass = true only if every pass passed.
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_SOAK_REPEAT").map(_.toInt).getOrElse(1))
-    final case class Cell(rows: Long, secs: Double, mb: Double, pass: Boolean)
+    // `pass` = every pass passed (the artifact's verdict); `timed` = the
+    // recorded secs/mb came from a SUCCESSFUL pass (distinct — a cell
+    // that failed once keeps pass=false forever, but later successful
+    // passes must still min-merge timings rather than overwrite them)
+    final case class Cell(rows: Long, secs: Double, mb: Double,
+        pass: Boolean, timed: Boolean)
     val cells = scala.collection.mutable.LinkedHashMap.empty[String, Cell]
     var failed = 0
 
@@ -75,15 +80,18 @@ object Soak {
         // of the pipeline — only a successful pass may lower the minima
         // (mirroring the rows guard)
         case Some(prev) =>
-          // a previously-failed cell's timings are also abort artifacts:
-          // the first successful pass replaces them instead of min-merging
+          // abort-artifact timings never participate: the first SUCCESSFUL
+          // pass replaces them, and every later successful pass min-merges
+          // (keyed on prev.timed, not prev.pass — a once-failed cell stays
+          // pass=false forever but its later good timings still min-merge)
           val (mSecs, mMb) =
             if (!pass) (prev.secs, prev.mb)
-            else if (!prev.pass) (secs, mb)
+            else if (!prev.timed) (secs, mb)
             else (math.min(prev.secs, secs), math.min(prev.mb, mb))
           cells(name) = Cell(
-            if (pass) rows else prev.rows, mSecs, mMb, prev.pass && pass)
-        case None => cells(name) = Cell(rows, secs, mb, pass)
+            if (pass) rows else prev.rows, mSecs, mMb, prev.pass && pass,
+            prev.timed || pass)
+        case None => cells(name) = Cell(rows, secs, mb, pass, timed = pass)
       }
     }
 

@@ -46,9 +46,11 @@ object TpchQueries {
     * sort-merge join to a broadcast one. The count is one action over a
     * dimension-subset scan — trivial next to either failure mode. 5M rows
     * of (key) ≈ low hundreds of MB as a HashedRelation, the same
-    * survivable-broadcast band as [[graft.algorithms.Graph]]'s node gate. */
+    * survivable-broadcast band as [[graft.algorithms.Graph]]'s node gate
+    * (both delegate to the one policy home, [[graft.operators.Scale
+    * .broadcastIfSmall]]). */
   private def broadcastIfSmall(df: DataFrame, maxRows: Long = 5000000L): DataFrame =
-    if (df.count() <= maxRows) broadcast(df) else df
+    graft.operators.Scale.broadcastIfSmall(df, maxRows)
   private val one = lit(1).cast("decimal(18,2)")
   private val one9 = lit(1).cast("decimal(9,2)")
   private def ts(s: String): Column = lit(s).cast("timestamp")

@@ -33,7 +33,8 @@ object Graph {
     * right plan anyway (both sides node-partitioned). */
   private[graft] val BroadcastNodeLimit = 2_000_000L
   private[graft] def maybeBroadcast(df: DataFrame, nodeCount: Long): DataFrame =
-    if (nodeCount <= BroadcastNodeLimit) broadcast(df) else df
+    graft.operators.Scale.broadcastIfSmall(df, BroadcastNodeLimit,
+      knownCount = Some(nodeCount))
 
   /** Min-label propagation connected components.
     * edges: (src: Long, dst: Long) undirected (both directions derived).

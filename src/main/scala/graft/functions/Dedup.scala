@@ -941,7 +941,15 @@ object Dedup {
     // first-cycle guard: a zero-row Bloom aggregate returns NULL (no
     // filter), and an empty history needs no dedup at all.
     // isEmpty is a limit-1 probe — trivial at any history size.
-    if (hist.isEmpty) return inc
+    // The early return honors the same contract as the main path: result
+    // persisted AND materialized (DigestStore.dedupCycle's append and the
+    // caller's aggregation each re-read it; cycle 1 is the LARGEST
+    // increment, the worst place to recompute the digest shuffle twice).
+    if (hist.isEmpty) {
+      val p = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      return p
+    }
     // the increment aggregate feeds BOTH the probable-dup probe and the
     // final anti-join. What makes the caching pay is the CROSS-ACTION
     // shape, not the in-plan sharing (AQE already reuses the identical

@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** THE size-gated broadcast hint: hint only while the side provably fits
+    * as a HashedRelation, let the exchange happen above the gate. One home
+    * for the policy — `Graph.maybeBroadcast` (node-count gate inside
+    * AQE-less iteration loops) and `TpchQueries.broadcastIfSmall`
+    * (SF-growing dimension subsets) both delegate here, so a future change
+    * of gate quantity (e.g. rows → estimated bytes) lands once. Pass
+    * `knownCount` when the caller already paid for a count (iteration
+    * loops count nodes up front); otherwise one count() action runs — use
+    * only where that cost is amortized by the join it guards. */
+  def broadcastIfSmall(df: DataFrame, maxRows: Long,
+      knownCount: Option[Long] = None): DataFrame =
+    if (knownCount.getOrElse(df.count()) <= maxRows) broadcast(df) else df
+
   /** Two-phase salted aggregation: spread each group over `salt` sub-groups,
     * partially aggregate, then merge. `aggs` must be algebraic pairs of
     * (partial, merge) expressed on the same column names — the common cases

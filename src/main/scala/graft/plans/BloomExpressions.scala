@@ -39,7 +39,15 @@ object BloomExpressions {
   /** One codegen'd aggregate action over `df`: the Bloom filter of `key`,
     * or None when `df` is empty (the aggregate returns NULL on zero rows —
     * callers skip prefiltering instead of NPE-ing, the `stat.bloomFilter`
-    * failure mode this replaces). */
+    * failure mode this replaces).
+    *
+    * `BloomFilterAggregate` Math.min-clamps BOTH its parameters against
+    * the runtime-filter session caps (4M items / 64M bits by default) —
+    * sized for the optimizer's own injected filters, not for a caller
+    * who budgeted a 100M-digest history. A silently clamped filter
+    * saturates (fpp → 1) and the "prefilter" passes everything, so the
+    * caps are raised to the requested size for the duration of the
+    * build and restored after. */
   def buildBloom(df: DataFrame, key: Column, expectedItems: Long,
       fpp: Double): Option[BloomFilter] = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
@@ -47,8 +55,19 @@ object BloomExpressions {
       new BloomFilterAggregate(
         new XxHash64(Seq(ColumnBridge.expr(key.cast("string")))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    Option(df.select(agg.as("bf")).head().getAs[Array[Byte]](0))
-      .map(bytes => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    try {
+      conf.set(itemsKey, math.max(prevItems.toLong, expectedItems))
+      conf.set(bitsKey, math.max(prevBits.toLong, numBits))
+      Option(df.select(agg.as("bf")).head().getAs[Array[Byte]](0))
+        .map(bytes =>
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+    } finally {
+      conf.set(itemsKey, prevItems); conf.set(bitsKey, prevBits)
+    }
   }
 
   /** Codegen'd broadcast probe: might `key` be in the filter? NULL keys

@@ -66,6 +66,16 @@ class BenchFormatSpec extends AnyFunSuite {
       "matching sf must not suppress the comparison")
     assert(Bench.readPrevQueries(tmp.toString, "0.001").isEmpty,
       "a prior artifact at a different scale factor must be ignored")
+    // an artifact MISSING its sf field is a mismatch, not a vacuous match —
+    // cross-scale ratios must never come out of an untagged file
+    val noSf = java.nio.file.Files.createTempFile("bench_prev_nosf", ".json")
+    java.nio.file.Files.write(noSf,
+      """{"metric":"total","queries":{"q_a":1.25}}""".getBytes("UTF-8"))
+    assert(Bench.readPrevQueries(noSf.toString, "0.1").isEmpty,
+      "missing sf field must suppress the comparison")
+    assert(Bench.readPrevQueries(noSf.toString) == Map("q_a" -> 1.25),
+      "no requested sf still parses (caller opted out of the guard)")
+    java.nio.file.Files.delete(noSf)
     assert(Bench.readPrevQueries("/nonexistent/path.json").isEmpty)
     java.nio.file.Files.delete(tmp)
   }

@@ -92,6 +92,20 @@ class ScaleSpec extends AnyFunSuite {
       s"Bloom should strip most of a selective probe, passed $passed/10000")
     assert(graft.plans.BloomExpressions
       .buildBloom(build.filter(lit(false)), col("bk"), 1000, 0.01).isEmpty)
+    // a budget ABOVE the runtime-filter session caps (4M items / 64M bits)
+    // must come back at the requested size, not silently clamped — a
+    // clamped filter saturates at history scale and prunes nothing
+    val bigBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(8L << 20, 0.01)
+    assert(bigBits > (64L << 20)) // the request genuinely exceeds the cap
+    val big = graft.plans.BloomExpressions
+      .buildBloom(build, col("bk"), 8L << 20, 0.01).get
+    // bitSize comes back word-aligned (rounded up to a multiple of 64)
+    assert(big.bitSize() >= bigBits && big.bitSize() < bigBits + 64,
+      s"expected un-clamped ~${bigBits} bits, got ${big.bitSize()}")
+    // and the caps themselves were restored after the build
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong == 4000000L)
     // and the empty-build join itself degrades to the plain (empty) join
     assert(Scale.bloomPrunedJoin(probe, build.filter(lit(false)), "k", "bk",
       expectedItems = 1000).count() == 0L)
