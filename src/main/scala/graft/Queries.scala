@@ -6034,7 +6034,7 @@ object Queries {
 
   private val q_mixture_sample_sql =
     """SELECT doc_id, lang FROM documents
-      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+      |WHERE ('0x' || substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
       |  CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 1000000
       |            WHEN 'es' THEN 500000 ELSE 100000 END""".stripMargin
 

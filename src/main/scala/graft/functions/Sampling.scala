@@ -166,13 +166,22 @@ object Sampling {
 
   /** Uniform fraction sample via hash threshold: keeps id-hashes below
     * `fraction` of the bucket space. Unlike `df.sample` this is stable
-    * across reruns AND across corpus growth. */
+    * across reruns AND across corpus growth.
+    *
+    * The hash is SALTED (`salt || "_" || id`) so sampling is independent
+    * of [[hashSplit]]'s un-salted bucket: with a shared hash the moduli
+    * nest (100 divides the bucket space), so a small-fraction sample
+    * would land entirely in 'train' — every kept id has a small hash,
+    * hence a small hash-mod-100. Change `salt` for an independent
+    * re-draw; the subset-monotonicity-in-`fraction` property holds per
+    * salt. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
-      buckets: Int = 1000000, portable: Boolean = false): DataFrame = {
+      buckets: Int = 1000000, portable: Boolean = false,
+      salt: String = "sample"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
     df.filter(
-      hashBucket(col(idCol), buckets, portable) <
-        (fraction * buckets).toLong)
+      hashBucket(concat(lit(s"${salt}_"), col(idCol).cast("string")),
+        buckets, portable) < (fraction * buckets).toLong)
   }
 
   /** Deterministic corpus-shuffle key: hash(seed || id). Ordering by it is
@@ -192,17 +201,21 @@ object Sampling {
     * Thresholds are precomputed driver-side as integers (no per-row float
     * math to diverge between engines); the whole operator is a narrow map
     * stage — the fraction map travels in the plan as a literal.
-    */
+    * Salted like [[hashSample]] (and for the same reason): membership
+    * must be independent of [[hashSplit]]'s un-salted bucket, or a
+    * low-fraction mixture falls entirely inside 'train'. */
   def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double], default: Double = 1.0,
-      buckets: Int = 1000000, portable: Boolean = false): DataFrame = {
+      buckets: Int = 1000000, portable: Boolean = false,
+      salt: String = "sample"): DataFrame = {
     (fractions.values ++ Seq(default)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"bad fraction $f"))
     val thresholds = fractions.map { case (k, f) => k -> (f * buckets).toLong }
     val thrCol = thresholds.foldLeft(lit((default * buckets).toLong)) {
       case (acc, (k, t)) => when(col(strataCol) === k, lit(t)).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol), buckets, portable) < thrCol)
+    df.filter(hashBucket(concat(lit(s"${salt}_"), col(idCol).cast("string")),
+      buckets, portable) < thrCol)
   }
 
   /** TOKEN-budget mixture: cap each stratum (source/language/domain) at a
@@ -426,26 +439,6 @@ object Sampling {
     (pre, running.toMap, base)
   }
 
-  /** Contiguous token-budget sharding: documents ordered by id are packed
-    * into shards of ~`budget` cost units (tokens) — shard(d) = exclusive
-    * prefix sum of cost before d, integer-divided by the budget. This is the
-    * shard-manifest step of a training pipeline (split a curated corpus into
-    * ~equal-token files in a stable order). Returns (doc_id, cost, shard).
-    *
-    * 100 TB shape: the naive formulation is `sum(cost) OVER (ORDER BY id)` —
-    * a GLOBAL window, which Spark executes on a single partition (the whole
-    * corpus through one task). This instead runs the classic distributed
-    * two-pass prefix sum: range-repartition by id, per-partition partial
-    * sums (a #partitions-row collect), exclusive-scan the offsets on the
-    * driver, then a per-partition running sum starting at each offset —
-    * fully parallel with one range exchange. The RDD stage is one of the
-    * rare genuinely-imperative per-partition computations Catalyst cannot
-    * express.
-    *
-    * The range-partitioned input is persisted while both passes run (range
-    * bounds are sampled, so recomputation could repartition differently and
-    * corrupt the offsets); the small (id, cost, shard) manifest output is
-    * materialized, then the input cache is released. */
   /** CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3: rank the
     * corpus by LM score, cut into head/middle/tail thirds, train on
     * head+middle): exact global rank of each SCORED document by
@@ -471,8 +464,10 @@ object Sampling {
       col(scoreCol).cast("double").as("score"),
       col(gramsCol).cast("long").as("n_grams"))
     val rankable = in.filter(col("n_grams") > 0)
-    val n = rankable.count()
-    val (starts, base) = globalPrefix(rankable, "doc_id", lit(1L),
+    // n comes back from globalPrefix's pass-1 partial sums (cost 1 sums
+    // to the row count) — a separate rankable.count() would be a third
+    // full scan of the scored corpus
+    val (starts, base, n) = globalPrefix(rankable, "doc_id", lit(1L),
       Some(-floor(col("score") * 1e9).cast("long")), None)
     val tier = when(col("rank") * 3 < n, "head")
       .when(col("rank") * 3 < 2 * n, "middle")
@@ -484,10 +479,10 @@ object Sampling {
     val out = ranked.unionByName(
         in.filter(col("n_grams") <= 0).select(col("doc_id"), col("score"),
           lit("unscored").as("tier"), lit(false).as("kept")))
-      .persist()
-    out.count()
-    base.unpersist()
-    out
+    // eager GC-managed blocks, not a returned-still-persisted table; the
+    // finally keeps an exception from stranding the prefix cache
+    try out.localCheckpoint()
+    finally { base.unpersist(); () }
   }
 
   /** Deterministic negative sampling for contrastive training pairs: for
@@ -507,14 +502,13 @@ object Sampling {
   def negativeSample(df: DataFrame, idCol: String, k: Int,
       portable: Boolean = false): DataFrame = {
     require(k >= 1, s"need k >= 1 negatives, got $k")
-    val (starts, base) = globalPrefix(df.select(col(idCol)), idCol, lit(1L),
-      None, None)
+    val (starts, base, n) = globalPrefix(df.select(col(idCol)), idCol,
+      lit(1L), None, None)
+    require(n >= 2, s"need >= 2 documents to draw negatives, got $n")
     var pos: DataFrame = null
     try {
       pos = starts.select(col("doc_id"), col("c0").as("pos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = pos.count()
-      require(n >= 2, s"need >= 2 documents to draw negatives, got $n")
       val anchors = pos
         .select(col("doc_id").as("anchor_id"), col("pos").as("a_pos"))
         .withColumn("j", explode(array((0 until k).map(lit): _*)))
@@ -531,6 +525,13 @@ object Sampling {
         .join(pos.select(col("doc_id").as("neg_id"), col("pos").as("t_pos")),
           "t_pos")
         .select(col("anchor_id"), col("j"), col("neg_id"))
+        // MATERIALIZE before the finally releases pos/base: the anchors
+        // side and the join side both reference pos, and globalPrefix's
+        // range-repartition re-samples bounds on recomputation — a lazy
+        // return evaluated after unpersist could rebuild the two sides
+        // against DIFFERENT partition boundaries and emit wrong pairs
+        // (the tokenShards/packSequences localCheckpoint discipline)
+        .localCheckpoint()
     } finally {
       // release BOTH caches — pos outlived the call in earlier revisions,
       // leaking a cached table per invocation for the session's lifetime
@@ -539,10 +540,30 @@ object Sampling {
     }
   }
 
+  /** Contiguous token-budget sharding: documents ordered by id are packed
+    * into shards of ~`budget` cost units (tokens) — shard(d) = exclusive
+    * prefix sum of cost before d, integer-divided by the budget. This is the
+    * shard-manifest step of a training pipeline (split a curated corpus into
+    * ~equal-token files in a stable order). Returns (doc_id, cost, shard).
+    *
+    * 100 TB shape: the naive formulation is `sum(cost) OVER (ORDER BY id)` —
+    * a GLOBAL window, which Spark executes on a single partition (the whole
+    * corpus through one task). This instead runs the classic distributed
+    * two-pass prefix sum: range-repartition by id, per-partition partial
+    * sums (a #partitions-row collect), exclusive-scan the offsets on the
+    * driver, then a per-partition running sum starting at each offset —
+    * fully parallel with one range exchange. The RDD stage is one of the
+    * rare genuinely-imperative per-partition computations Catalyst cannot
+    * express.
+    *
+    * The range-partitioned input is persisted while both passes run (range
+    * bounds are sampled, so recomputation could repartition differently and
+    * corrupt the offsets); the small (id, cost, shard) manifest output is
+    * materialized, then the input cache is released. */
   def tokenShards(df: DataFrame, idCol: String, cost: Column, budget: Long,
       partitions: Option[Int] = None, orderCol: Option[Column] = None): DataFrame = {
     require(budget > 0, s"bad budget $budget")
-    val (starts, base) = globalPrefix(df, idCol, cost, orderCol, partitions)
+    val (starts, base, _) = globalPrefix(df, idCol, cost, orderCol, partitions)
     try {
       // shard = exclusive prefix before the doc, integer-divided by budget;
       // `div` keeps the division exact past 2^53 total tokens
@@ -571,7 +592,7 @@ object Sampling {
     * corrupt the offsets). */
   private def globalPrefix(df: DataFrame, idCol: String, cost: Column,
       orderCol: Option[Column], partitions: Option[Int])
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = partitions.getOrElse(math.max(df.rdd.getNumPartitions, 1))
@@ -590,7 +611,33 @@ object Sampling {
       var run = offsets(i)
       it.map { case (id, _, c) => val c0 = run; run += c; (id, c, c0) }
     }.toDF("doc_id", "cost", "c0")
-    (starts, base)
+    // the grand total rides out for free (offsets.last = Σcost — with
+    // cost 1 it's the row count): callers must NOT re-scan to count
+    (starts, base, offsets.last)
+  }
+
+  /** Exact global quantile buckets (deciles, percentiles, …) WITHOUT a
+    * one-partition window: rank every row in (`orderCol`, id) order via
+    * the distributed two-pass prefix sum, then bucket = rank·q / N by
+    * exact integer arithmetic. The curriculum/winsorization primitive —
+    * "which quality decile is this document in" — computed at any corpus
+    * size where the textbook `ntile() OVER (ORDER BY …)` collapses onto
+    * one task. `orderCol` must be integer-valued (scale fractional scores
+    * before calling — exactness of the bucket edges depends on it).
+    * Returns (doc_id, rank, bucket) with rank 0-based and bucket in
+    * [0, q). */
+  def quantileBuckets(df: DataFrame, idCol: String, orderCol: Column, q: Int,
+      partitions: Option[Int] = None): DataFrame = {
+    require(q >= 1, s"need q >= 1 buckets, got $q")
+    // n rides out of globalPrefix's pass-1 sums (cost 1) — no count() job
+    val (starts, base, n) = globalPrefix(df, idCol, lit(1L),
+      Some(orderCol), partitions)
+    try {
+      starts
+        .select(col("doc_id"), col("c0").as("rank"),
+          expr(s"(c0 * ${q}L) div ${math.max(n, 1L)}L").as("bucket"))
+        .localCheckpoint() // same contract as the siblings: eager, GC-managed
+    } finally { base.unpersist(); () }
   }
 
   /** Sequence packing — the final pretraining stage: documents concatenate
@@ -612,36 +659,11 @@ object Sampling {
     * segments per doc = 1 + cost/seqLen, so the manifest is linear in
     * corpus tokens / seqLen. The single-partition global-window cumsum
     * this replaces is the classic driver-funnel scale bug. */
-  /** Exact global quantile buckets (deciles, percentiles, …) WITHOUT a
-    * one-partition window: rank every row in (`orderCol`, id) order via
-    * the distributed two-pass prefix sum, then bucket = rank·q / N by
-    * exact integer arithmetic. The curriculum/winsorization primitive —
-    * "which quality decile is this document in" — computed at any corpus
-    * size where the textbook `ntile() OVER (ORDER BY …)` collapses onto
-    * one task. `orderCol` must be integer-valued (scale fractional scores
-    * before calling — exactness of the bucket edges depends on it).
-    * Returns (doc_id, rank, bucket) with rank 0-based and bucket in
-    * [0, q). */
-  def quantileBuckets(df: DataFrame, idCol: String, orderCol: Column, q: Int,
-      partitions: Option[Int] = None): DataFrame = {
-    require(q >= 1, s"need q >= 1 buckets, got $q")
-    val (starts, base) = globalPrefix(df, idCol, lit(1L),
-      Some(orderCol), partitions)
-    try {
-      val out = starts
-        .select(col("doc_id"), col("c0").as("rank"))
-        .localCheckpoint() // same contract as the siblings: eager, GC-managed
-      val n = out.count()
-      out.select(col("doc_id"), col("rank"),
-        expr(s"(rank * ${q}L) div ${math.max(n, 1L)}L").as("bucket"))
-    } finally { base.unpersist(); () }
-  }
-
   def packSequences(df: DataFrame, idCol: String, cost: Column, seqLen: Long,
       partitions: Option[Int] = None,
       orderCol: Option[Column] = None): DataFrame = {
     require(seqLen > 0, s"bad seqLen $seqLen")
-    val (starts, base) = globalPrefix(df, idCol, cost, orderCol, partitions)
+    val (starts, base, _) = globalPrefix(df, idCol, cost, orderCol, partitions)
     try {
       val L = lit(seqLen)
       val out = starts
@@ -765,8 +787,14 @@ object Sampling {
     val rN = rCnt.sum + buckets
     val scoresCol =
       if (portable) {
+        // BigInt intermediates (the temperatureMixture discipline): the
+        // Long product (cnt+1)·10^12 wraps once a bucket holds >~9.2M
+        // grams — a few tens of GB of text at 1024 buckets, far below
+        // the target scale. Each FINAL term is a probability × SCALE
+        // ≤ SCALE, so the difference always fits back in a Long.
         val s: Seq[Long] = (0 until buckets).map(b =>
-          (tCnt(b) + 1) * SCALE / tN - (rCnt(b) + 1) * SCALE / rN)
+          ((BigInt(tCnt(b)) + 1) * SCALE / tN
+            - (BigInt(rCnt(b)) + 1) * SCALE / rN).toLong)
         typedLit(s)
       } else {
         val s: Seq[Double] = (0 until buckets).map(b =>

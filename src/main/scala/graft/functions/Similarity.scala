@@ -29,7 +29,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dotFast(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** dot / (na·nb) with zero-norm inputs scored 0.0 instead of NaN.
+    * The guard matters because Spark TOTAL-orders NaN ABOVE every real
+    * number: an unguarded all-zero embedding (failed encoder, padding
+    * row) would top every top-k ranking and pass every `sim >= minSim`
+    * near-dup filter — the int8 path (`int8TopK`) always guarded this;
+    * every float cosine site now routes through here too. */
+  private[functions] def cosineOf(dot: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineOf(dot(a, b), norm(a), norm(b))
 
   /** Per-label centroid cosine — the embedding QA pass: how well does each
     * vector agree with its own label's centroid (mislabeled or corrupt
@@ -55,8 +65,8 @@ object Similarity {
     df.select(col(idCol), col(labelCol).as("label"), dv.as("v"))
       .join(broadcast(cent), Seq("label"))
       .select(col(idCol), col("label"),
-        round(dotFast(col("v"), col("cvec")) /
-          (norm(col("v")) * norm(col("cvec"))), dp).as("cos_centroid"))
+        round(cosineOf(dotFast(col("v"), col("cvec")),
+          norm(col("v")), norm(col("cvec"))), dp).as("cos_centroid"))
   }
 
   /** Symmetric per-vector int8 quantization — the storage/IO compression
@@ -142,13 +152,18 @@ object Similarity {
       norm(col("vec")).as("c_norm"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dotFast(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
-          roundTo).as("sim"))
+        round(cosineOf(dotFast(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** The default-mode ±1 plane matrix for `bits` planes (shared with the
+    * SQL-function registration in [[graft.plans.GraftExtensions]]). */
+  private[graft] def xxSignMatrix(bits: Int): Seq[Seq[Double]] =
+    (0 until bits).map(p => (0 until MaxSignDim).map(i => xxSign(p, i)))
 
   /** 16-bit random-hyperplane bucket. Plane components are ±1 derived from
     * xxhash64(plane, dim) — deterministic, identical on every executor.
@@ -159,11 +174,6 @@ object Similarity {
     * per (row × plane × dim) through interpreted higher-order functions,
     * which dominated the ANN queries' runtime. Values are bit-identical to
     * that formulation (same signs, same fold order; NearDupSpec pins it). */
-  /** The default-mode ±1 plane matrix for `bits` planes (shared with the
-    * SQL-function registration in [[graft.plans.GraftExtensions]]). */
-  private[graft] def xxSignMatrix(bits: Int): Seq[Seq[Double]] =
-    (0 until bits).map(p => (0 until MaxSignDim).map(i => xxSign(p, i)))
-
   def lshBucket(vec: Column, bits: Int = 16): Column = {
     val signs: Seq[Seq[Double]] = xxSignMatrix(bits)
     // fused single-pass vote loop (graft.plans.LshBucket) — bit-identical to
@@ -182,12 +192,6 @@ object Similarity {
     if (((h >> 13) & 1L) == 1L) 1.0 else -1.0
   }
 
-  /** Cross-engine-deterministic variant of [[lshBucket]]: coordinates are
-    * quantized to integers (`floor(x * 1e6)`) and the ±1 plane signs come
-    * from the portable md5-derived hash, so every vote is exact integer
-    * arithmetic — bit-identical in the DuckDB oracle, immune to FP
-    * summation order. Same algorithm (dense random hyperplanes), different
-    * hash source; quantization error is irrelevant to a hash. */
   /** Driver-side twin of the oracle's sign derivation:
     * `('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT & 1` — the plane
     * matrix is data-independent, so it is computed ONCE here and embedded as
@@ -206,6 +210,12 @@ object Similarity {
     * dims ≤ 512 are unchanged. */
   private val MaxSignDim = 2048
 
+  /** Cross-engine-deterministic variant of [[lshBucket]]: coordinates are
+    * quantized to integers (`floor(x * 1e6)`) and the ±1 plane signs come
+    * from the portable md5-derived hash, so every vote is exact integer
+    * arithmetic — bit-identical in the DuckDB oracle, immune to FP
+    * summation order. Same algorithm (dense random hyperplanes), different
+    * hash source; quantization error is irrelevant to a hash. */
   def lshBucketPortable(vec: Column, bits: Int): Column = {
     val qv = transform(vec, x => floor(x.cast("double") * lit(1e6)).cast("long"))
     val planeBits = (0 until bits).map { p =>
@@ -255,8 +265,8 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("bucket"),
-        round(dotFast(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
-          roundTo).as("sim"))
+        round(cosineOf(dotFast(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), roundTo).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -281,10 +291,17 @@ object Similarity {
     val assigned = graft.algorithms.KMeans.assignWithCentroids(
       df, idCol, vecCol, nlist, kmeansIters)
     val centroidsB = spark.sparkContext.broadcast(assigned.centroids)
+    // the returned top-k plan references the assignment table lazily, so
+    // hand the GC-managed localCheckpoint blocks to the plan and release
+    // the persist assignWithCentroids made — repeated ANN calls must not
+    // accumulate session-lifetime cached tables (semanticDedupPairs'
+    // explicit-unpersist discipline, adapted for a lazy return value)
+    val asg = assigned.assignments.localCheckpoint()
+    assigned.assignments.unpersist()
 
     val v = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val lists = v.join(assigned.assignments.withColumnRenamed("id", "c_id0"),
+    val lists = v.join(asg.withColumnRenamed("id", "c_id0"),
         col("id") === col("c_id0"))
       .select(col("id").as("c_id"), col("vec").as("c_vec"),
         norm(col("vec")).as("c_norm"), col("cluster"))
@@ -309,8 +326,8 @@ object Similarity {
     val scored = queries.join(lists, Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dotFast(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")),
-          roundTo).as("sim"))
+        round(cosineOf(dotFast(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), roundTo).as("sim"))
       .distinct() // a candidate can appear via several probed lists
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
@@ -319,7 +336,7 @@ object Similarity {
   }
 
   /** Incremental embedding near-dup: pair a NEW batch of vectors against a
-    * stored (id, vec, bucket, norm) corpus — the embedding-side twin of
+    * stored (id, vec, bucket, nrm) corpus — the embedding-side twin of
     * [[graft.functions.Dedup.minhashNearDupsIncremental]]. Emits
     * new×existing and new×new pairs above `minSim`, never
     * existing×existing; increments compose to the full-corpus
@@ -338,7 +355,13 @@ object Similarity {
         if (portable) lshBucketPortable(col("vec"), bits)
         else lshBucket(col("vec"), bits))
       .withColumn("nrm", norm(col("vec")))
-    val allSide = existing.union(newSide)
+    // unionByName, NOT positional union: a stored corpus read back from a
+    // bucket-PARTITIONED parquet table arrives with the partition column
+    // appended LAST — (id, vec, nrm, bucket) against newSide's (id, vec,
+    // bucket, nrm) — and a positional union would silently swap bucket
+    // and nrm on one side (widened long↔double, no analysis error)
+    val allSide = existing.select(col("id"), col("vec"), col("bucket"),
+      col("nrm")).unionByName(newSide)
     val pairs = newSide
       .select(col("id").as("n_id"), col("vec").as("n_vec"),
         col("nrm").as("n_nrm"), col("bucket"))
@@ -347,15 +370,14 @@ object Similarity {
       .filter(col("n_id") =!= col("o_id"))
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"),
-        round(dotFast(col("n_vec"), col("o_vec")) / (col("n_nrm") * col("o_nrm")), 6)
+        round(cosineOf(dotFast(col("n_vec"), col("o_vec")),
+          col("n_nrm"), col("o_nrm")), 6)
           .as("sim"))
       .filter(col("sim") >= minSim)
       .distinct()
     (pairs, newSide)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * bucket-constrained (the LSH near-dup path for embeddings). */
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means clusters the embedding space, then pairwise
     * cosine runs ONLY within a cluster — the cluster count bounds the
@@ -386,17 +408,21 @@ object Similarity {
     val out = a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dotFast(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6)
+        round(cosineOf(dotFast(col("a_vec"), col("b_vec")),
+          col("a_nrm"), col("b_nrm")), 6)
           .as("sim"))
       .filter(col("sim") >= minSim)
-    // assign() hands back a persisted assignment table; drop it once the
-    // (small) pair output is materialized so repeated calls don't leak
-    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    assigned.unpersist()
-    res
+    // assign() hands back a persisted assignment table; materialize the
+    // (small) pair output as GC-managed localCheckpoint blocks — not a
+    // returned-still-persisted table the caller would have to release —
+    // then drop the assignment cache. try/finally: an exception in the
+    // materialization must not strand the assignment cache either.
+    try out.localCheckpoint()
+    finally assigned.unpersist()
   }
 
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * bucket-constrained (the LSH near-dup path for embeddings). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double, bits: Int = 12, portable: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"),
@@ -412,7 +438,8 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dotFast(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6)
+        round(cosineOf(dotFast(col("a_vec"), col("b_vec")),
+          col("a_nrm"), col("b_nrm")), 6)
           .as("sim"))
       .filter(col("sim") >= minSim)
       .distinct()

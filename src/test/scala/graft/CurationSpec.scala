@@ -197,6 +197,22 @@ class CurationSpec extends AnyFunSuite {
     assert(halfIds.subsetOf(allIds))
   }
 
+  test("hashSample is independent of hashSplit (salted hash decorrelation)") {
+    val s = imp; import s._
+    // un-salted, sample and split share one hash and the moduli nest
+    // (100 | 10^6): threshold 50 < 100 would force EVERY kept id into
+    // bucket < 50 < 80 = 'train'. The salt breaks the nesting, so a tiny
+    // sample must still spread across train/val/test buckets.
+    val df = spark.range(1000000).toDF("id")
+    val sampled = Sampling.hashSplit(
+      Sampling.hashSample(df, "id", 0.00005), "id")
+    val bySplit = sampled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum > 20, s"sample unexpectedly tiny: $bySplit")
+    assert((bySplit.keySet - "train").nonEmpty,
+      s"sample fell entirely into 'train' — hash correlation is back: $bySplit")
+  }
+
   test("redactPii: emails, phones, IPs replaced; counts match") {
     val s = imp; import s._
     val df = Seq(
@@ -869,13 +885,15 @@ class CurationSpec extends AnyFunSuite {
     }).sorted.toSeq
     assert(got == exp)
     // no cache leak: both internal persists (prefix base + positions) must
-    // be released before the call returns (delta-based: earlier suites may
-    // hold GC-managed localCheckpoint blocks of their own)
+    // be released before the call returns; at most the GC-managed
+    // localCheckpoint of the RESULT may linger until collected (the
+    // materialize-before-unpersist guard — quantileBuckets' convention)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     graft.functions.Sampling.negativeSample(df, "doc_id", k, portable = true)
       .count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"negativeSample leaked cached RDDs: $leaked")
+    assert(leaked.size <= 1,
+      s"negativeSample left persisted RDDs beyond its result checkpoint: $leaked")
   }
 
   test("quantileBuckets: matches the window ntile reference; partition-independent; no leak") {
