@@ -74,6 +74,10 @@ object WindowDescr {
     * (reference: descr/last_k.rs:97-105). */
   final case class LastKWindow[V, B](k: Int, order: V => B)(
       implicit val ord: Ordering[B]) extends WindowDescr[V] {
+    // fail fast here, not as a NoSuchElementException inside an executor
+    // stage: k <= 0 would emit EMPTY windows, and every aggregator that
+    // reads a window's head (first/foldFirst/maxBy/...) assumes one exists
+    require(k >= 1, s"LastKWindow needs k >= 1, got $k")
     def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
       val sorted = elems.sortBy(order)(ord)
       sorted.indices.iterator.map(i => sorted.slice(math.max(0, i - k + 1), i + 1))
@@ -120,6 +124,10 @@ object WindowDescr {
     * processing-time (descr/session.rs:39-43); we use event time — the
     * documented divergence (SURVEY §7.4), matching Spark's `session_window`. */
   final case class SessionWindow[V](gapMs: Long, tsMillis: V => Long) extends WindowDescr[V] {
+    // gapMs <= 0 would make EVERY element its own session, with sessions
+    // sharing a head timestamp COLLIDING on the session id (windowJoin's
+    // per-id map keeps one and silently drops the rest) — reject up front
+    require(gapMs > 0, s"SessionWindow needs gapMs > 0, got $gapMs")
     def assign(elems: IndexedSeq[V]): Iterator[IndexedSeq[V]] = {
       val sorted = elems.sortBy(tsMillis)
       if (sorted.isEmpty) Iterator.empty

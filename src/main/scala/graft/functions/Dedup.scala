@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: shingle → 64 minhashes → 16 bands → bucket join. Only
   *    bucket-colliding pairs are compared; the candidate set (not the corpus)
   *    is quadratic. No UDFs anywhere: hashing runs in native hot-path
-  *    expressions (graft.plans: WordShingles, MinHashAgg, ArrayMatchCount)
+  *    expressions (graft.plans: WordShingles, MinHashRowExpr, ArrayMatchCount)
   *    or closed-form Catalyst expressions (xxhash64 band keys).
   *  - SimHash: 64-bit signature via per-bit vote of token hashes; near-dups
   *    are pairs within small Hamming distance, found via 4×16-bit band join.
@@ -90,10 +90,8 @@ object Dedup {
     // beats a per-row array_min(transform(...)) closed form ~4× (HOFs are
     // interpreted and allocate per row), and the explode never crosses
     // partitions, so map-side partial aggregation collapses to ONE
-    // signature row per doc before the shuffle. Within that shape, the
-    // fused single-buffer aggregate (plans.MinHashAgg: one long[64] update
-    // per shingle) replaces 64 separate codegen'd min slots — bit-identical
-    // values, one expression eval per row instead of 64.
+    // signature row per doc before the shuffle. The fused per-row pass
+    // below then removes even that shuffle.
     // no Scale.fanOut here — measured (min-of-5, sf0.1): the rebalance
     // shuffle costs ~0.4 s against a shingle+fused-minhash pass that the
     // single scan task already finishes faster; contrast charLmScore /
@@ -108,9 +106,10 @@ object Dedup {
     // same wrapping h*a+b mins (StreamingSpec + NearDupSpec pin it; the
     // <n-words null filter reproduces the no-shingles-no-group behavior).
     // Measured sf0.1: q_dedup_verified 2.98→2.21 s, q_dedup_incremental
-    // 2.05→1.53 s, q_dedup_minhash ~parity (min-of-5). Portable mode keeps
-    // explode+agg — its modular arithmetic is what the DuckDB oracle
-    // replays row for row.
+    // 2.05→1.53 s, q_dedup_minhash ~parity (min-of-5). Portable mode rides
+    // the SAME per-row pass (modP arithmetic, value-identical to the
+    // explode+agg formulation below, which the DuckDB oracle replays and
+    // which remains as the fused=false readable specification).
     if (fused) {
       val (as, bs) = consts.unzip
       // no fanOut, re-measured for this shape (the Scale.fanOut doctrine:
@@ -142,20 +141,11 @@ object Dedup {
     val sh =
       if (portable) sh0.withColumn("h", portableHash60(col("shingle")) % PortableP)
       else sh0.withColumn("h", xxhash64(col("shingle")))
-    if (fused) {
-      val (as, bs) = consts.unzip
-      sh.groupBy(col("doc_id"))
-        .agg(graft.plans.MinHashAgg.signature(col("h"), as, bs,
-          if (portable) PortableP else -1L).as("sig"))
-        .select(col("doc_id") +:
-          (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
-    } else {
-      val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
-        if (portable) min((col("h") * lit(a) + lit(b)) % PortableP).as(s"h$i")
-        else min(col("h") * lit(a) + lit(b)).as(s"h$i")
-      }
-      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
+      if (portable) min((col("h") * lit(a) + lit(b)) % PortableP).as(s"h$i")
+      else min(col("h") * lit(a) + lit(b)).as(s"h$i")
     }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Probability that a pair with Jaccard similarity `s` becomes an LSH
@@ -203,6 +193,39 @@ object Dedup {
     options.minBy { case (b, r) => err(b, r) }
   }
 
+  /** Banded LSH rows (doc_id, band_id, band_hash) of a minhash signature
+    * table — THE band-key derivation, shared by the full-corpus and
+    * incremental paths: the increment contract ("increments compose to
+    * the full-corpus output", NearDupSpec) depends on both sides banding
+    * byte-identically, so the logic lives once. Portable mode keeps the
+    * joined signature string itself (what the oracle recomputes);
+    * default hashes it (smaller shuffle key). */
+  private def minhashBanded(sig: DataFrame, bands: Int, rows: Int,
+      portable: Boolean): DataFrame = {
+    def bandKey(b: Int): Column = {
+      val joined = concat_ws("_",
+        (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+      if (portable) joined else xxhash64(joined)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bandKey): _*))
+        .as(Seq("band_id", "band_hash")))
+  }
+
+  /** Banded rows (doc_id, simhash, band_id, band_val) of a simhash table
+    * — shared by [[simhashNearDups]] and its incremental twin for the
+    * same composability reason as [[minhashBanded]]. The last band takes
+    * the remainder bits. */
+  private def simhashBanded(sig: DataFrame, nBands: Int, nBits: Int): DataFrame = {
+    val width = nBits / nBands
+    sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map { b =>
+        val w = if (b == nBands - 1) nBits - b * width else width
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        shiftright(col("simhash"), b * width).bitwiseAND(mask)
+      }: _*)).as(Seq("band_id", "band_val")))
+  }
+
   /** LSH candidate pairs: signatures banded (bands × rowsPerBand = numHashes);
     * docs sharing any band bucket become candidates; estimated similarity =
     * fraction of matching signature components.
@@ -222,16 +245,7 @@ object Dedup {
       minEstSim: Double = 0.5, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
-    // portable: the band key is the joined signature string itself (what the
-    // oracle can recompute); default: xxhash64 of it (smaller shuffle key).
-    def bandKey(b: Int): Column = {
-      val joined = concat_ws("_",
-        (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-      if (portable) joined else xxhash64(joined)
-    }
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(bandKey): _*))
-        .as(Seq("band_id", "band_hash")))
+    val banded = minhashBanded(sig, bands, rows, portable)
     val a = banded.select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("b_id"), col("band_id"), col("band_hash"))
     // dedupe (a pair collides once per shared band) BEFORE fetching
@@ -322,16 +336,8 @@ object Dedup {
     newSigs.count()
     val allSigs = existingSigs.union(newSigs)
 
-    def bandKey(b: Int): Column = {
-      val joined = concat_ws("_",
-        (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-      if (portable) joined else xxhash64(joined)
-    }
-    def banded(sig: DataFrame) = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(bandKey): _*))
-        .as(Seq("band_id", "band_hash")))
-
     // probe side = the increment; build side = the whole corpus' band rows
+    def banded(sig: DataFrame) = minhashBanded(sig, bands, rows, portable)
     val pairs = banded(newSigs)
       .select(col("doc_id").as("n_id"), col("band_id"), col("band_hash"))
       .join(banded(allSigs)
@@ -513,15 +519,8 @@ object Dedup {
     // every band needs >= 1 bit or banding degenerates to a cross join
     require(maxDist >= 0 && nBands <= nBits,
       s"maxDist=$maxDist out of range for $nBits-bit signatures")
-    val width = nBits / nBands
     val sig = simhash(df, idCol, textCol, portable = portable)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBands).map { b =>
-        // last band takes the remainder bits
-        val w = if (b == nBands - 1) nBits - b * width else width
-        val mask = if (w >= 64) -1L else (1L << w) - 1
-        shiftright(col("simhash"), b * width).bitwiseAND(mask)
-      }: _*)).as(Seq("band_id", "band_val")))
+    val banded = simhashBanded(sig, nBands, nBits)
     val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
       col("band_id"), col("band_val"))
     val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"),
@@ -546,16 +545,15 @@ object Dedup {
     val nBands = maxDist + 1
     require(maxDist >= 0 && nBands <= nBits,
       s"maxDist=$maxDist out of range for $nBits-bit signatures")
-    val width = nBits / nBands
     val newSigs = simhash(newDocs, idCol, textCol, portable = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization BEFORE the pair job (the minhash twin's fix,
+    // measured 1.9× there): the join below consumes newSigs through TWO
+    // plan branches scheduled together — against a cold cache both would
+    // recompute the signature aggregation, the increment's dominant stage
+    newSigs.count()
     val allSigs = existingSigs.union(newSigs)
-    def banded(sig: DataFrame) = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBands).map { b =>
-        val w = if (b == nBands - 1) nBits - b * width else width
-        val mask = if (w >= 64) -1L else (1L << w) - 1
-        shiftright(col("simhash"), b * width).bitwiseAND(mask)
-      }: _*)).as(Seq("band_id", "band_val")))
+    def banded(sig: DataFrame) = simhashBanded(sig, nBands, nBits)
     val pairs = banded(newSigs)
       .select(col("doc_id").as("n_id"), col("simhash").as("n_sim"),
         col("band_id"), col("band_val"))
@@ -572,18 +570,14 @@ object Dedup {
     (pairs, newSigs)
   }
 
-  /** Exact word-n-gram Jaccard for candidate pairs (the verify step after
-    * LSH; here candidates = same-language pairs under an id bound).
-    *
-    * `maxDf` is the scale lever: grams occurring in more than `maxDf`
-    * documents (boilerplate) are dropped from BOTH sides of the jaccard
-    * (set semantics preserved: sizes and intersections are computed on the
-    * filtered sets). That bounds the gram-equality self-join to at most
-    * maxDf candidates per gram — linear in the corpus for a fixed cap —
-    * instead of quadratic in the documents sharing a common gram. */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      langCol: String, n: Int, maxId: Long, minJaccard: Double,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+  /** Shared gram pipeline of [[ngramJaccard]] and [[ngramContainment]]:
+    * (distinct grams per doc under the id bound, optional df-cap, per-doc
+    * sizes, pair-keyed intersection counts). One home, because both
+    * scoring rules must count over the SAME capped gram sets — a df-cap
+    * change that missed its twin would silently skew one metric's
+    * denominators. Returns pair rows (a_id, b_id, inter, na, nb). */
+  private def gramIntersections(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int, maxId: Long, maxDf: Int): DataFrame = {
     val grams0 = df.filter(col(idCol) < maxId)
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         explode(array_distinct(shingles(col(textCol), n))).as("g"))
@@ -601,8 +595,27 @@ object Dedup {
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"), "b_id")
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_grams", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_grams", "nb"), "b_id")
+  }
+
+  /** Exact word-n-gram Jaccard for candidate pairs (the verify step after
+    * LSH; here candidates = same-language pairs under an id bound).
+    *
+    * `maxDf` is the scale lever: grams occurring in more than `maxDf`
+    * documents (boilerplate) are dropped from BOTH sides of the jaccard
+    * (set semantics preserved: sizes and intersections are computed on the
+    * filtered sets). That bounds the gram-equality self-join to at most
+    * maxDf candidates per gram — linear in the corpus for a fixed cap —
+    * instead of quadratic in the documents sharing a common gram. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int, maxId: Long, minJaccard: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val scored = gramIntersections(df, idCol, textCol, langCol, n,
+      maxId, maxDf)
+    scored
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
@@ -625,23 +638,9 @@ object Dedup {
   def ngramContainment(df: DataFrame, idCol: String, textCol: String,
       langCol: String, n: Int, maxId: Long, minContainment: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    val grams0 = df.filter(col(idCol) < maxId)
-      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-        explode(array_distinct(shingles(col(textCol), n))).as("g"))
-    val grams = if (maxDf == Int.MaxValue) grams0 else {
-      val keep = grams0.groupBy(col("g")).agg(count(lit(1)).as("df_"))
-        .filter(col("df_") <= maxDf).select(col("g"))
-      grams0.join(keep, Seq("g"))
-    }
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val inter = grams.as("x").join(grams.as("y"),
-        col("x.g") === col("y.g") && col("x.lang") === col("y.lang")
-          && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_grams", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_grams", "nb"), "b_id")
+    val scored = gramIntersections(df, idCol, textCol, langCol, n,
+      maxId, maxDf)
+    scored
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") / col("na").cast("double")).as("cont_a"),
         (col("inter").cast("double") / col("nb").cast("double")).as("cont_b"))
@@ -703,7 +702,12 @@ object Dedup {
       graft.algorithms.Graph.connectedComponents(
           pairs.select(col("a_id").as("src"), col("b_id").as("dst")),
           maxIter = maxIter, parallelism = p)
-        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        // cast to long so the OUTPUT SCHEMA does not depend on which path
+        // ran: the driver fast path always emits longs, and a caller
+        // appending successive runs to one table must not hit a schema
+        // mismatch the first time the corpus crosses the threshold
+        .select(col("node").cast("long").as("doc_id"),
+          col("component").cast("long").as("cluster_id"))
     }
     counted match {
       // tiny-graph fast path: a materialized pair graph under the threshold

@@ -90,18 +90,28 @@ object Iteration {
       step: (Dataset[T], Int) => Dataset[T])(
       converged: (Dataset[T], Dataset[T]) => Boolean): Dataset[T] =
     withLoopConf(init.sparkSession) {
-      var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+      // respect a caller-managed cache (the replay guard): persisting an
+      // already-cached init is a no-op, but round 1's unpersist would then
+      // DROP the caller's cache (incl. SharedCacheHandle caches shared
+      // with sibling streams) — every later reuse silently recomputes
+      val initCached = init.storageLevel != StorageLevel.NONE
+      var cur = if (initCached) init else init.persist(StorageLevel.MEMORY_AND_DISK)
       if (materialize) cur.count()
+      var curOwned = !initCached
       var i = 0
       var done = false
       while (i < maxIter && !done) {
         val t0 = System.nanoTime()
-        var next = step(cur, i)
-        if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
-        next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        // checkpoint OR persist, never both (the deltaIterate discipline):
+        // localCheckpoint already stores the rows as RDD blocks — a second
+        // Dataset-layer cache would hold a full duplicate copy
+        val next =
+          if ((i + 1) % checkpointEvery == 0) step(cur, i).localCheckpoint(false)
+          else step(cur, i).persist(StorageLevel.MEMORY_AND_DISK)
         if (materialize) next.count()
         done = converged(cur, next)
-        cur.unpersist(false)
+        if (curOwned) cur.unpersist(false)
+        curOwned = true
         cur = next
         i += 1
         logRound("loop", i, t0)
@@ -116,19 +126,23 @@ object Iteration {
       checkpointEvery: Int = 5)(
       step: (Dataset[T], Int) => Dataset[T]): Dataset[T] =
     withLoopConf(init.sparkSession) {
-      var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+      // same caller-cache guard + checkpoint-OR-persist as loop (above)
+      val initCached = init.storageLevel != StorageLevel.NONE
+      var cur = if (initCached) init else init.persist(StorageLevel.MEMORY_AND_DISK)
       var prevCount = cur.count()
+      var curOwned = !initCached
       var i = 0
       var done = false
       while (i < maxIter && !done) {
         val t0 = System.nanoTime()
-        var next = step(cur, i)
-        if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
-        next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        val next =
+          if ((i + 1) % checkpointEvery == 0) step(cur, i).localCheckpoint(false)
+          else step(cur, i).persist(StorageLevel.MEMORY_AND_DISK)
         val c = next.count()
         done = c == prevCount
         prevCount = c
-        cur.unpersist(false)
+        if (curOwned) cur.unpersist(false)
+        curOwned = true
         cur = next
         i += 1
         logRound("fixpoint", i, t0)
@@ -282,19 +296,24 @@ object Iteration {
       foldState: (Dataset[T], S) => S)(
       cond: S => Boolean): (S, Dataset[T]) =
     withLoopConf(input.sparkSession) {
-      var cur = input.persist(StorageLevel.MEMORY_AND_DISK)
+      // same caller-cache guard + checkpoint-OR-persist as loop (above)
+      val initCached = input.storageLevel != StorageLevel.NONE
+      var cur =
+        if (initCached) input else input.persist(StorageLevel.MEMORY_AND_DISK)
       cur.count()
+      var curOwned = !initCached
       var state = init
       var i = 0
       var go = true
       while (i < maxIter && go) {
-        var next = body(cur, state)
-        if ((i + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
-        next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        val next =
+          if ((i + 1) % checkpointEvery == 0) body(cur, state).localCheckpoint(false)
+          else body(cur, state).persist(StorageLevel.MEMORY_AND_DISK)
         next.count()
         state = foldState(next, state)
         go = cond(state)
-        cur.unpersist(false)
+        if (curOwned) cur.unpersist(false)
+        curOwned = true
         cur = next
         i += 1
       }

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Reference: the simhash fold of the reference's keyed aggregations
   * (src/operator/mod.rs keyed folds) — partial-aggregating Spark twin, same
-  * rationale as [[MinHashAgg]]. */
+  * rationale as the minhash family's fused signature pass
+  * ([[MinHashRowExpr]]): one buffer update per row instead of 64
+  * separate codegen'd aggregate slots. */
 case class SimHashAgg(child: Expression, nBits: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {

@@ -18,6 +18,29 @@ class DeltaIterateSpec extends AnyFunSuite {
     .getOrCreate()
   def imp = { spark.sparkContext.setLogLevel("WARN"); spark.implicits }
 
+  test("loop/iterate respect a caller-managed cache on the init dataset") {
+    val s = imp; import s._
+    // a caller-cached input must come out of the loop STILL cached: the
+    // round-1 unpersist used to silently drop the caller's cache (incl.
+    // SharedCacheHandle caches shared with sibling streams)
+    val input = spark.range(100).as[Long].persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    input.count()
+    val out = Iteration.loop(input, maxIter = 3)((ds, _) => ds.map(_ + 1))(
+      (_, _) => false)
+    assert(out.collect().sorted.head == 3L)
+    assert(input.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "loop dropped the caller-managed cache of its input")
+    val (st, fin) = Iteration.iterate(input, maxIter = 2, 0L)(
+      (ds, _) => ds.map(_ + 1))((ds, acc) => acc + ds.count())(_ => true)
+    assert(st == 200L && fin.count() == 100L)
+    assert(input.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "iterate dropped the caller-managed cache of its input")
+    input.unpersist()
+  }
+
   test("delta pagerank on a chain: workset shrinks every round, ranks converge") {
     val s = imp; import s._
     // 3 chains of 5 nodes: 0→1→2→3→4, 10→11→…, 20→21→…

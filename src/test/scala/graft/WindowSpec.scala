@@ -50,6 +50,16 @@ class WindowSpec extends AnyFunSuite {
     assert(r == Seq(0L, 2L, 6L, 12L, 18L))
   }
 
+  test("degenerate window parameters fail fast at construction") {
+    // k <= 0 would emit EMPTY windows and blow up head-reading aggregators
+    // deep inside an executor stage; gapMs <= 0 would make one session per
+    // element with colliding session ids that windowJoin silently drops
+    intercept[IllegalArgumentException](LastKWindow[Long, Long](0, identity))
+    intercept[IllegalArgumentException](LastKWindow[Long, Long](-1, identity))
+    intercept[IllegalArgumentException](SessionWindow[Long](0L, identity))
+    intercept[IllegalArgumentException](SessionWindow[Long](-5L, identity))
+  }
+
   test("EventTimeWindow tumbling assigns by timestamp") {
     val s = imp
     import s._
