@@ -256,7 +256,10 @@ final class Stream[T](val ds: Dataset[T],
     * partial/final aggregation done by hand at the typed level. */
   def foldAssoc[A: Encoder](init: A)(local: (A, T) => A, global: (A, A) => A): Stream[A] = {
     val partials = ds.mapPartitions(it => Iterator.single(it.foldLeft(init)(local)))
-    new Stream(partials.coalesce(1).mapPartitions(it =>
+    // repartition (a P-row shuffle), NOT coalesce: coalesce(1) is a narrow
+    // dependency that would collapse the upstream local folds into ONE task,
+    // serializing the "parallel partials" phase this operator exists for
+    new Stream(partials.repartition(1).mapPartitions(it =>
       Iterator.single(it.foldLeft(init)(global))))
   }
 
@@ -268,7 +271,9 @@ final class Stream[T](val ds: Dataset[T],
     * src/operator/mod.rs:1876). */
   def reduceAssoc(f: (T, T) => T)(implicit e: Encoder[T]): Stream[T] = {
     val partials = ds.mapPartitions(it => it.reduceOption(f).iterator)
-    new Stream(partials.coalesce(1).mapPartitions(it => it.reduceOption(f).iterator))
+    // repartition, not coalesce — same parallel-partials rationale as
+    // foldAssoc: the combine phase must not absorb the map phase's tasks
+    new Stream(partials.repartition(1).mapPartitions(it => it.reduceOption(f).iterator))
   }
 
   /** Distinct via local set → shuffle → global set (reference:
@@ -412,7 +417,14 @@ final class Stream[T](val ds: Dataset[T],
 
   /** Materialize once, replay in later jobs (reference: `cache_vec` /
     * `StreamCache`, src/operator/mod.rs:2264-2359). */
-  def cache(): Stream[T] = new Stream(ds.persist(StorageLevel.MEMORY_AND_DISK))
+  def cache(): Stream[T] = sharedCache match {
+    // a split()/route() branch head IS the shared persisted prefix already:
+    // re-persisting is a no-op, and dropping the handle here would let a
+    // later unpersist() evict the prefix directly, bypassing the sibling
+    // reference count the handle exists to protect
+    case some @ Some(_) => new Stream(ds, sharedCache = some)
+    case None => new Stream(ds.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   def unpersist(): Stream[T] = {
     // branches produced by split()/route() share a persisted prefix —

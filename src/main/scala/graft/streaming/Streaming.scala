@@ -63,6 +63,19 @@ object Streaming {
   def countTumbling[K, V, O](ds: Dataset[(K, V)], size: Int)(agg: Seq[V] => O)(
       implicit ek: Encoder[K], ev: Encoder[Seq[V]], eo: Encoder[(K, O)],
       ekv: Encoder[(K, V)]): Dataset[(K, O)] =
+    countTumblingImpl(ds, size, identity[Seq[V]])(agg)
+
+  /** ONE window state machine for both count-window variants (the shared-
+    * helper discipline: a buffer/emit fix must not have a twin to miss).
+    * `sortBatch` is identity for arrival order, a sort for the ordered
+    * variant. Fails fast on size <= 0 — the batch CountWindow's guard:
+    * an unfillable window would otherwise grow per-key state forever
+    * while emitting nothing. */
+  private def countTumblingImpl[K, V, O](ds: Dataset[(K, V)], size: Int,
+      sortBatch: Seq[V] => Seq[V])(agg: Seq[V] => O)(
+      implicit ek: Encoder[K], ev: Encoder[Seq[V]], eo: Encoder[(K, O)],
+      ekv: Encoder[(K, V)]): Dataset[(K, O)] = {
+    require(size > 0, s"count window needs size > 0, got $size")
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[Seq[V], (K, O)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -72,13 +85,14 @@ object Streaming {
           val buf = scala.collection.mutable.ArrayBuffer.empty[V]
           buf ++= state.getOption.getOrElse(Seq.empty[V])
           val out = scala.collection.mutable.ArrayBuffer.empty[(K, O)]
-          rows.foreach { case (_, v) =>
+          sortBatch(rows.map(_._2).toVector).foreach { v =>
             buf += v
             if (buf.size == size) { out += ((key, agg(buf.toSeq))); buf.clear() }
           }
           state.update(buf.toSeq)
           out.iterator
       }
+  }
 
   /** [[countTumbling]] with a per-batch ORDER: each micro-batch's rows for
     * a key are sorted by `order` before they fold into the running window
@@ -94,20 +108,7 @@ object Streaming {
       order: V => B)(agg: Seq[V] => O)(implicit ob: Ordering[B],
       ek: Encoder[K], ev: Encoder[Seq[V]], eo: Encoder[(K, O)],
       ekv: Encoder[(K, V)]): Dataset[(K, O)] =
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[V], (K, O)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: K, rows: Iterator[(K, V)], state: GroupState[Seq[V]]) =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[V]
-          buf ++= state.getOption.getOrElse(Seq.empty[V])
-          val out = scala.collection.mutable.ArrayBuffer.empty[(K, O)]
-          rows.map(_._2).toVector.sortBy(order).foreach { v =>
-            buf += v
-            if (buf.size == size) { out += ((key, agg(buf.toSeq))); buf.clear() }
-          }
-          state.update(buf.toSeq)
-          out.iterator
-      }
+    countTumblingImpl(ds, size, (vs: Seq[V]) => vs.sortBy(order))(agg)
 
   /** Per-user funnel progress ((t1, t2, t3, stage) after every update) —
     * the streaming twin of the batch ordered funnel (Queries.q_funnel):
@@ -193,7 +194,9 @@ object Streaming {
     * wall-clock timeout of `sizeMs`, armed when the window opens (first
     * element), emits the window's aggregate. As with all processing-time
     * semantics the exact cut points are wall-clock-dependent; the invariants
-    * (buffer-until-timeout, emit-once, re-arm on next element) are what the
+    * (buffer-until-timeout, emit-once, re-arm on next element, and a window
+    * never absorbs data that arrives past its absolute deadline — such data
+    * closes the expired window and opens the next) are what the
     * spec pins. Note Structured Streaming fires timeouts at the NEXT
     * micro-batch after the deadline; run with a throttled trigger (e.g.
     * `Trigger.ProcessingTime`) — with the default ASAP trigger the pending
@@ -221,13 +224,19 @@ object Streaming {
             // slide it
             val now = state.getCurrentProcessingTimeMs()
             val prev = state.getOption
-            val deadline = prev.map(_.deadlineMs).getOrElse(now + sizeMs)
+            // timeouts fire at the NEXT batch, so data can arrive for a key
+            // whose deadline already passed before its timeout callback ran:
+            // that window is CLOSED — emit it now and open a fresh one for
+            // this batch's rows instead of merging across the deadline
+            val expired = prev.filter(p => now >= p.deadlineMs && p.buf.nonEmpty)
+            val live = prev.filterNot(p => now >= p.deadlineMs)
+            val deadline = live.map(_.deadlineMs).getOrElse(now + sizeMs)
             val buf = scala.collection.mutable.ArrayBuffer.empty[V]
-            prev.foreach(buf ++= _.buf)
+            live.foreach(buf ++= _.buf)
             rows.foreach { case (_, v) => buf += v }
             state.update(PtWindowState(buf.toSeq, deadline))
             state.setTimeoutDuration(math.max(1L, deadline - now))
-            Iterator.empty
+            expired.map(p => (key, agg(p.buf))).iterator
           }
       }
 
@@ -358,6 +367,11 @@ object Streaming {
           seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
           rows.foreach { case (id, s, _, _) =>
+            // redelivery idempotence (at-least-once sources): a doc id
+            // already in the bucket re-pairs against the whole history and
+            // duplicates its state entry — the batch twin collapses this
+            // with .distinct(); here we skip the re-arrival outright
+            if (!seen.exists(_._1 == id)) {
             seen.foreach { case (oid, os) =>
               if (oid != id) {
                 val ham = java.lang.Long.bitCount(s ^ os)
@@ -373,6 +387,7 @@ object Streaming {
               }
             }
             seen += ((id, s))
+            }
           }
           state.update(BandState(seen.toSeq))
           out.iterator
@@ -441,6 +456,8 @@ object Streaming {
           seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           rowsIt.foreach { case (id, s, _, _) =>
+            // redelivery idempotence — same rationale as the simhash twin
+            if (!seen.exists(_._1 == id)) {
             seen.foreach { case (oid, os) =>
               if (oid != id) {
                 var m = 0
@@ -458,6 +475,7 @@ object Streaming {
               }
             }
             seen += ((id, s))
+            }
           }
           state.update(MinHashBandState(seen.toSeq))
           out.iterator
@@ -493,6 +511,8 @@ object Streaming {
           seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           rows.foreach { case (id, v, _) =>
+            // redelivery idempotence — same rationale as the simhash twin
+            if (!seen.exists(_._1 == id)) {
             // sequential ascending-index fold = the batch dot/norm FP order
             var nrm = 0.0
             var i = 0
@@ -503,7 +523,11 @@ object Streaming {
                 var d = 0.0
                 i = 0
                 while (i < v.length && i < ov.length) { d += v(i) * ov(i); i += 1 }
-                val sim = BigDecimal(d / (nrm * onrm))
+                // zero-norm guard, matching the batch twin's cosineOf: an
+                // all-zero embedding must score 0.0 — the raw 0/0 is NaN
+                // and BigDecimal(NaN) would CRASH the streaming query
+                val raw = if (nrm * onrm == 0.0) 0.0 else d / (nrm * onrm)
+                val sim = BigDecimal(raw)
                   .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                 if (sim >= minSim) {
                   val (a, b) = if (id < oid) (id, oid) else (oid, id)
@@ -512,6 +536,7 @@ object Streaming {
               }
             }
             seen += ((id, v, nrm))
+            }
           }
           state.update(VecBucketState(seen.toSeq))
           out.iterator
@@ -521,6 +546,18 @@ object Streaming {
   /** Keyed state for [[asofJoinStream]]: right rows seen so far, as a
     * (ts-ascending) sorted vector, trimmed to the newest `keepRights`. */
   final case class AsOfStreamState[R](rights: Seq[(Long, R)])
+
+  /** First index in the ts-sorted `hist` with ts > `ts` (upper bound) —
+    * the O(log n) probe the sorted-state docstring promises; with a large
+    * `keepRights` the previous linear scan made each batch O(rows·|hist|). */
+  private def tsUpperBound[R](hist: Vector[(Long, R)], ts: Long): Int = {
+    var lo = 0; var hi = hist.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (hist(mid)._1 <= ts) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 
   /** Streaming as-of join — the enrichment twin of
     * [[graft.operators.AsOfJoin.backward]]: each left event is matched to
@@ -566,11 +603,11 @@ object Streaming {
           batch.foreach {
             case (_, rts, None, Some(r)) =>
               // insert keeping ts order (late rights land mid-vector)
-              val i = hist.lastIndexWhere(_._1 <= rts) + 1
-              hist = (hist.take(i) :+ (rts, r)) ++ hist.drop(i)
+              val i = tsUpperBound(hist, rts)
+              hist = hist.patch(i, Seq((rts, r)), 0)
               if (hist.size > keepRights) hist = hist.drop(hist.size - keepRights)
             case (_, lts, Some(l), None) =>
-              val i = hist.lastIndexWhere(_._1 <= lts)
+              val i = tsUpperBound(hist, lts) - 1
               if (i < 0) out += ((key, lts, l, None, None))
               else out += ((key, lts, l, Some(hist(i)._2), Some(hist(i)._1)))
             case _ => () // unreachable: every tagged row is left xor right

@@ -106,6 +106,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(cachedDs.storageLevel == StorageLevel.NONE)
   }
 
+  test("split: cache() on a branch keeps the shared-cache handle") {
+    import org.apache.spark.storage.StorageLevel
+    val s = imp; import s._
+    val branches = ctx.streamRange(50).map(_ + 1).split(2)
+    val cachedDs = branches.head.ds
+    assert(branches.head.collectVec().size == 50)
+    // cache() on a branch head must propagate the handle: unpersisting the
+    // cached alias releases ONE reference, not the whole shared prefix
+    branches(0).cache().unpersist()
+    assert(cachedDs.storageLevel != StorageLevel.NONE,
+      "cache() dropped the shared handle — unpersist bypassed the refcount")
+    branches(1).unpersist() // last reference → actually released
+    assert(cachedDs.storageLevel == StorageLevel.NONE)
+  }
+
   test("uniqueAssoc / merge / route") {
     val s = imp
     import s._
