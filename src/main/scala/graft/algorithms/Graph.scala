@@ -36,6 +36,24 @@ object Graph {
     graft.operators.Scale.broadcastIfSmall(df, BroadcastNodeLimit,
       knownCount = Some(nodeCount))
 
+  /** Both directions of each (src, dst) edge from ONE pass over the
+    * (possibly expensive) edge source — a union of two projections would
+    * scan it twice. The single derivation shared by every undirected
+    * algorithm in this file, so a change (e.g. a null-edge filter) lands
+    * once instead of drifting across five inlined copies.
+    * `dedupe=false`: the caller vouches the edge list is duplicate-free
+    * (a<b pair tables are) — skips a full-edge exchange+aggregate. */
+  private def undirectedBoth(edges: DataFrame, dedupe: Boolean,
+      dropSelfLoops: Boolean = false): DataFrame = {
+    val both0 = edges.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    val both =
+      if (dropSelfLoops) both0.filter(col("src") =!= col("dst")) else both0
+    if (dedupe) both.distinct() else both
+  }
+
   /** Min-label propagation connected components.
     * edges: (src: Long, dst: Long) undirected (both directions derived).
     * Returns (node, component = min reachable node id).
@@ -55,22 +73,20 @@ object Graph {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       parallelism: Option[Int] = None, dedupeEdges: Boolean = true): DataFrame = {
     val autoSize = parallelism.isEmpty
-    val src = if (autoSize) edges.persist() else edges
+    // persist a DERIVED projection, never the caller's frame: persisting
+    // `edges` directly would be a no-op on an already-cached input, and the
+    // release below would then DROP the caller's cache entry (the same
+    // hazard Iteration.loop guards with its initCached check)
+    val src =
+      if (autoSize) edges.select(col("src"), col("dst")).persist() else edges
     val width = parallelism.getOrElse(Iteration.sizedWidth(2L * src.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
     // pre-explode rebalance (the Scale.fanOut rationale: the explode below
     // amplifies 2x and a narrow scan would single-thread it) AND the width
-    // pin for the loop
-    val e0 = src.repartition(width)
-    // both directions from ONE pass over the edge source (a union of two
-    // projections would scan it twice), then pre-partition on the join key:
-    // the cached relation keeps this partitioning, so the per-round join
-    // shuffles only the labels side
-    val both = e0.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-    val undirected = (if (dedupeEdges) both.distinct() else both)
+    // pin for the loop; then pre-partition on the join key: the cached
+    // relation keeps this partitioning, so the per-round join shuffles only
+    // the labels side
+    val undirected = undirectedBoth(src.repartition(width), dedupeEdges)
       .repartition(col("dst"))
       .persist()
     if (autoSize) {
@@ -134,13 +150,7 @@ object Graph {
     // ONE pass over the (possibly expensive) edge pipeline: the undirected
     // build is persisted FIRST and its count both materializes it and sizes
     // the loop width — the upstream never runs twice
-    val both = edges.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-    // dedupeEdges=false: the caller vouches the edge list is duplicate-free
-    // (a<b pair tables are) — skips a full-edge exchange+aggregate
-    val undirected0 = (if (dedupeEdges) both.distinct() else both).persist()
+    val undirected0 = undirectedBoth(edges, dedupeEdges).persist()
     val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
       // pre-partition on the join key at loop width: the cached relation
@@ -192,13 +202,7 @@ object Graph {
     require(k >= 1, s"need k >= 1, got $k")
     // same one-pass sizing as labelPropagation: persist the undirected
     // build, count once (materialize + width), never rerun the upstream
-    val both = edges.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-    // dedupeEdges=false: the caller vouches the edge list is duplicate-free
-    // (a<b pair tables are) — skips a full-edge exchange+aggregate
-    val undirected0 = (if (dedupeEdges) both.distinct() else both).persist()
+    val undirected0 = undirectedBoth(edges, dedupeEdges).persist()
     val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val undirected = undirected0.repartition(col("src")).persist()
@@ -255,16 +259,9 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame, maxDegree: Int = 1000,
       dedupeEdges: Boolean = true): DataFrame = {
     require(maxDegree >= 2, s"need maxDegree >= 2, got $maxDegree")
-    val both0 = edges.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    // dedupeEdges=false: the caller vouches the edge list is duplicate-free
-    // (a<b pair tables are) — skips a full-edge exchange+aggregate
-    val both = if (dedupeEdges) both0.distinct() else both0
+    val both = undirectedBoth(edges, dedupeEdges, dropSelfLoops = true)
     val keep = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("d0"))
-      .filter(col("d0") <= maxDegree).select(col("node"))
+  .filter(col("d0") <= maxDegree).select(col("node"))
     val kept = both
       .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -451,12 +448,7 @@ object Graph {
   def commonNeighbors(edges: DataFrame, maxDegree: Int = 1000,
       minCommon: Long = 1L, dedupeEdges: Boolean = true): DataFrame = {
     require(maxDegree >= 2, s"need maxDegree >= 2, got $maxDegree")
-    val both0 = edges.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val both = if (dedupeEdges) both0.distinct() else both0
+    val both = undirectedBoth(edges, dedupeEdges, dropSelfLoops = true)
     val keep = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("d0"))
       .filter(col("d0") <= maxDegree).select(col("node"))
     val kept = both
@@ -575,9 +567,13 @@ object Graph {
     import spark.implicits._
     withShuffleWidth(spark, parallelism) {
     val e0 = parallelism.map(p => edges.repartition(p)).getOrElse(edges)
-    val e = e0.select(col("src"), col("dst")).distinct()
+    // persist the distinct edge set and node set: e otherwise re-runs the
+    // full upstream pipeline (scan + distinct shuffle) for the node count,
+    // the eod build AND the init solution — three corpus-scale recomputes
+    // for a derived edge source (the sibling pageRank persists the same way)
+    val e = e0.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     val nodeCount = nodes.count()
     val n = nodeCount.toDouble
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -603,7 +599,7 @@ object Graph {
         .as[(Long, Double)]
     }
     val out = res.output.toDF("node", "rank")
-    eod.unpersist(false)
+    eod.unpersist(false); e.unpersist(false); nodes.unpersist(false)
     (out, res.worksetSizes)
     }
   }

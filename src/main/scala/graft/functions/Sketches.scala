@@ -30,10 +30,16 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Item hash in [0, space(portable)). `abs(xxhash64)` folds to 63 bits;
-    * the Long.MinValue edge (abs < 0) maps to 0 explicitly. */
+    * the Long.MinValue edge (abs < 0) maps to 0 explicitly.
+    *
+    * NULL items hash to NULL in BOTH modes (the `when` guard: bare
+    * `xxhash64(NULL)` returns the seed constant, which would silently count
+    * nulls as one distinct item in production while the md5-based portable
+    * mode null-propagates). Every sketch builder in this object EXCLUDES
+    * null items before hashing — the SQL COUNT(DISTINCT) convention. */
   private[graft] def itemHash(c: Column, portable: Boolean): Column =
     if (portable) Dedup.portableHash60(c)
-    else greatest(abs(xxhash64(c)), lit(0L))
+    else when(c.isNotNull, greatest(abs(xxhash64(c)), lit(0L)))
 
   /** Size of the hash value space, as an exact Double (2^60 and 2^63 are
     * both representable): the numerator scale of the KMV estimator. */
@@ -55,7 +61,8 @@ object Sketches {
   def kmvSketch(df: DataFrame, c: Column, k: Int,
       portable: Boolean = false): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val hashes = df.select(itemHash(c, portable).as("h"))
+    // null items are excluded (itemHash null contract)
+    val hashes = df.where(c.isNotNull).select(itemHash(c, portable).as("h"))
       .as[Long](Encoders.scalaLong)
     val local = hashes.mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()
@@ -103,7 +110,7 @@ object Sketches {
   def kmvPerGroup(df: DataFrame, groupCol: String, c: Column, k: Int,
       portable: Boolean = false): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val pairs = df
+    val pairs = df.where(c.isNotNull) // null items excluded (itemHash contract)
       .select(col(groupCol).cast("string").as("g"), itemHash(c, portable).as("h"))
       .as[(String, Long)](Encoders.product[(String, Long)])
     val local = pairs.mapPartitions { it =>
@@ -207,7 +214,8 @@ object Sketches {
     require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
     val rbs = (0 until depth).map(r =>
       struct(lit(r).as("r"), cmsBucketOf(col("__h"), r, width).as("b")))
-    df.select(itemHash(c, portable).as("__h"))
+    df.where(c.isNotNull) // null items excluded (itemHash contract)
+      .select(itemHash(c, portable).as("__h"))
       .select(explode(array(rbs: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -243,7 +251,8 @@ object Sketches {
       depth: Int, width: Int, portable: Boolean = false): DataFrame = {
     val rbs = (0 until depth).map(r =>
       struct(lit(r).as("r"), cmsBucketOf(col("__h"), r, width).as("b")))
-    items.select(c.as("item"), itemHash(c, portable).as("__h"))
+    items.where(c.isNotNull) // null probes excluded (itemHash contract)
+      .select(c.as("item"), itemHash(c, portable).as("__h"))
       .select(col("item"), explode(array(rbs: _*)).as("rb"))
       .select(col("item"), col("rb.r").as("r"), col("rb.b").as("b"))
       .join(broadcast(sketch), Seq("r", "b"), "left")
@@ -344,14 +353,24 @@ object Sketches {
     * the classic HLL property, expressed as a plain hash aggregate. */
   def hllRegisters(df: DataFrame, c: Column, p: Int,
       portable: Boolean = false): DataFrame = {
+    val (bucket, reg) = hllBucketReg(c, p, portable)
+    df.where(c.isNotNull).select(bucket, reg)
+      .groupBy("bucket").agg(max(col("reg")).as("reg"))
+  }
+
+  /** The (bucket, reg) projection shared by the three register builders:
+    * rank = position of the highest set bit of the post-bucket remainder,
+    * measured from the top (1-based); an all-zero remainder ranks wBits+1.
+    * Callers exclude NULL items before binning (itemHash null contract). */
+  private def hllBucketReg(c: Column, p: Int,
+      portable: Boolean): (Column, Column) = {
     require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
     val wBits = hllWBits(p, portable)
     val h = itemHash(c, portable)
     val w = h.bitwiseAND(lit((1L << wBits) - 1))
     val rank = when(w === 0, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(w)))
-    df.select(shiftright(h, wBits).as("bucket"), rank.cast("long").as("reg"))
-      .groupBy("bucket").agg(max(col("reg")).as("reg"))
+    (shiftright(h, wBits).as("bucket"), rank.cast("long").as("reg"))
   }
 
   /** Merge register tables (same p and mode): bucket-wise max. Associative,
@@ -394,14 +413,8 @@ object Sketches {
     * [[hllRegisters]]; merge = (g, bucket)-wise max. */
   def hllRegistersPerGroup(df: DataFrame, groupCol: String, c: Column, p: Int,
       portable: Boolean = false): DataFrame = {
-    require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
-    val wBits = hllWBits(p, portable)
-    val h = itemHash(c, portable)
-    val w = h.bitwiseAND(lit((1L << wBits) - 1))
-    val rank = when(w === 0, lit(wBits + 1))
-      .otherwise(lit(wBits + 1) - length(bin(w)))
-    df.select(col(groupCol).as("g"), shiftright(h, wBits).as("bucket"),
-        rank.cast("long").as("reg"))
+    val (bucket, reg) = hllBucketReg(c, p, portable)
+    df.where(c.isNotNull).select(col(groupCol).as("g"), bucket, reg)
       .groupBy("g", "bucket").agg(max(col("reg")).as("reg"))
   }
 
@@ -413,14 +426,8 @@ object Sketches {
   def hllRegistersPerWindow(df: DataFrame, ts: String, size: String,
       slide: String, c: Column, p: Int,
       portable: Boolean = false): DataFrame = {
-    require(p >= 4 && p <= 16, s"HLL precision must be in [4,16], got $p")
-    val wBits = hllWBits(p, portable)
-    val h = itemHash(c, portable)
-    val w = h.bitwiseAND(lit((1L << wBits) - 1))
-    val rank = when(w === 0, lit(wBits + 1))
-      .otherwise(lit(wBits + 1) - length(bin(w)))
-    df.select(col(ts), shiftright(h, wBits).as("bucket"),
-        rank.cast("long").as("reg"))
+    val (bucket, reg) = hllBucketReg(c, p, portable)
+    df.where(c.isNotNull).select(col(ts), bucket, reg)
       .groupBy(window(col(ts), size, slide).getField("start").as("ws"),
         col("bucket"))
       .agg(max(col("reg")).as("reg"))
@@ -470,7 +477,9 @@ object Sketches {
 
   /** Equi-width histogram of `c` under FROZEN bounds [lo, hi): one row per
     * non-empty bin, (bin, cnt); values outside the bounds clamp to the edge
-    * bins (the ZOrder frozen-bounds discipline — crawl cycles histogram the
+    * bins, NULL and NaN rows are EXCLUDED (they have no bin; see [[binExpr]]
+    * for why counting them would corrupt the top/bottom bins)
+    * (the ZOrder frozen-bounds discipline — crawl cycles histogram the
     * same grid, so shard histograms stay mergeable forever). The engine-
     * portable alternative to `percentile_approx` when the sketch must be
     * stored, merged across cycles, or recomputed by another engine: binning
@@ -478,13 +487,26 @@ object Sketches {
     * partial count on ≤ `bins` keys — the exchange carries at most
     * partitions·bins rows at any corpus size. */
   def histogram(df: DataFrame, c: Column, bins: Int, lo: Double,
-      hi: Double): DataFrame = {
+      hi: Double): DataFrame =
+    binnable(df, c).select(binExpr(c, bins, lo, hi).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Clamped equi-width bin of `c` on the frozen [lo, hi) grid — ONE
+    * definition for both histogram builders. Callers must pre-filter with
+    * [[binnable]]: Spark's least/greatest SKIP nulls, so a NULL value would
+    * otherwise clamp to the TOP bin (inflating it by the null count and
+    * shifting every quantile toward hi), and NaN arithmetic would land in
+    * bin 0 (or throw under ANSI). */
+  private def binExpr(c: Column, bins: Int, lo: Double, hi: Double): Column = {
     require(bins >= 2 && hi > lo, s"need bins >= 2 and hi > lo")
-    val bin = greatest(lit(0L), least(lit(bins - 1L),
+    greatest(lit(0L), least(lit(bins - 1L),
       floor((c.cast("double") - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
         .cast("long")))
-    df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
   }
+
+  /** Rows with a binnable value of `c`: non-null, non-NaN. */
+  private def binnable(df: DataFrame, c: Column): DataFrame =
+    df.where(c.isNotNull && !isnan(c.cast("double")))
 
   /** Merge histograms built on the same grid: bin-wise sum. Associative,
     * commutative — per-shard histograms compose without re-reading data. */
@@ -500,7 +522,6 @@ object Sketches {
     * bit-for-bit. */
   def histogramQuantiles(hist: DataFrame, bins: Int, lo: Double, hi: Double,
       probs: Seq[Double]): DataFrame = {
-    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.rowsBetween(Window.unboundedPreceding,
@@ -508,17 +529,28 @@ object Sketches {
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(tot))
-    val ps = hist.sparkSession.createDataFrame(
+    interpolateQuantiles(cum, bins, lo, hi, probs, keyCols = Nil)
+  }
+
+  /** Rank filter + in-bin linear interpolation over a cumulated histogram
+    * (`bin`/`cnt`/`cum`/`n` columns) — ONE definition for the global and
+    * per-group quantile reports. Every arithmetic step is a fixed-order
+    * double expression, so the DuckDB oracle reproduces estimates
+    * bit-for-bit. */
+  private def interpolateQuantiles(cum: DataFrame, bins: Int, lo: Double,
+      hi: Double, probs: Seq[Double], keyCols: Seq[Column]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val ps = cum.sparkSession.createDataFrame(
       probs.map(Tuple1.apply)).toDF("p")
     val width = (hi - lo) / bins
     cum.crossJoin(broadcast(ps))
       .withColumn("t", ceil(col("p") * col("n").cast("double")).cast("long"))
       .filter(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
-      .select(col("p"),
+      .select(keyCols ++ Seq(col("p"),
         (lit(lo) + (col("bin").cast("double") +
           (col("t").cast("double") - (col("cum") - col("cnt")).cast("double")) /
             col("cnt").cast("double")) * lit(width)).as("q_est"),
-        col("n"))
+        col("n")): _*)
   }
 
   /** Per-GROUP equi-width histograms on the shared frozen grid: (g, bin,
@@ -526,14 +558,10 @@ object Sketches {
     * alternative to an exact per-group sort. Same map-side partial-count
     * discipline as [[histogram]]; merge = (g, bin)-wise sum. */
   def histogramPerGroup(df: DataFrame, groupCol: String, c: Column, bins: Int,
-      lo: Double, hi: Double): DataFrame = {
-    require(bins >= 2 && hi > lo, s"need bins >= 2 and hi > lo")
-    val bin = greatest(lit(0L), least(lit(bins - 1L),
-      floor((c.cast("double") - lit(lo)) * lit(bins.toDouble) / (lit(hi) - lit(lo)))
-        .cast("long")))
-    df.select(col(groupCol).as("g"), bin.as("bin"))
+      lo: Double, hi: Double): DataFrame =
+    binnable(df, c)
+      .select(col(groupCol).as("g"), binExpr(c, bins, lo, hi).as("bin"))
       .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Per-group interpolated quantiles from [[histogramPerGroup]] state —
     * the "p50/p95 per key" report. One (g) hash Exchange over the
@@ -541,7 +569,6 @@ object Sketches {
     * [[histogramQuantiles]], so the oracle replays estimates bit-for-bit. */
   def histogramQuantilesPerGroup(hist: DataFrame, bins: Int, lo: Double,
       hi: Double, probs: Seq[Double]): DataFrame = {
-    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
     val w = Window.partitionBy(col("g")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("g")).rowsBetween(
@@ -549,17 +576,7 @@ object Sketches {
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(tot))
-    val ps = hist.sparkSession.createDataFrame(
-      probs.map(Tuple1.apply)).toDF("p")
-    val width = (hi - lo) / bins
-    cum.crossJoin(broadcast(ps))
-      .withColumn("t", ceil(col("p") * col("n").cast("double")).cast("long"))
-      .filter(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
-      .select(col("g"), col("p"),
-        (lit(lo) + (col("bin").cast("double") +
-          (col("t").cast("double") - (col("cum") - col("cnt")).cast("double")) /
-            col("cnt").cast("double")) * lit(width)).as("q_est"),
-        col("n"))
+    interpolateQuantiles(cum, bins, lo, hi, probs, keyCols = Seq(col("g")))
   }
 
   /** Distribution drift between two SAME-GRID histograms — the crawl-cycle

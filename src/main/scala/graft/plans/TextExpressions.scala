@@ -43,24 +43,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
       s"word_shingles needs a string input, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any = {
-    // regex " " matches only the literal space byte, so splitting on the
-    // raw bytes is equivalent to Spark's split(text, " ") — including the
-    // limit=-1 behavior of keeping trailing empty words
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    var nWords = 1
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = TextScan.wordStarts(bytes)
+    val nWords = starts.length - 1
     if (nWords < n) return new GenericArrayData(Array.empty[Any])
-    // word start offsets (word w spans [starts(w), starts(w+1) - 2 + 1))
-    val starts = new Array[Int](nWords + 1)
-    starts(0) = 0
-    var w = 1
-    i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
-      i += 1
-    }
-    starts(nWords) = bytes.length + 1
     val out = new Array[Any](nWords - n + 1)
     var s = 0
     while (s <= nWords - n) {
@@ -173,19 +159,9 @@ case class MinHashRowExpr(child: Expression, n: Int, as: Seq[Long], bs: Seq[Long
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    var nWords = 1
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = TextScan.wordStarts(bytes)
+    val nWords = starts.length - 1
     if (nWords < n) return null
-    val starts = new Array[Int](nWords + 1)
-    starts(0) = 0
-    var w = 1
-    i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
-      i += 1
-    }
-    starts(nWords) = bytes.length + 1
     val mins = Array.fill(aArr.length)(Long.MaxValue)
     var s = 0
     while (s <= nWords - n) {
@@ -269,15 +245,10 @@ case class CharBigramCounts(child: Expression) extends UnaryExpression
     }
     starts(nChars) = nB
 
-    // open-addressed long->count table; grows by doubling at 1/2 load.
+    // shared open-addressed long->count table (TextScan.LongCountTable);
     // distinct bigrams are alphabet²-bounded, so this stays small even for
     // huge documents (a position-sized table would be O(doc length))
-    var cap = 256
-    var keys = new Array[Long](cap)      // 0 = empty (0L collides with no
-    var cnts = new Array[Long](cap)      //   packed key: padding is 0xFF)
-    var offs = new Array[Int](cap)       // first-occurrence byte offset
-    var lens = new Array[Int](cap)
-    var used = 0
+    val tbl = new TextScan.LongCountTable
 
     def pack(from: Int, until: Int): Long = {
       var k = -1L // all-ones = all-0xFF padding
@@ -289,43 +260,10 @@ case class CharBigramCounts(child: Expression) extends UnaryExpression
     while (b < nChars - 1) {
       val from = starts(b)
       val until = starts(b + 2)
-      val key = pack(from, until)
-      if (used * 2 >= cap) { // grow + rehash
-        val nc = cap * 2
-        val nk = new Array[Long](nc); val nn = new Array[Long](nc)
-        val no = new Array[Int](nc); val nl = new Array[Int](nc)
-        var s = 0
-        while (s < cap) {
-          if (cnts(s) != 0) {
-            var h = (java.lang.Long.hashCode(keys(s) * 0x9e3779b97f4a7c15L)) & (nc - 1)
-            while (nn(h) != 0) h = (h + 1) & (nc - 1)
-            nk(h) = keys(s); nn(h) = cnts(s); no(h) = offs(s); nl(h) = lens(s)
-          }
-          s += 1
-        }
-        cap = nc; keys = nk; cnts = nn; offs = no; lens = nl
-      }
-      var h = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L)) & (cap - 1)
-      while (cnts(h) != 0 && keys(h) != key) h = (h + 1) & (cap - 1)
-      if (cnts(h) == 0) {
-        keys(h) = key; offs(h) = from; lens(h) = until - from; used += 1
-      }
-      cnts(h) += 1
+      tbl.add(pack(from, until), from, until - from)
       b += 1
     }
-
-    val out = new Array[Any](used)
-    var s = 0
-    var o = 0
-    while (s < cap) {
-      if (cnts(s) != 0) {
-        out(o) = org.apache.spark.sql.catalyst.InternalRow(
-          UTF8String.fromBytes(bytes, offs(s), lens(s)), cnts(s))
-        o += 1
-      }
-      s += 1
-    }
-    new GenericArrayData(out)
+    tbl.toRows(bytes)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharBigramCounts =
@@ -371,14 +309,10 @@ case class CharCounts(child: Expression) extends UnaryExpression
     val nB = bytes.length
     if (nB == 0) return new GenericArrayData(Array.empty[Any])
 
-    // open-addressed long->count table (see CharBigramCounts); distinct
-    // chars are alphabet-bounded so this stays tiny for any document size
-    var cap = 256
-    var keys = new Array[Long](cap)
-    var cnts = new Array[Long](cap)
-    var offs = new Array[Int](cap)
-    var lens = new Array[Int](cap)
-    var used = 0
+    // shared open-addressed long->count table (TextScan.LongCountTable);
+    // distinct chars are alphabet-bounded so this stays tiny for any
+    // document size. The math.min clamps a malformed trailing UTF-8 char.
+    val tbl = new TextScan.LongCountTable
 
     var i = 0
     while (i < nB) {
@@ -387,42 +321,10 @@ case class CharCounts(child: Expression) extends UnaryExpression
       var p = i
       val until = math.min(i + clen, nB)
       while (p < until) { key = (key << 8) | (bytes(p) & 0xffL); p += 1 }
-      if (used * 2 >= cap) { // grow + rehash
-        val nc = cap * 2
-        val nk = new Array[Long](nc); val nn = new Array[Long](nc)
-        val no = new Array[Int](nc); val nl = new Array[Int](nc)
-        var s = 0
-        while (s < cap) {
-          if (cnts(s) != 0) {
-            var h = (java.lang.Long.hashCode(keys(s) * 0x9e3779b97f4a7c15L)) & (nc - 1)
-            while (nn(h) != 0) h = (h + 1) & (nc - 1)
-            nk(h) = keys(s); nn(h) = cnts(s); no(h) = offs(s); nl(h) = lens(s)
-          }
-          s += 1
-        }
-        cap = nc; keys = nk; cnts = nn; offs = no; lens = nl
-      }
-      var h = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L)) & (cap - 1)
-      while (cnts(h) != 0 && keys(h) != key) h = (h + 1) & (cap - 1)
-      if (cnts(h) == 0) {
-        keys(h) = key; offs(h) = i; lens(h) = until - i; used += 1
-      }
-      cnts(h) += 1
+      tbl.add(key, i, until - i)
       i += clen
     }
-
-    val out = new Array[Any](used)
-    var s = 0
-    var o = 0
-    while (s < cap) {
-      if (cnts(s) != 0) {
-        out(o) = org.apache.spark.sql.catalyst.InternalRow(
-          UTF8String.fromBytes(bytes, offs(s), lens(s)), cnts(s))
-        o += 1
-      }
-      s += 1
-    }
-    new GenericArrayData(out)
+    tbl.toRows(bytes)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharCounts =
@@ -590,19 +492,9 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
   private def gramSet(u: UTF8String): java.util.HashSet[UTF8String] = {
     val bytes = u.getBytes
     val out = new java.util.HashSet[UTF8String]()
-    var nWords = 1
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = TextScan.wordStarts(bytes)
+    val nWords = starts.length - 1
     if (nWords < n) return out
-    val starts = new Array[Int](nWords + 1)
-    starts(0) = 0
-    var w = 1
-    i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
-      i += 1
-    }
-    starts(nWords) = bytes.length + 1
     var s = 0
     while (s <= nWords - n) {
       val from = starts(s)
@@ -625,6 +517,92 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): NgramJaccard = copy(left = newLeft, right = newRight)
+}
+
+/** Scan helpers shared by the native text expressions — ONE definition of
+  * the word-boundary scan and of the open-addressed count table, so a
+  * boundary or probing fix cannot drift between the siblings that used to
+  * inline them (WordShingles/MinHashRowExpr/NgramJaccard for the scan,
+  * CharBigramCounts/CharCounts for the table). */
+private[plans] object TextScan {
+
+  /** Word start offsets of `bytes` split on the literal space byte —
+    * equivalent to Spark's split(text, " "), including the limit=-1
+    * behavior of keeping trailing empty words. Word w spans
+    * [starts(w), starts(w+1) - 2 + 1); starts(nWords) = length + 1 is the
+    * sentinel, so nWords = starts.length - 1. */
+  def wordStarts(bytes: Array[Byte]): Array[Int] = {
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1
+    starts
+  }
+
+  /** Open-addressed long→count table keyed by a packed span, keeping the
+    * first-occurrence byte span per key. Grows by doubling at 1/2 load;
+    * packed keys are seeded with all-ones padding so 0 never occurs and
+    * cnt==0 marks an empty slot. Emission order is slot order — identical
+    * probe constants to the previous inlined copies, so row order (and the
+    * driver's hash compare) is unchanged. */
+  final class LongCountTable {
+    private var cap = 256
+    private var keys = new Array[Long](cap)
+    private var cnts = new Array[Long](cap)
+    private var offs = new Array[Int](cap)
+    private var lens = new Array[Int](cap)
+    private var used = 0
+
+    private def slot(key: Long, ks: Array[Long], ns: Array[Long], c: Int): Int = {
+      var h = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & (c - 1)
+      while (ns(h) != 0 && ks(h) != key) h = (h + 1) & (c - 1)
+      h
+    }
+
+    def add(key: Long, off: Int, len: Int): Unit = {
+      if (used * 2 >= cap) { // grow + rehash
+        val nc = cap * 2
+        val nk = new Array[Long](nc); val nn = new Array[Long](nc)
+        val no = new Array[Int](nc); val nl = new Array[Int](nc)
+        var s = 0
+        while (s < cap) {
+          if (cnts(s) != 0) {
+            val h = slot(keys(s), nk, nn, nc)
+            nk(h) = keys(s); nn(h) = cnts(s); no(h) = offs(s); nl(h) = lens(s)
+          }
+          s += 1
+        }
+        cap = nc; keys = nk; cnts = nn; offs = no; lens = nl
+      }
+      val h = slot(key, keys, cnts, cap)
+      if (cnts(h) == 0) { keys(h) = key; offs(h) = off; lens(h) = len; used += 1 }
+      cnts(h) += 1
+    }
+
+    /** (span-string, count) rows in slot order. */
+    def toRows(bytes: Array[Byte]): GenericArrayData = {
+      val out = new Array[Any](used)
+      var s = 0
+      var o = 0
+      while (s < cap) {
+        if (cnts(s) != 0) {
+          out(o) = org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromBytes(bytes, offs(s), lens(s)), cnts(s))
+          o += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 object TextExpressions {

@@ -343,6 +343,12 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression
 case class LshBucket(child: Expression, signs: Seq[Seq[Double]])
     extends Expression with UnaryLike[Expression] {
 
+  // fail fast DRIVER-side: an empty or ragged plane matrix would otherwise
+  // surface as a per-row IndexOutOfBounds deep inside a corpus-sized scan
+  require(signs.nonEmpty && signs.forall(_.length == signs.head.length),
+    s"lshBucket needs a non-empty rectangular sign matrix, got rows of " +
+      s"lengths ${signs.map(_.length).distinct.mkString(",")}")
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 

@@ -277,7 +277,7 @@ object Streaming {
     val spark = df.sparkSession
     import spark.implicits._
     val space = graft.functions.Sketches.hashSpace(portable)
-    val hashes = df
+    val hashes = df.where(c.isNotNull) // null items excluded (itemHash contract)
       .select(graft.functions.Sketches.itemHash(c, portable).as("h")).as[Long]
     val local = hashes.mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()

@@ -442,4 +442,43 @@ class SketchesSpec extends AnyFunSuite {
     // linear counting on 256 registers is near-exact at n=30
     assert(math.abs(est - 30) <= 3, s"est=$est")
   }
+
+  test("NULL items are excluded from sketches, identically in both hash modes") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq("a", "b", "a") ++ Seq.fill(3)(null.asInstanceOf[String]))
+      .toDF("v")
+    val clean = Seq("a", "b", "a").toDF("v")
+    for (portable <- Seq(false, true)) {
+      // KMV: nulls used to NPE the Long encoder (portable) or count as one
+      // phantom distinct (production)
+      val sk = Sketches.kmvSketch(df, col("v"), k = 8, portable)
+      val ref = Sketches.kmvSketch(clean, col("v"), k = 8, portable)
+      assert(sk.collect().toSeq == ref.collect().toSeq, s"portable=$portable")
+      // HLL: null rows must not mint a register
+      val regs = Sketches.hllRegisters(df, col("v"), 8, portable).count()
+      val regsRef = Sketches.hllRegisters(clean, col("v"), 8, portable).count()
+      assert(regs == regsRef, s"portable=$portable")
+      // CMS: the grid counts only the 3 non-null occurrences
+      val tot = Sketches.cmsSketch(df, col("v"), 2, 16, portable)
+        .agg(sum("cnt")).head().getLong(0)
+      assert(tot == 2L * 3, s"portable=$portable")
+    }
+  }
+
+  test("histogram excludes NULL and NaN rows instead of binning them") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq(0.1, 0.5, 0.9, Double.NaN) :+ null.asInstanceOf[Any])
+      .map(v => Tuple1(v.asInstanceOf[java.lang.Double])).toDF("v")
+    val h = Sketches.histogram(df, col("v"), bins = 10, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NULL would have clamped into bin 9 (least/greatest skip nulls) and
+    // NaN into bin 0 — only the three real values may be counted
+    assert(h == Map(1L -> 1L, 5L -> 1L, 9L -> 1L), s"got $h")
+    val n = Sketches.histogramQuantiles(
+      Sketches.histogram(df, col("v"), 10, 0.0, 1.0), 10, 0.0, 1.0, Seq(0.5))
+      .select("n").head().getLong(0)
+    assert(n == 3L)
+  }
 }
