@@ -2479,9 +2479,10 @@ object Queries {
       |       FROM m JOIN ctx ON substr(m.bg, 1, 1) = ctx.c1 CROSS JOIN v),
       |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp_micro) AS micro
       |       FROM bg JOIN lp USING (bg) GROUP BY 1)
-      |SELECT doc_id, n_bigrams,
-      |  CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams AS lm_score
-      |FROM sc""".stripMargin
+      |SELECT doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams,
+      |           CAST(0 AS DOUBLE)) AS lm_score
+      |FROM documents LEFT JOIN sc USING (doc_id)""".stripMargin
 
   /** Character-distribution Shannon entropy per document
     * (TextAnalysis.charEntropy) — the gibberish/degenerate-text quality
@@ -5848,7 +5849,7 @@ object Queries {
       |              / list_sum(list_transform(ls, x -> length(x))) END AS dup_char_frac,
       |    CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
       |         ELSE 1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS repeated_word_frac,
-      |    CAST(length(text) - length(regexp_replace(text, '[#*>|]|\.\.\.', '', 'g')) AS DOUBLE)
+      |    CAST(len(regexp_extract_all(text, '[#*>|]|\.\.\.')) AS DOUBLE)
       |      / greatest(len(w), 1) AS symbol_ratio
       |  FROM l),
       |g2 AS (SELECT doc_id, array_to_string(sw[i:i+1], ' ') AS g

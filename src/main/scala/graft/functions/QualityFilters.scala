@@ -57,10 +57,12 @@ object QualityFilters {
   }
 
   /** Symbol-to-word ratio: occurrences of hash / ellipsis / bullet marks
-    * per word (C4 and Gopher both cap this; Gopher's bound is 0.1). */
+    * per word (C4 and Gopher both cap this; Gopher's bound is 0.1).
+    * OCCURRENCES, not removed characters: the rule counts an ellipsis as
+    * one symbol — length arithmetic would weight it 3x and wrongly drop
+    * docs near the 0.10 bound. */
   def symbolWordRatio(text: Column): Column = {
-    val symbols = (length(text) -
-      length(regexp_replace(text, "[#*>|]|\\.\\.\\.", ""))).cast("double")
+    val symbols = regexp_count(text, lit("[#*>|]|\\.\\.\\.")).cast("double")
     symbols / greatest(size(TextAnalysis.words(text)), lit(1)).cast("double")
   }
 
@@ -157,7 +159,10 @@ object QualityFilters {
     * tokenization. */
   def gopherProfile(df: DataFrame, idCol: String, textCol: String,
       lineify: Column => Column = identity): DataFrame = {
-    val raw = col(textCol)
+    // NULL text follows the empty-doc contract (all metrics 0, keep=true)
+    // instead of tri-state NULLs that vanish from BOTH sides of a
+    // filter(keep)/filter(!keep) curation split — the charEntropy pattern
+    val raw = coalesce(col(textCol), lit(""))
     val t = lineify(raw)
     df.select(col(idCol),
         duplicateLineFraction(t).as("dup_line_frac"),

@@ -170,17 +170,19 @@ object TextAnalysis {
 
   /** 64-bit Rabin-Karp rolling hashes of character k-grams — the classic
     * fingerprinting primitive (winnowing selects min per window). Exposed as
-    * the min rolling hash per document: a cheap order-sensitive signature. */
-  def rollingMinHash(text: Column, k: Int = 16): Column = {
-    val win = 64
-    // character k-gram minhash approximated on word 3-grams via xxhash64 —
-    // closed form; k reserved for the typed implementation in tests
-    array_min(transform(
-      when(size(words(text)) < 3, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(words(text)) - 3),
-          i => concat_ws(" ", slice(words(text), i + 1, lit(3))))),
-      g => xxhash64(g)))
-  }
+    * the min rolling hash per document: a cheap order-sensitive signature.
+    * Documents with fewer than 3 words hash their full word join as the
+    * single gram (array_min over no grams would be NULL, turning every
+    * short doc into one null bucket downstream). `k` is reserved for the
+    * typed character-k-gram implementation the tests exercise. */
+  def rollingMinHash(text: Column, k: Int = 16): Column =
+    coalesce(
+      array_min(transform(
+        when(size(words(text)) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(words(text)) - 3),
+            i => concat_ws(" ", slice(words(text), i + 1, lit(3))))),
+        g => xxhash64(g))),
+      xxhash64(concat_ws(" ", words(text))))
 
   /** Full per-document profile in one narrow pass. */
   /** Per-document top-`k` terms by TF-IDF — the classic per-doc keyword
@@ -264,7 +266,8 @@ object TextAnalysis {
     * ln P(c₂|c₁), with P estimated on the corpus itself under add-1
     * smoothing (V = distinct second characters). Gibberish, encoding noise
     * and wrong-alphabet text score far below clean prose trained on the
-    * same corpus.
+    * same corpus. Every input id appears in the output: docs with NULL or
+    * <2-char text (no bigrams) score (0, 0.0) rather than vanishing.
     *
     * FP portability: each bigram's log-prob is rounded to `dp` decimals and
     * scaled to an integer ("micro") BEFORE summing, so the per-doc sum is
@@ -308,7 +311,7 @@ object TextAnalysis {
         round(round(log((col("n_bg") + 1).cast("double") /
           (col("n_ctx") + v).cast("double")), dp) * 1e6, 0)
           .cast("long").as("lp_micro"))
-    val out = bgc.join(broadcast(lp), "bg")
+    val scores = bgc.join(broadcast(lp), "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("n") * col("lp_micro")).as("micro"))
@@ -319,6 +322,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         (col("micro").cast("double") / 1e6 / col("n_bigrams"))
           .as("lm_score"))
+    // EVERY input id comes back — docs with NULL or <2-char text score
+    // (n_bigrams=0, lm_score=0.0) instead of silently vanishing from the
+    // output (the NgramLm.scoreAgainst contract; an inner re-join downstream
+    // would otherwise lose them). The join reuses the groupBy's doc_id
+    // partitioning on the scores side.
+    val out = df.select(col(idCol).cast("long").as("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
       .persist()
     out.count() // materialize before dropping the bigram cache
     bgc.unpersist()
@@ -350,6 +363,10 @@ object TextAnalysis {
       size(filter(col("w"), x => x =!= "")).cast("long").as("len"))
     val statsRow = lens.agg(count(lit(1)), sum(col("len"))).head()
     val n = statsRow.getLong(0)
+    // empty corpus: sum(len) is NULL (getLong would NPE) and avgLen would
+    // divide by zero — nothing can score, return the empty result directly
+    if (n == 0L)
+      return lens.select(col("doc_id"), lit(0.0).as("score")).limit(0)
     val avgLen = statsRow.getLong(1).toDouble / n.toDouble
     val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
       .filter(col("term").isInCollection(queryTerms))

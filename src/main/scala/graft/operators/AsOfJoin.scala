@@ -137,8 +137,12 @@ object AsOfJoin {
   private def matchOver(keys: Seq[String], tieBreak: Seq[String],
       rightTs: String, forward: Boolean): Column = {
     val dir: Column => Column = if (forward) _.desc else _.asc
+    // tieBreak stays ASCENDING in both directions: last() takes the final
+    // row of the equal-(key, ts) run, so ascending order makes the GREATEST
+    // tieBreak win as documented — mirroring the ts direction here would
+    // invert the rule for forward joins
     val order = Seq(dir(col("__ts")), col("__src").asc) ++
-      tieBreak.map(t => dir(col("__r").getField(t)))
+      tieBreak.map(t => col("__r").getField(t).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     last(col("__r"), ignoreNulls = true).over(w)

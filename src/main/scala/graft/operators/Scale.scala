@@ -31,10 +31,9 @@ object Scale {
       knownCount: Option[Long] = None): DataFrame =
     if (knownCount.getOrElse(df.count()) <= maxRows) broadcast(df) else df
 
-  /** Two-phase salted aggregation: spread each group over `salt` sub-groups,
-    * partially aggregate, then merge. `aggs` must be algebraic pairs of
-    * (partial, merge) expressed on the same column names — the common cases
-    * are provided by [[saltedSum]]/[[saltedCount]]. */
+  /** Two-phase salted SUM: spread each group over `salt` sub-groups,
+    * partially sum, then merge the partials — the algebraic-aggregate
+    * skew pattern (sibling [[saltedCount]] is the count instance). */
   def saltedSum(df: DataFrame, key: Column, value: Column, salt: Int,
       keyName: String = "key", sumName: String = "sum"): DataFrame = {
     val salted = df.groupBy(key.as(keyName),
@@ -77,6 +76,11 @@ object Scale {
     * enough to replicate but too big to broadcast whole. */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, salt: Int): DataFrame = {
+    // reserved-name guard (the AsOfJoin/RangeJoin discipline): a left _salt
+    // would be silently overwritten, a right one would make the join
+    // condition ambiguous at analysis time with no hint at the cause
+    val clash = (left.columns ++ right.columns).filter(_ == "_salt")
+    require(clash.isEmpty, "saltedJoin reserves the column name _salt")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
     val saltedRight = right.crossJoin(

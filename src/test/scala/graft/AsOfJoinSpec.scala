@@ -74,6 +74,13 @@ class AsOfJoinSpec extends AnyFunSuite {
         tieBreak = Seq("seq"))
       .select("tag").collect().map(_.getString(0)).toSeq
     assert(r == Seq("hi"))
+    // forward direction applies the SAME rule (the ts ordering flips, the
+    // tieBreak ordering must not): greatest seq wins here too
+    val leftFwd = Seq(("a", 5L, 99)).toDF("k", "t_ts", "tid")
+    val f = AsOfJoin.forward(leftFwd, right, Seq("k"), "t_ts", "q_ts",
+        tieBreak = Seq("seq"))
+      .select("tag").collect().map(_.getString(0)).toSeq
+    assert(f == Seq("hi"))
   }
 
   test("nearest: closest quote either direction, tie resolves backward") {

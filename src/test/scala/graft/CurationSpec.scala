@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{QualityFilters, Redaction, Sampling}
+import graft.functions.{QualityFilters, Redaction, Sampling, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -139,6 +139,48 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out(1L))
     assert(!out(2L)) // repeated_word_frac = 0.9, top2_share = 1.0
+  }
+
+  test("symbolWordRatio counts OCCURRENCES: one ellipsis = one symbol") {
+    val s = imp; import s._
+    // 100 words, 4 ellipses: ratio 0.04 — the old length arithmetic read
+    // 0.12 and wrongly dropped the doc at Gopher's 0.10 bound
+    val text = (1 to 96).map(i => s"w$i").mkString(" ") + " ... ... ... ..."
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = df.select(QualityFilters.symbolWordRatio(col("text")).as("r"))
+      .head().getDouble(0)
+    assert(math.abs(r - 0.04) < 1e-9, s"ratio=$r")
+    val keep = QualityFilters.gopherProfile(df, "doc_id", "text")
+      .select("keep").head().getBoolean(0)
+    assert(keep)
+  }
+
+  test("gopherProfile: NULL text follows the empty-doc contract, not tri-state") {
+    val s = imp; import s._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a fine doc here"))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.gopherProfile(df, "doc_id", "text")
+    // the null-text row must land in exactly one side of a keep split
+    val kept = out.filter(col("keep")).count()
+    val dropped = out.filter(!col("keep")).count()
+    assert(kept + dropped == 2L, s"kept=$kept dropped=$dropped — a row vanished")
+  }
+
+  test("bm25TopDocs: empty corpus returns empty, does not NPE") {
+    val s = imp; import s._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bm25TopDocs(empty, "doc_id", "text", Seq("q")).count() == 0L)
+  }
+
+  test("charLmScore: short and NULL docs come back with zero scores") {
+    val s = imp; import s._
+    val df = Seq((1L, "hello world text"), (2L, "x"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.charLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L) == (0L, 0.0) && out(3L) == (0L, 0.0))
+    assert(out(1L)._1 > 0L && out(1L)._2 < 0.0)
   }
 
   test("hashSplit: deterministic, exhaustive, rerun-stable, ~80/10/10") {
