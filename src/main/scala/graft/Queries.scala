@@ -3352,8 +3352,9 @@ object Queries {
       Seq("doc_id", "text"), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
     val marker = java.nio.file.Paths.get(s"$path/_complete")
     if (!java.nio.file.Files.exists(marker)) {
-      graft.functions.InvertedIndex.save(
-        graft.functions.InvertedIndex.build(docs, "doc_id", "text"), path)
+      val built = graft.functions.InvertedIndex.build(docs, "doc_id", "text")
+      graft.functions.InvertedIndex.save(built, path)
+      built.release() // drop the lens cache once the index is on disk
       java.nio.file.Files.createFile(marker)
     }
     graft.functions.InvertedIndex.query(

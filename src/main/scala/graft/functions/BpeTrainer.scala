@@ -62,6 +62,13 @@ object BpeTrainer {
     // stacks one Project per round into the plan nor overflows Catalyst's
     // recursive traversals
     val iter = graft.operators.Iteration
+    // try/finally (the QualityClassifier.train discipline): a mid-round
+    // collect/count failure must not leak the current state cache for the
+    // session lifetime — `state` points at the newest MATERIALIZED table
+    // in every round, so the one finally covers them all (a failing
+    // merged.count() can leave only partial blocks of that round's not-yet-
+    // adopted cache, bounded by one round's completed partitions)
+    try {
     iter.withLoopConf(spark) {
       iter.withShuffleWidth(spark, Some(iter.sizedWidth(vocab))) {
         var r = 1
@@ -98,7 +105,7 @@ object BpeTrainer {
         }
       }
     }
-    state.unpersist()
+    } finally { state.unpersist(); () }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.result(), 1),
       StructType(Seq(

@@ -39,9 +39,13 @@ object EntityResolution {
   def erSelfJoin(df: DataFrame, idCol: String, strCol: String,
       threshold: Double, blockLen: Int = 2, dp: Int = 9): DataFrame = {
     require(blockLen >= 1, s"need a positive block prefix, got $blockLen")
+    // strings SHORTER than blockLen block on their full value (substring
+    // already returns the whole string) — a length >= blockLen filter here
+    // would silently lose even identical short strings, and the SQL oracle's
+    // substr() blocking keeps them
     val rows = df
       .select(col(idCol).as("id"), col(strCol).cast("string").as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= blockLen)
+      .filter(col("s").isNotNull)
       .withColumn("blk", substring(col("s"), 1, blockLen))
     val a = rows.select(col("blk"), col("id").as("a_id"), col("s").as("a_str"))
     val b = rows.select(col("blk"), col("id").as("b_id"), col("s").as("b_str"))

@@ -52,17 +52,21 @@ object FuzzyJoin {
     // — and THRESHOLD-BOUNDED: levenshtein(a, b, 1) runs the banded DP and
     // bails out at distance 2 (-1), a measured ~2× over the unbounded
     // distance on the candidate stream
-    val out = a.join(b, Seq("v"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_str"), col("b_str"), 1))
-      .filter(col("dist") >= 0)
-      .select("a_id", "b_id", "a_str", "b_str", "dist")
-      .distinct()
-      // eager localCheckpoint: materialized once while the variant cache is
-      // hot, lineage cut, blocks GC-managed — persist() here leaked a cached
-      // table per call for the session's lifetime
-      .localCheckpoint()
-    vars.unpersist()
-    out
+    try {
+      a.join(b, Seq("v"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_str"), col("b_str"), 1))
+        .filter(col("dist") >= 0)
+        .select("a_id", "b_id", "a_str", "b_str", "dist")
+        .distinct()
+        // eager localCheckpoint: materialized once while the variant cache
+        // is hot, lineage cut, blocks GC-managed — persist() here leaked a
+        // cached table per call for the session's lifetime
+        .localCheckpoint()
+    } finally {
+      // finally, not the success path only: a failing checkpoint must not
+      // leave the O(n·len) variant table cached for the session
+      vars.unpersist(); ()
+    }
   }
 }

@@ -29,25 +29,49 @@ object InvertedIndex {
   def termBucket(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(term), lit(TermBuckets.toLong)).cast("int")
 
+  /** Driver-side twin of [[termBucket]] — the ONE place the stored
+    * partition layout's hash is recomputed in Scala (seed 42 = Spark's
+    * xxhash64 default; floorMod = pmod). A seed or bucket-count change
+    * edited in only one of the two desynchronizes reads from saved
+    * indexes, so both query paths route through here. */
+  private def bucketOf(term: String): Int =
+    math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L),
+      TermBuckets.toLong).toInt
+
   final case class Built(postings: DataFrame, lens: DataFrame,
       nDocs: Long, sumLen: Long) {
     def avgLen: Double = sumLen.toDouble / nDocs.toDouble
+
+    /** Release the lens cache [[build]] created (doc-count-sized). A
+      * loaded index holds no cache; calling this is then a no-op warning. */
+    def release(): Unit = { lens.unpersist(); () }
   }
 
-  /** One corpus pass: per-(doc, term) counts + per-doc lengths + corpus
-    * stats. Tokenization matches bm25TopDocs (split on single space,
-    * empties dropped from the length but kept out of terms). */
+  /** Per-(doc, term) counts + per-doc lengths + corpus stats. Tokenization
+    * matches bm25TopDocs (split on single space, empties dropped from the
+    * length but kept out of terms). The lengths table (two longs per doc)
+    * is PERSISTED: the stats action materializes it here, so the raw
+    * corpus is scanned once for lengths+stats and once more only for the
+    * postings aggregate at save/query time — not once per consumer.
+    * Callers release it with [[Built.release]] when done. */
   def build(df: DataFrame, idCol: String, textCol: String): Built = {
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("w"))
     val lens = docs.select(col("doc_id"),
       size(filter(col("w"), x => x =!= "")).cast("long").as("len"))
+      .persist()
     val postings = docs.select(col("doc_id"), explode(col("w")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucket(col("term")))
     val statsRow = lens.agg(count(lit(1)), sum(col("len"))).head()
-    Built(postings, lens, statsRow.getLong(0), statsRow.getLong(1))
+    // empty corpus (or all-null text): sum(len) is NULL — getLong would
+    // NPE; 0 keeps query() returning empty like bm25TopDocs' guard
+    Built(postings, lens, statsRow.getLong(0),
+      if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
   }
 
   def save(built: Built, path: String): Unit = {
@@ -94,13 +118,7 @@ object InvertedIndex {
     import spark.implicits._
     val slots = phrase.zipWithIndex
       .map { case (t, i) => (t, i.toLong) }.toDF("term", "slot")
-    val buckets = phrase
-      .map(t => math.floorMod(
-        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(t),
-          org.apache.spark.sql.types.StringType, 42L),
-        TermBuckets.toLong).toInt)
-      .distinct
+    val buckets = phrase.map(bucketOf).distinct
     positional
       .filter(col("bucket").isInCollection(buckets)
         && col("term").isInCollection(phrase))
@@ -120,13 +138,7 @@ object InvertedIndex {
   def query(built: Built, queryTerms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75, dp: Int = 6): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
-    val buckets = queryTerms
-      .map(t => math.floorMod(
-        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(t),
-          org.apache.spark.sql.types.StringType, 42L),
-        TermBuckets.toLong).toInt)
-      .distinct
+    val buckets = queryTerms.map(bucketOf).distinct
     val tf = built.postings
       .filter(col("bucket").isInCollection(buckets)
         && col("term").isInCollection(queryTerms))

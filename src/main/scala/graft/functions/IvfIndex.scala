@@ -29,9 +29,15 @@ object IvfIndex {
       kmeansIters: Int = 5): Built = {
     val assigned = graft.algorithms.KMeans.assignWithCentroids(
       df, idCol, vecCol, nlist, kmeansIters)
+    // hand GC-managed localCheckpoint blocks to the lazy lists plan and
+    // release the KMeans cache (the Similarity.ivfTopK discipline):
+    // repeated build/save cycles must not accumulate session-lifetime
+    // cached assignment tables
+    val asg = assigned.assignments.localCheckpoint()
+    assigned.assignments.unpersist()
     val v = df.select(col(idCol).cast("long").as("c_id"),
       col(vecCol).cast("array<double>").as("c_vec"))
-    val lists = v.join(assigned.assignments.withColumnRenamed("id", "c_id0"),
+    val lists = v.join(asg.withColumnRenamed("id", "c_id0"),
         col("c_id") === col("c_id0"))
       .select(col("c_id"), col("c_vec"),
         Similarity.norm(col("c_vec")).as("c_norm"), col("cluster"))
@@ -134,15 +140,28 @@ object IvfIndex {
       .toDF("q_id", "q_vec", "cluster")
   }
 
+  /** @param excludeSelfId drop candidates whose corpus id equals the query
+    *                       id — correct when queries ARE corpus rows (the
+    *                       near-dup shape, and every oracle query here);
+    *                       pass false for an EXTERNAL query id space, where
+    *                       a coincidental id collision would otherwise
+    *                       silently hide a true nearest neighbor. */
   def query(built: Built, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+      k: Int, nprobe: Int = 4, roundTo: Int = 6,
+      excludeSelfId: Boolean = true): DataFrame = {
     val probes = probeAssignments(built, queries, idCol, vecCol, nprobe)
       .withColumn("q_norm", Similarity.norm(col("q_vec")))
-    val scored = probes.join(built.lists, Seq("cluster"))
-      .filter(col("q_id") =!= col("c_id"))
+    val joined = probes.join(built.lists, Seq("cluster"))
+    val candidates =
+      if (excludeSelfId) joined.filter(col("q_id") =!= col("c_id")) else joined
+    // cosineOf, not a bare division: a zero-norm vector (failed encoder,
+    // padding row) scores 0.0 — raw 0/0 is NaN, which Spark total-orders
+    // ABOVE every real and would rank the zero vector as everyone's #1
+    val scored = candidates
       .select(col("q_id"), col("c_id"),
-        round(Similarity.dotFast(col("q_vec"), col("c_vec"))
-          / (col("q_norm") * col("c_norm")), roundTo).as("sim"))
+        round(Similarity.cosineOf(
+          Similarity.dotFast(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), roundTo).as("sim"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)

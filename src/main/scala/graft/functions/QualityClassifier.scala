@@ -75,8 +75,12 @@ object QualityClassifier {
     val d = xs.size
     val cols = (label.cast("double").as("y") +:
       xs.zipWithIndex.map { case (x, j) => x.as(s"x$j") })
-    // doubles feed the sigmoid; exact ×10⁶ integers feed the gradient
-    val f = df.select(cols: _*)
+    // doubles feed the sigmoid; exact ×10⁶ integers feed the gradient.
+    // NULL text is excluded up front: its NULL features would drop out of
+    // the gradient sums while count(1) still counted the row, silently
+    // deflating every gradient component by nulls/n (and an all-null set
+    // would NPE past the emptiness require below)
+    val f = df.filter(col(textCol).isNotNull).select(cols: _*)
       .select((col("y") +: (0 until d).map(j => col(s"x$j"))) ++
         ((col("y") * 1e6).cast("long").as("yi") +:
          (0 until d).map(j =>

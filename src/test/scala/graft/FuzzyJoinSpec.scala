@@ -96,4 +96,15 @@ class FuzzyJoinSpec extends AnyFunSuite {
     // cross-block pair never scored even though similar ("xx" vs "zz...")
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
   }
+
+  test("erSelfJoin: identical strings shorter than blockLen still pair") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "ab")).toDF("id", "name")
+    val got = graft.functions.EntityResolution
+      .erSelfJoin(df, "id", "name", threshold = 0.9, blockLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // a 1-byte string blocks on its full value — (1,2) is exact (sim 1.0);
+    // the old length >= blockLen filter dropped both rows silently
+    assert(got.contains((1L, 2L, 1.0)), got.toString)
+  }
 }

@@ -81,4 +81,13 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(got == rows(TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
       Seq("spark"), k = 5)))
   }
+
+  test("empty corpus builds and queries to empty instead of NPE") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val built = InvertedIndex.build(empty, "doc_id", "text")
+    assert(built.nDocs == 0L && built.sumLen == 0L)
+    assert(InvertedIndex.query(built, Seq("q"), k = 5).count() == 0L)
+    built.release()
+  }
 }

@@ -93,4 +93,41 @@ class IvfIndexSpec extends AnyFunSuite {
       col("rank").cast("long").as("rank")))
     assert(got == brute)
   }
+
+  test("zero-norm corpus vector scores 0.0, never NaN-tops the ranking") {
+    val s = spark; import s.implicits._
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val zero = Seq((900001L, Array.fill(dim)(0.0)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(zero)
+    val built = IvfIndex.build(corpus, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2)
+    val top = IvfIndex.query(built, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(!r.getDouble(2).isNaN, s"NaN sim leaked: $r")
+      assert(r.getLong(1) != 900001L || r.getDouble(2) == 0.0,
+        s"zero vector must score 0.0: $r")
+    }
+  }
+
+  test("excludeSelfId=false keeps corpus rows whose id collides with a query id") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ext").toString
+    IvfIndex.save(IvfIndex.build(emb, "vec_id", "embedding",
+      nlist = 4, kmeansIters = 2), dir)
+    val loaded = IvfIndex.load(spark, dir)
+    // query WITH a corpus row's own id: by default the exact self-match is
+    // excluded; with excludeSelfId=false it must come back as rank 1, sim 1
+    val q = emb.filter(col("vec_id") === 3)
+    val ext = IvfIndex.query(loaded, q, "vec_id", "embedding", k = 1,
+      nprobe = 4, excludeSelfId = false).collect()
+    assert(ext.length == 1 && ext(0).getLong(1) == 3L &&
+      ext(0).getDouble(2) == 1.0, ext.mkString(","))
+    val self = IvfIndex.query(loaded, q, "vec_id", "embedding", k = 1,
+      nprobe = 4).collect()
+    assert(self.forall(_.getLong(1) != 3L))
+  }
 }
