@@ -4215,10 +4215,10 @@ object Queries {
     s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
       |p AS (SELECT doc_id, url,
       |  lower(regexp_extract(url, '$urlReSql', 1)) AS scheme,
-      |  regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), '^www\\.', '') AS auth0,
+      |  regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), '^[^@]*@', ''), '^www\\.', '') AS auth0,
       |  regexp_extract(url, '$urlReSql', 3) AS path0,
       |  regexp_extract(url, '$urlReSql', 4) AS query0,
-      |  regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), ':[0-9]+$$', ''), '^www\\.', '') AS host
+      |  regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), '^[^@]*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host
       |  FROM u),
       |q AS (SELECT doc_id, url, scheme, host,
       |  CASE WHEN scheme='http' THEN regexp_replace(auth0, ':80$$', '')
@@ -4254,7 +4254,7 @@ object Queries {
   private val q_domain_cap_sql =
     s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
       |d AS (SELECT doc_id,
-      |  regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), ':[0-9]+$$', ''), '^www\\.', '') AS host
+      |  regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), '^[^@]*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host
       |  FROM u),
       |dom AS (SELECT doc_id,
       |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
@@ -4432,7 +4432,7 @@ object Queries {
   private val q_domain_filter_sql =
     s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
       |h AS (SELECT doc_id,
-      |  regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), ':[0-9]+$$', '') AS host
+      |  regexp_replace(regexp_replace(lower(regexp_extract(url, '$urlReSql', 2)), '^[^@]*@', ''), ':[0-9]+$$', '') AS host
       |  FROM u)
       |SELECT doc_id, host FROM h
       |WHERE NOT len(list_filter(['src1-site.com', 'src3-news.org', 'src5-cdn.net'],
@@ -5513,7 +5513,7 @@ object Queries {
     val enc = graft.functions.ProductQuantizer.encodeLists(built, model)
     graft.functions.ProductQuantizer.ivfPqTopK(built, enc,
       e.filter(col("vec_id") < 3), "vec_id", "embedding", model,
-      k = 10, nprobe = 8, dp = 6)
+      k = 10, nprobe = 8, dp = 6, excludeSelfId = true)
   }
 
   /** embedding-cosine near-dup pairs over portable LSH buckets — oracle

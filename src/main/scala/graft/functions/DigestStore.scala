@@ -32,6 +32,16 @@ object DigestStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/inc=*")
 
+  /** Highest increment present (the SketchStore/HistStore sibling). */
+  private def latestInc(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs = fs.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.startsWith("inc=") => s.drop(4).toInt }
+    require(incs.nonEmpty, s"no increments at $path — call init first")
+    incs.max
+  }
+
   /** One crawl cycle: dedup `newDocs` against the store (within-increment
     * dups collapsed too), append the surviving digests as increment `inc`,
     * and return the new-content rows (digest, keep_id, n_copies).
@@ -43,7 +53,13 @@ object DigestStore {
   def dedupCycle(spark: SparkSession, path: String, inc: Int,
       newDocs: DataFrame, idCol: String, textCol: String,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
-    require(inc > 0, s"increment $inc must be > 0 (0 is the init marker)")
+    // monotonic-increment guard (the SketchStore/HistStore discipline): a
+    // retried driver that reran an already-written inc would find its own
+    // docs in the history, get an EMPTY result, and overwrite that inc's
+    // digests with it — reporting the docs as dups this cycle AND
+    // re-admitting them as new in every future one
+    val last = latestInc(spark, path)
+    require(inc > last, s"increment $inc must advance past the stored $last")
     // exactIncremental returns its result already persisted AND
     // materialized (it owns materialization — single owner, no second
     // persist here); the append write below reads from that cache

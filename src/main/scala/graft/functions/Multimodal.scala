@@ -89,9 +89,11 @@ object Multimodal {
     else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
     else "unknown"
 
-  /** RIFF/WAVE with a PCM16 `fmt ` + `data` chunk: sample rate, channels,
-    * sample count, duration and RMS amplitude (normalized to [0,1]). */
-  def decodeWav(p: Array[Byte]): MediaInfo = {
+  /** The ONE RIFF chunk walk behind [[decodeWav]] and [[wavSamples]] —
+    * a guard fix (like the hostile-length stop below) must not have a
+    * second copy to miss. Returns (rate, channels, bits, dataOff, dataLen);
+    * missing chunks leave their zero/-1 defaults for the caller's require. */
+  private def parseWavChunks(p: Array[Byte]): (Int, Int, Int, Int, Long) = {
     var off = 12
     var rate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0L
@@ -110,8 +112,18 @@ object Multimodal {
       if (len.toInt < 0) walking = false
       else off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
+    (rate, channels, bits, dataOff, dataLen)
+  }
+
+  /** RIFF/WAVE with a PCM16 `fmt ` + `data` chunk: sample rate, channels,
+    * sample count, duration and RMS amplitude (normalized to [0,1]). */
+  def decodeWav(p: Array[Byte]): MediaInfo = {
+    val (rate, channels, bits, dataOff, dataLen) = parseWavChunks(p)
     require(rate > 0 && dataOff >= 0, "not a PCM WAV")
     require(bits == 16, s"only PCM16 supported, got $bits-bit")
+    // a fmt chunk declaring 0 channels is malformed, not a crash: the
+    // frame-size division below would throw a bare ArithmeticException
+    require(channels > 0, s"malformed fmt chunk: $channels channels")
     val nFrames = dataLen / (2 * channels)
     var i = dataOff
     var sumSq = 0.0
@@ -127,8 +139,12 @@ object Multimodal {
       if (nS > 0) math.sqrt(sumSq / nS) else 0.0)
   }
 
-  /** Binary PPM (P6): width/height and mean pixel value over all RGB bytes. */
-  def decodePpm(p: Array[Byte]): MediaInfo = {
+  /** The ONE P6 header parse behind [[decodePpm]] and [[ppmPixels]]:
+    * (width, height, maxval, raster offset). maxval is bounded to 255 —
+    * a spec-valid 2-byte-per-sample P6 (maxval up to 65535) would
+    * otherwise be silently mis-read at 1 byte/sample over half its
+    * raster, producing wrong stats with no error. */
+  private def parsePpmHeader(p: Array[Byte]): (Int, Int, Int, Int) = {
     var off = 2
     def skipWs(): Unit = {
       var go = true
@@ -149,6 +165,13 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxV = readInt()
     off += 1 // single whitespace after maxval
     require(w > 0 && h > 0 && maxV > 0, "not a P6 PPM")
+    require(maxV <= 255, s"only 1-byte-per-sample P6 supported, maxval $maxV")
+    (w, h, maxV, off)
+  }
+
+  /** Binary PPM (P6): width/height and mean pixel value over all RGB bytes. */
+  def decodePpm(p: Array[Byte]): MediaInfo = {
+    val (w, h, maxV, off) = parsePpmHeader(p)
     var sum = 0.0
     val end = math.min(off + 3L * w * h, p.length.toLong).toInt
     var i = off
@@ -160,11 +183,18 @@ object Multimodal {
 
   /** BMP (BITMAPINFOHEADER, uncompressed 24bpp): dimensions + mean luma. */
   def decodeBmp(p: Array[Byte]): MediaInfo = {
+    // sniffFormat accepts any 'BM' prefix — a truncated header must fail
+    // the record's require path, not ArrayIndexOutOfBounds mid-scan
+    require(p.length >= 34, s"truncated BMP header (${p.length} bytes)")
     val pixOff = u32le(p, 10).toInt
     val w = u32le(p, 18).toInt
     val h = u32le(p, 22).toInt
     val bpp = u16le(p, 28)
+    val compression = u32le(p, 30)
     require(w > 0 && h != 0 && bpp == 24, s"only uncompressed 24bpp BMP (got $bpp)")
+    // an RLE/bitfields file with bpp=24 in the header would otherwise be
+    // silently summed as raw pixels — wrong luma with no error
+    require(compression == 0L, s"only BI_RGB (uncompressed) BMP, got $compression")
     val rows = math.abs(h)
     val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
     var sum = 0.0; var n = 0L
@@ -213,18 +243,7 @@ object Multimodal {
   /** PCM16 mono samples of a WAV payload (the [[decodeWav]] chunk walk,
     * returning the data instead of folding it). */
   private[graft] def wavSamples(p: Array[Byte]): Array[Short] = {
-    var off = 12
-    var bits = 0; var channels = 0
-    var dataOff = -1; var dataLen = 0L
-    var walking = true
-    while (walking && off + 8 <= p.length) {
-      val id = new String(p.slice(off, off + 4), "US-ASCII")
-      val len = u32le(p, off + 4)
-      if (id == "fmt ") { channels = u16le(p, off + 10); bits = u16le(p, off + 22) }
-      else if (id == "data") { dataOff = off + 8; dataLen = len }
-      if (len.toInt < 0) walking = false
-      else off += 8 + len.toInt + (len.toInt & 1)
-    }
+    val (_, channels, bits, dataOff, dataLen) = parseWavChunks(p)
     require(dataOff >= 0 && bits == 16 && channels == 1,
       "wavSamples expects PCM16 mono")
     val end = math.min(dataOff + dataLen, p.length.toLong).toInt
@@ -263,26 +282,7 @@ object Multimodal {
   /** (width, height, interleaved RGB bytes) of a P6 PPM payload — the
     * [[decodePpm]] parse, returning the pixels instead of folding them. */
   private[graft] def ppmPixels(p: Array[Byte]): (Int, Int, Array[Byte]) = {
-    var off = 2
-    def skipWs(): Unit = {
-      var go = true
-      while (go && off < p.length) {
-        if (p(off) == '#') while (off < p.length && p(off) != '\n') off += 1
-        else if (Character.isWhitespace(p(off))) off += 1
-        else go = false
-      }
-    }
-    def readInt(): Int = {
-      skipWs()
-      var v = 0
-      while (off < p.length && p(off) >= '0' && p(off) <= '9') {
-        v = v * 10 + (p(off) - '0'); off += 1
-      }
-      v
-    }
-    val w = readInt(); val h = readInt(); val maxV = readInt()
-    off += 1
-    require(w > 0 && h > 0 && maxV > 0, "not a P6 PPM")
+    val (w, h, _, off) = parsePpmHeader(p)
     require(p.length - off >= 3 * w * h, "truncated P6 payload")
     (w, h, p.slice(off, off + 3 * w * h))
   }

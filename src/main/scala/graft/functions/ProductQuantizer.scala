@@ -150,12 +150,19 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
   }
 
+  /** @param excludeSelfId drop candidates whose id equals the query id —
+    *                       the corpus-query shape (see IvfIndex.query's
+    *                       identical contract); pass false for an external
+    *                       query id space, where a coincidental collision
+    *                       would silently hide a true nearest neighbor. */
   def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, model: Model, k: Int, dp: Int = 6): DataFrame = {
+      vecCol: String, model: Model, k: Int, dp: Int = 6,
+      excludeSelfId: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("q_id"),
       qTable(col(vecCol).cast("array<double>"), model, dp).as("q_table"))
     val c = encoded.select(col(idCol).cast("long").as("c_id"), col("codes"))
-    rankTopK(c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    val cond = if (excludeSelfId) col("q_id") =!= col("c_id") else lit(true)
+    rankTopK(c.join(broadcast(q), cond)
       .select(col("q_id"), col("c_id"), adcMicro(model).as("adc_micro")), k)
   }
 
@@ -169,9 +176,9 @@ object ProductQuantizer {
     * every corpus vector lives in exactly one list. */
   def ivfPqTopK(built: IvfIndex.Built, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, k: Int, nprobe: Int,
-      dp: Int = 6): DataFrame =
+      dp: Int = 6, excludeSelfId: Boolean = true): DataFrame =
     ivfPqTopK(built, encodeLists(built, model, dp), queries, idCol, vecCol,
-      model, k, nprobe, dp)
+      model, k, nprobe, dp, excludeSelfId)
 
   /** PQ-encode an IVF index's lists ONCE at index-build time: pass the
     * result to the pre-encoded [[ivfPqTopK]] overload (and persist or
@@ -186,15 +193,19 @@ object ProductQuantizer {
     * build-once/query-many shape. */
   def ivfPqTopK(built: IvfIndex.Built, encodedLists: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, model: Model,
-      k: Int, nprobe: Int, dp: Int): DataFrame = {
+      k: Int, nprobe: Int, dp: Int,
+      excludeSelfId: Boolean): DataFrame = {
     val enc = encodedLists
     val probes = IvfIndex
       .probeAssignments(built, queries, idCol, vecCol, nprobe)
     val q = probes.select(col("q_id"), col("q_vec")).distinct()
       .select(col("q_id"), qTable(col("q_vec"), model, dp).as("q_table"))
-    rankTopK(probes.select(col("q_id"), col("cluster"))
+    val candidates = probes.select(col("q_id"), col("cluster"))
       .join(enc, Seq("cluster"))
-      .filter(col("q_id") =!= col("c_id"))
+    val filtered =
+      if (excludeSelfId) candidates.filter(col("q_id") =!= col("c_id"))
+      else candidates
+    rankTopK(filtered
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("c_id"), adcMicro(model).as("adc_micro")), k)
   }

@@ -18,7 +18,15 @@ object Redaction {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   /** TPC-H-style international phone: CC-XXX-XXX-XXXX. */
   val phonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  /** Octet-bounded and word-boundary-anchored: the bare {1,3} form both
+    * matched non-IPs (999.999.999.999) and over-redacted INSIDE longer
+    * dotted numbers ('10.2.3.4000' → '<IP>00'). \b and this alternation
+    * are in the Java∩RE2 subset, and the alternatives are prefix-disjoint,
+    * so leftmost-first and leftmost-longest engines pick the same match. */
+  val ipv4Pattern: String = {
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+    s"\\b$octet(\\.$octet){3}\\b"
+  }
 
   /** Replace emails, then phones, then IPv4s with placeholder tokens.
     * Email runs first so an IP-looking substring INSIDE a matched address

@@ -52,7 +52,11 @@ object UrlOps {
     * rewriting them. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(part(url, 1))
-    val noWww  = regexp_replace(lower(part(url, 2)), "^www\\.", "")
+    // userinfo is stripped FIRST: 'http://x@a.com/' and 'http://a.com/'
+    // are the same page, and keeping it would let a crafted 'user@' both
+    // defeat exact dedup and (in urlHost) bypass ban lists
+    val noUser = regexp_replace(lower(part(url, 2)), "^[^@]*@", "")
+    val noWww  = regexp_replace(noUser, "^www\\.", "")
     val auth = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(noWww)
@@ -68,9 +72,13 @@ object UrlOps {
     when(part(url, 1) === "", url).otherwise(canon)
   }
 
-  /** Hostname of a URL: lowercased authority without the port. */
+  /** Hostname of a URL: lowercased authority without the RFC-3986
+    * userinfo or the port — 'http://x@banned.com:8080/' hosts at
+    * 'banned.com' (treating userinfo as host let it bypass ban lists and
+    * split domain caps). */
   def urlHost(url: Column): Column =
-    regexp_replace(lower(part(url, 2)), ":[0-9]+$", "")
+    regexp_replace(
+      regexp_replace(lower(part(url, 2)), "^[^@]*@", ""), ":[0-9]+$", "")
 
   /** Registered-domain approximation: the last two dot-separated labels of
     * the host (`sub.a.example.com` → `example.com`), the whole host when it
@@ -91,7 +99,10 @@ object UrlOps {
     * is a narrow stage. */
   def hostBlocked(url: Column, blocked: Seq[String]): Column = {
     val host = urlHost(url)
-    exists(typedlit(blocked), b => host === b || host.endsWith(concat(lit("."), b)))
+    // normalize the entries to the host's casing — a mixed-case ban entry
+    // would otherwise silently never match the lowercased host
+    exists(typedlit(blocked.map(_.trim.toLowerCase)),
+      b => host === b || host.endsWith(concat(lit("."), b)))
   }
 
   /** Drop rows whose host matches the ban list ([[hostBlocked]]). */

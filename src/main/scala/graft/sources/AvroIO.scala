@@ -135,8 +135,9 @@ object AvroIO {
     require(files.nonEmpty, s"no .avro files under $path")
     val schema = {
       val in = fs.open(new Path(files.head))
-      val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]()).getSchema
-      in.close(); s
+      val dfs = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      try dfs.getSchema
+      finally { dfs.close(); in.close() } // close the wrapper too, not just in
     }
     val st = toStructType(schema)
     val names = st.fieldNames
@@ -146,6 +147,11 @@ object AvroIO {
         val fsx = FileSystem.get(new java.net.URI(file), serConf.value)
         val in = fsx.open(new Path(file))
         val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        // close-on-drain below never fires for early-terminating consumers
+        // (limit/take, failed downstream task) — the task-completion hook
+        // releases the file handle in every exit path (close is idempotent)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => stream.close()))
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = stream.hasNext

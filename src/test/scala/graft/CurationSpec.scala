@@ -279,6 +279,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0 && out(3L)._4 == 1)
   }
 
+  test("ipv4 pattern: octet-bounded and anchored — no over-redaction") {
+    val s = imp; import s._
+    val df = Seq(
+      (1L, "version 10.2.3.4000 is out"),   // not an IP: 4000 > 255
+      (2L, "host 999.999.999.999 invalid"), // not an IP: octets out of range
+      (3L, "real 255.254.1.0 address"),
+      (4L, "10.2.3.4.5 ambiguous tail")).toDF("id", "t")
+    val out = df.select(col("id"), Redaction.redactPii(col("t")).as("r"),
+        Redaction.ipv4Count(col("t")).as("i"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // the old {1,3} pattern turned row 1 into 'version <IP>00 is out' and
+    // redacted row 2 wholesale
+    assert(out(1L) == ("version 10.2.3.4000 is out", 0))
+    assert(out(2L) == ("host 999.999.999.999 invalid", 0))
+    assert(out(3L) == ("real <IP> address", 1))
+    // dotted quints still match their first four octets (regex-only limit)
+    assert(out(4L)._2 == 1)
+  }
+
   test("shuffleKey sharding: permuted, rerun-stable, still a valid packing") {
     val s = imp; import s._
     val df = spark.range(200).select(col("id").as("doc_id"), lit(10L).as("cost"))

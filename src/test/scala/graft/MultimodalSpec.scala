@@ -121,4 +121,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tiles((1, 0)) == (6 to 11).sum + (21 to 26).sum)
     assert(tiles.size == 2)
   }
+
+  test("malformed payloads fail the record's require path, never crash raw") {
+    // 2-byte-per-sample P6 (maxval 65535) would silently mis-read at 1
+    // byte/sample — must be rejected, not averaged over half the raster
+    val wide = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(24)(7.toByte)
+    intercept[IllegalArgumentException] { Multimodal.decodePpm(wide) }
+    intercept[IllegalArgumentException] { Multimodal.ppmPixels(wide) }
+    // fmt chunk declaring 0 channels: require, not ArithmeticException
+    val zeroCh = {
+      val b = java.nio.ByteBuffer.allocate(46)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(38).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(0).putInt(8000).putInt(0).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2).putShort(0)
+      b.array()
+    }
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(zeroCh) }
+    // a 2-byte 'BM' sniffs as bmp but must fail the truncated-header require
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(Array[Byte]('B', 'M', 0, 0))
+    }
+  }
 }

@@ -424,6 +424,10 @@ class NearDupSpec extends AnyFunSuite {
     assert(run(3, c3) == Set((8L, 1L)))                // cc, aa seen; dd new
     // the store now holds exactly the 4 distinct contents
     assert(graft.functions.DigestStore.load(spark, path).distinct().count() == 4)
+    // monotonic guard: a retried driver re-running an already-written inc
+    // must fail fast, not overwrite that inc's digests with an empty set
+    intercept[IllegalArgumentException] { run(2, c2) }
+    assert(graft.functions.DigestStore.load(spark, path).distinct().count() == 4)
   }
 
   test("exactIncremental: bloom false positives never reach the output") {

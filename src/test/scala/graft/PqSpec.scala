@@ -88,7 +88,7 @@ class PqSpec extends AnyFunSuite {
     // build-once/query-many overload: pre-encoded lists ≡ re-encoding form
     val preEnc = rows(ProductQuantizer.ivfPqTopK(built,
       ProductQuantizer.encodeLists(built, model), queries, "vec_id",
-      "embedding", model, k = 10, nprobe = 8, dp = 6))
+      "embedding", model, k = 10, nprobe = 8, dp = 6, excludeSelfId = true))
     assert(preEnc == full)
     // pruned probe: a subset of lists — every result must come from the
     // flat candidate scoring (same ADC value for the same pair)

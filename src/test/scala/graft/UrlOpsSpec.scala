@@ -81,6 +81,33 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(kept === rows.filter(!_._3).map(_._1).toSet)
   }
 
+  test("userinfo cannot smuggle a banned host past the filter or split a domain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "http://anything@bad.com/page"),     // userinfo ban bypass attempt
+      (2L, "https://u:p@sub.bad.com:443/x"),    // userinfo + port + subdomain
+      (3L, "http://good.io/ok")).toDF("id", "url")
+    val kept = UrlOps.filterBlockedDomains(df, "url", Seq("bad.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+    // same host with/without userinfo canonicalizes identically (dedup key)
+    val canon = Seq((1L, "http://x@a.com/p"), (2L, "http://a.com/p"))
+      .toDF("id", "url")
+      .select(UrlOps.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    assert(canon(0) == canon(1), canon.mkString(" vs "))
+    // registeredDomain groups the userinfo variant with the bare one
+    val dom = Seq((1L, "http://spam123@example.com/a"))
+      .toDF("id", "url")
+      .select(UrlOps.registeredDomain(col("url"))).head().getString(0)
+    assert(dom == "example.com")
+  }
+
+  test("hostBlocked: mixed-case ban entries still match") {
+    import spark.implicits._
+    val df = Seq((1L, "https://example.com/x")).toDF("id", "url")
+    assert(UrlOps.filterBlockedDomains(df, "url", Seq(" Example.COM ")).count() == 0)
+  }
+
   test("domainCap plans a WindowGroupLimit (map-side top-k before the exchange)") {
     import spark.implicits._
     val urls = (0L until 50L).map(i => (i, s"https://d${i % 3}.example.org/$i"))
