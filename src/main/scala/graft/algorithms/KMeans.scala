@@ -62,7 +62,12 @@ object KMeans extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val pts = df.select(col(idCol).cast("long").as("id"),
+    val pts = df
+      // null ids/vectors crash deep in the executor (non-nullable decoder /
+      // NPE in nearest) — exclude them up front like the sibling curation
+      // modules
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
       .persist()

@@ -38,13 +38,24 @@ object CorpusMetrics {
     * 2·JS in nano-bits as an exact BIGINT (halve and scale in the report
     * layer; the integer is the portable artifact). */
   def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    val j = tokenCounts(a, textCol).select(col("tok"), col("cnt").as("na"))
-      .join(tokenCounts(b, textCol).select(col("tok"), col("cnt").as("nb")),
-        Seq("tok"), "full_outer")
+    val ca = tokenCounts(a, textCol).select(col("tok"), col("cnt").as("na"))
+    val cb = tokenCounts(b, textCol).select(col("tok"), col("cnt").as("nb"))
+    val j = ca.join(cb, Seq("tok"), "full_outer")
       .na.fill(0L, Seq("na", "nb"))
-    val tots = j.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    val pa = col("na").cast("double") / col("ta").cast("double")
-    val pb = col("nb").cast("double") / col("tb").cast("double")
+    // totals from each SIDE's counts, not from the joined table: the
+    // vocabulary full-outer join would otherwise run twice (ReuseExchange
+    // reuses the aggregates, not the join); sum(na) over the join rows
+    // equals the side total, so values are identical
+    val tots = ca.agg(coalesce(sum(col("na")), lit(0L)).as("ta"))
+      .crossJoin(cb.agg(coalesce(sum(col("nb")), lit(0L)).as("tb")))
+    // null-safe p's: an EMPTY side (t=0) contributes probability 0 — the
+    // raw n/0 is NULL, which would null the OTHER side's term through the
+    // shared (pa+pb) denominator and report NULL divergence exactly when a
+    // crawl came back empty (null often reads as "no drift" downstream)
+    val pa = when(col("ta") > 0,
+      col("na").cast("double") / col("ta").cast("double")).otherwise(lit(0.0))
+    val pb = when(col("tb") > 0,
+      col("nb").cast("double") / col("tb").cast("double")).otherwise(lit(0.0))
     val termA = when(col("na") > 0,
       pa * log2(lit(2.0) * pa / (pa + pb))).otherwise(lit(0.0))
     val termB = when(col("nb") > 0,
@@ -90,14 +101,21 @@ object CorpusMetrics {
   def distinctNgrams(df: DataFrame, keyCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
+    // explode_outer + count(gram): a key whose every document is shorter
+    // than n words must still APPEAR (n_grams = 0) — a plain explode made
+    // exactly the degenerate sources this detector exists to catch vanish
+    // from the report
     val grams = df.select(col(keyCol).as("key"),
-        explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .groupBy(col("key"), col("gram")).agg(count(lit(1)).as("cnt"))
+        explode_outer(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("key"), col("gram")).agg(count(col("gram")).as("cnt"))
     grams.groupBy(col("key"))
       .agg(sum(col("cnt")).as("n_grams"),
-        count(lit(1)).as("n_distinct"))
+        count(when(col("cnt") > 0, 1)).as("n_distinct"))
       .select(col("key"), col("n_grams"), col("n_distinct"),
-        (col("n_distinct").cast("double") / col("n_grams").cast("double"))
+        // zero grams → ratio 1.0 (vacuously distinct: no repetition
+        // observed), not a NULL that reads as missing data downstream
+        when(col("n_grams") === 0, lit(1.0)).otherwise(
+          col("n_distinct").cast("double") / col("n_grams").cast("double"))
           .as("distinct_ratio"))
   }
 }

@@ -64,8 +64,10 @@ object RangeJoin {
       .filter(col(hiCol) >= col(loCol))
       // fail fast on a bin explosion instead of letting sequence() build a
       // multi-million-element array per interval
+      // strict <: an interval spanning bins b0..b0+d materializes d+1 rows,
+      // so d == max would admit max+1 bins — one past the documented cap
       .withColumn(reserved, explode(sequence(
-        when(bin(hiCol) - bin(loCol) <= maxBinsPerInterval, bin(loCol))
+        when(bin(hiCol) - bin(loCol) < maxBinsPerInterval, bin(loCol))
           .otherwise(raise_error(concat(
             lit(s"rangeJoin: interval spans more than $maxBinsPerInterval " +
               s"bins at binWidth=$binWidth ["), col(loCol), lit(", "),
@@ -110,8 +112,9 @@ object RangeJoin {
     def bin(c: String) = floor(col(c) / lit(binWidth)).cast("long")
     def exploded(df: DataFrame, lo: String, hi: String) = df
       .filter(col(hi) >= col(lo))
+      // strict < — same one-past-the-cap reasoning as rangeJoin above
       .withColumn(reserved, explode(sequence(
-        when(bin(hi) - bin(lo) <= maxBinsPerInterval, bin(lo))
+        when(bin(hi) - bin(lo) < maxBinsPerInterval, bin(lo))
           .otherwise(raise_error(concat(
             lit(s"intervalOverlap: interval spans more than " +
               s"$maxBinsPerInterval bins at binWidth=$binWidth ["), col(lo),

@@ -57,6 +57,9 @@ object WindowsDF {
     * (the q_window_count query shows the full shape). */
   def countTumbling(df: DataFrame, size: Int, keys: Seq[Column],
       order: Seq[Column]): DataFrame = {
+    // size=0 would emit NULL w_id for EVERY row (÷0 → null → cast null),
+    // silently collapsing each key into one bogus window downstream
+    require(size > 0, s"count window needs size > 0, got $size")
     val w = W.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("w_id", ((row_number().over(w) - 1) / size).cast("long"))
   }
@@ -64,8 +67,10 @@ object WindowsDF {
   /** Last-k frame per arriving element (reference: descr/last_k.rs):
     * `rowsBetween(-(k-1), 0)` — pure window function, no shuffle beyond the
     * key partitioning. */
-  def lastKSpec(k: Int, keys: Seq[Column], order: Seq[Column]): WindowSpec =
+  def lastKSpec(k: Int, keys: Seq[Column], order: Seq[Column]): WindowSpec = {
+    require(k >= 1, s"last-k window needs k >= 1, got $k")
     W.partitionBy(keys: _*).orderBy(order: _*).rowsBetween(-(k - 1), 0)
+  }
 
   /** Per-event session-ID assignment by the inactivity-gap rule — the flat
     * sibling of [[sessionAgg]]: every event KEEPS its row and gains the

@@ -44,8 +44,13 @@ object ZOrder {
     val range = (maxV - minV).cast("double")
     // degenerate constant column → cell 0; otherwise divide by the TRUE
     // range (a sub-1.0 double range — quality scores, ratios — must keep
-    // its full 2^bits resolution, so no floor on the divisor)
-    when(range <= 0.0, lit(0L)).otherwise(
+    // its full 2^bits resolution, so no floor on the divisor).
+    // NULL and NaN values pin to cell 0, NOT the top cell: least/greatest
+    // SKIP nulls, so a null x would otherwise land at mask — co-locating
+    // every null row with the max-value rows and poisoning the top
+    // z-range's min/max pruning.
+    when(x.isNull || isnan(x.cast("double")), lit(0L))
+      .when(range <= 0.0, lit(0L)).otherwise(
       greatest(lit(0L), least(lit(mask),
         floor((x - minV).cast("double") * lit(mask.toDouble) / range)
           .cast("long"))))

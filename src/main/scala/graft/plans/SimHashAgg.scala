@@ -31,6 +31,19 @@ case class SimHashAgg(child: Expression, nBits: Int,
 
   require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
 
+  // analysis-time rejection (the JaroWinklerExpr discipline): the update
+  // loop casts to Long — a non-long hash column would otherwise pass
+  // analysis and kill every task with a runtime ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_agg needs a bigint hash input, got $other")
+    }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](nBits)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

@@ -41,6 +41,34 @@ class CorpusMetricsSpec extends AnyFunSuite {
     assert(got("v") == ((5L, 2L, 0.4)))
   }
 
+  test("jsDivergence: an EMPTY side reports 1 bit, never NULL") {
+    val s = spark; import s.implicits._
+    val a = Seq("x y z", "x x").toDF("text")
+    val empty = Seq.empty[String].toDF("text")
+    // a failed (empty) crawl is MAXIMUM one-sided drift: every token term
+    // contributes pa*log2(2pa/pa) = pa bits -> 1e9 nano-bits; the old n/0
+    // NULLed the whole report exactly when the drift monitor mattered most
+    val r = CorpusMetrics.jsDivergence(a, empty, "text").head()
+    assert(!r.isNullAt(4) && r.getLong(4) == 1000000000L, r.toString)
+    assert(r.getLong(3) == 0L) // tokens_b
+  }
+
+  test("distinctNgrams: a key with only sub-n documents still appears") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("long", "a b c d"),
+      ("tiny", "a"), ("tiny", "b")) // no bigram can form
+      .toDF("src", "text")
+    val got = CorpusMetrics.distinctNgrams(df, "src", "text", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the degenerate source is the one the detector exists to flag — it
+    // must not vanish from the report
+    assert(got.contains("tiny"), got.toString)
+    assert(got("tiny") == ((0L, 0L, 1.0)))
+    assert(got("long") == ((3L, 3L, 1.0)))
+  }
+
   test("phraseQuery: positions, repeated-term phrases, and empty-token gaps") {
     val s = spark; import s.implicits._
     val docs = Seq(

@@ -67,6 +67,21 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL and NaN values quantize to cell 0, never the top cell") {
+    import spark.implicits._
+    // least/greatest skip nulls, so an unguarded null would land at the
+    // MASK cell and co-locate with the max-value rows
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (0L, 0.0), (1L, 10.0), (2L, null), (3L, Double.NaN))
+      .toDF("id", "v")
+    val q = df.select(col("id"),
+      ZOrder.quantize(col("v"), lit(0.0), lit(10.0), bits = 4).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q(0L) == 0L && q(1L) == 15L)
+    assert(q(2L) == 0L, s"null must pin to cell 0, got ${q(2L)}")
+    assert(q(3L) == 0L, s"NaN must pin to cell 0, got ${q(3L)}")
+  }
+
   test("sub-1.0 double ranges keep full quantization resolution") {
     import spark.implicits._
     // quality-score-like dimension in [0, 15/32] — exact dyadic doubles so
