@@ -105,7 +105,16 @@ object Bench {
     // sf0.001 run did exactly that and read as a false 31% speedup)
     val fullOutRaw = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
     val fullOut =
-      if (fullOutRaw == "BENCH_FULL.json" && sf != "0.1") {
+      if (fullOutRaw == "BENCH_FULL.json" && only.nonEmpty) {
+        // a SPARK_GRAFT_ONLY iteration run must never overwrite the
+        // committed full-catalog artifact with a partial one — the next
+        // full bench's vs_prev_round would compare against 1 key
+        val redirected = "BENCH_FULL_subset.json"
+        System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY subset run; writing $redirected " +
+            "instead of the committed BENCH_FULL.json")
+        redirected
+      } else if (fullOutRaw == "BENCH_FULL.json" && sf != "0.1") {
         val redirected = s"BENCH_FULL_sf$sf.json"
         System.err.println(
           s"[bench] sf=$sf is not the BENCH_FULL.json convention (sf0.1); writing $redirected")
@@ -119,7 +128,12 @@ object Bench {
     // the only honest baseline, so compute it in code). readPrevQueries
     // refuses a prior artifact at a different scale factor — an sf0.001
     // iteration run must not "compare" against the committed sf0.1 numbers.
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV", "BENCH_FULL.json")
+    // the prev artifact follows the same scale redirect as fullOut: a
+    // second sf0.01 run must find its own BENCH_FULL_sf0.01.json baseline,
+    // not read (and sf-guard-empty) the committed sf0.1 one
+    val prevDefault =
+      if (sf == "0.1") "BENCH_FULL.json" else s"BENCH_FULL_sf$sf.json"
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV", prevDefault)
     val prevQueries = readPrevQueries(prevPath, sf)
     val (fullLine, stdoutLine, failedNames) =
       renderArtifacts(results, repeat, sf, fullOut, prevQueries)

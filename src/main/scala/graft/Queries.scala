@@ -1852,7 +1852,20 @@ object Queries {
       lastStreamBatches = fed
       System.err.println(s"[graft-stream] table=$table mode=$mode batches=$fed")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(name)
+    // hand the result to GC-managed localCheckpoint blocks and DROP the
+    // memory sink's temp view: the sink would otherwise pin every twin's
+    // full result set in driver memory for the rest of the catalog run
+    // (~20 twins × repeat passes; clearCache() does not free MemorySink
+    // batches — only dropping the view unregisters them)
+    val out = s.table(name).localCheckpoint()
+    s.catalog.dropTempView(name)
+    // the single-batch path's temp symlink dir is consumed once the query
+    // terminates (the result lives in the checkpoint blocks now)
+    if (nBatches == 1) {
+      java.nio.file.Files.deleteIfExists(streamDir.resolve(s"$table.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+    out
   }
 
   /** Streaming twin of q_window_session — the SAME session semantics through
@@ -2258,12 +2271,17 @@ object Queries {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
     val maxBasketSize = 20
     val minCount = 2L
-    val fpRow = li.agg(count(lit(1)), coalesce(sum(
-      pmod(xxhash64(col("l_orderkey"), col("l_partkey")),
-        lit(2147483647L))), lit(0L))).head()
+    // memoized: six queries consume this shared table (one of them twice)
+    // and each used to re-pay the full-lineitem fingerprint scan per call
+    // just to re-derive the same cache path
+    val fp = graft.functions.CacheKey.memoFp(s"copurchase|$dir") {
+      val fpRow = li.agg(count(lit(1)), coalesce(sum(
+        pmod(xxhash64(col("l_orderkey"), col("l_partkey")),
+          lit(2147483647L))), lit(0L))).head()
+      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    }
     val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
-      "copurchase", version = 1, sfTag, Seq(maxBasketSize, minCount),
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"))
+      "copurchase", version = 1, sfTag, Seq(maxBasketSize, minCount), fp))
     if (!java.nio.file.Files.isDirectory(base)) {
       val tmp = java.nio.file.Paths.get(
         base.toString + ".tmp." + java.util.UUID.randomUUID())
@@ -2289,13 +2307,15 @@ object Queries {
     * pico-units with per-edge contributions rounded BEFORE the integer
     * incoming sum — reproducible across partitionings AND engines (float
     * PR's incoming sums drift with reduction order at in-degree 50). */
-  def q_pagerank_weighted(s: SparkSession, dir: String): DataFrame =
+  def q_pagerank_weighted(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(s, dir) // bind once: one cache-path derivation
     graft.algorithms.Graph.pageRankWeightedFixed(
-      copurchasePairs(s, dir).select(
+      pairs.select(
           col("a_item").as("src"), col("b_item").as("dst"), col("n_ab").as("weight"))
-        .unionByName(copurchasePairs(s, dir).select(
+        .unionByName(pairs.select(
           col("b_item").as("src"), col("a_item").as("dst"), col("n_ab").as("weight"))),
       iterations = 2)
+  }
 
   private val q_pagerank_weighted_sql =
     """WITH bi AS MATERIALIZED (
@@ -3340,22 +3360,23 @@ object Queries {
     * the build-once/query-many production shape — not just the in-memory
     * scoring core. Index cached on disk under a corpus content fingerprint
     * (the q_wordcount_file staleness discipline: a regenerated corpus gets
-    * a fresh path; the atomic-visibility concern doesn't arise because the
-    * fingerprint dir is only read after a completed save marker write). */
+    * a fresh path; publication is the CacheKey.publishDir tmp+atomic-move,
+    * so concurrent sessions can never read a half-written index). */
   def q_inverted_index(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    val fpRow = docs.agg(count(lit(1)), coalesce(sum(
-      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
-        % lit(2147483647L)), lit(0L))).head()
+    val fp = graft.functions.CacheKey.memoFp(s"invidx|$dir") {
+      val fpRow = docs.agg(count(lit(1)), coalesce(sum(
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+          % lit(2147483647L)), lit(0L))).head()
+      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    }
     val path = graft.functions.CacheKey.path("invidx", version = 1, sfTag,
-      Seq("doc_id", "text"), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
-    val marker = java.nio.file.Paths.get(s"$path/_complete")
-    if (!java.nio.file.Files.exists(marker)) {
+      Seq("doc_id", "text"), fp)
+    graft.functions.CacheKey.publishDir(path) { tmp =>
       val built = graft.functions.InvertedIndex.build(docs, "doc_id", "text")
-      graft.functions.InvertedIndex.save(built, path)
+      graft.functions.InvertedIndex.save(built, tmp)
       built.release() // drop the lens cache once the index is on disk
-      java.nio.file.Files.createFile(marker)
     }
     graft.functions.InvertedIndex.query(
       graft.functions.InvertedIndex.load(s, path),
@@ -3497,21 +3518,22 @@ object Queries {
     val k = 512
     val li = tbl(s, dir, "lineitem")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    val fpRow = li.agg(count(lit(1)), coalesce(sum(
-      conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
-        .cast("long") % lit(2147483647L)), lit(0L))).head()
+    val fp = graft.functions.CacheKey.memoFp(s"listore|$dir") {
+      val fpRow = li.agg(count(lit(1)), coalesce(sum(
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483647L)), lit(0L))).head()
+      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    }
     val mode = if (portableMode) "p" else "x"
     val path = graft.functions.CacheKey.path("kmvstore", version = 1, sfTag,
-      Seq(mode, k), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
-    val marker = java.nio.file.Paths.get(s"$path/_complete")
-    if (!java.nio.file.Files.exists(marker)) {
-      graft.functions.SketchStore.init(s, path, k, portable = portableMode)
+      Seq(mode, k), fp)
+    graft.functions.CacheKey.publishDir(path) { tmp =>
+      graft.functions.SketchStore.init(s, tmp, k, portable = portableMode)
       val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
-      graft.functions.SketchStore.updateCycle(s, path, 1,
+      graft.functions.SketchStore.updateCycle(s, tmp, 1,
         li.filter(col("l_orderkey") <= mid), col("l_orderkey").cast("string"))
-      graft.functions.SketchStore.updateCycle(s, path, 2,
+      graft.functions.SketchStore.updateCycle(s, tmp, 2,
         li.filter(col("l_orderkey") > mid), col("l_orderkey").cast("string"))
-      java.nio.file.Files.createFile(marker)
     }
     kmvReport(graft.functions.SketchStore.load(s, path), k)
   }
@@ -3663,23 +3685,24 @@ object Queries {
   def q_hist_persist(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    val fpRow = li.agg(count(lit(1)), coalesce(sum(
-      conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
-        .cast("long") % lit(2147483647L)), lit(0L))).head()
+    val fp = graft.functions.CacheKey.memoFp(s"listore|$dir") {
+      val fpRow = li.agg(count(lit(1)), coalesce(sum(
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483647L)), lit(0L))).head()
+      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    }
     val bins = 256
     val lo = 900.0
     val hi = 105000.0
     val path = graft.functions.CacheKey.path("histstore", version = 1, sfTag,
-      Seq(bins, lo, hi), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
-    val marker = java.nio.file.Paths.get(s"$path/_complete")
-    if (!java.nio.file.Files.exists(marker)) {
-      graft.functions.HistStore.init(s, path, bins = bins, lo = lo, hi = hi)
+      Seq(bins, lo, hi), fp)
+    graft.functions.CacheKey.publishDir(path) { tmp =>
+      graft.functions.HistStore.init(s, tmp, bins = bins, lo = lo, hi = hi)
       val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
-      graft.functions.HistStore.updateCycle(s, path, 1,
+      graft.functions.HistStore.updateCycle(s, tmp, 1,
         li.filter(col("l_orderkey") <= mid), col("l_extendedprice"))
-      graft.functions.HistStore.updateCycle(s, path, 2,
+      graft.functions.HistStore.updateCycle(s, tmp, 2,
         li.filter(col("l_orderkey") > mid), col("l_extendedprice"))
-      java.nio.file.Files.createFile(marker)
     }
     graft.functions.HistStore.load(s, path)
   }
@@ -5419,19 +5442,20 @@ object Queries {
   def q_ann_ivf_persist(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    val fpRow = emb.agg(count(lit(1)), coalesce(sum(
-      conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % lit(2147483647L)), lit(0L))).head()
+    val fp = graft.functions.CacheKey.memoFp(s"ivf|$dir") {
+      val fpRow = emb.agg(count(lit(1)), coalesce(sum(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483647L)), lit(0L))).head()
+      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    }
     val nlist = 8
     val kmeansIters = 2
     val path = graft.functions.CacheKey.path("ivf", version = 1, sfTag,
-      Seq(nlist, kmeansIters), s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
-    val marker = java.nio.file.Paths.get(s"$path/_complete")
-    if (!java.nio.file.Files.exists(marker)) {
+      Seq(nlist, kmeansIters), fp)
+    graft.functions.CacheKey.publishDir(path) { tmp =>
       graft.functions.IvfIndex.save(
         graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
-          nlist = nlist, kmeansIters = kmeansIters), path)
-      java.nio.file.Files.createFile(marker)
+          nlist = nlist, kmeansIters = kmeansIters), tmp)
     }
     val loaded = graft.functions.IvfIndex.load(s, path)
     graft.functions.IvfIndex.query(loaded,

@@ -155,7 +155,18 @@ object Soak {
 
     val out = sys.env.get("SPARK_GRAFT_SOAK_OUT")
     out.foreach { p =>
-      val doc = s"""{"sf_dir":"$dir","cpus":$cpus,"repeat":$repeat,"failed":$failed,""" +
+      // JSON-escape the free-form fields (the Verify.q discipline): a path
+      // with a quote/backslash, or a non-numeric SPARK_GRAFT_CPUS, would
+      // otherwise make json.load reject the artifact and silently zero the
+      // round's soak evidence
+      def esc(s: String): String = s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val cpusJson = if (cpus.matches("[0-9]+")) cpus else "\"" + esc(cpus) + "\""
+      val doc = s"""{"sf_dir":"${esc(dir)}","cpus":$cpusJson,"repeat":$repeat,"failed":$failed,""" +
         s""""pipelines":[${entries.mkString(",")}]}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -51,7 +51,6 @@ object TpchQueries {
     * .broadcastIfSmall]]). */
   private def broadcastIfSmall(df: DataFrame, maxRows: Long = 5000000L): DataFrame =
     graft.operators.Scale.broadcastIfSmall(df, maxRows)
-  private val one = lit(1).cast("decimal(18,2)")
   private val one9 = lit(1).cast("decimal(9,2)")
   private def ts(s: String): Column = lit(s).cast("timestamp")
   private def us(c: Column): Column = unix_micros(c.cast("timestamp"))

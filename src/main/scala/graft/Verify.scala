@@ -51,7 +51,7 @@ object Verify {
     Queries.portableMode = true
     new java.io.File(outDir).mkdirs()
     // local-iteration aid: GRAFT_ONLY=q_a,q_b runs a subset (driver unset → all)
-    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -38,4 +38,57 @@ object CacheKey {
     val p = if (params.isEmpty) "" else params.map(token).mkString("_", "_", "")
     s"/tmp/graft_${kind}_v$version${p}_${token(sfTag)}_${token(fp)}"
   }
+
+  /** Session-memoized corpus fingerprints. The (count + hash-sum) scan
+    * exists ONLY to derive a cache path; per (site, corpus dir) it cannot
+    * change within a session (the test corpora are immutable), so queries
+    * that share a cached artifact — or call their builder twice — must not
+    * pay one full-table driver-blocking scan per call. */
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def memoFp(key: String)(compute: => String): String =
+    fpCache.computeIfAbsent(key, _ => compute)
+
+  /** Build-once / publish-atomically for a multi-file cache directory —
+    * the copurchasePairs tmp+ATOMIC_MOVE discipline as ONE shared helper.
+    * If `path` lacks a completed artifact, `build` runs against a fresh
+    * sibling tmp dir, a `_complete` marker is stamped INSIDE it, and the
+    * whole dir moves into place in one rename. A crashed writer therefore
+    * leaves only an orphan tmp (never a half-readable cache), and of two
+    * racing sessions the loser's move throws FileAlreadyExists and its tmp
+    * is discarded — the previous write-in-place-then-mark pattern let the
+    * loser overwrite files the winner's reader was using. A pre-existing
+    * dir WITHOUT the marker is a legacy or aborted artifact and is
+    * replaced (re-checked immediately before the delete to shrink the
+    * race window to the rename itself). */
+  def publishDir(path: String)(build: String => Unit): Unit = {
+    val target = java.nio.file.Paths.get(path)
+    val marker = target.resolve("_complete")
+    if (java.nio.file.Files.exists(marker)) return
+    val tmp = java.nio.file.Paths.get(
+      path + ".tmp." + java.util.UUID.randomUUID())
+    build(tmp.toString)
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.createFile(tmp.resolve("_complete"))
+    if (java.nio.file.Files.isDirectory(target) &&
+        !java.nio.file.Files.exists(marker))
+      deleteRecursively(target)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(tmp) // another session won; its artifact is equal
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toVector.foreach(deleteRecursively)
+      } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p); ()
+  }
 }

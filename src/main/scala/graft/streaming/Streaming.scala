@@ -139,7 +139,16 @@ object Streaming {
         (user: Long, rows: Iterator[(Long, String, Long)],
          state: GroupState[(Long, Long, Long, Long)]) =>
           var (n, t1, t2, t3) = state.getOption.getOrElse((0L, -1L, -1L, -1L))
-          rows.toSeq.sortBy(_._3).foreach { case (_, et, us) =>
+          // equal-ts tie-break by stage order (view < click < purchase):
+          // the batch oracle's whole-partition conditional mins are
+          // inclusive at equal timestamps (a click AT t1 counts for t2),
+          // so an equal-ts pair must process earlier-stage-first — a bare
+          // ts sort left the order to shuffle arrival, nondeterministic
+          def prio(et: String): Int =
+            if (et == stages._1) 0
+            else if (et == stages._2) 1
+            else if (et == stages._3) 2 else 3
+          rows.toSeq.sortBy(r => (r._3, prio(r._2))).foreach { case (_, et, us) =>
             n += 1
             if (t1 < 0 && et == stages._1) t1 = us
             else if (t1 >= 0 && t2 < 0 && et == stages._2 && us >= t1) t2 = us
