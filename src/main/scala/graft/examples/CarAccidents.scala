@@ -33,11 +33,14 @@ object CarAccidents {
     (year, day / 7)
   }
 
-  /** Q1: lethal accidents per (year, week). */
+  /** Q1: lethal accidents per (year, week). Weeks with ONLY non-lethal
+    * accidents emit nothing (the reference filters before grouping —
+    * car_accidents.rs Q1), rather than a spurious 0-count row. */
   def lethalPerWeek(src: Stream[Accident]): Seq[((Int, Int), Long)] = {
     val s = src.spark
     import s.implicits._
-    src.map(a => (week(a.date), if (a.killed > 0) 1L else 0L))
+    src.filter(_.killed > 0)
+      .map(a => (week(a.date), 1L))
       .toKeyed[(Int, Int), Long]
       .sum(identity)
       .collectVec()
@@ -62,8 +65,10 @@ object CarAccidents {
   def perBoroughWeek(src: Stream[Accident]): Seq[((String, Int, Int), (Long, Long, Double))] = {
     val s = src.spark
     import s.implicits._
-    src.map(a => ((a.borough, week(a.date)._1, week(a.date)._2),
-        (1L, if (a.killed > 0) 1L else 0L)))
+    src.map { a =>
+        val w = week(a.date)
+        ((a.borough, w._1, w._2), (1L, if (a.killed > 0) 1L else 0L))
+      }
       .toKeyed[(String, Int, Int), (Long, Long)]
       .groupByFold((0L, 0L))(
         (acc, v) => (acc._1 + v._1, acc._2 + v._2),

@@ -29,15 +29,19 @@ object Clickstream {
 
   def run(spark: SparkSession, sfDir: String): (Long, Long, Long) = {
     val events = graft.Queries.events(spark, sfDir)
+    // persisted: three independent counts consume the sessionized frame —
+    // each would otherwise re-run the events scan + the user_id
+    // exchange/sort the sessionize window installs
     val sessions = WindowsDF.sessionize(events, "user_id", "ts", "event_id",
-      gapUs = 43200000000L)
+      gapUs = 43200000000L).persist()
     val stats = sessionStats(sessions)
     val latest = Scale.compactLatest(
       sessions.withColumn("us", unix_micros(col("ts")))
         .select("user_id", "us", "event_id", "event_type"),
       key = "user_id", version = "us", tie = "event_id",
       payload = Seq("event_type"))
-    (sessions.count(), stats.count(), latest.count())
+    try (sessions.count(), stats.count(), latest.count())
+    finally { sessions.unpersist(); () }
   }
 
   def main(args: Array[String]): Unit = {

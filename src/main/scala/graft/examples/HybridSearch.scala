@@ -34,8 +34,9 @@ object HybridSearch {
       .join(vecs, Seq("doc_id"))
       .crossJoin(broadcast(qv))
       .select(col("doc_id"), col("bm25"),
-        round(Similarity.dotFast(col("vec"), col("q_vec"))
-          / (Similarity.norm(col("vec")) * col("q_norm")), 6).as("cosine"))
+        // the NaN-guarded cosine, not a raw division: a zero-norm embedding
+        // would score NaN, which Spark sorts ABOVE every real — rank 1
+        round(Similarity.cosine(col("vec"), col("q_vec")), 6).as("cosine"))
     reranked.orderBy(col("cosine").desc, col("doc_id").asc).limit(k)
   }
 

@@ -8,16 +8,9 @@ import org.apache.spark.sql.SparkSession
 object Nexmark {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
-      .config("spark.sql.shuffle.partitions",
-        Runtime.getRuntime.availableProcessors().toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
+    // the ONE session recipe (StreamContext.localSession) — a hand-rolled
+    // copy here silently missed every future session-default fix
+    val spark = graft.api.StreamContext.localSession()
     spark.sparkContext.setLogLevel("ERROR")
     Queries.nx_q1(spark, sfDir).count() // warmup
     for (n <- 1 to 8) {

@@ -37,9 +37,12 @@ object RollingTopWords {
     import spark.implicits._
 
     // (event_type, ts-millis) stream, keyed by type, 6h event-time tumbling
-    // windows, count per window, then hottest type per window start
-    val typed = ctx.streamParquet(s"$sfDir/events.parquet")
-      .selectExpr("event_type", "ts div 1000000 as ms")
+    // windows, count per window, then hottest type per window start.
+    // Queries.events is the dtype-branching ts normalizer — hard-coding the
+    // nanos-as-long division here would mis-scale every window 1000x if the
+    // events table were regenerated with a true timestamp column
+    val typed = graft.Queries.events(spark, sfDir)
+      .selectExpr("event_type", "unix_millis(ts) as ms")
       .as[(String, Long)]
 
     val hottest = topPerWindow(ctx, typed, 6L * 3600 * 1000)

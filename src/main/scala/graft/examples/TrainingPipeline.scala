@@ -119,8 +119,13 @@ object TrainingPipeline {
     // score the surviving corpus; the model rides as literals, scoring is
     // a narrow map (here reported, not gated, so the stats above stay
     // comparable across stages)
+    // persisted: classifier train (one action per GD iteration) + score,
+    // the LM's count/score scans and DSIR all consume this join — without
+    // the cache each action re-runs the decon-to-docs join and the
+    // documents scan (every other multi-consumer intermediate here caches)
     val deconText = decon.select(col("doc_id"))
       .join(docs.select(col("doc_id"), col("text"), col("source")), "doc_id")
+      .persist()
     val model = QualityClassifier.train(deconText, "text",
       col("source").isin("src0", "src1", "src2", "src3", "src4"))
     val nKept = QualityClassifier.score(deconText, "doc_id", "text", model)
@@ -150,16 +155,21 @@ object TrainingPipeline {
       col("source").isin("src0", "src1", "src2", "src3", "src4"),
       "doc_id", "text", k = math.max(1, (nDecon / 2).toInt), buckets = 256)
       .count()
+    deconText.unpersist() // last consumer done
 
     // 5d. temperature-flattened mixture (reported): per-language token
     // budgets derived from the surviving corpus masses (α=1/2), so no
     // language swallows the training mix
-    val totalTokens = decon.agg(sum(col("n_tokens"))).head().getLong(0)
+    // null-safe: sum over zero rows is NULL — a corpus whose every doc was
+    // gated away must report zero stats, not NPE
+    val totalRow = decon.agg(sum(col("n_tokens"))).head()
+    val totalTokens = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val mixture = Sampling.temperatureMixture(
       decon.select(col("doc_id"), col("lang_guess"), col("n_tokens")),
       "lang_guess", "doc_id", col("n_tokens"),
       totalBudget = math.max(1L, totalTokens / 2), alpha = 0.5)
-    val mixtureTokens = mixture.agg(sum(col("cost"))).head().getLong(0)
+    val mixRow = mixture.agg(sum(col("cost"))).head()
+    val mixtureTokens = if (mixRow.isNullAt(0)) 0L else mixRow.getLong(0)
     mixture.unpersist()
 
     // 6. shard manifest: contiguous ~2k-token shards in id order
@@ -175,7 +185,8 @@ object TrainingPipeline {
       seqLen = 512L)
     val packRow = packed.agg(countDistinct(col("row_id")),
       sum(col("len"))).head()
-    val (nRows, nTokens) = (packRow.getLong(0), packRow.getLong(1))
+    val (nRows, nTokens) =
+      (packRow.getLong(0), if (packRow.isNullAt(1)) 0L else packRow.getLong(1))
     packed.unpersist()
 
     // 7. ANN index over the embeddings (build once, query many)

@@ -63,7 +63,10 @@ object Triangles {
       .dropKey
     val closed = Joins.joinWith(wedges, e2)(identity, identity).inner
     val counts = closed.foldAssoc(0L)((n, _) => n + 1L, _ + _).collectVec()
-    norm.unpersist() // release split()'s shared cache (result is collected)
+    // release via the BRANCH handles — norm holds no SharedCacheHandle, so
+    // norm.unpersist() would evict the shared prefix directly, bypassing
+    // the reference count e1/e2 hold (the Stream.unpersist contract)
+    e1.unpersist(); e2.unpersist()
     if (counts.isEmpty) 0L else counts.head
   }
 
