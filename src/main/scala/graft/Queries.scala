@@ -1852,20 +1852,35 @@ object Queries {
       lastStreamBatches = fed
       System.err.println(s"[graft-stream] table=$table mode=$mode batches=$fed")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // hand the result to GC-managed localCheckpoint blocks and DROP the
-    // memory sink's temp view: the sink would otherwise pin every twin's
-    // full result set in driver memory for the rest of the catalog run
-    // (~20 twins × repeat passes; clearCache() does not free MemorySink
-    // batches — only dropping the view unregisters them)
-    val out = s.table(name).localCheckpoint()
-    s.catalog.dropTempView(name)
-    // the single-batch path's temp symlink dir is consumed once the query
-    // terminates (the result lives in the checkpoint blocks now)
-    if (nBatches == 1) {
-      java.nio.file.Files.deleteIfExists(streamDir.resolve(s"$table.parquet"))
-      java.nio.file.Files.deleteIfExists(streamDir)
+    // DEFERRED sink release: the memory sink pins the twin's full result
+    // set in driver memory and clearCache() does not free it — only
+    // dropping the temp view does. Each runStream drops its PREDECESSOR's
+    // view (and symlink dir), so at most one sink stays pinned at a time
+    // across a 240-query catalog run, while THIS query's result reads
+    // zero-copy from its sink. Contract (internal harness, every caller
+    // complies): the returned frame is consumed before the next streaming
+    // query runs. An eager localCheckpoint copy here instead measured
+    // +0.1-0.3 s per twin at sf0.1 and 2x on the 691k-row sf1 session cell.
+    releasePrevStreamSink(s)
+    prevStreamSink = Some((name, if (nBatches == 1) Some(streamDir) else None,
+      table))
+    s.table(name)
+  }
+
+  /** (view name, single-batch temp symlink dir, table) of the last
+    * streaming twin, released on the next [[runStream]] call. */
+  @volatile private var prevStreamSink
+      : Option[(String, Option[java.nio.file.Path], String)] = None
+
+  private def releasePrevStreamSink(s: SparkSession): Unit = {
+    prevStreamSink.foreach { case (view, dir, table) =>
+      s.catalog.dropTempView(view)
+      dir.foreach { d =>
+        java.nio.file.Files.deleteIfExists(d.resolve(s"$table.parquet"))
+        java.nio.file.Files.deleteIfExists(d)
+      }
     }
-    out
+    prevStreamSink = None
   }
 
   /** Streaming twin of q_window_session — the SAME session semantics through
