@@ -1842,6 +1842,14 @@ object Queries {
     val parts = sys.env.getOrElse("GRAFT_STREAM_PARTS", "2")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts)
+    // bookkeeping BEFORE the query starts: a twin that fails mid-replay
+    // has already registered its memory-sink view, and skipping this on
+    // the exception path would leave that partial sink pinned for the
+    // session — the next streaming query's release must see it
+    // (dropTempView on a never-registered name is a harmless no-op)
+    releasePrevStreamSink(s)
+    prevStreamSink = Some((name, if (nBatches == 1) Some(streamDir) else None,
+      table))
     try {
       val q = build(src).writeStream
         .outputMode(mode).format("memory").queryName(name)
@@ -1852,20 +1860,29 @@ object Queries {
       lastStreamBatches = fed
       System.err.println(s"[graft-stream] table=$table mode=$mode batches=$fed")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // DEFERRED sink release: the memory sink pins the twin's full result
-    // set in driver memory and clearCache() does not free it — only
-    // dropping the temp view does. Each runStream drops its PREDECESSOR's
-    // view (and symlink dir), so at most one sink stays pinned at a time
-    // across a 240-query catalog run, while THIS query's result reads
-    // zero-copy from its sink. Contract (internal harness, every caller
-    // complies): the returned frame is consumed before the next streaming
-    // query runs. An eager localCheckpoint copy here instead measured
-    // +0.1-0.3 s per twin at sf0.1 and 2x on the 691k-row sf1 session cell.
-    releasePrevStreamSink(s)
-    prevStreamSink = Some((name, if (nBatches == 1) Some(streamDir) else None,
-      table))
+    // DEFERRED sink release (bookkept above, before start): the memory
+    // sink pins the twin's full result set in driver memory and
+    // clearCache() does not free it — only dropping the temp view does.
+    // Each runStream drops its PREDECESSOR's view (and symlink dir), so at
+    // most one sink stays pinned at a time across a 240-query catalog run,
+    // while THIS query's result reads zero-copy from its sink. Contract
+    // (internal harness, every caller complies): the returned frame is
+    // consumed before the next streaming query runs. An eager
+    // localCheckpoint copy here instead measured +0.1-0.3 s per twin at
+    // sf0.1 and ~1 s on the 691k-row sf1 session cell.
     s.table(name)
   }
+
+  /** The ONE lineitem fingerprint shared by the kmv/hist store caches —
+    * two inlined copies coupled only by the memo key could silently drift
+    * and derive a WRONG cache path for whichever query ran second. */
+  private def lineitemStoreFp(li: DataFrame, dir: String): String =
+    graft.functions.CacheKey.memoFp(s"listore|$dir") {
+      val fpRow = li.agg(count(lit(1)), coalesce(sum(
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long") % lit(2147483647L)), lit(0L))).head()
+      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+    }
 
   /** (view name, single-batch temp symlink dir, table) of the last
     * streaming twin, released on the next [[runStream]] call. */
@@ -3533,12 +3550,7 @@ object Queries {
     val k = 512
     val li = tbl(s, dir, "lineitem")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    val fp = graft.functions.CacheKey.memoFp(s"listore|$dir") {
-      val fpRow = li.agg(count(lit(1)), coalesce(sum(
-        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
-          .cast("long") % lit(2147483647L)), lit(0L))).head()
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
-    }
+    val fp = lineitemStoreFp(li, dir)
     val mode = if (portableMode) "p" else "x"
     val path = graft.functions.CacheKey.path("kmvstore", version = 1, sfTag,
       Seq(mode, k), fp)
@@ -3700,12 +3712,7 @@ object Queries {
   def q_hist_persist(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-    val fp = graft.functions.CacheKey.memoFp(s"listore|$dir") {
-      val fpRow = li.agg(count(lit(1)), coalesce(sum(
-        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
-          .cast("long") % lit(2147483647L)), lit(0L))).head()
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
-    }
+    val fp = lineitemStoreFp(li, dir)
     val bins = 256
     val lo = 900.0
     val hi = 105000.0

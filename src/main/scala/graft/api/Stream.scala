@@ -255,12 +255,20 @@ final class Stream[T](val ds: Dataset[T],
     * reference's `fold_assoc` (src/operator/mod.rs:771), i.e. Spark's
     * partial/final aggregation done by hand at the typed level. */
   def foldAssoc[A: Encoder](init: A)(local: (A, T) => A, global: (A, A) => A): Stream[A] = {
-    val partials = ds.mapPartitions(it => Iterator.single(it.foldLeft(init)(local)))
     // repartition (a P-row shuffle), NOT coalesce: coalesce(1) is a narrow
-    // dependency that would collapse the upstream local folds into ONE task,
-    // serializing the "parallel partials" phase this operator exists for
+    // dependency that would collapse the upstream local folds into ONE
+    // task, serializing the "parallel partials" phase this operator exists
+    // for. The shuffle's arrival order is nondeterministic, so partials
+    // carry their partition index and the combine sorts by it first —
+    // associative-but-NON-commutative folds (concatenation) stay
+    // deterministic, matching the old partition-order behavior.
+    implicit val ePair: Encoder[(Int, A)] =
+      Encoders.tuple(Encoders.scalaInt, implicitly[Encoder[A]])
+    val partials = ds.mapPartitions(it => Iterator.single(
+      (org.apache.spark.TaskContext.getPartitionId(), it.foldLeft(init)(local))))
     new Stream(partials.repartition(1).mapPartitions(it =>
-      Iterator.single(it.foldLeft(init)(global))))
+      Iterator.single(
+        it.toSeq.sortBy(_._1).iterator.map(_._2).foldLeft(init)(global))))
   }
 
   /** Reference: `reduce`, src/operator/mod.rs:1831. */
@@ -270,10 +278,16 @@ final class Stream[T](val ds: Dataset[T],
   /** Associative reduce with map-side partials (reference: `reduce_assoc`,
     * src/operator/mod.rs:1876). */
   def reduceAssoc(f: (T, T) => T)(implicit e: Encoder[T]): Stream[T] = {
-    val partials = ds.mapPartitions(it => it.reduceOption(f).iterator)
-    // repartition, not coalesce — same parallel-partials rationale as
-    // foldAssoc: the combine phase must not absorb the map phase's tasks
-    new Stream(partials.repartition(1).mapPartitions(it => it.reduceOption(f).iterator))
+    // same parallel-partials + deterministic partition-order combine as
+    // foldAssoc (see the rationale there)
+    implicit val ePair: Encoder[(Int, T)] =
+      Encoders.tuple(Encoders.scalaInt, e)
+    val partials = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.reduceOption(f).map(v => (pid, v)).iterator
+    }
+    new Stream(partials.repartition(1).mapPartitions(it =>
+      it.toSeq.sortBy(_._1).iterator.map(_._2).reduceOption(f).iterator))
   }
 
   /** Distinct via local set → shuffle → global set (reference:
@@ -418,11 +432,13 @@ final class Stream[T](val ds: Dataset[T],
   /** Materialize once, replay in later jobs (reference: `cache_vec` /
     * `StreamCache`, src/operator/mod.rs:2264-2359). */
   def cache(): Stream[T] = sharedCache match {
-    // a split()/route() branch head IS the shared persisted prefix already:
-    // re-persisting is a no-op, and dropping the handle here would let a
-    // later unpersist() evict the prefix directly, bypassing the sibling
-    // reference count the handle exists to protect
-    case some @ Some(_) => new Stream(ds, sharedCache = some)
+    // a branch of split()/route() keeps its handle (dropping it would let
+    // a later unpersist() evict the shared prefix directly, bypassing the
+    // sibling reference count) AND persists its own dataset: for split()
+    // heads ds IS the cached prefix so the persist is a no-op, but a
+    // route() branch is a DERIVED dataset that cache() must actually cache
+    case some @ Some(_) =>
+      new Stream(ds.persist(StorageLevel.MEMORY_AND_DISK), sharedCache = some)
     case None => new Stream(ds.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -437,7 +453,14 @@ final class Stream[T](val ds: Dataset[T],
     // ds must NOT be unpersisted directly: for split() branches ds IS the
     // shared cached prefix, and evicting it here would bypass the count.
     sharedCache match {
-      case Some(h) => h.release(); new Stream(ds, sharedCache = None)
+      case Some(h) =>
+        h.release()
+        // a cache()'d route() branch ALSO persisted its own derived
+        // dataset — release that here; for split() heads ds IS the prefix
+        // (same object the handle owns), whose eviction is governed solely
+        // by the reference count above
+        if (!h.owns(ds) && ds.storageLevel != StorageLevel.NONE) ds.unpersist()
+        new Stream(ds, sharedCache = None)
       case None => new Stream(ds.unpersist())
     }
   }
@@ -521,6 +544,11 @@ object Stream {
     def release(): Unit =
       if (released.compareAndSet(false, true) && counter.decrementAndGet() == 0)
         cached.unpersist()
+
+    /** True when `d` IS the shared prefix this handle reference-counts
+      * (split() branch heads wrap exactly that object; route() branches
+      * wrap derived datasets). */
+    def owns(d: Dataset[_]): Boolean = cached eq d
   }
 
   private[graft] object SharedCacheHandle {

@@ -76,8 +76,14 @@ object CacheKey {
     try java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        deleteRecursively(tmp) // another session won; its artifact is equal
+      // rename(2) onto an existing non-empty dir surfaces as ENOTEMPTY
+      // (DirectoryNotEmptyException) on Linux, not FileAlreadyExists —
+      // catch the FileSystemException family, and treat it as a lost race
+      // only if a COMPLETED artifact is now in place; anything else
+      // (permissions, cross-device) must still fail loudly
+      case e: java.nio.file.FileSystemException =>
+        if (java.nio.file.Files.exists(marker)) deleteRecursively(tmp)
+        else throw e
     }
   }
 

@@ -42,10 +42,13 @@ object EntityResolution {
     // strings SHORTER than blockLen block on their full value (substring
     // already returns the whole string) — a length >= blockLen filter here
     // would silently lose even identical short strings, and the SQL oracle's
-    // substr() blocking keeps them
+    // substr() blocking keeps them. EMPTY strings are excluded: they would
+    // all share the single '' block and self-join quadratically (m empty
+    // rows → ~m²/2 distance-0 pairs), the degenerate-data shape the quality
+    // gates upstream exist to strip.
     val rows = df
       .select(col(idCol).as("id"), col(strCol).cast("string").as("s"))
-      .filter(col("s").isNotNull)
+      .filter(col("s").isNotNull && length(col("s")) > 0)
       .withColumn("blk", substring(col("s"), 1, blockLen))
     val a = rows.select(col("blk"), col("id").as("a_id"), col("s").as("a_str"))
     val b = rows.select(col("blk"), col("id").as("b_id"), col("s").as("b_str"))

@@ -106,6 +106,39 @@ class FacadeSpec extends AnyFunSuite {
     assert(cachedDs.storageLevel == StorageLevel.NONE)
   }
 
+  test("route: cache() actually caches the derived branch; unpersist frees both") {
+    import org.apache.spark.storage.StorageLevel
+    val s = imp; import s._
+    val Seq(evens, odds) = ctx.streamRange(40)
+      .route(_ % 2 == 0, _ % 2 == 1)
+    // a route() branch is a DERIVED dataset: cache() must persist it (not
+    // silently no-op just because a shared handle exists)
+    val c = evens.cache()
+    assert(c.collectVec().size == 20)
+    assert(c.ds.storageLevel != StorageLevel.NONE,
+      "cache() on a route branch did not persist the derived dataset")
+    // unpersist releases BOTH the branch's own cache and one prefix ref
+    val after = c.unpersist()
+    assert(after.ds.storageLevel == StorageLevel.NONE)
+    assert(odds.collectVec().size == 20) // sibling still functional
+    odds.unpersist()
+  }
+
+  test("foldAssoc: non-commutative (associative) combine is partition-ordered") {
+    val s = imp; import s._
+    // string concatenation is associative but NOT commutative — the global
+    // combine must fold partials in partition-index order, not shuffle
+    // arrival order, and repeat runs must agree
+    val runs = (1 to 3).map { _ =>
+      ctx.streamParIter(Seq("a", "b", "c", "d", "e", "f"), 3)
+        .map(identity)
+        .foldAssoc("")((acc, x) => acc + x, (x, y) => x + y)
+        .collectVec().head
+    }
+    assert(runs.distinct.size == 1, s"nondeterministic combine: $runs")
+    assert(runs.head.sorted == "abcdef", runs.head)
+  }
+
   test("split: cache() on a branch keeps the shared-cache handle") {
     import org.apache.spark.storage.StorageLevel
     val s = imp; import s._

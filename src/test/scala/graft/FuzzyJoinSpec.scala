@@ -106,5 +106,10 @@ class FuzzyJoinSpec extends AnyFunSuite {
     // a 1-byte string blocks on its full value — (1,2) is exact (sim 1.0);
     // the old length >= blockLen filter dropped both rows silently
     assert(got.contains((1L, 2L, 1.0)), got.toString)
+    // EMPTY strings stay excluded (they'd all share one '' block and
+    // self-join quadratically)
+    val withEmpties = Seq((1L, ""), (2L, ""), (3L, "ab")).toDF("id", "name")
+    assert(graft.functions.EntityResolution
+      .erSelfJoin(withEmpties, "id", "name", threshold = 0.0).count() == 0L)
   }
 }
