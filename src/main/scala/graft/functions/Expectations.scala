@@ -47,10 +47,14 @@ object Expectations {
     Rule(name, ratio(count(when(pred, 1))), m => m >= atLeast)
 
   /** distinct(keys)/count = 1.0 ⟺ the key combination is unique. EXACT —
-    * costs the key-distinct shuffle. */
+    * costs the key-distinct shuffle. Distinct is over the key STRUCT:
+    * bare countDistinct skips any row with a null key entirely, which
+    * would fail a perfectly unique batch that merely contains nulls
+    * (struct values are never null, so null keys count — and duplicate
+    * null keys are duplicates, as they should be). */
   def uniqueRule(keys: String*): Rule =
     Rule(s"unique(${keys.mkString(",")})",
-      ratio(countDistinct(keys.head, keys.tail: _*)),
+      ratio(countDistinct(struct(keys.map(col): _*))),
       m => m === 1.0)
 
   /** Run a rule set in ONE aggregate pass: (rule, metric, pass) rows. */
@@ -93,14 +97,19 @@ object Expectations {
     * driver wants between "crawl landed" and "training may read". Returns
     * the report when all rules pass. */
   def enforce(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // ONE corpus scan: collect the full (rule-count-sized) report and
+    // rebuild the returned frame from the rows — returning the lazy plan
+    // would re-run the whole aggregate when the caller displays/writes it
     val report = check(df, rules)
-    val failed = report.filter(!col("pass"))
-      .collect().map(r => s"${r.getString(0)}=" +
+    val rows = report.collect()
+    val failed = rows.filter(!_.getBoolean(2))
+      .map(r => s"${r.getString(0)}=" +
         (if (r.isNullAt(1)) "null" else r.getDouble(1).toString))
     if (failed.nonEmpty)
       throw new IllegalStateException(
         s"data-quality gate failed: ${failed.mkString(", ")}")
-    report
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   /** Referential integrity as a rule row: the fraction of `df` keys present
@@ -109,14 +118,21 @@ object Expectations {
     * unions with [[check]]'s output. */
   def subsetRule(df: DataFrame, key: String, ref: DataFrame, refKey: String,
       atLeast: Double): DataFrame = {
-    val total = df.count()
-    val orphans =
-      df.select(col(key)).join(ref.select(col(refKey).as(key)), Seq(key),
-        "left_anti").count()
-    val metric = (total - orphans).toDouble / total.toDouble
+    // ONE pass (left join + a single aggregate), not two counts over df;
+    // the empty-batch metric is NULL → FAIL (try_divide + coalesce), the
+    // same contract as check() — the old 0.0/0.0 emitted a NaN row that
+    // broke the report's bit-for-bit oracle convention
+    val marked = df.select(col(key))
+      .join(ref.select(col(refKey).as(key), lit(1).as("_present"))
+        .dropDuplicates(key), Seq(key), "left")
+    val row = marked.agg(
+      try_divide(count(col("_present")).cast("double"),
+        count(lit(1)).cast("double")).as("metric")).head()
+    val metric: java.lang.Double = if (row.isNullAt(0)) null else row.getDouble(0)
+    val pass = metric != null && metric >= atLeast
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((s"subset($key)", metric, metric >= atLeast))
+    Seq((s"subset($key)", Option(metric).map(_.toDouble), pass))
       .toDF("rule", "metric", "pass")
   }
 }

@@ -121,6 +121,17 @@ object Scale {
       s"bloomPrunedJoin supports only inner/left_semi/cross joins " +
         s"(probe-side pruning drops rows an outer/anti join must emit); " +
         s"got '$joinType'")
+    // the Bloom derivation hashes each key's OWN string rendering, so
+    // mismatched key types produce FALSE NEGATIVES (int 5 renders "5",
+    // double 5.0 renders "5.0" — the join would coerce and match, the
+    // prefilter silently drops the row). Same-type keys are required;
+    // the caller casts explicitly, which also makes the join's own
+    // comparison semantics visible at the call site.
+    val pt = probe.schema(probeKey).dataType
+    val bt = build.schema(buildKey).dataType
+    require(pt == bt,
+      s"bloomPrunedJoin keys must share one data type (probe $probeKey: " +
+        s"$pt vs build $buildKey: $bt) — cast one side explicitly")
     // native codegen'd build + probe (plans.BloomExpressions); an EMPTY
     // build side returns no filter — the join below emits nothing for
     // inner/semi anyway, so skip the prefilter instead of failing

@@ -48,8 +48,18 @@ object BloomExpressions {
     * saturates (fpp → 1) and the "prefilter" passes everything, so the
     * caps are raised to the requested size for the duration of the
     * build and restored after. */
+  /** Serializes the cap-raise window below: without it, a concurrent
+    * build's finally-restore could land between another build's conf.set
+    * and its job submission, clamping that build back to the 64M-bit
+    * session default — a silently saturated "prefilter" at history scale.
+    * Builds are rare, corpus-scan-sized actions; serializing the conf
+    * window (not the scan — the action still runs inside the lock, which
+    * is the only way the raised caps provably cover its submission) is
+    * the correctness-first trade. */
+  private val buildLock = new Object
+
   def buildBloom(df: DataFrame, key: Column, expectedItems: Long,
-      fpp: Double): Option[BloomFilter] = {
+      fpp: Double): Option[BloomFilter] = buildLock.synchronized {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val agg = ColumnBridge.column(
       new BloomFilterAggregate(
@@ -70,13 +80,34 @@ object BloomExpressions {
     }
   }
 
+  /** One broadcast per FILTER, not per probe call: repeated probes of the
+    * same filter (a crawl driver re-deriving probe columns) must not pin
+    * duplicate filter-sized broadcast blocks. Keys are weak — once the
+    * caller drops the filter (the documented per-cycle unpersist point),
+    * the entry clears and the now-unreachable Broadcast is GC-collected by
+    * ContextCleaner. */
+  private val probeBroadcasts =
+    new java.util.WeakHashMap[BloomFilter, Broadcast[BloomFilter]]()
+
   /** Codegen'd broadcast probe: might `key` be in the filter? NULL keys
     * hash like any value and may pass the prefilter; every caller's exact
-    * confirmation (equi-join) then drops them, so no contract changes. */
-  def mightContain(bloom: BloomFilter, key: Column): Column =
-    ColumnBridge.column(BloomProbe(
-      SparkSession.active.sparkContext.broadcast(bloom),
+    * confirmation (equi-join) then drops them, so no contract changes.
+    * NOTE the key must reach here with the SAME data type the filter was
+    * built on — the derivation hashes the key's own string rendering, so a
+    * probe-side int 5 never matches a build-side double 5.0 (a FALSE
+    * NEGATIVE, not a harmless FP); Scale.bloomPrunedJoin enforces this. */
+  def mightContain(bloom: BloomFilter, key: Column): Column = {
+    val bc = probeBroadcasts.synchronized {
+      var h = probeBroadcasts.get(bloom)
+      if (h == null) {
+        h = SparkSession.active.sparkContext.broadcast(bloom)
+        probeBroadcasts.put(bloom, h)
+      }
+      h
+    }
+    ColumnBridge.column(BloomProbe(bc,
       new XxHash64(Seq(ColumnBridge.expr(key.cast("string"))))))
+  }
 }
 
 /** `bloom.mightContainLong(child)` over a broadcast filter handle — the

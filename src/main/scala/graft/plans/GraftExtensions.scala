@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.IntegerType
   * | `graft_dot(a, b)` | `VectorExpressions.dotNative` |
   * | `graft_lsh_bucket(vec, bits)` | `Similarity.lshBucket` |
   * | `graft_word_shingles(text, n)` | `Dedup.shingles` |
+  * | `graft_char_counts(text)` | [[CharCounts]] (`TextAnalysis.charEntropy`'s scan) |
   * | `graft_simhash(text)` | per-row [[SimHashExpr]] (≡ batch `Dedup.simhash`) |
   * | `graft_minhash(text, n)` | per-row [[MinHashRowExpr]] (≡ batch `Dedup.minhashSignature`) |
   * | `graft_match_count(a, b)` | [[ArrayMatchCount]] (minhash est_sim numerator) |
@@ -45,8 +46,12 @@ object GraftExtensions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  // the 5-arg constructor: the 3-arg form's parameter order is
+  // (className, DB, name), which would store the function name in the db
+  // slot and the usage text as the NAME — DESCRIBE FUNCTION then shows the
+  // usage sentence as the function's name and "Usage: N/A"
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   /** (identifier, info, builder) triples for every registered function. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -32,7 +32,10 @@ object PlanLint {
   /** Findings over a logical plan (and its subqueries' children). */
   def findings(plan: LogicalPlan): Seq[Finding] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
-    plan.foreach {
+    // foreach walks plan CHILDREN only; subquery plans live inside
+    // expressions (ScalarSubquery/Exists) and would otherwise be a blind
+    // spot — a global window hidden in a scalar subquery passes the gate
+    (plan +: plan.subqueriesAll).foreach(_.foreach {
       case j: Join if j.condition.isEmpty || j.joinType == Cross =>
         out += Finding("cartesian",
           s"join without condition (${j.joinType}): |L|*|R| work at scale")
@@ -40,7 +43,7 @@ object PlanLint {
         out += Finding("global-window",
           "window with empty PARTITION BY: whole input through one task")
       case _ => ()
-    }
+    })
     out.toSeq
   }
 
@@ -58,7 +61,13 @@ object PlanLint {
   }
 
   /** The injectable rule: observe-only (never rewrites), gated by
-    * `spark.graft.lint` = off (default) | warn | fail. */
+    * `spark.graft.lint` = off (default) | warn | fail. The optimizer
+    * applies injected rules once per fixed-point iteration in EACH
+    * operator batch, so identical findings would log several times per
+    * query — consecutive duplicates are suppressed per planning thread
+    * (mid-optimization plans can also differ from [[check]]'s final
+    * optimizedPlan; the session lint is a tripwire, check() is the
+    * authoritative CI gate). */
   final case class LintRule(session: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val mode = session.conf.get("spark.graft.lint", "off")
@@ -68,10 +77,19 @@ object PlanLint {
           val msg = fs.map(f => s"[${f.kind}] ${f.detail}").mkString("; ")
           if (mode == "fail")
             throw new IllegalStateException(s"plan fails the scale lint: $msg")
-          logWarning(s"graft plan lint: $msg")
+          if (LintRule.lastLogged.get() != msg) {
+            LintRule.lastLogged.set(msg)
+            logWarning(s"graft plan lint: $msg")
+          }
         }
       }
       plan
+    }
+  }
+
+  object LintRule {
+    private val lastLogged = new ThreadLocal[String] {
+      override def initialValue(): String = ""
     }
   }
 }

@@ -902,6 +902,32 @@ class CurationSpec extends AnyFunSuite {
       e.getMessage.contains("range(qty)"), e.getMessage)
   }
 
+  test("expectations: unique data with NULL keys passes; null dups still fail") {
+    val s = imp; import s._
+    import graft.functions.Expectations._
+    // bare countDistinct skips null-key rows from the numerator only,
+    // which wrongly failed a unique batch containing nulls
+    val uniqueWithNull = Seq(
+      (java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(2L), "b"),
+      (null.asInstanceOf[java.lang.Long], "c")).toDF("k", "v")
+    val ok = check(uniqueWithNull, Seq(uniqueRule("k"))).head()
+    assert(ok.getBoolean(2) && ok.getDouble(1) == 1.0, ok.toString)
+    // two null keys ARE duplicates of each other
+    val dupNulls = uniqueWithNull.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "d")).toDF("k", "v"))
+    assert(!check(dupNulls, Seq(uniqueRule("k"))).head().getBoolean(2))
+  }
+
+  test("expectations subsetRule: empty batch reports NULL metric and FAILS") {
+    val s = imp; import s._
+    import graft.functions.Expectations._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val ref = Seq(1L).toDF("rk")
+    val row = subsetRule(empty, "k", ref, "rk", 0.5).head()
+    assert(row.isNullAt(1) && !row.getBoolean(2),
+      s"empty batch: NULL metric + FAIL, got $row") // was a NaN row
+  }
+
   test("expectations: an EMPTY batch fails every count-ratio rule, not null-passes") {
     val s = spark; import s.implicits._
     import graft.functions.Expectations._

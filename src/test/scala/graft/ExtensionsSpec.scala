@@ -39,6 +39,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .Window.partitionBy(col("k")).orderBy(col("n"))))
     assert(PlanLint.check(ok).isEmpty, PlanLint.check(ok).toString)
     PlanLint.assertScalable(ok)
+    // a scale trap INSIDE a scalar subquery must not slip past the gate
+    // (plan.foreach never descends into expression-held subquery plans)
+    a.createOrReplaceTempView("lint_a")
+    val sub = spark.sql(
+      """SELECT k FROM lint_a
+        |WHERE k > (SELECT max(rn) FROM (
+        |  SELECT row_number() OVER (ORDER BY k) AS rn FROM lint_a))""".stripMargin)
+    assert(PlanLint.check(sub).exists(_.kind == "global-window"),
+      "subquery global window missed: " + PlanLint.check(sub))
   }
 
   test("plan lint audit representatives: flagged epilogues flagged, hot paths clean") {
@@ -54,6 +63,16 @@ class ExtensionsSpec extends AnyFunSuite {
       Queries.q_dedup_exact _, Queries.q_histogram _).foreach { q =>
       assert(PlanLint.check(q(spark, dir)).isEmpty)
     }
+  }
+
+  test("DESCRIBE FUNCTION surfaces the name and usage, not shifted slots") {
+    GraftExtensions.register(spark)
+    // the 3-arg ExpressionInfo ctor is (className, DB, name) — it stored
+    // the usage sentence AS the function name and usage as N/A
+    val desc = spark.sql("DESCRIBE FUNCTION graft_dot")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Function: graft_dot"), desc)
+    assert(desc.contains("fused dot product"), desc)
   }
 
   test("registered SQL functions equal the Column API") {
