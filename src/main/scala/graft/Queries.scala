@@ -811,11 +811,16 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
   /** explicit broadcast-right ship strategy (join/ship.rs:141): part (2k rows
-    * — a classic broadcast dim) against lineitem. */
+    * — a classic broadcast dim) against lineitem. The reference's user IS the
+    * optimizer there (`ship_broadcast_right` is an explicit choice), but
+    * `part` grows with SF, so the hint routes through the one policy home
+    * ([[graft.operators.Scale.broadcastIfSmall]], same 5M-row gate as the
+    * TPC-H hints): below the gate the user's choice is honored verbatim;
+    * above it the hint is dropped and AQE picks the strategy. */
   def q_join_broadcast(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem")
-    val p = tbl(s, dir, "part")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val p = graft.operators.Scale.broadcastIfSmall(tbl(s, dir, "part"), 5000000L)
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
@@ -3330,6 +3335,102 @@ object Queries {
       |JOIN (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
       |      FROM events WHERE event_type = 'purchase') p
       |ON s.user_id = p.user_id AND s.d = p.d""".stripMargin
+
+  // =====================================================================
+  // NEXMark stateful queries through the REAL Structured Streaming path —
+  // the reference runs q1–q8 as a STREAMING benchmark (benches/nexmark.rs:
+  // 15-16, watermark every 2^20 events); the batch ports above share their
+  // DuckDB oracles with these twins, so batch ≡ stream is driver-checked.
+  // =====================================================================
+
+  /** Streaming nx_q4 — auction close via the TransactionWindow CommitAfter
+    * machine, exactly the reference's shape (descr/transaction.rs:100-131;
+    * nexmark q4 closes an auction when event time passes its expiry):
+    * purchases keyed by user, each arming CommitAfter(end of its own day);
+    * a later-day purchase commits the window, and the trailing pending
+    * window flushes through the bounded-replay reconciliation
+    * ([[graft.streaming.Streaming.transactionWindowBounded]] — the batch
+    * machine's end-of-stream tail). Windows therefore equal the (user, day)
+    * groups; the epilogue averages the per-window maxima per user over the
+    * window-count-sized reconciled set. */
+  def q_stream_nx4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emits = runStream(s, { src =>
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_millis(date_trunc("day", col("ts"))).as("day_ms"),
+          col("value"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long, Double, Long)]
+        .map { case (u, d, v, t) => (u, (d, v, t)) }
+      graft.streaming.Streaming.transactionWindowBounded(
+        purchases,
+        (v: (Long, Double, Long)) =>
+          graft.streaming.Streaming.TxCommitAfter(v._1 + 86399999L),
+        (v: (Long, Double, Long)) => v._3,
+        (v: (Long, Double, Long)) => v._3)(ws => ws.map(_._2).max)
+        .toDF("key", "win_seq", "kind", "emit_seq", "out")
+    }, "append", dir)
+    graft.streaming.Streaming.reconcileTxBounded(emits)
+      .groupBy(col("key"))
+      .agg((sum(dec(col("out"))).cast("double") / count(lit(1))).as("avg_final"))
+      .select(col("key").as("user_id"), col("avg_final"))
+  }
+
+  /** Streaming nx_q5 hot items: the sliding-window click counts run as a
+    * real streaming aggregation (complete mode — windowed state per
+    * (window, user)); the per-window argmax then ranks the MATERIALIZED
+    * aggregate, the q_stream_trending dashboard shape (rank input is
+    * windows×users rows, report-sized at any event volume). */
+  def q_stream_nx5(s: SparkSession, dir: String): DataFrame = {
+    val counts = runStream(s, src => src
+      .filter(col("event_type") === "click")
+      .groupBy(window(col("ts"), "1 day", "12 hours").getField("start").as("ws"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("ws")).as("w_start"), col("user_id"), col("n")),
+      "complete", dir)
+    val w = Window.partitionBy(col("w_start"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("w_start"), col("user_id"), col("n"))
+  }
+
+  /** Streaming nx_q7 highest bid per tumbling day — one streaming
+    * aggregation whose state is a single struct per day: the argmax rides a
+    * lexicographic struct-max (value desc, then event_id asc via the negated
+    * id), so ties break exactly like the batch row_number and no second
+    * stateful operator is needed. */
+  def q_stream_nx7(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(max(struct(col("value").as("v"), (-col("event_id")).as("ni"),
+        col("user_id").as("u"), col("event_id").as("e"))).as("top"))
+      .select(unix_micros(col("d")).as("w_start"),
+        col("top.e").as("event_id"), col("top.u").as("user_id"),
+        col("top.v").as("value")),
+      "complete", dir)
+
+  /** Streaming nx_q8 monitor new users — signup AND purchase in the same
+    * tumbling day, emitted EXACTLY ONCE per (user, day) the moment the
+    * second polarity arrives ([[graft.streaming.Streaming.bothSeenOnce]]:
+    * O(1) state per key, order-independent). The batch port's
+    * distinct+join becomes one stateful gate with no stream-stream join
+    * state to expire. */
+  def q_stream_nx8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runStream(s, { src =>
+      val flagged = src
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"),
+          unix_micros(date_trunc("day", col("ts"))).as("w_start"),
+          (col("event_type") === "signup").as("is_signup"))
+        .as[(Long, Long, Boolean)]
+        .map { case (u, d, sig) => ((u, d), sig) }
+      graft.streaming.Streaming.bothSeenOnce(flagged)
+        .map { case (u, d) => (u, d) }
+        .toDF("user_id", "w_start")
+    }, "append", dir)
+  }
 
   /** TF-IDF top terms (TextAnalysis.tfidfTopTerms): per-doc top-3 keywords,
     * tf·ln(N/df) rounded to 6 dp on both engines, ties broken (score desc,
@@ -6604,6 +6705,10 @@ object Queries {
     "nx_q6" -> (nx_q6 _),
     "nx_q7" -> (nx_q7 _),
     "nx_q8" -> (nx_q8 _),
+    "q_stream_nx4" -> (q_stream_nx4 _),
+    "q_stream_nx5" -> (q_stream_nx5 _),
+    "q_stream_nx7" -> (q_stream_nx7 _),
+    "q_stream_nx8" -> (q_stream_nx8 _),
     "q_pipeline_clean" -> (q_pipeline_clean _),
     "q_wordcount_file" -> (q_wordcount_file _),
     "q_quality_gopher" -> (q_quality_gopher _),
@@ -6830,6 +6935,10 @@ object Queries {
     "nx_q6" -> nx_q6_sql,
     "nx_q7" -> nx_q7_sql,
     "nx_q8" -> nx_q8_sql,
+    "q_stream_nx4" -> nx_q4_sql,
+    "q_stream_nx5" -> nx_q5_sql,
+    "q_stream_nx7" -> nx_q7_sql,
+    "q_stream_nx8" -> nx_q8_sql,
     "q_pipeline_clean" -> q_pipeline_clean_sql,
     "q_wordcount_file" -> q_wordcount_file_sql,
     "q_quality_gopher" -> q_quality_gopher_sql,

@@ -33,9 +33,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GRAFT_MASTER overrides the master URL for the multi-JVM smoke
+    // (e.g. local-cluster[2,4,2048] — separate executor JVMs, so closure
+    // capture / Encoder / broadcast serialization actually crosses a
+    // process boundary); GRAFT_JARS ships the packaged library to those
+    // executors. Unset → the driver's plain local[cpus] contract.
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = sys.env.get("GRAFT_JARS")
+      .fold(builder0)(j => builder0.config("spark.jars", j))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nano longs

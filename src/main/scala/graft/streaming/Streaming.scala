@@ -671,4 +671,130 @@ object Streaming {
           state.update(TxState(buf.toSeq, commitAt))
           out.iterator
       }
+
+  /** State for [[transactionWindowBounded]]: the open buffer plus the
+    * per-key window counter (`winSeq`, bumps every time a window closes by
+    * ANY path) and a monotone emission counter (`emitSeq`) that lets the
+    * reconciling sink pick the newest provisional snapshot. */
+  final case class TxBoundedState[V](buf: Seq[V], commitAt: Option[Long],
+      winSeq: Long, emitSeq: Long)
+
+  /** Bounded-replay TransactionWindow with an END-OF-STREAM FLUSH — the
+    * exact batch semantics of [[graft.api.Windowing.TransactionWindow]]
+    * (reference descr/transaction.rs:100-131) over a finite stream.
+    *
+    * The plain [[transactionWindow]] machine can never emit a trailing
+    * pending-`CommitAfter` window: `flatMapGroupsWithState` has no
+    * end-of-input hook, so state that the batch operator would flush at
+    * stream end (Windowing.scala's `if (commitAt.isDefined && cur.nonEmpty)`
+    * tail) stays buried in the state store. This variant solves it with a
+    * PROVISIONAL-EMISSION discipline — the standard "reconciling sink"
+    * bridge from an append stream to batch-equivalent results:
+    *
+    *  - every committed window emits `(key, winSeq, "commit", emitSeq, agg)`;
+    *  - a `Discard` emits a `"tomb"` row (its agg value is a placeholder),
+    *    so stale provisionals of the discarded window can be cancelled;
+    *  - at each micro-batch end, a still-open window with a pending
+    *    `CommitAfter` emits a `"prov"` snapshot of its current aggregate.
+    *
+    * [[reconcileTxBounded]] then resolves, per (key, winSeq): a commit row
+    * wins outright; otherwise the newest provisional survives unless a tomb
+    * closed the window. Given the house cross-batch contract (micro-batches
+    * arrive `order`-ascending per key — runStream's ts-range split), the
+    * reconciled set equals the batch `assign` over the whole input,
+    * INCLUDING the trailing flush (StreamingSpec pins it, Discard path too).
+    *
+    * Scale shape: emissions are O(#windows + #open-windows × #batches), so
+    * the reconciling epilogue is window-count-sized, never event-sized. */
+  def transactionWindowBounded[K, V, B, O](ds: Dataset[(K, V)],
+      logic: V => TxOp, tsMillis: V => Long, order: V => B)(agg: Seq[V] => O)(
+      implicit ob: Ordering[B], ek: Encoder[K], es: Encoder[TxBoundedState[V]],
+      eo: Encoder[(K, Long, String, Long, O)], ekv: Encoder[(K, V)])
+      : Dataset[(K, Long, String, Long, O)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[TxBoundedState[V], (K, Long, String, Long, O)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[TxBoundedState[V]]) =>
+          val init = state.getOption.getOrElse(
+            TxBoundedState[V](Seq.empty, None, 0L, 0L))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[V]
+          buf ++= init.buf
+          var commitAt = init.commitAt
+          var winSeq = init.winSeq
+          var emitSeq = init.emitSeq
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(K, Long, String, Long, O)]
+          def emit(kind: String): Unit = {
+            out += ((key, winSeq, kind, emitSeq, agg(buf.toSeq)))
+            emitSeq += 1
+          }
+          // within-batch sort by `order` = the batch machine's element order;
+          // cross-batch order is the runStream contract
+          rows.map(_._2).toVector.sortBy(order).foreach { v =>
+            if (commitAt.exists(t => tsMillis(v) > t)) {
+              if (buf.nonEmpty) emit("commit")
+              buf.clear(); winSeq += 1; commitAt = None
+            }
+            buf += v
+            logic(v) match {
+              case TxContinue => ()
+              case TxCommit =>
+                emit("commit"); buf.clear(); winSeq += 1; commitAt = None
+              case TxDiscard =>
+                emit("tomb"); buf.clear(); winSeq += 1; commitAt = None
+              case TxCommitAfter(t) => commitAt = Some(t)
+            }
+          }
+          if (buf.nonEmpty && commitAt.isDefined) emit("prov")
+          state.update(TxBoundedState(buf.toSeq, commitAt, winSeq, emitSeq))
+          out.iterator
+      }
+
+  /** Batch epilogue resolving [[transactionWindowBounded]] emissions to the
+    * final window set. Input columns: (key, win_seq, kind, emit_seq, out) —
+    * callers name them with `.toDF(...)`. Output: (key, out), one row per
+    * batch-semantics window. Runs over the emitted-window stream only
+    * (window-count-sized input). */
+  def reconcileTxBounded(emits: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("win_seq")).orderBy(col("emit_seq").desc)
+    // renamed join keys: both sides derive from the SAME sink table, and a
+    // bare self-anti-join on shared attribute ids fails analysis
+    val closed = emits.filter(col("kind") =!= "prov")
+      .select(col("key").as("c_key"), col("win_seq").as("c_win")).distinct()
+    val trailing = emits.filter(col("kind") === "prov")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(closed, col("key") === col("c_key") && col("win_seq") === col("c_win"),
+        "left_anti")
+    emits.filter(col("kind") === "commit").select(col("key"), col("out"))
+      .unionByName(trailing.select(col("key"), col("out")))
+  }
+
+  /** Emit each key EXACTLY ONCE, the moment both flag polarities have been
+    * observed for it (the NEXMark q8 "signup AND purchase in the same
+    * window" gate, keyed by (user, window)): O(1) state per key — two seen
+    * bits plus the emitted latch — and order-independent, so it needs no
+    * cross-batch ordering contract. Unbounded key count is the usual
+    * dedup-against-history caveat; production bounds it with a watermark
+    * TTL on the window component of the key. */
+  def bothSeenOnce[K](ds: Dataset[(K, Boolean)])(implicit ek: Encoder[K],
+      ekb: Encoder[(K, Boolean)]): Dataset[K] = {
+    implicit val es: Encoder[(Boolean, Boolean, Boolean)] =
+      org.apache.spark.sql.Encoders.product[(Boolean, Boolean, Boolean)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Boolean, Boolean), K](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, Boolean)],
+         state: GroupState[(Boolean, Boolean, Boolean)]) =>
+          var (sawTrue, sawFalse, emitted) =
+            state.getOption.getOrElse((false, false, false))
+          rows.foreach { case (_, flag) =>
+            if (flag) sawTrue = true else sawFalse = true
+          }
+          val fire = sawTrue && sawFalse && !emitted
+          if (fire) emitted = true
+          state.update((sawTrue, sawFalse, emitted))
+          if (fire) Iterator.single(key) else Iterator.empty
+      }
+  }
 }

@@ -398,6 +398,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transactionWindowBounded + reconcile ≡ batch TransactionWindow, incl. trailing flush and Discard tombstone") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    // element = (ts, cmd): "c" Continue, "C" Commit, "D" Discard, "A<t>" CommitAfter(t)
+    def logic(v: (Long, String)): Streaming.TxOp = v._2 match {
+      case "c" => Streaming.TxContinue
+      case "C" => Streaming.TxCommit
+      case "D" => Streaming.TxDiscard
+      case a   => Streaming.TxCommitAfter(a.drop(1).toLong)
+    }
+    def bLogic(v: (Long, String)): graft.api.WindowDescr.TransactionOp = v._2 match {
+      case "c" => graft.api.WindowDescr.Continue
+      case "C" => graft.api.WindowDescr.Commit
+      case "D" => graft.api.WindowDescr.Discard
+      case a   => graft.api.WindowDescr.CommitAfter(a.drop(1).toLong)
+    }
+    def agg(ws: Seq[(Long, String)]): String = ws.map(_._1).sorted.mkString(",")
+    // a: CommitAfter fires mid-stream, then a Discard, then a TRAILING
+    //    pending window (must flush, the batch machine's end tail);
+    // b: explicit Commit, then a trailing buffer with NO pending CommitAfter
+    //    (must NOT flush — the batch machine's guard);
+    // d: provisional emitted in batch 1, window DISCARDED in batch 2 — the
+    //    tombstone must cancel the stale provisional.
+    val batches = Seq(
+      Seq(("a", (1L, "A10")), ("a", (5L, "c")), ("b", (2L, "c")), ("d", (1L, "A100"))),
+      Seq(("a", (12L, "c")), ("a", (13L, "D")), ("a", (14L, "A20")),
+        ("b", (3L, "C")), ("d", (2L, "D"))),
+      Seq(("a", (15L, "c")), ("b", (4L, "c"))))
+    val in = MemoryStream[(String, (Long, String))]
+    val out = Streaming.transactionWindowBounded[String, (Long, String), Long, String](
+      in.toDS(), logic, _._1, _._1)(agg)
+      .toDF("key", "win_seq", "kind", "emit_seq", "out")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("txb").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = Streaming.reconcileTxBounded(spark.table("txb"))
+        .as[(String, String)].collect().toSet
+      // batch oracle: the batch machine over each key's full element list
+      val expected = batches.flatten.groupBy(_._1).toSeq.flatMap { case (k, kvs) =>
+        graft.api.WindowDescr.TransactionWindow[(Long, String), Long](bLogic, _._1, _._1)
+          .assign(kvs.map(_._2).toIndexedSeq)
+          .map(w => (k, agg(w)))
+      }.toSet
+      assert(got == expected, s"got=$got expected=$expected")
+      assert(got == Set(("a", "1,5"), ("a", "14,15"), ("b", "2,3")))
+    } finally q.stop()
+  }
+
+  test("bothSeenOnce emits each key exactly once, on the batch where the second polarity lands") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Boolean)]
+    val q = Streaming.bothSeenOnce(in.toDS()).toDF("k")
+      .writeStream.outputMode("append").format("memory").queryName("both").start()
+    try {
+      in.addData(("x", true), ("y", true), ("y", false))
+      q.processAllAvailable()
+      assert(spark.table("both").as[String].collect().toSeq.sorted == Seq("y"))
+      in.addData(("x", false), ("y", true), ("z", false))
+      q.processAllAvailable()
+      assert(spark.table("both").as[String].collect().toSeq.sorted == Seq("x", "y"))
+      in.addData(("x", true), ("z", false)) // no re-emission, z still one-sided
+      q.processAllAvailable()
+      assert(spark.table("both").as[String].collect().toSeq.sorted == Seq("x", "y"))
+    } finally q.stop()
+  }
+
   test("streaming ProcessingTimeWindow: buffer until wall-clock timeout, emit once, re-arm") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
