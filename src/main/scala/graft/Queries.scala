@@ -1831,6 +1831,10 @@ object Queries {
       }
       base
     }
+    val resume = streamResumeOverride
+      .getOrElse(sys.env.get("GRAFT_STREAM_RESUME").contains("1")) && nBatches > 1
+    if (resume)
+      return runStreamResumable(s, build, mode, raw.schema, streamDir, table)
     var reader = s.readStream.schema(raw.schema)
     if (nBatches > 1) reader = reader.option("maxFilesPerTrigger", "1")
     val src0 = reader.parquet(streamDir.toString)
@@ -1888,6 +1892,96 @@ object Queries {
           .cast("long") % lit(2147483647L)), lit(0L))).head()
       s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     }
+
+  /** Forces (Some(true)) or suppresses (Some(false)) the stop/resume replay
+    * mode of [[runStream]] regardless of the GRAFT_STREAM_RESUME env var —
+    * the spec hook (RecoverySpec), mirroring [[portableMode]]. */
+  @volatile private[graft] var streamResumeOverride: Option[Boolean] = None
+
+  /** Micro-batches with input rows processed by the post-restart phase of
+    * the most recent resumable run — spec introspection: exactly 1 proves
+    * the restart resumed from checkpointed state instead of reprocessing. */
+  @volatile private[graft] var lastResumeBatches: Int = -1
+
+  /** CHECKPOINT-RECOVERY variant of [[runStream]]: replays the same split
+    * in two SEPARATE streaming queries sharing one checkpoint — batches
+    * 1..n-1, a hard stop, then a fresh query that recovers the state store
+    * and offset log from the checkpoint and processes only the final batch.
+    * Reference semantics to match: state carries exactly as if
+    * uninterrupted (the twins' oracles don't change).
+    *
+    * The memory sink can't host this (it is not fault-tolerant: a restarted
+    * query starts it empty, dropping every append-mode row emitted before
+    * the stop), so the sink is `foreachBatch` accumulating per batchId in
+    * driver memory — idempotent under the replay of an uncommitted trailing
+    * batch (same id overwrites its slot), with complete mode keeping only
+    * the newest snapshot. Result size equals what the memory sink would
+    * have pinned; the split files are staged as symlinks so phase 1 simply
+    * cannot see the final batch. */
+  private def runStreamResumable(s: SparkSession, build: DataFrame => DataFrame,
+      mode: String, schema: org.apache.spark.sql.types.StructType,
+      splitDir: java.nio.file.Path, table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(splitDir)
+    val parts = try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toVector
+      .sortBy(_.getFileName.toString)
+    finally ls.close()
+    require(parts.size >= 2, s"resumable replay needs >= 2 split files, got ${parts.size}")
+    val staging = java.nio.file.Files.createTempDirectory("graft-resume-src")
+    val cp = java.nio.file.Files.createTempDirectory("graft-resume-cp")
+    def link(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.createSymbolicLink(staging.resolve(p.getFileName), p)
+    val acc = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, Array[org.apache.spark.sql.Row]]()
+    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+    val parts0 = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_PARTS", "2"))
+    def phase(): Int = {
+      val src0 = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+      val src = if (table == "events") normalizeTs(src0) else src0
+      val q = build(src).writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", cp.toString)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val rows = df.collect()
+          if (outSchema == null) outSchema = df.schema
+          if (mode == "complete") acc.clear()
+          acc.put(id, rows)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    try {
+      parts.init.foreach(link)
+      val fed1 = phase()
+      link(parts.last)
+      lastResumeBatches = phase()
+      lastStreamBatches = fed1 + lastResumeBatches
+      System.err.println(s"[graft-stream] table=$table mode=$mode " +
+        s"batches=$lastStreamBatches resumed_after=$fed1")
+    } finally s.conf.set("spark.sql.shuffle.partitions", parts0)
+    releasePrevStreamSink(s)
+    val rows = acc.asScala.toSeq.sortBy(_._1.longValue()).flatMap(_._2)
+    // rows are driver-materialized, so the staging/checkpoint dirs can go
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.toVector.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
+    rmTree(staging); rmTree(cp)
+    s.createDataFrame(rows.asJava,
+      if (outSchema != null) outSchema else build(
+        s.readStream.schema(schema).parquet(splitDir.toString)).schema)
+  }
 
   /** (view name, single-batch temp symlink dir, table) of the last
     * streaming twin, released on the next [[runStream]] call. */
