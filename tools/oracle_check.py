@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Dev-side DuckDB oracle comparator (the driver's check, reusable locally).
+
+Usage: oracle_check.py <results_dir> <tables_dir> <out_json> [label]
+
+<results_dir> is a graft.Verify output directory (per-query parquet dirs +
+oracle_sql.json). Every oracle is run in DuckDB against the parquet tables
+in <tables_dir>; each query's result is compared as a sorted-by-all-columns
+frame with columns sorted by name (the driver's convention). Writes a JSON
+summary to <out_json> and exits non-zero on any mismatch.
+
+Dev tooling only (like tools/gen_soak_sf1.py) — the library never imports
+this; DuckDB/pandas are the driver-side oracle stack.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    # canonical row order: stringified tuple sort is stable across engines
+    # since the values themselves must match exactly anyway
+    key = df.apply(lambda r: tuple(str(v) for v in r), axis=1)
+    return df.iloc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        # driver compares hashes of rounded reprs; allow 1e-9 relative slack
+        # so a genuinely-equal float that prints differently doesn't flag
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return str(a) == str(b)
+
+
+def compare(s, o):
+    if sorted(s.columns) != sorted(o.columns):
+        return f"schema: result={sorted(s.columns)} oracle={sorted(o.columns)}"
+    if len(s) != len(o):
+        return f"rows: result={len(s)} oracle={len(o)}"
+    s, o = norm(s), norm(o)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if not cells_equal(a, b):
+                return f"value: col={c} row={i} result={a!r} oracle={b!r}"
+    return None
+
+
+def main():
+    results_dir, tables_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+    label = sys.argv[4] if len(sys.argv) > 4 else results_dir
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{tables_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{results_dir}/oracle_sql.json"))
+    ran = sorted(d for d in os.listdir(results_dir)
+                 if os.path.isdir(os.path.join(results_dir, d)))
+    out = {"label": label, "tables": tables_dir, "queries": {}, "n": 0,
+           "n_match": 0}
+    for name in ran:
+        out["n"] += 1
+        entry = {}
+        try:
+            s = con.sql(
+                f"SELECT * FROM '{results_dir}/{name}/*.parquet'").df()
+            if "__graft_query_error" in s.columns:
+                entry["err"] = str(s.iloc[0, 0])[:300]
+                raise RuntimeError(entry["err"])
+            if name not in oracle:
+                entry["rows"] = len(s)
+                entry["match"] = bool(len(s) > 0)  # rows-only check
+                entry["rows_only"] = True
+            else:
+                o = con.sql(oracle[name]).df()
+                diff = compare(s, o)
+                entry["rows"] = len(s)
+                entry["match"] = diff is None
+                if diff:
+                    entry["diff"] = diff
+        except Exception as e:  # noqa: BLE001 — record and continue
+            entry.setdefault("err", str(e)[:300])
+            entry["match"] = False
+        out["queries"][name] = entry
+        if entry["match"]:
+            out["n_match"] += 1
+        print(f"[oracle_check] {name}: "
+              f"{'MATCH' if entry['match'] else 'MISMATCH ' + str(entry.get('diff', entry.get('err', '')))}")
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"[oracle_check] {out['n_match']}/{out['n']} match -> {out_json}")
+    sys.exit(0 if out["n_match"] == out["n"] else 1)
+
+
+if __name__ == "__main__":
+    main()
