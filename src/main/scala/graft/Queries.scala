@@ -3526,6 +3526,78 @@ object Queries {
     }, "append", dir)
   }
 
+  /** Streaming nx_q1 currency conversion — a stateless narrow map runs on
+    * the stream unchanged (one codegen stage per micro-batch). */
+  def q_stream_nx1(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src.select(col("event_id"), col("user_id"),
+      (col("value") * lit(0.908)).as("eur")), "append", dir)
+
+  /** Streaming nx_q2 selection — the filter runs against each micro-batch's
+    * scan, stateless append. */
+  def q_stream_nx2(s: SparkSession, dir: String): DataFrame =
+    runStream(s, src => src.filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("value")), "append", dir)
+
+  /** Streaming nx_q3 local item suggestion — a stream-stream SELF-join of
+    * two filtered substreams on user_id (supported for inner equi-joins;
+    * without a time bound both sides' state grows with the filtered stream,
+    * the documented production trade — the reference's nexmark q3 join has
+    * the same unbounded-person-table shape). A signup pairs with purchases
+    * from EARLIER batches and vice versa, so the final append output equals
+    * the batch join. */
+  def q_stream_nx3(s: SparkSession, dir: String): DataFrame =
+    runStream(s, { src =>
+      val signup = src.filter(col("event_type") === "signup" && col("value") > 30)
+        .select(col("user_id").as("s_user"), col("event_id").as("s_id"))
+      val purchase = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"))
+      signup.join(purchase, col("s_user") === col("p_user"))
+        .select(col("s_user").as("user_id"), col("s_id"), col("p_id"))
+    }, "append", dir)
+
+  /** Streaming nx_q6 average of the last 10 purchases per user — a keyed
+    * ring buffer (O(10) state per user) folded in (ts, event_id) order
+    * within each batch, relying on the runStream ts-range contract across
+    * batches. Each batch emits the refreshed (user, n_purchases, avg10);
+    * the epilogue keeps the newest emission per user (the funnel twin's
+    * n_events discipline), report-sized. The average reproduces the batch
+    * decimal discipline: per-value DECIMAL(18,2) (HALF_UP), exact sum,
+    * one double division. */
+  def q_stream_nx6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val emits = runStream(s, { src =>
+      src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Seq[Double], Long), (Long, Long, Double)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+           state: GroupState[(Seq[Double], Long)]) =>
+            var (ring, n) = state.getOption.getOrElse((Seq.empty[Double], 0L))
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+            buf ++= ring
+            rows.toVector.sortBy(r => (r._2, r._3)).foreach { r =>
+              buf += r._4; n += 1
+              if (buf.size > 10) buf.remove(0)
+            }
+            state.update((buf.toSeq, n))
+            val sum = buf.foldLeft(java.math.BigDecimal.ZERO) { (a, v) =>
+              a.add(new java.math.BigDecimal(v)
+                .setScale(2, java.math.RoundingMode.HALF_UP))
+            }
+            Iterator.single((user, n, sum.doubleValue() / buf.size))
+        }
+        .toDF("user_id", "n", "avg10")
+    }, "append", dir)
+    val latest = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+    emits.withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+      .select(col("user_id"), col("avg10"))
+  }
+
   /** TF-IDF top terms (TextAnalysis.tfidfTopTerms): per-doc top-3 keywords,
     * tf·ln(N/df) rounded to 6 dp on both engines, ties broken (score desc,
     * term asc). Document frequencies broadcast back onto the tf table. */
@@ -6799,8 +6871,12 @@ object Queries {
     "nx_q6" -> (nx_q6 _),
     "nx_q7" -> (nx_q7 _),
     "nx_q8" -> (nx_q8 _),
+    "q_stream_nx1" -> (q_stream_nx1 _),
+    "q_stream_nx2" -> (q_stream_nx2 _),
+    "q_stream_nx3" -> (q_stream_nx3 _),
     "q_stream_nx4" -> (q_stream_nx4 _),
     "q_stream_nx5" -> (q_stream_nx5 _),
+    "q_stream_nx6" -> (q_stream_nx6 _),
     "q_stream_nx7" -> (q_stream_nx7 _),
     "q_stream_nx8" -> (q_stream_nx8 _),
     "q_pipeline_clean" -> (q_pipeline_clean _),
@@ -7029,8 +7105,12 @@ object Queries {
     "nx_q6" -> nx_q6_sql,
     "nx_q7" -> nx_q7_sql,
     "nx_q8" -> nx_q8_sql,
+    "q_stream_nx1" -> nx_q1_sql,
+    "q_stream_nx2" -> nx_q2_sql,
+    "q_stream_nx3" -> nx_q3_sql,
     "q_stream_nx4" -> nx_q4_sql,
     "q_stream_nx5" -> nx_q5_sql,
+    "q_stream_nx6" -> nx_q6_sql,
     "q_stream_nx7" -> nx_q7_sql,
     "q_stream_nx8" -> nx_q8_sql,
     "q_pipeline_clean" -> q_pipeline_clean_sql,
