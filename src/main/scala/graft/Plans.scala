@@ -28,14 +28,12 @@ object Plans {
     // the streaming twins execute a full streaming query on construction
     // and would only show the memory-sink scan here; their streaming plans
     // are pinned by StreamingSpec
-    val skip = Set("q_connected_components", "q_transitive_closure", "q_pagerank",
-      "q_kmeans", "q_pagerank_delta", "q_ppr", "q_sssp",
-      "q_stream_session", "q_stream_interval_join",
-      "q_stream_tumbling", "q_stream_sliding", "q_stream_wordcount",
-      "q_stream_dedup", "q_stream_funnel", "q_stream_kmv",
-      "q_stream_sessionize", "q_stream_hll", "q_stream_histogram",
-      "q_stream_compact", "q_stream_quality", "q_stream_trending",
-      "q_stream_drift", "q_stream_ngram_lm")
+    val skipIter = Set("q_connected_components", "q_transitive_closure",
+      "q_pagerank", "q_kmeans", "q_pagerank_delta", "q_ppr", "q_sssp")
+    // every q_stream_* twin executes its full streaming query on
+    // construction and would only show the memory-sink scan here
+    def skip(name: String): Boolean =
+      skipIter(name) || name.startsWith("q_stream_")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         try {
