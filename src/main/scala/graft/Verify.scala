@@ -42,8 +42,17 @@ object Verify {
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    // GRAFT_STATE_STORE=rocksdb runs every streaming twin on the RocksDB
+    // state store (the production provider for state that outgrows the
+    // executor heap — the 100 TB shape); default is Spark's HDFS-backed
+    // in-memory provider.
+    val builder1 =
+      if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
+        builder0.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else builder0
     val spark = sys.env.get("GRAFT_JARS")
-      .fold(builder0)(j => builder0.config("spark.jars", j))
+      .fold(builder1)(j => builder1.config("spark.jars", j))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nano longs

@@ -59,4 +59,16 @@ class RecoverySpec extends AnyFunSuite {
   test("flatMapGroupsWithState sessionize twin survives a stop/resume") {
     pinResume("q_stream_sessionize", "q_sessionize")
   }
+
+  test("stop/resume on the RocksDB state store: the production provider recovers identically") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try pinResume("q_stream_session", "q_window_session")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
