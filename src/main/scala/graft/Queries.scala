@@ -1967,20 +1967,24 @@ object Queries {
       lastStreamBatches = fed1 + lastResumeBatches
       System.err.println(s"[graft-stream] table=$table mode=$mode " +
         s"batches=$lastStreamBatches resumed_after=$fed1")
-    } finally s.conf.set("spark.sql.shuffle.partitions", parts0)
-    releasePrevStreamSink(s)
-    val rows = acc.asScala.toSeq.sortBy(_._1.longValue()).flatMap(_._2)
-    // rows are driver-materialized, so the staging/checkpoint dirs can go
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val w = java.nio.file.Files.walk(p)
-      try w.iterator().asScala.toVector.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally w.close()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", parts0)
+      // on the failure path too: a crashed phase must not leak the staging
+      // symlinks or the checkpoint (RocksDB state files), nor leave the
+      // predecessor twin's memory sink pinned for the session
+      releasePrevStreamSink(s)
+      graft.functions.CacheKey.deleteRecursively(staging)
+      graft.functions.CacheKey.deleteRecursively(cp)
     }
-    rmTree(staging); rmTree(cp)
+    val rows = acc.asScala.toSeq.sortBy(_._1.longValue()).flatMap(_._2)
     s.createDataFrame(rows.asJava,
-      if (outSchema != null) outSchema else build(
-        s.readStream.schema(schema).parquet(splitDir.toString)).schema)
+      if (outSchema != null) outSchema
+      else {
+        // no batch ever fired (empty split slice): derive the schema the
+        // way phase() builds the stream, normalizeTs included
+        val src0 = s.readStream.schema(schema).parquet(splitDir.toString)
+        build(if (table == "events") normalizeTs(src0) else src0).schema
+      })
   }
 
   /** (view name, single-batch temp symlink dir, table) of the last
@@ -3521,7 +3525,6 @@ object Queries {
         .as[(Long, Long, Boolean)]
         .map { case (u, d, sig) => ((u, d), sig) }
       graft.streaming.Streaming.bothSeenOnce(flagged)
-        .map { case (u, d) => (u, d) }
         .toDF("user_id", "w_start")
     }, "append", dir)
   }
@@ -3586,7 +3589,10 @@ object Queries {
             }
             state.update((buf.toSeq, n))
             val sum = buf.foldLeft(java.math.BigDecimal.ZERO) { (a, v) =>
-              a.add(new java.math.BigDecimal(v)
+              // valueOf (shortest decimal repr), NOT new BigDecimal(v) (exact
+              // binary expansion): Spark's double→DECIMAL(18,2) cast rounds
+              // the shortest repr, and the two disagree at .xx5 boundaries
+              a.add(java.math.BigDecimal.valueOf(v)
                 .setScale(2, java.math.RoundingMode.HALF_UP))
             }
             Iterator.single((user, n, sum.doubleValue() / buf.size))

@@ -87,7 +87,7 @@ object CacheKey {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)
       try {

@@ -23,12 +23,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def sort_repr(v):
+    # floats are keyed at 9 significant digits so two values equal within
+    # cells_equal's 1e-9 slack sort to the SAME position in both frames —
+    # a raw str() key would misalign rows like 0.0001 vs 1.0000000000001e-4
+    if isinstance(v, float) and not math.isnan(v):
+        return f"{v:.8e}"
+    return str(v)
+
+
 def norm(df):
     cols = sorted(df.columns)
     df = df[cols]
-    # canonical row order: stringified tuple sort is stable across engines
-    # since the values themselves must match exactly anyway
-    key = df.apply(lambda r: tuple(str(v) for v in r), axis=1)
+    key = df.apply(lambda r: tuple(sort_repr(v) for v in r), axis=1)
     return df.iloc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
 
 
@@ -83,8 +90,10 @@ def main():
                 entry["err"] = str(s.iloc[0, 0])[:300]
                 raise RuntimeError(entry["err"])
             if name not in oracle:
+                # driver parity: no oracle entry -> the weaker rows>0 check
+                # (an intentionally-empty result would need a real oracle)
                 entry["rows"] = len(s)
-                entry["match"] = bool(len(s) > 0)  # rows-only check
+                entry["match"] = bool(len(s) > 0)
                 entry["rows_only"] = True
             else:
                 o = con.sql(oracle[name]).df()
