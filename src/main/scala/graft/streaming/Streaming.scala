@@ -777,6 +777,46 @@ object Streaming {
     * cross-batch ordering contract. Unbounded key count is the usual
     * dedup-against-history caveat; production bounds it with a watermark
     * TTL on the window component of the key. */
+  /** [[bothSeenOnce]] with an EVENT-TIME TTL — the production shape for an
+    * unbounded key space (e.g. NEXMark q8's (user, day) keys): rows carry
+    * their event time (the input must already be watermarked on that
+    * column), and a key whose newest event is `ttlMs` behind the watermark
+    * has its state REMOVED. A pair completing within the horizon emits
+    * exactly once; a polarity arriving after its partner expired re-opens
+    * fresh state (and can re-emit) — the standard TTL trade, pinned by
+    * StreamingSpec. State is O(1) per LIVE key; expired keys leave the
+    * store (numRowsTotal-verified). */
+  def bothSeenOnceTtl[K](ds: Dataset[(K, Boolean, java.sql.Timestamp)],
+      ttlMs: Long)(implicit ek: Encoder[K],
+      ekb: Encoder[(K, Boolean, java.sql.Timestamp)]): Dataset[K] = {
+    implicit val es: Encoder[(Boolean, Boolean, Boolean)] =
+      org.apache.spark.sql.Encoders.product[(Boolean, Boolean, Boolean)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Boolean, Boolean), K](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: K, rows: Iterator[(K, Boolean, java.sql.Timestamp)],
+         state: GroupState[(Boolean, Boolean, Boolean)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (sawTrue, sawFalse, emitted) =
+              state.getOption.getOrElse((false, false, false))
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, flag, t) =>
+              if (flag) sawTrue = true else sawFalse = true
+              if (t.getTime > maxTs) maxTs = t.getTime
+            }
+            val fire = sawTrue && sawFalse && !emitted
+            if (fire) emitted = true
+            state.update((sawTrue, sawFalse, emitted))
+            // expire when the watermark passes the key's newest event + TTL
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            if (fire) Iterator.single(key) else Iterator.empty
+          }
+      }
+  }
+
   def bothSeenOnce[K](ds: Dataset[(K, Boolean)])(implicit ek: Encoder[K],
       ekb: Encoder[(K, Boolean)]): Dataset[K] = {
     implicit val es: Encoder[(Boolean, Boolean, Boolean)] =

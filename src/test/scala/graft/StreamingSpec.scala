@@ -80,6 +80,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked session windows EVICT closed state (bounded state at scale)") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.sessionCounts(
+      Streaming.withEventTime(in.toDF.toDF("ts", "k"), "ts", "5 seconds"),
+      "ts", "10 seconds", col("k"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("evict_sess").start()
+    try {
+      in.addData((1 to 200).map(i => (ts(1), s"k$i")): _*)
+      q.processAllAvailable()
+      val peak = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(peak >= 200, s"expected 200 open sessions in state, saw $peak")
+      // watermark jumps: every ts=1 session closes, emits, and must be
+      // REMOVED from the store — the bounded-state contract at scale
+      in.addData((ts(1000), "flush1"))
+      q.processAllAvailable()
+      in.addData((ts(2000), "flush2"))
+      q.processAllAvailable()
+      val after = q.recentProgress.reverse
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).headOption.getOrElse(-1L)
+      assert(after >= 0 && after <= 5,
+        s"closed sessions must leave the store: $after rows remain (peak $peak)")
+      assert(spark.table("evict_sess").count() >= 200)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state to the watermark horizon") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = Streaming.dedupExactStream(
+      in.toDF.toDF("ts", "text"), "text", Some(("ts", "5 seconds")))
+      .select("text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("evict_dedup").start()
+    try {
+      in.addData((1 to 100).map(i => (ts(1), s"doc $i")): _*)
+      q.processAllAvailable()
+      in.addData((ts(1000), "mid"))
+      q.processAllAvailable()
+      // everything before the watermark horizon is evictable; only the
+      // recent digests may remain
+      in.addData((1 to 100).map(i => (ts(2000), s"late doc $i")): _*)
+      q.processAllAvailable()
+      in.addData((ts(3000), "tail"))
+      q.processAllAvailable()
+      val after = q.recentProgress.reverse
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).headOption.getOrElse(-1L)
+      assert(after >= 0 && after < 150,
+        s"dedup state must not accumulate the full history: $after rows")
+      assert(spark.table("evict_dedup").count() == 202)
+    } finally q.stop()
+  }
+
+  test("bothSeenOnceTtl: completes within the horizon, expires beyond it, state leaves the store") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Boolean, Timestamp)]
+    val wm = Streaming.withEventTime(in.toDF.toDF("k", "flag", "ts"), "ts", "0 seconds")
+      .as[(String, Boolean, Timestamp)]
+    val q = Streaming.bothSeenOnceTtl(wm, ttlMs = 10000L).toDF("k")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("both_ttl").start()
+    try {
+      // a completes inside the horizon; b's first half will expire
+      in.addData(("a", true, ts(1)), ("b", true, ts(1)))
+      q.processAllAvailable()
+      in.addData(("a", false, ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("both_ttl").as[String].collect().toSeq == Seq("a"))
+      // watermark far past b's TTL → its half-open state is REMOVED
+      in.addData(("wm", true, ts(1000)))
+      q.processAllAvailable()
+      in.addData(("wm", true, ts(2000))) // second advance commits the eviction
+      q.processAllAvailable()
+      val after = q.recentProgress.reverse
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).headOption.getOrElse(-1L)
+      assert(after >= 0 && after <= 2,
+        s"expired keys must leave the store: $after rows (a emitted, b TTLed)")
+      // b's second polarity AFTER expiry re-opens fresh state — no emission
+      // from the forgotten half (the documented TTL trade)
+      in.addData(("b", false, ts(2001)))
+      q.processAllAvailable()
+      assert(spark.table("both_ttl").as[String].collect().toSeq == Seq("a"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps the first record per distinct text across batches") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
