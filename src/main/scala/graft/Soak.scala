@@ -145,6 +145,10 @@ object Soak {
     run("stream_dedup")(Queries.q_stream_dedup(spark, dir).count())
     run("stream_session")(Queries.q_stream_session(spark, dir).count())
     run("stream_interval_join")(Queries.q_stream_interval_join(spark, dir).count())
+    // round-13 machinery at 10×: the bounded-replay TransactionWindow
+    // (provisional/tombstone reconcile) and a stream-stream self-join
+    run("stream_nx4_txn")(Queries.q_stream_nx4(spark, dir).count())
+    run("stream_nx3_join")(Queries.q_stream_nx3(spark, dir).count())
     }
 
     for (_ <- 1 to repeat) sweep()
