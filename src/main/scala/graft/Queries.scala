@@ -1955,8 +1955,9 @@ object Queries {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      q.stop()
+      // stop on the exception path too: a zombie query holding the
+      // checkpoint open would race the finally-block deletion below
+      try q.awaitTermination() finally q.stop()
       q.recentProgress.count(_.numInputRows > 0)
     }
     try {
@@ -1971,10 +1972,16 @@ object Queries {
       s.conf.set("spark.sql.shuffle.partitions", parts0)
       // on the failure path too: a crashed phase must not leak the staging
       // symlinks or the checkpoint (RocksDB state files), nor leave the
-      // predecessor twin's memory sink pinned for the session
-      releasePrevStreamSink(s)
-      graft.functions.CacheKey.deleteRecursively(staging)
-      graft.functions.CacheKey.deleteRecursively(cp)
+      // predecessor twin's memory sink pinned for the session. Cleanup is
+      // best-effort — a throwing finally would MASK the phase's primary
+      // exception, the one the operator needs to see.
+      try {
+        releasePrevStreamSink(s)
+        graft.functions.CacheKey.deleteRecursively(staging)
+        graft.functions.CacheKey.deleteRecursively(cp)
+      } catch { case e: Throwable =>
+        System.err.println(s"[graft-stream] resume cleanup failed: ${e.getMessage}")
+      }
     }
     val rows = acc.asScala.toSeq.sortBy(_._1.longValue()).flatMap(_._2)
     s.createDataFrame(rows.asJava,
