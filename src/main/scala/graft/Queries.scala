@@ -1783,9 +1783,14 @@ object Queries {
       // reusing a stale split; the same-filesystem directory move is atomic
       // so concurrent sessions never observe a half-written split)
       val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-      val fpRow = raw.agg(count(lit(1)), coalesce(sum(
-        pmod(xxhash64(raw.columns.map(col): _*), lit(2147483647L))), lit(0L))).head()
-      val fp = s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      // memoized per (dir, table) for the session — the lineitemStoreFp
+      // discipline: without it EVERY twin invocation re-ran this
+      // full-table hash scan just to find the already-built split
+      val fp = graft.functions.CacheKey.memoFp(s"streamsplit|$dir|$table") {
+        val fpRow = raw.agg(count(lit(1)), coalesce(sum(
+          pmod(xxhash64(raw.columns.map(col): _*), lit(2147483647L))), lit(0L))).head()
+        s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      }
       val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
         "streamsplit", version = 1, sfTag, Seq(table, nBatches), fp))
       if (!java.nio.file.Files.isDirectory(base)) {
