@@ -537,6 +537,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transactionWindowBounded property pin: random op interleavings and batch splits equal the batch machine") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    def logic(v: (Long, String)): Streaming.TxOp = v._2 match {
+      case "c" => Streaming.TxContinue
+      case "C" => Streaming.TxCommit
+      case "D" => Streaming.TxDiscard
+      case a   => Streaming.TxCommitAfter(a.drop(1).toLong)
+    }
+    def bLogic(v: (Long, String)): graft.api.WindowDescr.TransactionOp = v._2 match {
+      case "c" => graft.api.WindowDescr.Continue
+      case "C" => graft.api.WindowDescr.Commit
+      case "D" => graft.api.WindowDescr.Discard
+      case a   => graft.api.WindowDescr.CommitAfter(a.drop(1).toLong)
+    }
+    def agg(ws: Seq[(Long, String)]): String = ws.map(_._1).sorted.mkString(",")
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      // per key: strictly increasing ts, random ops; CommitAfter horizons a
+      // few steps ahead so windows commit by watermark, by signal, discard,
+      // or stay pending at end — every path exercised
+      val keys = Seq("a", "b", "c")
+      val all = keys.flatMap { k =>
+        var ts = 0L
+        (1 to 3 + rnd.nextInt(12)).map { _ =>
+          ts += 1 + rnd.nextInt(4)
+          val op = rnd.nextInt(10) match {
+            case 0 | 1   => "C"
+            case 2       => "D"
+            case 3 | 4 | 5 => s"A${ts + rnd.nextInt(6)}"
+            case _       => "c"
+          }
+          (k, (ts, op))
+        }
+      }
+      // split by global ts range (per-key order respected — the runStream
+      // ts-range contract) into 3 batches
+      val maxTs = all.map(_._2._1).max
+      val cut1 = maxTs / 3; val cut2 = 2 * maxTs / 3
+      val batches = Seq(
+        all.filter(_._2._1 <= cut1),
+        all.filter(e => e._2._1 > cut1 && e._2._1 <= cut2),
+        all.filter(_._2._1 > cut2)).filter(_.nonEmpty)
+      val in = MemoryStream[(String, (Long, String))]
+      val out = Streaming.transactionWindowBounded[String, (Long, String), Long, String](
+        in.toDS(), logic, _._1, _._1)(agg)
+        .toDF("key", "win_seq", "kind", "emit_seq", "out")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(s"txprop$seed").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val got = Streaming.reconcileTxBounded(spark.table(s"txprop$seed"))
+          .as[(String, String)].collect().toSeq.sorted
+        val expected = all.groupBy(_._1).toSeq.flatMap { case (k, kvs) =>
+          graft.api.WindowDescr.TransactionWindow[(Long, String), Long](
+            bLogic, _._1, _._1).assign(kvs.map(_._2).toIndexedSeq)
+            .map(w => (k, agg(w)))
+        }.sorted
+        assert(got == expected,
+          s"seed=$seed diverged:\n stream=$got\n batch =$expected\n input=$all")
+      } finally q.stop()
+    }
+  }
+
   test("bothSeenOnce emits each key exactly once, on the batch where the second polarity lands") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
