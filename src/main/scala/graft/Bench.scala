@@ -212,7 +212,21 @@ object Bench {
         val prevSum = common.map(prevQueries).sum
         val curSum = common.map(byName).sum
         val ratio = if (prevSum > 0) curSum / prevSum else -1.0
-        s""""vs_prev_round":{"common_keys":${common.size},"prev_sec":${fmt(prevSum)},"cur_sec":${fmt(curSum)},"ratio":${fmt(ratio)}}"""
+        // drift attribution carried IN the artifact (the round-12/13 house
+        // method, made mechanical): a fixed panel of long-stable cells; if
+        // their ratio moves with the total, the spread is host drift, not
+        // code — a genuine regression moves changed cells but not controls
+        val controlPanel = Seq("q_hits", "q_copurchase", "q_related_items",
+          "q_bpe", "q_char_lm", "q_cluster_split").filter(common.contains)
+        val ctl =
+          if (controlPanel.isEmpty) """"controls":null"""
+          else {
+            val cp = controlPanel.map(prevQueries).sum
+            val cc = controlPanel.map(byName).sum
+            val cr = if (cp > 0) cc / cp else -1.0
+            s""""controls":{"cells":${controlPanel.size},"prev_sec":${fmt(cp)},"cur_sec":${fmt(cc)},"ratio":${fmt(cr)}}"""
+          }
+        s""""vs_prev_round":{"common_keys":${common.size},"prev_sec":${fmt(prevSum)},"cur_sec":${fmt(curSum)},"ratio":${fmt(ratio)},$ctl}"""
       }
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"failed":${failedNames.size},"failed_queries":$failedJson,$vsPrev,"queries":$fullJson,"sf":"$sf"}"""

@@ -29,7 +29,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val qs = Bench.headline.map(k => "\"" + k + "\":999.999")
       .mkString("{", ",", "}")
     val vsPrev =
-      """"vs_prev_round":{"common_keys":9999,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999}"""
+      """"vs_prev_round":{"common_keys":9999,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999,""" +
+        """"controls":{"cells":9,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999}}"""
     val line =
       s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"failed":999,$vsPrev,"full":"BENCH_FULL.json"}"""
     // 2000-char capture minus ~100 chars of sbt/Spark epilogue printed after
@@ -44,9 +45,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val cur = Seq("a" -> 2.0, "b" -> -1.0, "c" -> 3.0, "new" -> 9.0)
     val (full, stdout, failed) =
       Bench.renderArtifacts(cur, 2, "0.1", "BENCH_FULL.json", prev)
-    // only "a" is present and green on both sides: ratio = 2.0/1.0
+    // only "a" is present and green on both sides: ratio = 2.0/1.0; no
+    // control-panel cell is present, so controls is an explicit null
     val expect =
-      """"vs_prev_round":{"common_keys":1,"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""
+      """"vs_prev_round":{"common_keys":1,"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000,"controls":null}"""
     assert(full.contains(expect), full)
     assert(stdout.contains(expect))
     assert(failed == Seq("b"))
