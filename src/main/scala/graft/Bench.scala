@@ -15,8 +15,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GRAFT_MASTER/GRAFT_JARS mirror graft.Verify's multi-JVM overrides
+    // (e.g. local-cluster[2,8,4096] + the sbt-package jar) so the SAME
+    // harness that times local[32] can time a real two-executor-JVM deploy
+    // — serialization/broadcast costs are invisible in one JVM
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -26,6 +31,8 @@ object Bench {
       // A/B lever for the narrow-input rebalance (operators.Scale.fanOut);
       // unset = library default (on)
       .config("graft.fanout.enabled", sys.env.getOrElse("GRAFT_FANOUT", "true"))
+    val spark = sys.env.get("GRAFT_JARS")
+      .fold(builder0)(j => builder0.config("spark.jars", j))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -218,15 +225,26 @@ object Bench {
         // code — a genuine regression moves changed cells but not controls
         val controlPanel = Seq("q_hits", "q_copurchase", "q_related_items",
           "q_bpe", "q_char_lm", "q_cluster_split").filter(common.contains)
+        val controlRatio = if (controlPanel.isEmpty) -1.0 else {
+          val cp = controlPanel.map(prevQueries).sum
+          if (cp > 0) controlPanel.map(byName).sum / cp else -1.0
+        }
         val ctl =
           if (controlPanel.isEmpty) """"controls":null"""
           else {
             val cp = controlPanel.map(prevQueries).sum
             val cc = controlPanel.map(byName).sum
-            val cr = if (cp > 0) cc / cp else -1.0
-            s""""controls":{"cells":${controlPanel.size},"prev_sec":${fmt(cp)},"cur_sec":${fmt(cc)},"ratio":${fmt(cr)}}"""
+            s""""controls":{"cells":${controlPanel.size},"prev_sec":${fmt(cp)},"cur_sec":${fmt(cc)},"ratio":${fmt(controlRatio)}}"""
           }
-        s""""vs_prev_round":{"common_keys":${common.size},"prev_sec":${fmt(prevSum)},"cur_sec":${fmt(curSum)},"ratio":${fmt(ratio)},$ctl}"""
+        // drift-NORMALIZED ratio: total ratio divided by the control
+        // panel's ratio, so host drift (which moves both alike) cancels
+        // and a machine threshold on this one field flags real
+        // regressions even on a drifting host (r13 verdict #7)
+        val adj =
+          if (controlRatio > 0 && ratio > 0)
+            s""""ratio_drift_adjusted":${fmt(ratio / controlRatio)}"""
+          else """"ratio_drift_adjusted":null"""
+        s""""vs_prev_round":{"common_keys":${common.size},"prev_sec":${fmt(prevSum)},"cur_sec":${fmt(curSum)},"ratio":${fmt(ratio)},$adj,$ctl}"""
       }
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"failed":${failedNames.size},"failed_queries":$failedJson,$vsPrev,"queries":$fullJson,"sf":"$sf"}"""

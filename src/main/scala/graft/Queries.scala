@@ -819,7 +819,19 @@ object Queries {
     * above it the hint is dropped and AQE picks the strategy. */
   def q_join_broadcast(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem")
-    val p = graft.operators.Scale.broadcastIfSmall(tbl(s, dir, "part"), 5000000L)
+    val pTbl = tbl(s, dir, "part")
+    // the gate's count() memoized per (dir, file size+mtime) — parquet row
+    // counts come from footers so a single count is cheap, but paying a
+    // Spark job on EVERY invocation to re-learn a static fact was waste
+    // (ADVICE r13); the stat component invalidates on regeneration
+    val pPath = java.nio.file.Paths.get(s"$dir/part.parquet")
+    val pCount = graft.functions.CacheKey.memoFp(
+      s"rowcount|$dir|part|${java.nio.file.Files.size(pPath)}_${
+        java.nio.file.Files.getLastModifiedTime(pPath).toMillis}") {
+      pTbl.count().toString
+    }.toLong
+    val p = graft.operators.Scale.broadcastIfSmall(pTbl, 5000000L,
+      knownCount = Some(pCount))
     li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
@@ -1375,7 +1387,11 @@ object Queries {
     * Expectations.check runs on the unbounded ingest stream in complete
     * mode (exact-uniqueness and referential integrity stay batch: distinct
     * and join-against-reference aren't single-stream aggregations). The
-    * bounded run's final report equals the batch rules on the same rows. */
+    * bounded run's final report equals the batch rules on the same rows.
+    * Deliberately complete-mode (audited round 14): the report is O(rules)
+    * rows — state AND sink are rules-sized at any event volume — and its
+    * ratio columns are non-monotone, so the update-mode max-by-recency
+    * reconstruction the other twins use has no sound recency key here. */
   def q_stream_quality(s: SparkSession, dir: String): DataFrame =
     runStream(s, src => graft.functions.Expectations.check(src, Seq(
         graft.functions.Expectations.completenessRule("l_returnflag", 1.0),
@@ -1515,19 +1531,22 @@ object Queries {
       |      FROM w)
       |SELECT w_start, event_type, n, rnk FROM r WHERE rnk <= 2""".stripMargin
 
-  /** Streaming twin of q_trending: the windowed counts stream (complete
-    * mode — a plain streaming aggregation); the top-k rank then runs over
-    * the MATERIALIZED aggregate, exactly as a dashboard queries its sink
-    * table. The rank input is windows×types rows, so the batch epilogue is
-    * report-sized at any event volume. Oracle shared with q_trending. */
+  /** Streaming twin of q_trending: the windowed counts stream in UPDATE
+    * mode — each trigger emits only the (window, type) rows it changed;
+    * the monotone count means max(n) per key reconstructs the final
+    * aggregate (the keyed-upsert sink shape), and the top-k rank then runs
+    * over that MATERIALIZED report-sized table, exactly as a dashboard
+    * queries its sink. Oracle shared with q_trending. */
   def q_stream_trending(s: SparkSession, dir: String): DataFrame = {
-    val counts = runStream(s, src => src
+    val emits = runStream(s, src => src
       .groupBy(window(col("ts"), "1 day").getField("start").as("ws"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("ws")).as("w_start"), col("event_type"),
         col("n")),
-      "complete", dir)
+      "update", dir)
+    val counts = emits.groupBy(col("w_start"), col("event_type"))
+      .agg(max(col("n")).as("n"))
     val w = Window.partitionBy(col("w_start"))
       .orderBy(col("n").desc, col("event_type"))
     counts.withColumn("rnk", row_number().over(w).cast("long"))
@@ -1783,10 +1802,19 @@ object Queries {
       // reusing a stale split; the same-filesystem directory move is atomic
       // so concurrent sessions never observe a half-written split)
       val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-      // memoized per (dir, table) for the session — the lineitemStoreFp
-      // discipline: without it EVERY twin invocation re-ran this
-      // full-table hash scan just to find the already-built split
-      val fp = graft.functions.CacheKey.memoFp(s"streamsplit|$dir|$table") {
+      // memoized per (dir, table, file size+mtime) for the session — the
+      // lineitemStoreFp discipline: without the memo EVERY twin invocation
+      // re-ran this full-table hash scan just to find the already-built
+      // split. The size+mtime key component closes the session-scoped
+      // staleness window: a table parquet regenerated MID-SESSION changes
+      // the key, so the memo cannot hand back the old corpus's fingerprint
+      // (cheap stat calls; the content hash below still governs the split
+      // path itself).
+      val srcP = java.nio.file.Paths.get(path)
+      val fresh = s"${java.nio.file.Files.size(srcP)}_${
+        java.nio.file.Files.getLastModifiedTime(srcP).toMillis}"
+      val fp = graft.functions.CacheKey.memoFp(
+          s"streamsplit|$dir|$table|$fresh") {
         val fpRow = raw.agg(count(lit(1)), coalesce(sum(
           pmod(xxhash64(raw.columns.map(col): _*), lit(2147483647L))), lit(0L))).head()
         s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
@@ -2022,6 +2050,14 @@ object Queries {
     * scale) is exercised in StreamingSpec — this catalog row pins
     * batch ≡ stream against the shared DuckDB oracle. */
   def q_stream_session(s: SparkSession, dir: String): DataFrame =
+    // deliberately COMPLETE mode (the one remaining complete-mode twin):
+    // session_window MERGES sessions as gap-bridging events arrive, so a
+    // key (user, session-start) emitted in an earlier trigger can be
+    // SUPERSEDED by a wider merged session under a different start — a
+    // max-by-recency epilogue cannot cancel the stale key without
+    // re-deriving the merge, which is the operator under test. Complete
+    // mode re-emits the reconciled session set per trigger; state and sink
+    // stay sessions-sized (report-sized at these gap parameters).
     runStream(s, src => src
       .groupBy(session_window(col("ts"), "4 hours").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n"),
@@ -2053,50 +2089,66 @@ object Queries {
     }, "append", dir)
 
   /** Streaming twin of q_window_tumbling — the same event-time tumbling
-    * aggregation through the Structured Streaming windowed-aggregation path;
-    * complete output mode makes the bounded run's final state equal the
-    * batch result, checked against the shared DuckDB oracle. */
-  def q_stream_tumbling(s: SparkSession, dir: String): DataFrame =
-    runStream(s, src => src
+    * aggregation through the Structured Streaming windowed-aggregation
+    * path, UPDATE mode (changed-rows sink traffic per trigger). A key's
+    * count n strictly increases across its emissions, so the
+    * max-by-n struct per key IS the final (n, sum_value) state — checked
+    * against the shared batch DuckDB oracle. */
+  def q_stream_tumbling(s: SparkSession, dir: String): DataFrame = {
+    val emits = runStream(s, src => src
       .groupBy(window(col("ts"), "1 day").getField("start").as("ws"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(unix_micros(col("ws")).as("w_start"), col("event_type"),
         col("n"), col("sum_value")),
-      "complete", dir)
+      "update", dir)
+    emits.groupBy(col("w_start"), col("event_type"))
+      .agg(max(struct(col("n"), col("sum_value"))).as("f"))
+      .select(col("w_start"), col("event_type"),
+        col("f.n").as("n"), col("f.sum_value").as("sum_value"))
+  }
 
   /** Streaming twin of q_window_sliding — overlapping size/slide windows
     * (each event explodes into two 1-day/12-hour windows map-side) through
-    * the streaming aggregation path, same oracle as the batch twin. */
+    * the streaming aggregation path in UPDATE mode; monotone count → max(n)
+    * per key reconstructs the final state. Same oracle as the batch twin. */
   def q_stream_sliding(s: SparkSession, dir: String): DataFrame =
     runStream(s, src => src
       .groupBy(window(col("ts"), "1 day", "12 hours").getField("start").as("ws"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("ws")).as("w_start"), col("event_type"), col("n")),
-      "complete", dir)
+      "update", dir)
+      .groupBy(col("w_start"), col("event_type")).agg(max(col("n")).as("n"))
 
   /** Streaming twin of the reference's flagship wordcount (README.md:62-96)
-    * — explode+count over an unbounded document stream through the streaming
-    * aggregation path; complete mode's final state equals the batch counts
-    * (oracle shared with q_wordcount_file / q_flat_map). */
+    * — explode+count over an unbounded document stream through the
+    * streaming aggregation path, UPDATE mode: each trigger emits only the
+    * words it saw (changed-rows-sized, not vocabulary-sized); monotone
+    * count → max(n) per word is the final count (oracle shared with
+    * q_wordcount_file / q_flat_map). */
   def q_stream_wordcount(s: SparkSession, dir: String): DataFrame =
     runStream(s, src => src
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n")),
-      "complete", dir, table = "documents")
+      "update", dir, table = "documents")
+      .groupBy(col("word")).agg(max(col("n")).as("n"))
 
   /** Streaming twin of q_dedup_exact — content-digest dedup as a streaming
     * aggregation (min-id representative + copy count per digest is
-    * arrival-order independent, unlike dropDuplicates' keep-first); complete
-    * mode's final state equals the batch result under the shared oracle. */
+    * arrival-order independent, unlike dropDuplicates' keep-first), UPDATE
+    * mode: both state fields are independently monotone (keep_id only
+    * falls, n_copies only grows), so min/max over a digest's emissions
+    * reconstruct its final row under the shared oracle. */
   def q_stream_dedup(s: SparkSession, dir: String): DataFrame =
     runStream(s, src => src
       .groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
-      "complete", dir, table = "documents")
+      "update", dir, table = "documents")
+      .groupBy(col("digest"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("n_copies")).as("n_copies"))
 
   /** Streaming twin of q_funnel — the ordered staging through the
     * mapGroupsWithState O(1)-state machine (streaming.Streaming.funnelStream)
@@ -2181,13 +2233,15 @@ object Queries {
   /** Streaming twin of the HLL register table — hllRegisters IS a plain
     * streaming aggregation (narrow rank expression + groupBy(bucket).max
     * with partial aggregation), so the identical code runs on the unbounded
-    * stream in complete mode; the bounded run's final registers equal the
-    * batch sketch bit-for-bit (registers-only oracle — the estimate
-    * projection is batch arithmetic layered on this exact state). */
+    * stream; UPDATE mode emits a bucket only on the triggers that raise its
+    * register, and the register max is monotone, so re-maxing the emissions
+    * reconstructs the batch sketch bit-for-bit (registers-only oracle — the
+    * estimate projection is batch arithmetic layered on this exact state). */
   def q_stream_hll(s: SparkSession, dir: String): DataFrame =
     runStream(s, src => graft.functions.Sketches.hllRegisters(
         src, col("l_orderkey").cast("string"), p = 8, portable = portableMode),
-      "complete", dir, table = "lineitem")
+      "update", dir, table = "lineitem")
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
 
   private val q_stream_hll_sql =
     """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -2823,7 +2877,12 @@ object Queries {
           when(col("n_grams") === 0, lit(0.0))
             .otherwise(col("micro").cast("double") / 1e6 / col("n_grams"))
             .as("lm_score"))
-    }, "complete", dir, table = "documents")
+      // UPDATE mode: a document is ONE source row, and the doc_id-range
+      // split puts it in exactly one micro-batch, so each doc_id's
+      // aggregate changes in exactly one trigger → exactly one emission
+      // per doc (sink traffic = that batch's docs, never the whole scored
+      // corpus re-dumped per trigger, the round-13 complete-mode shape)
+    }, "update", dir, table = "documents")
     finally m.unpersistAll()
   }
 
@@ -3487,10 +3546,13 @@ object Queries {
   }
 
   /** Streaming nx_q5 hot items: the sliding-window click counts run as a
-    * real streaming aggregation (complete mode — windowed state per
-    * (window, user)); the per-window argmax then ranks the MATERIALIZED
-    * aggregate, the q_stream_trending dashboard shape (rank input is
-    * windows×users rows, report-sized at any event volume). */
+    * real streaming aggregation in UPDATE mode — each trigger emits only
+    * the (window, user) rows it CHANGED, so sink traffic is
+    * changed-rows-sized instead of the whole windows×users state re-dumped
+    * per micro-batch (the round-13 complete-mode shape). The count is
+    * monotone per key, so max(n) over a key's emissions IS its final value
+    * — the exact upsert a keyed sink applies — and the per-window argmax
+    * then ranks that report-sized reconstruction. */
   def q_stream_nx5(s: SparkSession, dir: String): DataFrame = {
     val counts = runStream(s, src => src
       .filter(col("event_type") === "click")
@@ -3498,10 +3560,12 @@ object Queries {
         col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("ws")).as("w_start"), col("user_id"), col("n")),
-      "complete", dir)
+      "update", dir)
+    val finals = counts.groupBy(col("w_start"), col("user_id"))
+      .agg(max(col("n")).as("n"))
     val w = Window.partitionBy(col("w_start"))
       .orderBy(col("n").desc, col("user_id").asc)
-    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    finals.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("w_start"), col("user_id"), col("n"))
   }
 
@@ -3509,34 +3573,51 @@ object Queries {
     * aggregation whose state is a single struct per day: the argmax rides a
     * lexicographic struct-max (value desc, then event_id asc via the negated
     * id), so ties break exactly like the batch row_number and no second
-    * stateful operator is needed. */
-  def q_stream_nx7(s: SparkSession, dir: String): DataFrame =
-    runStream(s, src => src
+    * stateful operator is needed. UPDATE mode emits a day's struct only on
+    * the triggers that raise it; struct-max is monotone, so re-maxing the
+    * emissions per day reconstructs exactly the final state (sink traffic
+    * changed-days-sized per trigger, not all-days). */
+  def q_stream_nx7(s: SparkSession, dir: String): DataFrame = {
+    val emits = runStream(s, src => src
       .groupBy(date_trunc("day", col("ts")).as("d"))
       .agg(max(struct(col("value").as("v"), (-col("event_id")).as("ni"),
         col("user_id").as("u"), col("event_id").as("e"))).as("top"))
-      .select(unix_micros(col("d")).as("w_start"),
-        col("top.e").as("event_id"), col("top.u").as("user_id"),
-        col("top.v").as("value")),
-      "complete", dir)
+      .select(unix_micros(col("d")).as("w_start"), col("top")),
+      "update", dir)
+    emits.groupBy(col("w_start")).agg(max(col("top")).as("top"))
+      .select(col("w_start"), col("top.e").as("event_id"),
+        col("top.u").as("user_id"), col("top.v").as("value"))
+  }
 
   /** Streaming nx_q8 monitor new users — signup AND purchase in the same
     * tumbling day, emitted EXACTLY ONCE per (user, day) the moment the
-    * second polarity arrives ([[graft.streaming.Streaming.bothSeenOnce]]:
-    * O(1) state per key, order-independent). The batch port's
-    * distinct+join becomes one stateful gate with no stream-stream join
-    * state to expire. */
+    * second polarity arrives. Routed through the PRODUCTION state-eviction
+    * path [[graft.streaming.Streaming.bothSeenOnceTtl]] (event-time TTL:
+    * a (user, day) whose newest event falls `ttl` behind the watermark
+    * leaves the store — the unbounded-key-space answer), at a 90-day
+    * horizon that is provably inert at test scale (the events table spans
+    * ~1 month, so nothing expires and the emission set equals the
+    * unbounded [[graft.streaming.Streaming.bothSeenOnce]] gate — same
+    * batch oracle). The expiry itself is pinned by StreamingSpec's
+    * bothSeenOnceTtl numRowsTotal case. O(1) state per LIVE key,
+    * order-independent. */
   def q_stream_nx8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     runStream(s, { src =>
+      // the tuple is assembled in COLUMN space (not a typed .map): a typed
+      // map re-serializes into fresh attributes that drop the event-time
+      // watermark metadata, and EventTimeTimeout then rejects the plan —
+      // aliasing keeps the watermarked ts attribute's tag intact
       val flagged = src
+        .withWatermark("ts", "1 hour")
         .filter(col("event_type").isin("signup", "purchase"))
-        .select(col("user_id"),
-          unix_micros(date_trunc("day", col("ts"))).as("w_start"),
-          (col("event_type") === "signup").as("is_signup"))
-        .as[(Long, Long, Boolean)]
-        .map { case (u, d, sig) => ((u, d), sig) }
-      graft.streaming.Streaming.bothSeenOnce(flagged)
+        .select(struct(col("user_id").as("_1"),
+            unix_micros(date_trunc("day", col("ts"))).as("_2")).as("_1"),
+          (col("event_type") === "signup").as("_2"),
+          col("ts").as("_3"))
+        .as[((Long, Long), Boolean, java.sql.Timestamp)]
+      graft.streaming.Streaming
+        .bothSeenOnceTtl(flagged, ttlMs = 90L * 86400000L)
         .toDF("user_id", "w_start")
     }, "append", dir)
   }
@@ -3554,21 +3635,47 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("value")), "append", dir)
 
   /** Streaming nx_q3 local item suggestion — a stream-stream SELF-join of
-    * two filtered substreams on user_id (supported for inner equi-joins;
-    * without a time bound both sides' state grows with the filtered stream,
-    * the documented production trade — the reference's nexmark q3 join has
-    * the same unbounded-person-table shape). A signup pairs with purchases
-    * from EARLIER batches and vice versa, so the final append output equals
-    * the batch join. */
+    * two filtered substreams, TIME-BOUNDED the production way: both sides
+    * watermarked and the join keyed on (user_id, same event-time DAY
+    * window), so Spark evicts a day's join state once the watermark passes
+    * its end instead of retaining every signup and purchase forever (the
+    * round-13 unbounded port was the catalog's one streaming-join-OOM
+    * shape at 100× volume; the reference's nexmark q3 person-table join —
+    * examples/nexmark.rs:134-139 — is unbounded too, a deliberate
+    * divergence documented in SCALE.md; batch [[nx_q3]] keeps the
+    * unbounded semantics). A signup still pairs with same-day purchases
+    * from EARLIER batches and vice versa — inner-join pairs emit as
+    * matched — so the bounded run's append output equals the day-bounded
+    * batch join (own oracle below). StreamingSpec pins the eviction:
+    * numRowsTotal DROPS after the watermark advances past a day. */
   def q_stream_nx3(s: SparkSession, dir: String): DataFrame =
     runStream(s, { src =>
+      // the day-window column is PROJECTED on each watermarked side
+      // (window() only resolves in a projection, not a join condition);
+      // its equality in the join key is what Spark's state-watermark
+      // derivation recognizes for eviction
       val signup = src.filter(col("event_type") === "signup" && col("value") > 30)
-        .select(col("user_id").as("s_user"), col("event_id").as("s_id"))
+        .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+          col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+        .select(col("s_user"), col("s_id"), window(col("s_ts"), "1 day").as("s_w"))
       val purchase = src.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("p_id"))
-      signup.join(purchase, col("s_user") === col("p_user"))
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+        .select(col("p_user"), col("p_id"), window(col("p_ts"), "1 day").as("p_w"))
+      signup.join(purchase,
+          col("s_user") === col("p_user") && col("s_w") === col("p_w"))
         .select(col("s_user").as("user_id"), col("s_id"), col("p_id"))
     }, "append", dir)
+
+  /** Day-bounded oracle for [[q_stream_nx3]] — the batch nx_q3 predicate
+    * plus same-day equality, matching the watermark-evictable join key. */
+  private val q_stream_nx3_sql =
+    """SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id
+      |FROM events s JOIN events p ON s.user_id = p.user_id
+      | AND date_trunc('day', CAST(s.ts AS TIMESTAMP)) = date_trunc('day', CAST(p.ts AS TIMESTAMP))
+      |WHERE s.event_type = 'signup' AND s.value > 30 AND p.event_type = 'purchase'""".stripMargin
 
   /** Streaming nx_q6 average of the last 10 purchases per user — a keyed
     * ring buffer (O(10) state per user) folded in (ts, event_id) order
@@ -4098,10 +4205,13 @@ object Queries {
     val baseline = graft.functions.Sketches.histogram(
       li.filter(col("l_orderkey") <= mid), col("l_extendedprice"),
       bins = 256, lo = 900.0, hi = 105000.0)
+    // update mode + monotone-count reconstruction (the q_stream_histogram
+    // discipline): sink traffic is touched-bins-sized per trigger
     val live = runStream(s, src => graft.functions.Sketches.histogram(
         src.filter(col("l_orderkey") > mid), col("l_extendedprice"),
         bins = 256, lo = 900.0, hi = 105000.0),
-      "complete", dir, table = "lineitem")
+      "update", dir, table = "lineitem")
+      .groupBy(col("bin")).agg(max(col("cnt")).as("cnt"))
     graft.functions.Sketches.histogramDrift(baseline, live, bins = 256)
   }
 
@@ -4237,13 +4347,15 @@ object Queries {
 
   /** Streaming twin of q_histogram — the frozen-grid binning is a narrow
     * expression and the count a plain streaming aggregation, so the
-    * identical Sketches.histogram code runs on the unbounded stream in
-    * complete mode; the bounded run's final bins hash-match the batch
-    * sketch (oracle shared with q_histogram). */
+    * identical Sketches.histogram code runs on the unbounded stream;
+    * UPDATE mode emits only the bins a trigger touched, and bin counts are
+    * monotone, so max(cnt) per bin reconstructs the final sketch
+    * (oracle shared with q_histogram). */
   def q_stream_histogram(s: SparkSession, dir: String): DataFrame =
     runStream(s, src => graft.functions.Sketches.histogram(
         src, col("l_extendedprice"), bins = 256, lo = 900.0, hi = 105000.0),
-      "complete", dir, table = "lineitem")
+      "update", dir, table = "lineitem")
+      .groupBy(col("bin")).agg(max(col("cnt")).as("cnt"))
 
   private val q_distinct_kmv_sql =
     """WITH hs AS (SELECT DISTINCT
@@ -4358,16 +4470,21 @@ object Queries {
 
   /** Streaming twin of q_compact_latest — the struct-max survivor is a
     * plain streaming aggregation (associative, commutative, O(1) state per
-    * key), so the compaction runs unchanged on an unbounded recrawl stream
-    * in complete mode; the bounded run's final state equals the batch
-    * compaction under the shared oracle. */
+    * key), so the compaction runs unchanged on an unbounded recrawl
+    * stream; UPDATE mode emits a key only on the triggers that raise its
+    * survivor, and struct-max is monotone, so re-running the SAME
+    * compactLatest over the emissions reconstructs the final snapshot
+    * (associativity doing the epilogue's work) under the shared oracle. */
   def q_stream_compact(s: SparkSession, dir: String): DataFrame =
-    runStream(s, src => graft.operators.Scale.compactLatest(
-        src.withColumn("o_date_us",
-          unix_micros(col("o_orderdate").cast("timestamp"))),
-        key = "o_custkey", version = "o_date_us", tie = "o_orderkey",
-        payload = Seq("o_totalprice", "o_orderpriority")),
-      "complete", dir, table = "orders")
+    graft.operators.Scale.compactLatest(
+      runStream(s, src => graft.operators.Scale.compactLatest(
+          src.withColumn("o_date_us",
+            unix_micros(col("o_orderdate").cast("timestamp"))),
+          key = "o_custkey", version = "o_date_us", tie = "o_orderkey",
+          payload = Seq("o_totalprice", "o_orderpriority")),
+        "update", dir, table = "orders"),
+      key = "o_custkey", version = "o_date_us", tie = "o_orderkey",
+      payload = Seq("o_totalprice", "o_orderpriority"))
 
   /** Two-phase salted aggregation (Scale.saltedSum/saltedCount): per-flag
     * quantity sums and counts computed through 16 salt sub-groups then
@@ -7125,7 +7242,7 @@ object Queries {
     "nx_q8" -> nx_q8_sql,
     "q_stream_nx1" -> nx_q1_sql,
     "q_stream_nx2" -> nx_q2_sql,
-    "q_stream_nx3" -> nx_q3_sql,
+    "q_stream_nx3" -> q_stream_nx3_sql,
     "q_stream_nx4" -> nx_q4_sql,
     "q_stream_nx5" -> nx_q5_sql,
     "q_stream_nx6" -> nx_q6_sql,

@@ -28,8 +28,20 @@ object Scale {
     * loops count nodes up front); otherwise one count() action runs — use
     * only where that cost is amortized by the join it guards. */
   def broadcastIfSmall(df: DataFrame, maxRows: Long,
-      knownCount: Option[Long] = None): DataFrame =
-    if (knownCount.getOrElse(df.count()) <= maxRows) broadcast(df) else df
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(df.count())
+    if (n <= maxRows) broadcast(df)
+    else {
+      // the reference treats an explicit ship_broadcast_right as the user's
+      // binding choice (join/ship.rs:141); this engine deliberately drops
+      // the hint above the gate and lets AQE pick — log the divergence so
+      // an over-the-gate drop is observable instead of a silent plan change
+      System.err.println(
+        s"[graft-scale] broadcast hint DROPPED: side has $n rows > gate " +
+          s"$maxRows — AQE picks the join strategy")
+      df
+    }
+  }
 
   /** Two-phase salted SUM: spread each group over `salt` sub-groups,
     * partially sum, then merge the partials — the algebraic-aggregate

@@ -770,13 +770,6 @@ object Streaming {
       .unionByName(trailing.select(col("key"), col("out")))
   }
 
-  /** Emit each key EXACTLY ONCE, the moment both flag polarities have been
-    * observed for it (the NEXMark q8 "signup AND purchase in the same
-    * window" gate, keyed by (user, window)): O(1) state per key — two seen
-    * bits plus the emitted latch — and order-independent, so it needs no
-    * cross-batch ordering contract. Unbounded key count is the usual
-    * dedup-against-history caveat; production bounds it with a watermark
-    * TTL on the window component of the key. */
   /** [[bothSeenOnce]] with an EVENT-TIME TTL — the production shape for an
     * unbounded key space (e.g. NEXMark q8's (user, day) keys): rows carry
     * their event time (the input must already be watermarked on that
@@ -789,6 +782,17 @@ object Streaming {
   def bothSeenOnceTtl[K](ds: Dataset[(K, Boolean, java.sql.Timestamp)],
       ttlMs: Long)(implicit ek: Encoder[K],
       ekb: Encoder[(K, Boolean, java.sql.Timestamp)]): Dataset[K] = {
+    // EventTimeTimeout preconditions, failed fast at build time instead of
+    // an IllegalArgumentException from setTimeoutTimestamp mid-query: the
+    // TTL must be positive, and the INPUT must carry a watermark (the
+    // timeout clock IS the query watermark — without one it never fires
+    // and expired state lives forever).
+    require(ttlMs > 0, s"bothSeenOnceTtl: ttlMs must be > 0 (got $ttlMs)")
+    require(!ds.isStreaming || ds.queryExecution.analyzed.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+      }.isDefined,
+      "bothSeenOnceTtl: streaming input must be watermarked (withWatermark) " +
+        "for the event-time TTL to expire state")
     implicit val es: Encoder[(Boolean, Boolean, Boolean)] =
       org.apache.spark.sql.Encoders.product[(Boolean, Boolean, Boolean)]
     ds.groupByKey(_._1)
@@ -817,6 +821,13 @@ object Streaming {
       }
   }
 
+  /** Emit each key EXACTLY ONCE, the moment both flag polarities have been
+    * observed for it (the NEXMark q8 "signup AND purchase in the same
+    * window" gate, keyed by (user, window)): O(1) state per key — two seen
+    * bits plus the emitted latch — and order-independent, so it needs no
+    * cross-batch ordering contract. Unbounded key count is the usual
+    * dedup-against-history caveat; production bounds it with a watermark
+    * TTL on the window component of the key ([[bothSeenOnceTtl]]). */
   def bothSeenOnce[K](ds: Dataset[(K, Boolean)])(implicit ek: Encoder[K],
       ekb: Encoder[(K, Boolean)]): Dataset[K] = {
     implicit val es: Encoder[(Boolean, Boolean, Boolean)] =

@@ -30,6 +30,7 @@ class BenchFormatSpec extends AnyFunSuite {
       .mkString("{", ",", "}")
     val vsPrev =
       """"vs_prev_round":{"common_keys":9999,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999,""" +
+        """"ratio_drift_adjusted":99.999,""" +
         """"controls":{"cells":9,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999}}"""
     val line =
       s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"failed":999,$vsPrev,"full":"BENCH_FULL.json"}"""
@@ -46,15 +47,28 @@ class BenchFormatSpec extends AnyFunSuite {
     val (full, stdout, failed) =
       Bench.renderArtifacts(cur, 2, "0.1", "BENCH_FULL.json", prev)
     // only "a" is present and green on both sides: ratio = 2.0/1.0; no
-    // control-panel cell is present, so controls is an explicit null
+    // control-panel cell is present, so controls (and the drift-normalized
+    // ratio, which needs them) are explicit nulls
     val expect =
-      """"vs_prev_round":{"common_keys":1,"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000,"controls":null}"""
+      """"vs_prev_round":{"common_keys":1,"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000,""" +
+        """"ratio_drift_adjusted":null,"controls":null}"""
     assert(full.contains(expect), full)
     assert(stdout.contains(expect))
     assert(failed == Seq("b"))
     // no prior artifact → explicit null, never a fabricated ratio
     val (full2, _, _) = Bench.renderArtifacts(cur, 2, "0.1", "x.json")
     assert(full2.contains(""""vs_prev_round":null"""))
+  }
+
+  test("ratio_drift_adjusted divides out the control panel's drift") {
+    // total ratio 2.5, control (q_hits) ratio 2.0 → a host that drifted
+    // 2× accounts for most of the spread; adjusted = 2.5/2.0 = 1.25
+    val prev = Map("a" -> 1.0, "q_hits" -> 1.0)
+    val cur = Seq("a" -> 3.0, "q_hits" -> 2.0)
+    val (full, _, _) =
+      Bench.renderArtifacts(cur, 1, "0.1", "BENCH_FULL.json", prev)
+    assert(full.contains(""""ratio_drift_adjusted":1.250"""), full)
+    assert(full.contains(""""controls":{"cells":1,"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""), full)
   }
 
   test("readPrevQueries parses our own BENCH_FULL format and misses safely") {

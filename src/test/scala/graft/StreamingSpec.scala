@@ -109,6 +109,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed stream-stream join EVICTS a closed window's state (q_stream_nx3 shape)") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val src = in.toDF.toDF("ts", "kind", "user")
+    // the q_stream_nx3 join key: user equality PLUS same-event-time-window
+    // equality — the window column must be PROJECTED on each watermarked
+    // side first (window() only resolves in a projection, not a join
+    // condition); its equality is what lets Spark derive a state watermark
+    // and EVICT a closed window's rows from both sides
+    val signup = src.filter(col("kind") === "s")
+      .select(col("user").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "0 seconds")
+      .select(col("s_user"), window(col("s_ts"), "10 seconds").as("s_w"))
+    val purchase = src.filter(col("kind") === "p")
+      .select(col("user").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+      .select(col("p_user"), window(col("p_ts"), "10 seconds").as("p_w"))
+    val joined = signup.join(purchase,
+        col("s_user") === col("p_user") && col("s_w") === col("p_w"))
+      .select(col("s_user"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("nx3_evict").start()
+    try {
+      in.addData(((1 to 100).map(i => (ts(1), "s", i.toLong)) ++
+        (1 to 100).map(i => (ts(2), "p", i.toLong))): _*)
+      q.processAllAvailable()
+      // inner-join pairs emit eagerly, no watermark wait
+      assert(spark.table("nx3_evict").count() == 100)
+      val peak = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(peak >= 200, s"expected both sides buffered in state, saw $peak")
+      // watermark jumps past the window end on BOTH sides (the global
+      // watermark is the min across the two watermark nodes, so both
+      // branches must observe late time) → the closed window's rows must
+      // LEAVE the store (the round-13 unbounded port kept them forever —
+      // the one streaming-join-OOM shape this pin closes)
+      in.addData((ts(1000), "s", 9999L), (ts(1000), "p", 9998L))
+      q.processAllAvailable()
+      in.addData((ts(2000), "s", 9997L), (ts(2000), "p", 9996L))
+      q.processAllAvailable()
+      val after = q.recentProgress.reverse
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).headOption.getOrElse(-1L)
+      assert(after >= 0 && after <= 6,
+        s"closed-window join state must leave the store: $after rows (peak $peak)")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state to the watermark horizon") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext

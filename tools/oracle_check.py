@@ -9,6 +9,14 @@ in <tables_dir>; each query's result is compared as a sorted-by-all-columns
 frame with columns sorted by name (the driver's convention). Writes a JSON
 summary to <out_json> and exits non-zero on any mismatch.
 
+GRAFT_ORACLE_TIMEOUT=<seconds> bounds each ORACLE query (the Spark results
+are already materialized parquet): a timed-out oracle is recorded as
+"excluded" with the elapsed bound rather than a mismatch — the sf1-sweep
+convention for quadratic oracles (e.g. q_fuzzy_join's cross join) that are
+affordable at sf0.01 but pathological at 10×. Excluded cells don't count
+toward n/n_match; they land in the artifact's "excluded" map so every skip
+is named with its reason.
+
 Dev tooling only (like tools/gen_soak_sf1.py) — the library never imports
 this; DuckDB/pandas are the driver-side oracle stack.
 """
@@ -16,6 +24,7 @@ import json
 import math
 import os
 import sys
+import threading
 
 import duckdb
 
@@ -76,12 +85,34 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{results_dir}/oracle_sql.json"))
+    timeout = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+
+    def run_oracle(sql, _retry=True):
+        # duckdb has no statement timeout; interrupt from a watchdog thread
+        # and surface the cancellation as a distinguishable exception
+        if timeout <= 0:
+            return con.sql(sql).df()
+        import time
+        t0 = time.monotonic()
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            return con.sql(sql).df()
+        except duckdb.InterruptException:
+            # a stale interrupt from the PREVIOUS query's watchdog (fired in
+            # the gap between its df() return and cancel) lands here early —
+            # retry once; a genuine timeout has elapsed >= the bound
+            if _retry and time.monotonic() - t0 < timeout * 0.5:
+                return run_oracle(sql, _retry=False)
+            raise TimeoutError(f"oracle exceeded {timeout:.0f}s")
+        finally:
+            timer.cancel()
+
     ran = sorted(d for d in os.listdir(results_dir)
                  if os.path.isdir(os.path.join(results_dir, d)))
     out = {"label": label, "tables": tables_dir, "queries": {}, "n": 0,
-           "n_match": 0}
+           "n_match": 0, "excluded": {}}
     for name in ran:
-        out["n"] += 1
         entry = {}
         try:
             s = con.sql(
@@ -96,15 +127,22 @@ def main():
                 entry["match"] = bool(len(s) > 0)
                 entry["rows_only"] = True
             else:
-                o = con.sql(oracle[name]).df()
+                o = run_oracle(oracle[name])
                 diff = compare(s, o)
                 entry["rows"] = len(s)
                 entry["match"] = diff is None
                 if diff:
                     entry["diff"] = diff
+        except TimeoutError as e:
+            # the SPARK result completed; only the ORACLE is unaffordable —
+            # an exclusion (named, with reason), never a silent pass/fail
+            out["excluded"][name] = str(e)
+            print(f"[oracle_check] {name}: EXCLUDED ({e})")
+            continue
         except Exception as e:  # noqa: BLE001 — record and continue
             entry.setdefault("err", str(e)[:300])
             entry["match"] = False
+        out["n"] += 1
         out["queries"][name] = entry
         if entry["match"]:
             out["n_match"] += 1
