@@ -109,6 +109,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update-mode monotone reconstruction equals batch over RANDOM interleavings") {
+    // the round-14 complete->update conversion contract: with no watermark
+    // (no late-drop), a key's count strictly increases across its update
+    // emissions, so max-by-n per key reconstructs the final aggregate under
+    // ARBITRARY batch interleavings — not just the ts-ordered range split
+    // the catalog twins ride. Random trials pin the order-independence.
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(14)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 200).map(_ =>
+        (ts(rnd.nextInt(100).toLong), s"k${rnd.nextInt(8)}",
+          rnd.nextInt(1000).toLong))
+      val shuffled = rnd.shuffle(rows)
+      val cut1 = 1 + rnd.nextInt(198)
+      val cut2 = cut1 + 1 + rnd.nextInt(199 - cut1)
+      val batches = Seq(shuffled.take(cut1),
+        shuffled.slice(cut1, cut2), shuffled.drop(cut2))
+      val in = MemoryStream[(Timestamp, String, Long)]
+      val agg = in.toDF.toDF("ts", "k", "v")
+        .groupBy(window(col("ts"), "10 seconds").getField("start").as("ws"),
+          col("k"))
+        .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+      val q = agg.writeStream.outputMode("update")
+        .format("memory").queryName(s"upd$trial").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val finals = spark.table(s"upd$trial")
+          .groupBy(col("ws"), col("k"))
+          .agg(max(struct(col("n"), col("mx"))).as("f"))
+          .select(col("ws"), col("k"), col("f.n").as("n"), col("f.mx").as("mx"))
+          .as[(Timestamp, String, Long, Long)].collect().toSet
+        val batch = rows.toDF("ts", "k", "v")
+          .groupBy(window(col("ts"), "10 seconds").getField("start").as("ws"),
+            col("k"))
+          .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+          .as[(Timestamp, String, Long, Long)].collect().toSet
+        assert(finals == batch, s"trial $trial: stream-reconstructed != batch")
+      } finally q.stop()
+    }
+  }
+
   test("windowed stream-stream join EVICTS a closed window's state (q_stream_nx3 shape)") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
