@@ -1780,19 +1780,86 @@ object Queries {
     * retroactively-late data, so watermark eviction provably never drops a
     * row a batch run would keep (min ts of batch k+1 ≥ max ts of batch k).
     * `GRAFT_STREAM_BATCHES=1` restores the zero-copy single-symlink run.
+    *
+    * `flush = true` (events only) appends an END-OF-STREAM SENTINEL as a
+    * final extra batch: one `event_type='__flush'` row 30 days past the max
+    * event time. A watermarked APPEND-mode aggregation over a bounded
+    * replay would otherwise never emit its trailing open windows (the
+    * watermark stops at the last real event); the sentinel advances it past
+    * every real window's close, so append mode — the bounded-state
+    * production shape — answers the same oracle as a complete-mode run.
+    * The build function must drop the sentinel AFTER its withWatermark
+    * with a predicate that REFERENCES the event-time column (e.g.
+    * `.filter(col("event_type") =!= "__flush" || col("ts").isNull)`):
+    * Catalyst pushes ts-free predicates below EventTimeWatermark and into
+    * the scan, which would hide the sentinel from the watermark node —
+    * the ts disjunct pins the filter above it, so the watermark observes
+    * the sentinel but no aggregate ever sees it. Production streams don't
+    * end, so this is purely the bounded-replay bridge — the operator under
+    * test is unchanged.
     */
   private def runStream(s: SparkSession,
       build: DataFrame => DataFrame, mode: String, dir: String,
-      table: String = "events"): DataFrame = {
+      table: String = "events", flush: Boolean = false): DataFrame = {
+    require(!flush || table == "events",
+      "flush sentinel is defined for the events schema only")
     val path = s"$dir/$table.parquet"
     val raw = s.read.parquet(path)
     val nBatches = math.max(1, sys.env.getOrElse("GRAFT_STREAM_BATCHES", "3").toInt)
+    // TWO sentinel batches: the max-ts event pushed 30 then 60 days
+    // forward, tagged '__flush', each its own replay file. Two because the
+    // watermark computed at the END of batch N gates emissions in batch
+    // N+1 (the StreamingSpec "second advance commits" discipline): the
+    // first sentinel advances the watermark past every real window's
+    // close; the second triggers the batch in which they all emit. Built
+    // from a real row so every column keeps the exact on-disk dtype (the
+    // streaming reader reuses raw.schema verbatim).
+    def writeSentinels(into: java.nio.file.Path, mtime0Ms: Long): Unit = {
+      val tsType = raw.schema("ts").dataType
+      Seq((30L, "a"), (60L, "b")).zipWithIndex.foreach {
+        case ((days, tag), i) =>
+          val shifted = (tsType match {
+            case org.apache.spark.sql.types.LongType =>
+              col("ts") + lit(days * 86400L * 1000000000L) // epoch-nanos long
+            case _ =>
+              col("ts").cast("timestamp") + expr(s"INTERVAL $days DAYS")
+          }).cast(tsType)
+          val sent = java.nio.file.Files.createTempDirectory("graft-flush")
+          raw.orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", shifted)
+            .withColumn("event_type", lit("__flush"))
+            .coalesce(1).write.mode("overwrite").parquet(sent.toString)
+          val ls = java.nio.file.Files.list(sent)
+          val part = try {
+            import scala.jdk.CollectionConverters._
+            ls.iterator().asScala
+              .find(_.getFileName.toString.startsWith("part-")).get
+          } finally ls.close()
+          // 'part-zzzz' sorts after every real 'part-0000x' file, and the
+          // mtime stamps put them last in the (mtime, path) replay order
+          val dst = into.resolve(s"part-zzzz-flush-$tag.parquet")
+          java.nio.file.Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime0Ms + i * 60000L))
+          val ls2 = java.nio.file.Files.list(sent)
+          try {
+            import scala.jdk.CollectionConverters._
+            ls2.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally ls2.close()
+          java.nio.file.Files.deleteIfExists(sent)
+      }
+    }
     // the file streaming source requires a DIRECTORY base path
     val streamDir: java.nio.file.Path = if (nBatches == 1) {
       // zero data copy — production points the stream at a real directory
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
       java.nio.file.Files.createSymbolicLink(
         d.resolve(s"$table.parquet"), java.nio.file.Paths.get(path))
+      // single-batch runs fold the sentinel into the same trigger; the
+      // post-batch watermark advance still closes every window via the
+      // trailing no-data micro-batch
+      if (flush) writeSentinels(d, System.currentTimeMillis())
       d
     } else {
       // the split is deterministic per (table contents, nBatches), so it is
@@ -1820,7 +1887,8 @@ object Queries {
         s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
       }
       val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
-        "streamsplit", version = 1, sfTag, Seq(table, nBatches), fp))
+        "streamsplit", version = 1, sfTag,
+        Seq(table, nBatches) ++ (if (flush) Seq("flush") else Nil), fp))
       if (!java.nio.file.Files.isDirectory(base)) {
         // range-split on event time (events) / stable key (other tables)
         // into nBatches ascending part files — partition i of
@@ -1850,6 +1918,8 @@ object Queries {
           java.nio.file.Files.setLastModifiedTime(p,
             java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
         }
+        // the sentinel is the (nBatches+1)-th replay file — its own trigger
+        if (flush) writeSentinels(tmp, t0 + nBatches * 60000L)
         try java.nio.file.Files.move(tmp, base,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -2044,27 +2114,35 @@ object Queries {
   }
 
   /** Streaming twin of q_window_session — the SAME session semantics through
-    * the Structured Streaming `session_window` path (Streaming.sessionCounts'
-    * shape). Complete output mode so the final state equals the batch result
-    * exactly; the production append+watermark variant (bounded state at
-    * scale) is exercised in StreamingSpec — this catalog row pins
-    * batch ≡ stream against the shared DuckDB oracle. */
+    * the Structured Streaming `session_window` path, in the PRODUCTION
+    * shape: watermark + APPEND mode, so a session emits exactly once when
+    * the watermark passes its close and its state LEAVES the store
+    * (StreamingSpec's sessionCounts eviction pin). Until round 14 this twin
+    * ran complete mode — state and sink were all-sessions-ever-sized, the
+    * same unbounded-at-100TB shape the nx3 join had: session merging
+    * defeats the update-mode max-by-recency reconstruction (a merged
+    * session supersedes earlier emissions under DIFFERENT keys). The
+    * bounded-replay bridge is runStream's flush sentinel: one '__flush'
+    * row 30 days out advances the final watermark past every real
+    * session's close, so the append output covers the trailing open
+    * sessions too and the complete-mode oracle carries over unchanged.
+    * The sentinel is dropped AFTER withWatermark — observed by the
+    * watermark node, invisible to the aggregation. */
   def q_stream_session(s: SparkSession, dir: String): DataFrame =
-    // deliberately COMPLETE mode (the one remaining complete-mode twin):
-    // session_window MERGES sessions as gap-bridging events arrive, so a
-    // key (user, session-start) emitted in an earlier trigger can be
-    // SUPERSEDED by a wider merged session under a different start — a
-    // max-by-recency epilogue cannot cancel the stale key without
-    // re-deriving the merge, which is the operator under test. Complete
-    // mode re-emits the reconciled session set per trigger; state and sink
-    // stay sessions-sized (report-sized at these gap parameters).
     runStream(s, src => src
+      .withWatermark("ts", "0 seconds")
+      // the always-false ts disjunct pins this filter ABOVE the watermark
+      // node: PushPredicateThroughNonJoin pushes any predicate that does
+      // not reference the event-time column below EventTimeWatermark (and
+      // from there into the parquet scan), which would hide the sentinel
+      // from the watermark — exactly the row it exists to show it
+      .filter(col("event_type") =!= "__flush" || col("ts").isNull)
       .groupBy(session_window(col("ts"), "4 hours").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n"),
            sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("user_id"), unix_micros(col("sw.start")).as("w_start"),
         col("n"), col("sum_value")),
-      "complete", dir)
+      "append", dir, flush = true)
 
   /** Streaming twin of q_interval_join — a real stream-stream time-interval
     * join (Streaming.intervalJoin) with watermarks on both sides for state
