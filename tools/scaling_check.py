@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Dev-side scaling comparator: joins two graft.Bench artifacts taken at
+different scale factors (same host window, same code) into a per-query
+scaling report.
+
+Usage: scaling_check.py <bench_small.json> <bench_large.json> <rows_ratio> <out_json>
+
+<rows_ratio> is the input-size multiple between the two runs (10 for
+sf0.1 -> sf1). For every common query key the report records
+t_large / t_small; the interesting classification is against rows_ratio:
+
+- a data-parallel linear operator should land AT or BELOW rows_ratio
+  (below, because each cell also carries fixed plan/JIT/trigger overhead
+  that does not grow with the data — at sf0.1 most catalog cells are
+  overhead-dominated, so ratios well under 10 are the healthy norm);
+- a cell ABOVE `flag_factor * rows_ratio` (default 1.2, i.e. ratio > 12
+  for a 10x sweep) is a super-linear suspect: something in it grows
+  faster than the input — pair-expansion without a cap, a join whose
+  output is quadratic in a key's frequency, state that should have been
+  evicted, a sort that stopped fitting, a broadcast that crossed its
+  gate. Every flagged cell must end up either FIXED or attributed in
+  SCALE.md (output growth that is genuinely super-linear in the input,
+  e.g. a self-join whose result set is quadratic by definition).
+
+Failed cells (-1.0) on either side are reported separately and never
+ratio'd. A flagged cell whose growth is quadratic BY CONSTRUCTION (an
+oracle-mode configuration that deliberately runs the provable exact
+shape, e.g. nlist=1 full pairwise cosine) is attributed, not fixed:
+pass `--attr <json>` with {"query": "reason"} and the report carries the
+reason in `flagged[query].attribution` and counts it under
+`n_flagged_attributed` instead of `n_flagged_open`. An OPEN flag (no
+attribution) is a real super-linear suspect and must end up fixed.
+Dev tooling only (like tools/oracle_check.py) — the library
+never imports this.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    qs = {k: v for k, v in d.get("queries", {}).items()}
+    return d, qs
+
+
+def main():
+    argv = list(sys.argv[1:])
+    attr = {}
+    if "--attr" in argv:
+        i = argv.index("--attr")
+        with open(argv[i + 1]) as f:
+            attr = json.load(f)
+        del argv[i:i + 2]
+    if len(argv) < 4:
+        sys.exit(__doc__)
+    small_path, large_path, rows_ratio, out = (
+        argv[0], argv[1], float(argv[2]), argv[3])
+    flag_factor = float(argv[4]) if len(argv) > 4 else 1.2
+    ds, qs_small = load(small_path)
+    dl, qs_large = load(large_path)
+    common = sorted(set(qs_small) & set(qs_large))
+    failed = sorted([k for k in common
+                     if qs_small[k] < 0 or qs_large[k] < 0])
+    cells = {}
+    for k in common:
+        if k in failed:
+            continue
+        ratio = qs_large[k] / qs_small[k] if qs_small[k] > 0 else None
+        cells[k] = {"small_sec": round(qs_small[k], 3),
+                    "large_sec": round(qs_large[k], 3),
+                    "ratio": round(ratio, 2)}
+    flagged = sorted(
+        [k for k, c in cells.items()
+         if c["ratio"] is not None and c["ratio"] > flag_factor * rows_ratio],
+        key=lambda k: -cells[k]["ratio"])
+    tot_s = sum(qs_small[k] for k in cells)
+    tot_l = sum(qs_large[k] for k in cells)
+    report = {
+        "small": {"path": small_path, "sf": ds.get("sf"),
+                  "total_sec": round(tot_s, 1)},
+        "large": {"path": large_path, "sf": dl.get("sf"),
+                  "total_sec": round(tot_l, 1)},
+        "rows_ratio": rows_ratio,
+        "flag_threshold": round(flag_factor * rows_ratio, 2),
+        "n_common": len(common),
+        "n_failed": len(failed),
+        "failed": failed,
+        "aggregate_ratio": round(tot_l / tot_s, 2) if tot_s else None,
+        "n_flagged": len(flagged),
+        "n_flagged_attributed": len([k for k in flagged if k in attr]),
+        "n_flagged_open": len([k for k in flagged if k not in attr]),
+        "flagged": {k: dict(cells[k], **({"attribution": attr[k]}
+                                         if k in attr else {}))
+                    for k in flagged},
+        "queries": cells,
+    }
+    # aggregate with the attributed (quadratic-by-construction) cells
+    # removed — the honest linear-path scaling number
+    lin = [k for k in cells if k not in attr]
+    ts, tl = sum(qs_small[k] for k in lin), sum(qs_large[k] for k in lin)
+    report["aggregate_ratio_excl_attributed"] = (
+        round(tl / ts, 2) if ts else None)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=False)
+    print(f"{len(common)} common keys, {len(failed)} failed, "
+          f"aggregate {report['aggregate_ratio']}x at rows x{rows_ratio:g}; "
+          f"{len(flagged)} flagged > {report['flag_threshold']}x")
+    for k in flagged:
+        c = cells[k]
+        tag = "ATTRIBUTED" if k in attr else "OPEN"
+        print(f"  FLAG [{tag}] {k}: {c['small_sec']}s -> {c['large_sec']}s "
+              f"= {c['ratio']}x")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
