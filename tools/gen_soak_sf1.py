@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Deterministic ~sf1 (10x) soak-input generator for `graft.Soak`.
+"""Deterministic soak-input generator for `graft.Soak` (~sf1 by default).
 
 Dev-side tooling only (DuckDB, like the driver's oracle) -- the library
 itself never touches this. Writes under /tmp/soak_sf1, NEVER under
@@ -27,6 +27,11 @@ Idempotent: only generates tables that are missing or whose column list
 drifted from the current sf0.1 schema (the driver regenerates testdata
 between rounds; a soak table carrying a stale schema is silently wrong
 for every consumer). --force regenerates everything.
+
+--replicas N --dst DIR generate other scales with the same disjoint-key
+construction (e.g. --replicas 100 --dst /tmp/soak_sf10 for the 100x
+tables behind the three-point scaling fit in SCALE.md). Key offsets are
+replica-indexed, so any N keeps cross-table joins consistent.
 """
 import os
 import sys
@@ -34,8 +39,17 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/soak_sf1"
-R = 10
+
+
+def _cli(flag, default):
+    import sys
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+DST = _cli("--dst", "/tmp/soak_sf1")
+R = int(_cli("--replicas", "10"))
 
 con = duckdb.connect()
 
