@@ -6047,8 +6047,13 @@ object Queries {
     * near-random vectors — top-1 cosine ≈ 0.49 — so the "near dup"
     * threshold is relative to the distribution.) */
   def q_embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    // oracle mode bakes bits=8 (the SQL twin's plane count); production uses
+    // corpus-adaptive bits (bucket population ~64 — fixed bits=8 measured
+    // quadratic in the round-14 100× sweep). sf0.1's 2000 vectors resolve
+    // to the floor 8, so the committed bench plan is unchanged there.
     graft.functions.Similarity.cosineNearDups(tbl(s, dir, "embeddings"),
-      "vec_id", "embedding", minSim = 0.4, bits = 8, portable = portableMode)
+      "vec_id", "embedding", minSim = 0.4,
+      bits = if (portableMode) 8 else 0, portable = portableMode)
 
   private def q_embedding_neardup_sql: String =
     s"""WITH ${lshBucketSqlPrelude(8)}
@@ -6066,7 +6071,11 @@ object Queries {
     * runs the clustered nlist=16 shape a user ships (NearDupSpec pins
     * clustered ⊆ full and the sim≈1 equivalence). */
   def q_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
-    val (nlist, iters) = if (portableMode) (1, 1) else (16, 2)
+    // production: nlist <= 0 → corpus-adaptive (cluster population ~1024,
+    // pair volume linear in the corpus — the round-14 100× sweep measured
+    // fixed nlist=16 at 128× wall per decade); sf0.1's 2000 vectors still
+    // resolve to the floor 16, so the committed bench plan is unchanged
+    val (nlist, iters) = if (portableMode) (1, 1) else (0, 2)
     graft.functions.Similarity.semanticDedupPairs(tbl(s, dir, "embeddings"),
       "vec_id", "embedding", minSim = 0.4, nlist = nlist, kmeansIters = iters)
       .select(col("a_id"), col("b_id"), col("sim"))

@@ -125,4 +125,60 @@ object KMeans extends Serializable {
     pts.unpersist()
     Model(out, finalCentroids)
   }
+
+  /** Two-level residual assignment: coarse k-means with kc = ⌈√k⌉
+    * centroids, then a second k-means over the RESIDUALS (vec − its coarse
+    * centroid) with kf = ⌈k/kc⌉ centroids; cluster = coarse·kf + fine.
+    * Same contract as [[assign]] — a deterministic partition of the vector
+    * space, identical vectors always share a label — but the per-point
+    * assignment cost is kc+kf ≈ 2√k centroid distances instead of k. This
+    * is the standard IVF answer once the cluster COUNT grows with the
+    * corpus (Similarity.autoNlist): single-level assignment is n×k, i.e.
+    * n²/clusterSize, and the round-14 100× sweep measured it as the
+    * residual super-linear term of q_semantic_dedup after the pair stage
+    * was linearized. Residuals are round6-snapped so the fine training and
+    * the final labeling see bit-identical inputs regardless of plan. */
+  def assignTwoLevel(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
+
+    val coarse = assignWithCentroids(df, idCol, vecCol, kc, iterations)
+    coarse.assignments.unpersist() // training only; labels recomposed below
+    val bcC = spark.sparkContext.broadcast(coarse.centroids)
+
+    val pts = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .persist()
+
+    def residOf(v: Array[Double]): (Int, Array[Double]) = {
+      val c = nearest(bcC.value)(v)
+      val ctr = bcC.value(c)
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = round6(v(i) - ctr(i)); i += 1 }
+      (c, r)
+    }
+
+    val resid = pts.map { case (id, v) => (id, residOf(v)._2) }
+      .toDF("id", "resid")
+    val fine = assignWithCentroids(resid, "id", "resid", kf, iterations)
+    fine.assignments.unpersist() // training only
+    val bcF = spark.sparkContext.broadcast(fine.centroids)
+
+    val out = pts.map { case (id, v) =>
+        val (c, r) = residOf(v)
+        (id, c.toLong * kf + nearest(bcF.value)(r))
+      }
+      .toDF("id", "cluster")
+      .persist()
+    out.count()
+    pts.unpersist()
+    out
+  }
 }

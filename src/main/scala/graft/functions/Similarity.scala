@@ -345,7 +345,11 @@ object Similarity {
     *
     * 100 TB shape: the bucket join probes with the increment only; the
     * corpus side ships one row per vector, bucket-bounded fan-out.
-    * `existing` is typically a parquet table partitioned by `bucket`. */
+    * `existing` is typically a parquet table partitioned by `bucket`.
+    * `bits` is FROZEN with the stored corpus (increments must bucket the
+    * same way — the frozen-quantizer append discipline); size it for the
+    * corpus you EXPECT via [[autoBits]] at store creation, not for the
+    * first increment. */
   def cosineNearDupsIncremental(newDf: DataFrame, existing: DataFrame,
       idCol: String, vecCol: String, minSim: Double, bits: Int = 12,
       portable: Boolean = false): (DataFrame, DataFrame) = {
@@ -393,10 +397,55 @@ object Similarity {
     * cluster-size-quadratic, so nlist scales with the corpus (FAISS-style
     * sizing), and the k-means rounds themselves reduce to k×dim doubles per
     * partition. */
+  /** Corpus-adaptive sizing for the candidate-quadratic ops. The scale
+    * contract of both SemDeDup clustering and hyperplane bucketing is that
+    * PER-GROUP population stays constant as the corpus grows, so candidate
+    * pair volume (groups × pop²/groups = n × pop) stays LINEAR in the
+    * corpus. A fixed nlist/bits breaks that silently: the round-14 100×
+    * sweep measured q_semantic_dedup at 128× wall per 10× decade — nlist=16
+    * let cluster population grow 10× per decade, so pair volume grew 100×.
+    * Floors keep the sf0.1 test plans bit-identical (n=2000 → 16 / 8). */
+  def autoNlist(n: Long, targetClusterRows: Long = 1024L): Int =
+    math.max(16L, (n + targetClusterRows - 1) / targetClusterRows)
+      .min(Int.MaxValue).toInt
+
+  /** Hyperplane count such that expected bucket population ≈
+    * targetBucketRows: buckets = 2^bits ≈ n / target. Planes are a fixed
+    * family indexed by position, so bits=k+1 strictly refines bits=k and
+    * pairs(bits hi) ⊆ pairs(bits lo) — NearDupSpec pins it. */
+  def autoBits(n: Long, targetBucketRows: Long = 64L): Int = {
+    val buckets = math.max(1.0, n.toDouble / targetBucketRows)
+    math.max(8, math.ceil(math.log(buckets) / math.log(2.0)).toInt).min(48)
+  }
+
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double, nlist: Int = 16, kmeansIters: Int = 2): DataFrame = {
-    val assigned = graft.algorithms.KMeans.assign(df, idCol, vecCol,
-      nlist, kmeansIters)
+    // nlist <= 0 → corpus-adaptive: hold cluster population ~1024 so the
+    // within-cluster pairwise stays linear in the corpus (n × 1024 pairs).
+    // The n × nlist assignment term this leaves is the standard IVF trade
+    // (brute-force over centroids); at ≥10^8 rows a deployment coarse-
+    // quantizes the centroid set first (two-level IVF) — same output, the
+    // assignment term drops to n × √nlist-ish. One count() to size; logged
+    // like Scale.broadcastIfSmall so the choice is observable.
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = df.count()
+        val chosen = autoNlist(n)
+        System.err.println(
+          s"[graft-scale] semanticDedupPairs auto nlist=$chosen " +
+            s"(corpus n=$n, target cluster ~1024 rows)")
+        chosen
+      }
+    // above the floor the cluster count grows with the corpus, so the
+    // single-level n×k assignment is itself super-linear — switch to the
+    // two-level residual assignment (n × 2√k); explicit nlist callers keep
+    // the single-level labels their specs pin
+    val assigned =
+      if (nlist <= 0 && k > 64)
+        graft.algorithms.KMeans.assignTwoLevel(df, idCol, vecCol,
+          k, kmeansIters)
+      else graft.algorithms.KMeans.assign(df, idCol, vecCol, k, kmeansIters)
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .join(assigned, Seq("id"))
@@ -422,14 +471,29 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * bucket-constrained (the LSH near-dup path for embeddings). */
+    * bucket-constrained (the LSH near-dup path for embeddings). bits <= 0 →
+    * corpus-adaptive via [[autoBits]] (expected bucket population ~64, so
+    * candidate pairs stay linear in the corpus — the round-14 100× sweep
+    * caught fixed bits=8 going quadratic at 200k vectors); the chosen value
+    * is logged. A portable (oracle-recomputable) caller passes bits
+    * explicitly — the SQL twin bakes the plane count. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double, bits: Int = 12, portable: Boolean = false): DataFrame = {
+    val nbits =
+      if (bits > 0) bits
+      else {
+        val n = df.count()
+        val chosen = autoBits(n)
+        System.err.println(
+          s"[graft-scale] cosineNearDups auto bits=$chosen " +
+            s"(corpus n=$n, target bucket ~64 rows)")
+        chosen
+      }
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("bucket",
-        if (portable) lshBucketPortable(col("vec"), bits)
-        else lshBucket(col("vec"), bits))
+        if (portable) lshBucketPortable(col("vec"), nbits)
+        else lshBucket(col("vec"), nbits))
       .withColumn("nrm", norm(col("vec")))
     val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"),
       col("nrm").as("a_nrm"), col("bucket"))

@@ -407,6 +407,93 @@ class NearDupSpec extends AnyFunSuite {
     assert(ones == fullExactOnes)
   }
 
+  test("autoNlist/autoBits: floors keep sf-test plans unchanged; growth holds group population constant") {
+    import graft.functions.Similarity.{autoBits, autoNlist}
+    // sf0.1 embeddings = 2000 vectors → the floors, so committed bench
+    // plans are bit-identical before/after the corpus-adaptive change
+    assert(autoNlist(2000) == 16)
+    assert(autoBits(2000) == 8)
+    // the scale contract: cluster population n/nlist stays ≤ target once
+    // past the floor, bucket population n/2^bits stays ≤ target
+    for (n <- Seq(20000L, 200000L, 2000000L, 200000000L)) {
+      assert(n.toDouble / autoNlist(n) <= 1024.0 + 1e-9, s"n=$n")
+      assert(n.toDouble / (1L << autoBits(n)) <= 64.0 + 1e-9, s"n=$n")
+    }
+    // monotone, and bits capped (bucket key packs sign bits)
+    assert(autoNlist(200000) >= autoNlist(20000))
+    assert(autoBits(Long.MaxValue) == 48)
+  }
+
+  test("cosineNearDups: higher bits refine lower bits (pairs(hi) subset of pairs(lo))") {
+    // the hyperplane family is indexed by plane position independent of the
+    // requested count, so agreeing on 12 planes implies agreeing on the
+    // first 8 — the property that makes corpus-adaptive bits a pure
+    // precision/recall trade rather than a re-bucketing of the corpus
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def pairs(bits: Int): Set[(Long, Long)] =
+      Similarity.cosineNearDups(emb, "vec_id", "embedding",
+          minSim = 0.3, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lo = pairs(8)
+    val hi = pairs(12)
+    assert(lo.nonEmpty)
+    assert(hi.subsetOf(lo))
+    // auto mode on this fixture resolves to the floor → identical output
+    val auto = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+        minSim = 0.3, bits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == lo)
+  }
+
+  test("assignTwoLevel: deterministic space partition; semantic auto path subset of full pairwise") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // deterministic: two invocations agree label-for-label
+    def labels(): Map[Long, Long] = {
+      val a = graft.algorithms.KMeans.assignTwoLevel(
+        emb, "vec_id", "embedding", k = 81, iterations = 2)
+      val m = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      a.unpersist()
+      m
+    }
+    val l1 = labels()
+    assert(l1 == labels())
+    assert(l1.values.toSet.size > 1, "two-level must actually partition")
+    // the auto path (nlist<=0 routes through assignTwoLevel once the
+    // corpus-sized k passes the floor; this fixture resolves to the floor,
+    // so force the two-level shape via the invariant that matters: pairs
+    // from ANY partition of space are a subset of full pairwise
+    val full = graft.functions.Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", minSim = 0.4, nlist = 1, kmeansIters = 1)
+    val fullSet = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full.unpersist()
+    val twoLevelPairs = {
+      val a = graft.algorithms.KMeans.assignTwoLevel(
+        emb, "vec_id", "embedding", k = 81, iterations = 2)
+      val v = emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .join(a, Seq("id"))
+      val p = v.select(col("id").as("a_id"), col("vec").as("a_vec"), col("cluster"))
+        .join(v.select(col("id").as("b_id"), col("vec").as("b_vec"), col("cluster")),
+          Seq("cluster"))
+        .filter(col("a_id") < col("b_id"))
+      val got = p.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      a.unpersist()
+      got
+    }
+    // every candidate pair the two-level partition proposes is a real pair
+    // of co-partitioned ids — and planted identical vectors co-partition
+    assert(twoLevelPairs.forall { case (x, y) => x < y })
+    val sameVec = fullSet // sim-thresholded exact pairs
+    // identical/near-identical vectors must share a two-level cell
+    val exactDups = graft.functions.Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", minSim = 0.999999, nlist = 1, kmeansIters = 1)
+    val exactSet = exactDups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactDups.unpersist()
+    assert(exactSet.subsetOf(twoLevelPairs),
+      s"identical vectors split across two-level cells: ${exactSet -- twoLevelPairs}")
+    assert(sameVec.nonEmpty)
+  }
+
   test("DigestStore: cycles compose to full-corpus exact dedup") {
     val s = spark; import s.implicits._
     val path = java.nio.file.Files.createTempDirectory("digeststore").toString
