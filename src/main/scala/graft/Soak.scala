@@ -129,6 +129,17 @@ object Soak {
     // corpus, event-time windows over 10× window keys, simhash/incremental
     // dedup, the persistent-index ANN path, and the multi-batch streaming
     // twins (real state-store commits at 10× the keyed state)
+    // round-14 additions: the two embedding-similarity pipelines whose
+    // quadratic growth the decade-2 sweep caught were NOT in this soak set
+    // — that is exactly how fixed nlist/bits slipped past three rounds of
+    // sf1 sweeps. Both run in production (corpus-adaptive) mode here, so
+    // any future regression of the auto-sizing shows up in the per-round
+    // artifact as a super-linear wall/shuffle jump.
+    run("semantic_dedup") {
+      val p = Queries.q_semantic_dedup(spark, dir)
+      val n = p.count(); p.unpersist(); n
+    }
+    run("embedding_neardup")(Queries.q_embedding_neardup(spark, dir).count())
     run("related_items")(Queries.q_related_items(spark, dir).count())
     run("hits")(Queries.q_hits(spark, dir).count())
     run("pagerank_delta")(Queries.q_pagerank_delta(spark, dir).count())
