@@ -135,10 +135,10 @@ object Soak {
     // sf1 sweeps. Both run in production (corpus-adaptive) mode here, so
     // any future regression of the auto-sizing shows up in the per-round
     // artifact as a super-linear wall/shuffle jump.
-    run("semantic_dedup") {
-      val p = Queries.q_semantic_dedup(spark, dir)
-      val n = p.count(); p.unpersist(); n
-    }
+    // (no unpersist: q_semantic_dedup returns a select over a GC-managed
+    // localCheckpoint, not a cached table — unpersist on the derived
+    // select would be a silent no-op)
+    run("semantic_dedup")(Queries.q_semantic_dedup(spark, dir).count())
     run("embedding_neardup")(Queries.q_embedding_neardup(spark, dir).count())
     run("related_items")(Queries.q_related_items(spark, dir).count())
     run("hits")(Queries.q_hits(spark, dir).count())

@@ -56,13 +56,13 @@ object KMeans extends Serializable {
       iterations: Int): DataFrame =
     assignWithCentroids(df, idCol, vecCol, k, iterations).assignments
 
-  /** Full model variant of [[assign]]. */
-  def assignWithCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iterations: Int): Model = {
+  /** (id, vec) points dataset for training/labeling, null-safe, PERSISTED —
+    * callers own the unpersist. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
     val spark = df.sparkSession
     import spark.implicits._
-
-    val pts = df
+    df
       // null ids/vectors crash deep in the executor (non-nullable decoder /
       // NPE in nearest) — exclude them up front like the sibling curation
       // modules
@@ -71,6 +71,37 @@ object KMeans extends Serializable {
         col(vecCol).cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
       .persist()
+  }
+
+  /** Full model variant of [[assign]]. */
+  def assignWithCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val pts = prep(df, idCol, vecCol)
+    val finalCentroids = train(pts, k, iterations)
+
+    val bc = spark.sparkContext.broadcast(finalCentroids)
+    // materialize assignments before dropping the points cache — otherwise
+    // every downstream action would recompute the scan + assignment pass
+    val out = pts.map { case (id, v) => (id, nearest(bc.value)(v).toLong) }
+      .toDF("id", "cluster")
+      .persist()
+    out.count()
+    pts.unpersist()
+    Model(out, finalCentroids)
+  }
+
+  /** Lloyd training only — no assignment materialization (assignTwoLevel
+    * trains two codebooks and labels in ONE final pass; materializing an
+    * assignment table per codebook would be two wasted full labeling
+    * passes). `pts` must already be persisted (replay re-reads it every
+    * round). */
+  private def train(pts: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      k: Int, iterations: Int): Array[Array[Double]] = {
+    val spark = pts.sparkSession
+    import spark.implicits._
 
     val initCentroids: Array[Array[Double]] =
       pts.orderBy(col("id")).limit(k).collect().map(_._2)
@@ -114,16 +145,7 @@ object KMeans extends Serializable {
         next
       } { (_, _) => true }
     }
-
-    val bc = spark.sparkContext.broadcast(finalCentroids)
-    // materialize assignments before dropping the points cache — otherwise
-    // every downstream action would recompute the scan + assignment pass
-    val out = pts.map { case (id, v) => (id, nearest(bc.value)(v).toLong) }
-      .toDF("id", "cluster")
-      .persist()
-    out.count()
-    pts.unpersist()
-    Model(out, finalCentroids)
+    finalCentroids
   }
 
   /** Two-level residual assignment: coarse k-means with kc = ⌈√k⌉
@@ -145,16 +167,11 @@ object KMeans extends Serializable {
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
 
-    val coarse = assignWithCentroids(df, idCol, vecCol, kc, iterations)
-    coarse.assignments.unpersist() // training only; labels recomposed below
-    val bcC = spark.sparkContext.broadcast(coarse.centroids)
-
-    val pts = df
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .as[(Long, Array[Double])]
-      .persist()
+    // ONE point cache shared by both trainings and the final labeling —
+    // no intermediate assignment table is ever materialized (both
+    // codebooks are train-only; labels compose in the single pass below)
+    val pts = prep(df, idCol, vecCol)
+    val bcC = spark.sparkContext.broadcast(train(pts, kc, iterations))
 
     def residOf(v: Array[Double]): (Int, Array[Double]) = {
       val c = nearest(bcC.value)(v)
@@ -165,11 +182,14 @@ object KMeans extends Serializable {
       (c, r)
     }
 
+    // persisted: the fine training replays the residuals every round, and
+    // recomputing kc distances per point per round would re-pay the very
+    // term this function removes
+    // .toDF("id","vec").as[...]: train's init scan orders by col("id"), so
+    // the tuple columns must carry the names, not _1/_2
     val resid = pts.map { case (id, v) => (id, residOf(v)._2) }
-      .toDF("id", "resid")
-    val fine = assignWithCentroids(resid, "id", "resid", kf, iterations)
-    fine.assignments.unpersist() // training only
-    val bcF = spark.sparkContext.broadcast(fine.centroids)
+      .toDF("id", "vec").as[(Long, Array[Double])].persist()
+    val bcF = spark.sparkContext.broadcast(train(resid, kf, iterations))
 
     val out = pts.map { case (id, v) =>
         val (c, r) = residOf(v)
@@ -178,6 +198,7 @@ object KMeans extends Serializable {
       .toDF("id", "cluster")
       .persist()
     out.count()
+    resid.unpersist()
     pts.unpersist()
     out
   }

@@ -20,8 +20,15 @@ consistent:
                 replicas 1-9 mutate every 3rd word with a replica salt, so
                 replicas are NOT near-dups of each other and near-dup
                 density stays constant at 10x the corpus;
-  - embeddings: deterministic per-dim jitter per replica (cluster
-                structure kept).
+  - embeddings: replica 0 intact (preserves the original near-dup pairs
+                and cluster structure); replicas 1+ get a deterministic
+                per-(replica, dim) SIGN pattern — norms preserved exactly,
+                direction scrambled, so replicas are NOT cosine near-dups
+                of each other or of the original and near-dup pair volume
+                stays replica-0-sized at any R. (The original constant-
+                shift jitter left replicas at cosine ~0.99997, an R-clique
+                per vector — quadratic-in-R pair volume that poisoned the
+                scaling watch for the similarity pipelines.)
 
 Idempotent: only generates tables that are missing or whose column list
 drifted from the current sf0.1 schema (the driver regenerates testdata
@@ -44,7 +51,10 @@ SRC = "/root/testdata/sf0.1"
 def _cli(flag, default):
     import sys
     if flag in sys.argv:
-        return sys.argv[sys.argv.index(flag) + 1]
+        i = sys.argv.index(flag)
+        if i + 1 >= len(sys.argv):
+            sys.exit(f"{flag} needs a value\n\n{__doc__}")
+        return sys.argv[i + 1]
     return default
 
 
@@ -58,12 +68,22 @@ def columns(path):
     return [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
 
 
-def stale(table):
+def count(path):
+    return con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+
+
+def stale(table, replicas=1):
     dst = f"{DST}/{table}.parquet"
     if not os.path.exists(dst):
         return "missing"
     if columns(dst) != columns(f"{SRC}/{table}.parquet"):
         return "schema drift"
+    # the replica count is part of the table's identity now that it is
+    # configurable: a dst dir populated at another scale must regenerate,
+    # or a 100x leg silently measures 10x rows
+    want = count(f"{SRC}/{table}.parquet") * replicas
+    if count(dst) != want:
+        return f"row count {count(dst)} != src x {replicas} = {want}"
     return None
 
 
@@ -105,11 +125,18 @@ GEN = {
                ) END AS text,
                lang, source, n_chars
         FROM '{SRC}/documents.parquet', range({R}) r(i)""",
-    # deterministic per-dim jitter, cluster structure kept
+    # replica 0 intact; replicas 1+ sign-scramble per (replica, dim): the
+    # pattern ((i*37 + d*11 + i*d*7) % 101) % 2 has an i×d cross term, so
+    # two distinct replicas differ on ~half the dims (the i−j difference
+    # (37+7d) mod 101 sweeps residues as d varies; 101 > any sane R keeps
+    # i−j from ever vanishing mod 101) → pairwise cosine ~0, norms exact
     "embeddings": f"""
         SELECT vec_id + r.i * 100000 AS vec_id,
                CASE WHEN r.i = 0 THEN embedding ELSE
-                 list_transform(embedding, x -> CAST(x + 0.001 * r.i AS FLOAT))
+                 list_transform(range(1, len(embedding) + 1),
+                   d -> CAST(embedding[d] *
+                        (CASE WHEN (r.i * 37 + d * 11 + r.i * d * 7) % 101 % 2 = 0
+                              THEN 1.0 ELSE -1.0 END) AS FLOAT))
                END AS embedding, label
         FROM '{SRC}/embeddings.parquet', range({R}) r(i)""",
 }
@@ -132,7 +159,7 @@ def main():
         print(f"copy {table} ({why})")
         emit(table, f"SELECT * FROM '{SRC}/{table}.parquet'")
     for table, sql in GEN.items():
-        why = "forced" if force else stale(table)
+        why = "forced" if force else stale(table, replicas=R)
         if why is None:
             print(f"keep {table} (fresh)")
             continue

@@ -64,9 +64,10 @@ def main():
             "shuffle_mb": [a["shuffle_mb"], b["shuffle_mb"],
                            c["shuffle_mb"]],
             "rows_out": [a["rows"], b["rows"], c["rows"]],
-            "r_decade1": round(r1, 2) if r1 else None,
-            "r_decade2": round(r2, 2) if r2 else None,
-            "alpha": round(math.log10(r2), 2) if r2 and r2 > 0 else None,
+            "r_decade1": round(r1, 2) if r1 is not None else None,
+            "r_decade2": round(r2, 2) if r2 is not None else None,
+            "alpha": (round(math.log10(r2), 2)
+                      if r2 is not None and r2 > 0 else None),
         }
         if b["shuffle_mb"] > 0.05 and c["shuffle_mb"] > 0.05:
             fit["shuffle_alpha"] = round(
@@ -102,7 +103,9 @@ def main():
           f"decade ratios {report['aggregate_r_decade1']}x / "
           f"{report['aggregate_r_decade2']}x; {len(flagged)} flagged "
           f"> {flag_ratio}x in the top decade")
-    for k in sorted(fits, key=lambda k: -(fits[k]["alpha"] or -9)):
+    for k in sorted(fits, key=lambda k: -(fits[k]["alpha"]
+                                          if fits[k]["alpha"] is not None
+                                          else -9)):
         f = fits[k]
         tag = ("FLAG-" + ("ATTRIBUTED" if k in attr else "OPEN") + " "
                if k in flagged else "")

@@ -69,7 +69,7 @@ def main():
         ratio = qs_large[k] / qs_small[k] if qs_small[k] > 0 else None
         cells[k] = {"small_sec": round(qs_small[k], 3),
                     "large_sec": round(qs_large[k], 3),
-                    "ratio": round(ratio, 2)}
+                    "ratio": round(ratio, 2) if ratio is not None else None}
     flagged = sorted(
         [k for k, c in cells.items()
          if c["ratio"] is not None and c["ratio"] > flag_factor * rows_ratio],
