@@ -57,8 +57,11 @@ object KMeans extends Serializable {
     assignWithCentroids(df, idCol, vecCol, k, iterations).assignments
 
   /** (id, vec) points dataset for training/labeling, null-safe, PERSISTED —
-    * callers own the unpersist. */
-  private def prep(df: DataFrame, idCol: String, vecCol: String)
+    * callers own the unpersist. `private[graft]` so Similarity's corpus-
+    * adaptive sizing can count THIS dataset (the rows training actually
+    * sees — raw-input counts include null id/vec rows prep drops, and a
+    * separate raw count() is a full extra scan the cache already paid). */
+  private[graft] def prep(df: DataFrame, idCol: String, vecCol: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -76,10 +79,19 @@ object KMeans extends Serializable {
   /** Full model variant of [[assign]]. */
   def assignWithCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int): Model = {
-    val spark = df.sparkSession
-    import spark.implicits._
-
     val pts = prep(df, idCol, vecCol)
+    try assignWithCentroidsPrepped(pts, k, iterations)
+    finally pts.unpersist()
+  }
+
+  /** [[assignWithCentroids]] over an already-prepped (and persisted) points
+    * dataset — the caller owns `pts`' lifecycle. Lets Similarity pay prep
+    * once for sizing, training, and the pair join. */
+  private[graft] def assignWithCentroidsPrepped(
+      pts: org.apache.spark.sql.Dataset[(Long, Array[Double])], k: Int,
+      iterations: Int): Model = {
+    val spark = pts.sparkSession
+    import spark.implicits._
     val finalCentroids = train(pts, k, iterations)
 
     val bc = spark.sparkContext.broadcast(finalCentroids)
@@ -89,9 +101,19 @@ object KMeans extends Serializable {
       .toDF("id", "cluster")
       .persist()
     out.count()
-    pts.unpersist()
+    // executor copies freed eagerly (a long-lived session otherwise holds
+    // every round's centroid blocks until ContextCleaner GC); unpersist,
+    // not destroy — a re-fetch re-broadcasts if a cached block is ever
+    // recomputed
+    bc.unpersist()
     Model(out, finalCentroids)
   }
+
+  /** [[assign]] over an already-prepped points dataset. */
+  private[graft] def assignPrepped(
+      pts: org.apache.spark.sql.Dataset[(Long, Array[Double])], k: Int,
+      iterations: Int): DataFrame =
+    assignWithCentroidsPrepped(pts, k, iterations).assignments
 
   /** Lloyd training only — no assignment materialization (assignTwoLevel
     * trains two codebooks and labels in ONE final pass; materializing an
@@ -138,6 +160,7 @@ object KMeans extends Serializable {
           }
           .map(_._2)
           .collect()
+        bc.unpersist() // round is fully reduced; free the executor copies
         val next = centroids.clone()
         agg.foreach { case (cI, s, n) =>
           if (n > 0) next(cI) = s.map(x => round6(x / n))
@@ -162,15 +185,24 @@ object KMeans extends Serializable {
     * the final labeling see bit-identical inputs regardless of plan. */
   def assignTwoLevel(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
-
     // ONE point cache shared by both trainings and the final labeling —
     // no intermediate assignment table is ever materialized (both
     // codebooks are train-only; labels compose in the single pass below)
     val pts = prep(df, idCol, vecCol)
+    try assignTwoLevelPrepped(pts, k, iterations)
+    finally pts.unpersist()
+  }
+
+  /** [[assignTwoLevel]] over an already-prepped (persisted) points dataset —
+    * the caller owns `pts`' lifecycle. */
+  private[graft] def assignTwoLevelPrepped(
+      pts: org.apache.spark.sql.Dataset[(Long, Array[Double])], k: Int,
+      iterations: Int): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
+
     val bcC = spark.sparkContext.broadcast(train(pts, kc, iterations))
 
     def residOf(v: Array[Double]): (Int, Array[Double]) = {
@@ -198,8 +230,11 @@ object KMeans extends Serializable {
       .toDF("id", "cluster")
       .persist()
     out.count()
+    // labels are materialized; free the codebook executor copies eagerly
+    // (unpersist, not destroy — cache recomputation can still re-fetch)
+    bcC.unpersist()
+    bcF.unpersist()
     resid.unpersist()
-    pts.unpersist()
     out
   }
 }

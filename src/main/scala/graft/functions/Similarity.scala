@@ -419,22 +419,27 @@ object Similarity {
   }
 
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, nlist: Int = 16, kmeansIters: Int = 2): DataFrame = {
-    // nlist <= 0 → corpus-adaptive: hold cluster population ~1024 so the
-    // within-cluster pairwise stays linear in the corpus (n × 1024 pairs).
-    // The n × nlist assignment term this leaves is the standard IVF trade
-    // (brute-force over centroids); at ≥10^8 rows a deployment coarse-
-    // quantizes the centroid set first (two-level IVF) — same output, the
-    // assignment term drops to n × √nlist-ish. One count() to size; logged
-    // like Scale.broadcastIfSmall so the choice is observable.
+      minSim: Double, nlist: Int = 16, kmeansIters: Int = 2,
+      targetClusterRows: Long = 1024L): DataFrame = {
+    // nlist <= 0 → corpus-adaptive: hold cluster population ~targetClusterRows
+    // (default 1024) so the within-cluster pairwise stays linear in the
+    // corpus (n × target pairs). The n × nlist assignment term this leaves
+    // is the standard IVF trade (brute-force over centroids); past the
+    // 64-cluster routing threshold below it drops to n × 2√nlist via the
+    // two-level residual assignment. Sizing counts the PREPPED points (the
+    // rows training actually sees — a raw df.count() would re-scan the
+    // input AND over-count null id/vec rows KMeans.prep drops); the same
+    // persisted dataset then feeds both trainings and the pair join, so
+    // sizing rides the cache-materialization pass training needs anyway.
+    val pts = graft.algorithms.KMeans.prep(df, idCol, vecCol)
     val k =
       if (nlist > 0) nlist
       else {
-        val n = df.count()
-        val chosen = autoNlist(n)
+        val n = pts.count()
+        val chosen = autoNlist(n, targetClusterRows)
         System.err.println(
           s"[graft-scale] semanticDedupPairs auto nlist=$chosen " +
-            s"(corpus n=$n, target cluster ~1024 rows)")
+            s"(corpus n=$n, target cluster ~$targetClusterRows rows)")
         chosen
       }
     // above the floor the cluster count grows with the corpus, so the
@@ -443,11 +448,9 @@ object Similarity {
     // the single-level labels their specs pin
     val assigned =
       if (nlist <= 0 && k > 64)
-        graft.algorithms.KMeans.assignTwoLevel(df, idCol, vecCol,
-          k, kmeansIters)
-      else graft.algorithms.KMeans.assign(df, idCol, vecCol, k, kmeansIters)
-    val v = df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
+        graft.algorithms.KMeans.assignTwoLevelPrepped(pts, k, kmeansIters)
+      else graft.algorithms.KMeans.assignPrepped(pts, k, kmeansIters)
+    val v = pts.toDF("id", "vec")
       .join(assigned, Seq("id"))
       .withColumn("nrm", norm(col("vec")))
     val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"),
@@ -461,13 +464,13 @@ object Similarity {
           col("a_nrm"), col("b_nrm")), 6)
           .as("sim"))
       .filter(col("sim") >= minSim)
-    // assign() hands back a persisted assignment table; materialize the
-    // (small) pair output as GC-managed localCheckpoint blocks — not a
+    // assignPrepped hands back a persisted assignment table; materialize
+    // the (small) pair output as GC-managed localCheckpoint blocks — not a
     // returned-still-persisted table the caller would have to release —
-    // then drop the assignment cache. try/finally: an exception in the
-    // materialization must not strand the assignment cache either.
+    // then drop the assignment and points caches. try/finally: an exception
+    // in the materialization must not strand either cache.
     try out.localCheckpoint()
-    finally assigned.unpersist()
+    finally { assigned.unpersist(); pts.unpersist() }
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
@@ -482,7 +485,10 @@ object Similarity {
     val nbits =
       if (bits > 0) bits
       else {
-        val n = df.count()
+        // count what actually buckets: null id/vec rows drop out of the
+        // bucket join anyway, and counting them would overestimate n
+        val n = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .count()
         val chosen = autoBits(n)
         System.err.println(
           s"[graft-scale] cosineNearDups auto bits=$chosen " +

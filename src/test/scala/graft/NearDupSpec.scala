@@ -494,6 +494,43 @@ class NearDupSpec extends AnyFunSuite {
     assert(sameVec.nonEmpty)
   }
 
+  test("semanticDedupPairs auto mode routes through assignTwoLevel end-to-end past the 64-cluster threshold") {
+    // the sf fixtures resolve auto mode to the single-level floor, so the
+    // nlist<=0 && k>64 routing (and semanticDedupPairs' handling of
+    // composed two-level labels) was otherwise never exercised end-to-end;
+    // a sub-threshold targetClusterRows pushes this ~500-vector corpus
+    // past the threshold. This fixture has no sim≈1 pairs of its own, so
+    // plant three exact duplicates under fresh ids — they must co-partition
+    // through the routed two-level path
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = base.unionByName(
+      base.orderBy("vec_id").limit(3)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    assert(Similarity.autoNlist(emb.count(), 4) > 64)
+    val auto = Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", minSim = 0.4, nlist = 0, kmeansIters = 2,
+      targetClusterRows = 4)
+    val autoSet = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    auto.unpersist()
+    val full = Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", minSim = 0.4, nlist = 1, kmeansIters = 1)
+    val fullSet = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full.unpersist()
+    // any space partition can only DROP pairs relative to exact pairwise
+    assert(fullSet.nonEmpty)
+    assert(autoSet.subsetOf(fullSet),
+      s"two-level auto path invented pairs: ${autoSet -- fullSet}")
+    // identical vectors share a two-level cell by construction, so planted
+    // sim≈1 duplicates must survive the routed path
+    val exact = Similarity.semanticDedupPairs(
+      emb, "vec_id", "embedding", minSim = 0.999999, nlist = 1, kmeansIters = 1)
+    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.unpersist()
+    assert(exactSet.nonEmpty)
+    assert(exactSet.subsetOf(autoSet),
+      s"planted duplicates lost by the auto two-level route: ${exactSet -- autoSet}")
+  }
+
   test("DigestStore: cycles compose to full-corpus exact dedup") {
     val s = spark; import s.implicits._
     val path = java.nio.file.Files.createTempDirectory("digeststore").toString

@@ -21,14 +21,16 @@ consistent:
                 replicas are NOT near-dups of each other and near-dup
                 density stays constant at 10x the corpus;
   - embeddings: replica 0 intact (preserves the original near-dup pairs
-                and cluster structure); replicas 1+ get a deterministic
-                per-(replica, dim) SIGN pattern — norms preserved exactly,
-                direction scrambled, so replicas are NOT cosine near-dups
-                of each other or of the original and near-dup pair volume
-                stays replica-0-sized at any R. (The original constant-
-                shift jitter left replicas at cosine ~0.99997, an R-clique
-                per vector — quadratic-in-R pair volume that poisoned the
-                scaling watch for the similarity pipelines.)
+                and cluster structure); replicas 1+ each get a verified
+                SIGNED PERMUTATION of the dims (orthogonal map — norms
+                preserved exactly) so same-base replica pairs are
+                statistically indistinguishable from fresh random draws
+                of this corpus: replicas add no STRUCTURED near-dup pairs
+                at any R. See the comment block above `verified_scramble`
+                for the two prior failure modes (constant-shift jitter:
+                cos ~0.99997 R-cliques; LCG sign pattern: replica 85
+                bit-identical to replica 0) and why sign flips without a
+                permutation still leave a 60x-natural near-dup rate.
 
 Idempotent: only generates tables that are missing or whose column list
 drifted from the current sf0.1 schema (the driver regenerates testdata
@@ -62,6 +64,131 @@ DST = _cli("--dst", "/tmp/soak_sf1")
 R = int(_cli("--replicas", "10"))
 
 con = duckdb.connect()
+
+# Replica scrambling = one SIGNED PERMUTATION per replica (permute dims,
+# then flip signs) -- an orthogonal map, so norms are preserved EXACTLY.
+# Why both parts are necessary (failure history):
+#   - constant-shift jitter (round <14): replicas at cosine ~0.99997 --
+#     an R-clique per vector, pair volume quadratic in R by data;
+#   - LCG sign pattern (round 14): per-dim step (11+7i) vanishes mod 101
+#     at i=85 -> replica 85 bit-identical to replica 0, ~27 other pairs
+#     near-dup on EVERY base vector;
+#   - hash signs alone (measured this round): same-base replicas share
+#     per-dim MAGNITUDES, so the pair cosine is sum_d w_d s_i s_j with
+#     w_d = e_d^2/||e||^2 concentrated on ~20 effective dims -> the
+#     |cos| >= 0.4 rate is ~5.5% per (pair, vector), 60x the natural
+#     cross-base rate of ~0.09%. 64 dims cannot keep C(R,2) sign-product
+#     rows out of every vector's weighted tail.
+# Permuting dims decorrelates the magnitude profiles too: measured at
+# R=100 the same-base |cos| >= 0.4 rate is ~0.099% -- statistically
+# identical to fresh random draws from this corpus, which is the
+# invariant the scaling sweeps need (replicas add no STRUCTURED near-dup
+# pairs; the corpus's own random tail is a base-data property either
+# way). Signs are still greedily balanced pairwise (max uniform
+# sign-agreement imbalance <= IMB_MAX < 0.4), and the final matrix is
+# verified against the real corpus before use.
+IMB_MAX = 0.3  # uniform sign-imbalance bound per row pair
+
+
+def _md5(*parts):
+    import hashlib
+    return hashlib.md5(":".join(str(p) for p in parts).encode()).digest()
+
+
+def _sign_row(seed, salt, i, dims):
+    return [1 if _md5("graft-soak-sign", seed, salt, i, d)[0] & 1 else -1
+            for d in range(dims)]
+
+
+def _perm_row(seed, i, dims):
+    """Deterministic md5-driven Fisher-Yates permutation of 0..dims-1."""
+    perm = list(range(dims))
+    for d in range(dims - 1, 0, -1):
+        j = int.from_bytes(_md5("graft-soak-perm", seed, i, d), "big") % (d + 1)
+        perm[d], perm[j] = perm[j], perm[d]
+    return perm
+
+
+def sign_matrix(replicas, dims, seed=0):
+    """Row 0 all +1; each later row greedily salted until its sign
+    agreement with EVERY previously accepted row (including all-ones,
+    i.e. its own balance) stays within IMB_MAX of 50/50 -- the
+    constructive version of 'no two replicas share most sign flips'."""
+    limit = int(IMB_MAX * dims)
+    rows = [[1] * dims]
+    for i in range(1, replicas):
+        for salt in range(20000):
+            cand = _sign_row(seed, salt, i, dims)
+            if all(abs(sum(a * b for a, b in zip(cand, prev))) <= limit
+                   for prev in rows):
+                rows.append(cand)
+                break
+        else:
+            sys.exit(f"sign_matrix: no balanced row for replica {i} "
+                     f"(dims={dims}, seed={seed})")
+    return rows
+
+
+def verified_scramble(replicas, src_embeddings):
+    """Build (perm, sign) rows per replica and VERIFY them against the
+    real corpus before use: for every replica pair (i, j) and every base
+    vector e, the scrambled-copy cosine is
+      |sum_d e[perm_i(d)] s_i(d) e[perm_j(d)] s_j(d)| / ||e||^2 .
+    Asserts (retrying on the next seed if violated):
+      (a) CLIQUE guard: no replica pair is a near-dup (>= minSim 0.4) for
+          more than 1% of base vectors (the LCG degeneracy hit 100%;
+          honest random pairs measure ~0.1%);
+      (b) no recreated exact dups: global max |cos| < 0.95;
+      (c) max uniform sign imbalance <= IMB_MAX (constructive, re-checked).
+    Returns (perm_rows, sign_rows, stats)."""
+    import numpy as np
+    raw = con.execute(
+        f"SELECT embedding FROM '{src_embeddings}' "
+        "WHERE embedding IS NOT NULL").fetchall()
+    lens = {len(r[0]) for r in raw}
+    if len(lens) != 1:
+        sys.exit(f"embeddings are ragged ({sorted(lens)}); the signed "
+                 "permutation needs a fixed dimensionality")
+    dims = lens.pop()
+    E = np.array([r[0] for r in raw], dtype=float)
+    nrm2 = (E * E).sum(axis=1)
+    E = E[nrm2 > 0]
+    nrm2 = nrm2[nrm2 > 0]
+    for seed in range(16):
+        S = np.array(sign_matrix(replicas, dims, seed=seed))
+        imb = 0.0
+        for i in range(replicas):
+            for j in range(i + 1, replicas):
+                imb = max(imb, abs(int(S[i] @ S[j])) / dims)
+        P = [np.arange(dims)] + [np.array(_perm_row(seed, i, dims))
+                                 for i in range(1, replicas)]
+        max_cos, max_frac = 0.0, 0.0
+        for i in range(replicas):
+            for j in range(i + 1, replicas):
+                cos = np.abs((E[:, P[i]] * E[:, P[j]] * (S[i] * S[j]))
+                             .sum(axis=1) / nrm2)
+                max_cos = max(max_cos, float(cos.max()))
+                max_frac = max(max_frac, float((cos >= 0.4).mean()))
+        if max_frac <= 0.01 and max_cos < 0.95 and imb <= IMB_MAX:
+            print(f"scramble: R={replicas} dims={dims} seed={seed} "
+                  f"max clique frac={max_frac:.4f} (<=0.01), "
+                  f"max |cos|={max_cos:.3f} (<0.95), "
+                  f"max sign imbalance={imb:.3f} (<= {IMB_MAX})")
+            return ([p.tolist() for p in P], S.astype(int).tolist())
+        print(f"scramble: seed {seed} rejected (clique frac={max_frac:.4f},"
+              f" max|cos|={max_cos:.3f}, imbalance={imb:.3f})")
+    sys.exit("verified_scramble: no seed passed the corpus check")
+
+
+def scramble_values_sql(replicas, src_embeddings):
+    """DuckDB VALUES literal: (replica, INT[] 1-based perm, DOUBLE[] signs)."""
+    perms, signs = verified_scramble(replicas, src_embeddings)
+    return ", ".join(
+        "({}, [{}], [{}])".format(
+            i,
+            ", ".join(str(p + 1) for p in perms[i]),
+            ", ".join(f"{s}.0" for s in signs[i]))
+        for i in range(replicas))
 
 
 def columns(path):
@@ -125,20 +252,22 @@ GEN = {
                ) END AS text,
                lang, source, n_chars
         FROM '{SRC}/documents.parquet', range({R}) r(i)""",
-    # replica 0 intact; replicas 1+ sign-scramble per (replica, dim): the
-    # pattern ((i*37 + d*11 + i*d*7) % 101) % 2 has an i×d cross term, so
-    # two distinct replicas differ on ~half the dims (the i−j difference
-    # (37+7d) mod 101 sweeps residues as d varies; 101 > any sane R keeps
-    # i−j from ever vanishing mod 101) → pairwise cosine ~0, norms exact
-    "embeddings": f"""
+    # replica 0 intact; replicas 1+ get the verified SIGNED PERMUTATION
+    # for that replica (see verified_scramble: md5-derived, clique- and
+    # max-cosine-checked against this very corpus) -> norms exact,
+    # magnitude profile AND direction scrambled, same-base replica pairs
+    # statistically indistinguishable from fresh random draws. Lazy
+    # (callable): the build + corpus verification only runs when the
+    # embeddings table actually regenerates.
+    "embeddings": lambda: f"""
         SELECT vec_id + r.i * 100000 AS vec_id,
                CASE WHEN r.i = 0 THEN embedding ELSE
                  list_transform(range(1, len(embedding) + 1),
-                   d -> CAST(embedding[d] *
-                        (CASE WHEN (r.i * 37 + d * 11 + r.i * d * 7) % 101 % 2 = 0
-                              THEN 1.0 ELSE -1.0 END) AS FLOAT))
+                   d -> CAST(embedding[s.prm[d]] * s.sgn[d] AS FLOAT))
                END AS embedding, label
-        FROM '{SRC}/embeddings.parquet', range({R}) r(i)""",
+        FROM '{SRC}/embeddings.parquet', range({R}) r(i)
+        JOIN (VALUES {scramble_values_sql(R, f"{SRC}/embeddings.parquet")})
+          s(si, prm, sgn) ON s.si = r.i""",
 }
 
 
@@ -164,7 +293,7 @@ def main():
             print(f"keep {table} (fresh)")
             continue
         print(f"regen {table} ({why})")
-        emit(table, sql)
+        emit(table, sql() if callable(sql) else sql)
 
 
 if __name__ == "__main__":
