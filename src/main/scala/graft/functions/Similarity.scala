@@ -432,45 +432,50 @@ object Similarity {
     // persisted dataset then feeds both trainings and the pair join, so
     // sizing rides the cache-materialization pass training needs anyway.
     val pts = graft.algorithms.KMeans.prep(df, idCol, vecCol)
-    val k =
-      if (nlist > 0) nlist
-      else {
-        val n = pts.count()
-        val chosen = autoNlist(n, targetClusterRows)
-        System.err.println(
-          s"[graft-scale] semanticDedupPairs auto nlist=$chosen " +
-            s"(corpus n=$n, target cluster ~$targetClusterRows rows)")
-        chosen
-      }
-    // above the floor the cluster count grows with the corpus, so the
-    // single-level n×k assignment is itself super-linear — switch to the
-    // two-level residual assignment (n × 2√k); explicit nlist callers keep
-    // the single-level labels their specs pin
-    val assigned =
-      if (nlist <= 0 && k > 64)
-        graft.algorithms.KMeans.assignTwoLevelPrepped(pts, k, kmeansIters)
-      else graft.algorithms.KMeans.assignPrepped(pts, k, kmeansIters)
-    val v = pts.toDF("id", "vec")
-      .join(assigned, Seq("id"))
-      .withColumn("nrm", norm(col("vec")))
-    val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"),
-      col("nrm").as("a_nrm"), col("cluster"))
-    val b = v.select(col("id").as("b_id"), col("vec").as("b_vec"),
-      col("nrm").as("b_nrm"), col("cluster"))
-    val out = a.join(b, Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(cosineOf(dotFast(col("a_vec"), col("b_vec")),
-          col("a_nrm"), col("b_nrm")), 6)
-          .as("sim"))
-      .filter(col("sim") >= minSim)
-    // assignPrepped hands back a persisted assignment table; materialize
-    // the (small) pair output as GC-managed localCheckpoint blocks — not a
-    // returned-still-persisted table the caller would have to release —
-    // then drop the assignment and points caches. try/finally: an exception
-    // in the materialization must not strand either cache.
-    try out.localCheckpoint()
-    finally { assigned.unpersist(); pts.unpersist() }
+    // try/finally from the moment each cache exists: a failure anywhere in
+    // sizing, training, assignment, or the pair materialization must not
+    // strand the points (or assignment) blocks in a long-lived session
+    try {
+      val k =
+        if (nlist > 0) nlist
+        else {
+          val n = pts.count()
+          val chosen = autoNlist(n, targetClusterRows)
+          System.err.println(
+            s"[graft-scale] semanticDedupPairs auto nlist=$chosen " +
+              s"(corpus n=$n, target cluster ~$targetClusterRows rows)")
+          chosen
+        }
+      // above the floor the cluster count grows with the corpus, so the
+      // single-level n×k assignment is itself super-linear — switch to the
+      // two-level residual assignment (n × 2√k); explicit nlist callers keep
+      // the single-level labels their specs pin
+      val assigned =
+        if (nlist <= 0 && k > 64)
+          graft.algorithms.KMeans.assignTwoLevelPrepped(pts, k, kmeansIters)
+        else graft.algorithms.KMeans.assignPrepped(pts, k, kmeansIters)
+      try {
+        val v = pts.toDF("id", "vec")
+          .join(assigned, Seq("id"))
+          .withColumn("nrm", norm(col("vec")))
+        val a = v.select(col("id").as("a_id"), col("vec").as("a_vec"),
+          col("nrm").as("a_nrm"), col("cluster"))
+        val b = v.select(col("id").as("b_id"), col("vec").as("b_vec"),
+          col("nrm").as("b_nrm"), col("cluster"))
+        val out = a.join(b, Seq("cluster"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(cosineOf(dotFast(col("a_vec"), col("b_vec")),
+              col("a_nrm"), col("b_nrm")), 6)
+              .as("sim"))
+          .filter(col("sim") >= minSim)
+        // assignPrepped hands back a persisted assignment table;
+        // materialize the (small) pair output as GC-managed localCheckpoint
+        // blocks — not a returned-still-persisted table the caller would
+        // have to release — then drop the assignment and points caches
+        out.localCheckpoint()
+      } finally assigned.unpersist()
+    } finally pts.unpersist()
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

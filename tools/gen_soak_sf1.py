@@ -89,6 +89,13 @@ con = duckdb.connect()
 # verified against the real corpus before use.
 IMB_MAX = 0.3  # uniform sign-imbalance bound per row pair
 
+# Bumped whenever the embeddings scramble construction changes. The
+# staleness check can see schema/row-count drift but NOT a formula
+# change (the round-14 LCG -> signed-permutation swap kept both), so the
+# version is recorded in a sidecar next to the table and a mismatch
+# forces regeneration instead of silently keeping a degenerate corpus.
+SCRAMBLE_VERSION = "signed-perm-v1"
+
 
 def _md5(*parts):
     import hashlib
@@ -113,7 +120,10 @@ def sign_matrix(replicas, dims, seed=0):
     """Row 0 all +1; each later row greedily salted until its sign
     agreement with EVERY previously accepted row (including all-ones,
     i.e. its own balance) stays within IMB_MAX of 50/50 -- the
-    constructive version of 'no two replicas share most sign flips'."""
+    constructive version of 'no two replicas share most sign flips'.
+    Returns None when the greedy search exhausts its salt budget for a
+    row (the caller advances to the next seed, which re-orders the
+    accepted-row prefix and can succeed where this seed could not)."""
     limit = int(IMB_MAX * dims)
     rows = [[1] * dims]
     for i in range(1, replicas):
@@ -124,8 +134,9 @@ def sign_matrix(replicas, dims, seed=0):
                 rows.append(cand)
                 break
         else:
-            sys.exit(f"sign_matrix: no balanced row for replica {i} "
-                     f"(dims={dims}, seed={seed})")
+            print(f"sign_matrix: seed {seed} exhausted at replica {i} "
+                  f"(dims={dims}); trying next seed")
+            return None
     return rows
 
 
@@ -140,7 +151,7 @@ def verified_scramble(replicas, src_embeddings):
           honest random pairs measure ~0.1%);
       (b) no recreated exact dups: global max |cos| < 0.95;
       (c) max uniform sign imbalance <= IMB_MAX (constructive, re-checked).
-    Returns (perm_rows, sign_rows, stats)."""
+    Returns (perm_rows, sign_rows)."""
     import numpy as np
     raw = con.execute(
         f"SELECT embedding FROM '{src_embeddings}' "
@@ -155,7 +166,10 @@ def verified_scramble(replicas, src_embeddings):
     E = E[nrm2 > 0]
     nrm2 = nrm2[nrm2 > 0]
     for seed in range(16):
-        S = np.array(sign_matrix(replicas, dims, seed=seed))
+        rows = sign_matrix(replicas, dims, seed=seed)
+        if rows is None:
+            continue
+        S = np.array(rows)
         imb = 0.0
         for i in range(replicas):
             for j in range(i + 1, replicas):
@@ -199,7 +213,11 @@ def count(path):
     return con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
 
 
-def stale(table, replicas=1):
+def genver_path(table):
+    return f"{DST}/.{table}.genver"
+
+
+def stale(table, replicas=1, genver=None):
     dst = f"{DST}/{table}.parquet"
     if not os.path.exists(dst):
         return "missing"
@@ -211,6 +229,16 @@ def stale(table, replicas=1):
     want = count(f"{SRC}/{table}.parquet") * replicas
     if count(dst) != want:
         return f"row count {count(dst)} != src x {replicas} = {want}"
+    # schema and row count are blind to a generation-FORMULA change (the
+    # LCG -> signed-permutation swap kept both), so formula-bearing
+    # tables record their scheme version in a sidecar
+    if genver is not None:
+        try:
+            have = open(genver_path(table)).read().strip()
+        except OSError:
+            have = "<none>"
+        if have != genver:
+            return f"generator scheme {have} != {genver}"
     return None
 
 
@@ -288,12 +316,16 @@ def main():
         print(f"copy {table} ({why})")
         emit(table, f"SELECT * FROM '{SRC}/{table}.parquet'")
     for table, sql in GEN.items():
-        why = "forced" if force else stale(table, replicas=R)
+        ver = SCRAMBLE_VERSION if table == "embeddings" else None
+        why = "forced" if force else stale(table, replicas=R, genver=ver)
         if why is None:
             print(f"keep {table} (fresh)")
             continue
         print(f"regen {table} ({why})")
         emit(table, sql() if callable(sql) else sql)
+        if ver is not None:
+            with open(genver_path(table), "w") as f:
+                f.write(ver + "\n")
 
 
 if __name__ == "__main__":
