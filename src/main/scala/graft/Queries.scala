@@ -1987,12 +1987,15 @@ object Queries {
 
   /** The ONE lineitem fingerprint shared by the kmv/hist store caches —
     * two inlined copies coupled only by the memo key could silently drift
-    * and derive a WRONG cache path for whichever query ran second. */
+    * and derive a WRONG cache path for whichever query ran second. Covers
+    * the UNION of columns its consumers read: kmv sketches l_orderkey,
+    * hist bins l_extendedprice (an orderkey-only hash would keep a stale
+    * histogram if prices changed under unchanged keys). */
   private def lineitemStoreFp(li: DataFrame, dir: String): String =
     graft.functions.CacheKey.memoFp(s"listore|$dir") {
       val fpRow = li.agg(count(lit(1)), coalesce(sum(
-        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
-          .cast("long") % lit(2147483647L)), lit(0L))).head()
+        pmod(xxhash64(col("l_orderkey"), col("l_extendedprice")),
+          lit(2147483647L))), lit(0L))).head()
       s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     }
 
@@ -3867,10 +3870,13 @@ object Queries {
   def q_inverted_index(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    // the index stores doc_id postings, so the fingerprint must cover the
+    // ids too — a text-only hash would serve stale postings if ids were
+    // ever reassigned over identical text
     val fp = graft.functions.CacheKey.memoFp(s"invidx|$dir") {
       val fpRow = docs.agg(count(lit(1)), coalesce(sum(
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
-          % lit(2147483647L)), lit(0L))).head()
+        pmod(xxhash64(col("doc_id"), col("text")),
+          lit(2147483647L))), lit(0L))).head()
       s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     }
     val path = graft.functions.CacheKey.path("invidx", version = 1, sfTag,
@@ -5944,10 +5950,15 @@ object Queries {
   def q_ann_ivf_persist(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    // fingerprint covers BOTH columns the index derives from: an id-only
+    // hash let a corpus whose VECTORS changed under unchanged ids (exactly
+    // what a scramble-scheme regeneration does) silently serve the stale
+    // index while the oracle recomputed fresh — caught by the round-15
+    // sf1 hash sweep
     val fp = graft.functions.CacheKey.memoFp(s"ivf|$dir") {
       val fpRow = emb.agg(count(lit(1)), coalesce(sum(
-        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % lit(2147483647L)), lit(0L))).head()
+        pmod(xxhash64(col("vec_id"), col("embedding")),
+          lit(2147483647L))), lit(0L))).head()
       s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
     }
     val nlist = 8
