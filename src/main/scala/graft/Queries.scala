@@ -1882,9 +1882,7 @@ object Queries {
         java.nio.file.Files.getLastModifiedTime(srcP).toMillis}"
       val fp = graft.functions.CacheKey.memoFp(
           s"streamsplit|$dir|$table|$fresh") {
-        val fpRow = raw.agg(count(lit(1)), coalesce(sum(
-          pmod(xxhash64(raw.columns.map(col): _*), lit(2147483647L))), lit(0L))).head()
-        s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+        graft.functions.CacheKey.contentFp(raw, raw.columns.map(col): _*)
       }
       val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
         "streamsplit", version = 1, sfTag,
@@ -1993,10 +1991,8 @@ object Queries {
     * histogram if prices changed under unchanged keys). */
   private def lineitemStoreFp(li: DataFrame, dir: String): String =
     graft.functions.CacheKey.memoFp(s"listore|$dir") {
-      val fpRow = li.agg(count(lit(1)), coalesce(sum(
-        pmod(xxhash64(col("l_orderkey"), col("l_extendedprice")),
-          lit(2147483647L))), lit(0L))).head()
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      graft.functions.CacheKey.contentFp(li,
+        col("l_orderkey"), col("l_extendedprice"))
     }
 
   /** Forces (Some(true)) or suppresses (Some(false)) the stop/resume replay
@@ -2557,10 +2553,8 @@ object Queries {
     // and each used to re-pay the full-lineitem fingerprint scan per call
     // just to re-derive the same cache path
     val fp = graft.functions.CacheKey.memoFp(s"copurchase|$dir") {
-      val fpRow = li.agg(count(lit(1)), coalesce(sum(
-        pmod(xxhash64(col("l_orderkey"), col("l_partkey")),
-          lit(2147483647L))), lit(0L))).head()
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      graft.functions.CacheKey.contentFp(li,
+        col("l_orderkey"), col("l_partkey"))
     }
     val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
       "copurchase", version = 1, sfTag, Seq(maxBasketSize, minCount), fp))
@@ -3874,10 +3868,7 @@ object Queries {
     // ids too — a text-only hash would serve stale postings if ids were
     // ever reassigned over identical text
     val fp = graft.functions.CacheKey.memoFp(s"invidx|$dir") {
-      val fpRow = docs.agg(count(lit(1)), coalesce(sum(
-        pmod(xxhash64(col("doc_id"), col("text")),
-          lit(2147483647L))), lit(0L))).head()
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      graft.functions.CacheKey.contentFp(docs, col("doc_id"), col("text"))
     }
     val path = graft.functions.CacheKey.path("invidx", version = 1, sfTag,
       Seq("doc_id", "text"), fp)
@@ -5956,10 +5947,7 @@ object Queries {
     // index while the oracle recomputed fresh — caught by the round-15
     // sf1 hash sweep
     val fp = graft.functions.CacheKey.memoFp(s"ivf|$dir") {
-      val fpRow = emb.agg(count(lit(1)), coalesce(sum(
-        pmod(xxhash64(col("vec_id"), col("embedding")),
-          lit(2147483647L))), lit(0L))).head()
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      graft.functions.CacheKey.contentFp(emb, col("vec_id"), col("embedding"))
     }
     val nlist = 8
     val kmeansIters = 2

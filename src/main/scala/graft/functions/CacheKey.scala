@@ -25,6 +25,23 @@ object CacheKey {
   private def token(v: Any): String =
     v.toString.replaceAll("[^0-9a-zA-Z.]", "-")
 
+  /** Order-independent corpus content fingerprint: row count + sum of
+    * per-row xxhash64 over EXACTLY the columns the cached artifact derives
+    * from. The column list is the caller's contract: an under-covering
+    * list (ids but not payload) lets a corpus whose content changed under
+    * unchanged keys silently serve a stale artifact — the round-15 sf1
+    * hash sweep caught the IVF store doing exactly that. One shared
+    * definition so the coverage rule is testable instead of re-inlined
+    * per site (each per-row hash is reduced mod 2^31-1, so the sum of any
+    * realistic corpus cannot overflow the long). */
+  def contentFp(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): String = {
+    import org.apache.spark.sql.functions._
+    val fpRow = df.agg(count(lit(1)), coalesce(sum(
+      pmod(xxhash64(cols: _*), lit(2147483647L))), lit(0L))).head()
+    s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+  }
+
   /** `/tmp/graft_{kind}_v{version}[_{p1}_{p2}...]_{sfTag}_{fp}`
     *
     * Every variable axis — params, sfTag AND fp — is rendered through

@@ -45,4 +45,38 @@ class CacheKeySpec extends AnyFunSuite {
     assert(CacheKey.path("k", 1, "b_t", Seq("a"), "f")
       != CacheKey.path("k", 1, "t", Seq("a_b"), "f"))
   }
+
+  test("contentFp covers the payload: changed values under identical ids change the fingerprint") {
+    // the round-15 stale-cache bug: the IVF store fingerprinted vec_id
+    // only, so a corpus whose VECTORS changed under unchanged ids served
+    // a stale index from a prior session's /tmp. contentFp is the one
+    // shared fingerprint; this pins its coverage and order-independence.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def df(shift: Float) =
+      (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => (i * 8 + d).toFloat + shift)))
+        .toDF("vec_id", "embedding")
+    val base = CacheKey.contentFp(df(0f), col("vec_id"), col("embedding"))
+    // same content -> same fp (the reuse contract)
+    assert(base == CacheKey.contentFp(df(0f), col("vec_id"), col("embedding")))
+    // shuffled row order -> same fp (order-independent sum)
+    assert(base == CacheKey.contentFp(
+      df(0f).orderBy(col("vec_id").desc).repartition(3),
+      col("vec_id"), col("embedding")))
+    // identical ids + changed payload -> DIFFERENT fp (the bug class)
+    assert(base != CacheKey.contentFp(df(1f), col("vec_id"), col("embedding")))
+    // id-only coverage would NOT see the payload change — the hazard the
+    // per-site column list must avoid
+    assert(CacheKey.contentFp(df(0f), col("vec_id"))
+      == CacheKey.contentFp(df(1f), col("vec_id")))
+    // dropped rows -> different fp (count axis)
+    assert(base != CacheKey.contentFp(
+      df(0f).filter(col("vec_id") < 39), col("vec_id"), col("embedding")))
+  }
 }
