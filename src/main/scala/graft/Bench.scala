@@ -127,23 +127,10 @@ object Bench {
           s"[bench] sf=$sf is not the BENCH_FULL.json convention (sf0.1); writing $redirected")
         redirected
       } else fullOutRaw
-    // the PREVIOUS round's committed artifact is whatever sits at the
-    // BENCH_FULL.json convention path (or SPARK_GRAFT_PREV) before this run
-    // overwrites it — read it FIRST so every bench run carries a mechanical
-    // round-over-round common-key ratio (round-11 verdict #3: the narrative
-    // compared against an intra-round snapshot; the committed artifact is
-    // the only honest baseline, so compute it in code). readPrevQueries
-    // refuses a prior artifact at a different scale factor — an sf0.001
-    // iteration run must not "compare" against the committed sf0.1 numbers.
-    // the prev artifact follows the same scale redirect as fullOut: a
-    // second sf0.01 run must find its own BENCH_FULL_sf0.01.json baseline,
-    // not read (and sf-guard-empty) the committed sf0.1 one
-    val prevDefault =
-      if (sf == "0.1") "BENCH_FULL.json" else s"BENCH_FULL_sf$sf.json"
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV", prevDefault)
-    val prevQueries = readPrevQueries(prevPath, sf)
+    val (prevPath, prevQueries, baselineId) = resolvePrev(sf)
+    System.err.println(s"[bench] vs_prev_round baseline: $prevPath")
     val (fullLine, stdoutLine, failedNames) =
-      renderArtifacts(results, repeat, sf, fullOut, prevQueries)
+      renderArtifacts(results, repeat, sf, fullOut, prevQueries, baselineId)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -169,6 +156,62 @@ object Bench {
     * and by name in `failed_queries` — a total that silently excludes
     * erroring queries would read as "all green" while the catalog shrinks.
     */
+  /** Resolve the previous-round baseline this run's `vs_prev_round`
+    * compares against. Preference order:
+    *
+    *   1. `SPARK_GRAFT_PREV` — an explicit override (iteration runs,
+    *      forensic re-chains);
+    *   2. the newest committed `BENCH_BASELINE_r*.json` snapshot — written
+    *      ONCE at round close by tools/snapshot_baseline.sh from a named
+    *      commit, never rewritten;
+    *   3. the legacy convention path (whatever sits at BENCH_FULL.json /
+    *      BENCH_FULL_sf$sf.json).
+    *
+    * The snapshot tier exists because the convention path is overwritten
+    * by every run: two consecutive driver rounds "compared" against a
+    * same-round artifact that had already replaced the committed one
+    * (r14/r15 verdicts, task 1). Snapshots are sf0.1 round boundaries, so
+    * other scale factors skip straight to their own convention path.
+    *
+    * Returns (path, parsed queries, identity JSON fragment). The identity
+    * names the baseline file and, when the snapshot recorded them, its
+    * round and git hash — so the artifact itself proves WHICH boundary it
+    * measured, checkable without forensics. */
+  def resolvePrev(sf: String): (String, Map[String, Double], String) = {
+    val explicit = sys.env.get("SPARK_GRAFT_PREV")
+    val snapshot =
+      if (explicit.isDefined || sf != "0.1") None
+      else {
+        val re = "BENCH_BASELINE_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .toSeq.map(_.getName)
+          .collect { case n @ re(r) => (r.toInt, n) }
+          .sortBy(-_._1).headOption.map(_._2)
+      }
+    val path = explicit.orElse(snapshot).getOrElse(
+      if (sf == "0.1") "BENCH_FULL.json" else s"BENCH_FULL_sf$sf.json")
+    (path, readPrevQueries(path, sf), baselineIdentity(path))
+  }
+
+  /** JSON fragment naming the baseline: its file name plus the
+    * `baseline_round`/`baseline_git` fields the snapshot tool injected
+    * (absent for a legacy BENCH_FULL baseline — the file name alone still
+    * records what this run chained against). */
+  def baselineIdentity(path: String): String = {
+    val name = java.nio.file.Paths.get(path).getFileName.toString
+    val extra = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val r = "\"baseline_round\":(\\d+)".r.findFirstMatchIn(txt)
+        .map(m => s""","round":${m.group(1)}""").getOrElse("")
+      val g = "\"baseline_git\":\"([0-9a-fA-F]+)\"".r.findFirstMatchIn(txt)
+        .map(m => s""","git":"${m.group(1)}"""").getOrElse("")
+      r + g
+    } catch { case _: Exception => "" }
+    s""""baseline":{"file":"$name"$extra}"""
+  }
+
   /** Parse the `queries` map out of a prior BENCH_FULL.json (our own flat
     * format: numeric values, no nesting). Empty on any miss — a first run
     * or a format change must not fail the bench — and empty when the prior
@@ -194,7 +237,8 @@ object Bench {
     } catch { case _: Exception => Map.empty }
 
   def renderArtifacts(results: Seq[(String, Double)], repeat: Int, sf: String,
-      fullOut: String, prevQueries: Map[String, Double] = Map.empty)
+      fullOut: String, prevQueries: Map[String, Double] = Map.empty,
+      baselineId: String = "")
       : (String, String, Seq[String]) = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
@@ -223,8 +267,7 @@ object Bench {
         // method, made mechanical): a fixed panel of long-stable cells; if
         // their ratio moves with the total, the spread is host drift, not
         // code — a genuine regression moves changed cells but not controls
-        val controlPanel = Seq("q_hits", "q_copurchase", "q_related_items",
-          "q_bpe", "q_char_lm", "q_cluster_split").filter(common.contains)
+        val controlPanel = controls.filter(common.contains)
         val controlRatio = if (controlPanel.isEmpty) -1.0 else {
           val cp = controlPanel.map(prevQueries).sum
           if (cp > 0) controlPanel.map(byName).sum / cp else -1.0
@@ -234,7 +277,9 @@ object Bench {
           else {
             val cp = controlPanel.map(prevQueries).sum
             val cc = controlPanel.map(byName).sum
-            s""""controls":{"cells":${controlPanel.size},"prev_sec":${fmt(cp)},"cur_sec":${fmt(cc)},"ratio":${fmt(controlRatio)}}"""
+            val names = controlPanel.map("\"" + _ + "\"")
+              .mkString("[", ",", "]")
+            s""""controls":{"cells":$names,"prev_sec":${fmt(cp)},"cur_sec":${fmt(cc)},"ratio":${fmt(controlRatio)}}"""
           }
         // drift-NORMALIZED ratio: total ratio divided by the control
         // panel's ratio, so host drift (which moves both alike) cancels
@@ -244,7 +289,8 @@ object Bench {
           if (controlRatio > 0 && ratio > 0)
             s""""ratio_drift_adjusted":${fmt(ratio / controlRatio)}"""
           else """"ratio_drift_adjusted":null"""
-        s""""vs_prev_round":{"common_keys":${common.size},"prev_sec":${fmt(prevSum)},"cur_sec":${fmt(curSum)},"ratio":${fmt(ratio)},$adj,$ctl}"""
+        val base = if (baselineId.isEmpty) "" else "," + baselineId
+        s""""vs_prev_round":{"common_keys":${common.size},"prev_sec":${fmt(prevSum)},"cur_sec":${fmt(curSum)},"ratio":${fmt(ratio)},$adj,$ctl$base}"""
       }
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeat":$repeat,"failed":${failedNames.size},"failed_queries":$failedJson,$vsPrev,"queries":$fullJson,"sf":"$sf"}"""
@@ -255,6 +301,36 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf","queries_run":${results.size},"failed":${failedNames.size},$vsPrev,"full":"$fullOut"}"""
     (fullLine, stdoutLine, failedNames)
   }
+
+  /** Drift-controls panel for `vs_prev_round.ratio_drift_adjusted`.
+    *
+    * Selection rule: **no /tmp-cache-backed cell** — a control that can
+    * pay a disk-cache rebuild inside its timed window measures cache
+    * temperature, not host drift. Round 15 proved the blind spot is
+    * active: q_bpe sat in the panel, inflated 2.7× on a cold-/tmp driver
+    * run, and dragged the adjustment to a flattering 0.853 (r15 verdict
+    * #2). That rule excludes q_copurchase/q_hits/q_related_items (all
+    * read the copurchase /tmp store — a cold first pass rebuilds it) and
+    * q_bpe; session-local persist/unpersist within a query is fine
+    * because clearCache() resets it between cells anyway.
+    *
+    * Shape diversity, so the panel moves with the host across regimes
+    * rather than with any one subsystem:
+    *   nx_q1            — codegen scan→project floor (physically cannot
+    *                      regress from a plan change; pure host signal)
+    *   q_char_lm        — wide text aggregation throughput
+    *   q_ngram_lm       — heavier text/agg with a shuffle
+    *   q_cluster_split  — sampling + connected-components mix
+    *   q_pagerank       — iteration / per-job scheduler latency
+    *   q_triangles      — shuffle-heavy self-join
+    *   q_stream_tumbling— streaming micro-batch lifecycle
+    *
+    * The rendered artifact lists the member NAMES in
+    * `vs_prev_round.controls.cells`, so a future panel edit is visible
+    * in the round diff of the artifact itself. */
+  val controls: Seq[String] = Seq(
+    "nx_q1", "q_char_lm", "q_ngram_lm", "q_cluster_split",
+    "q_pagerank", "q_triangles", "q_stream_tumbling")
 
   /** Stdout headline set — a pinned, stable subset (the expensive and
     * family-representative queries) so the driver's bounded tail capture

@@ -3870,7 +3870,7 @@ object Queries {
     val fp = graft.functions.CacheKey.memoFp(s"invidx|$dir") {
       graft.functions.CacheKey.contentFp(docs, col("doc_id"), col("text"))
     }
-    val path = graft.functions.CacheKey.path("invidx", version = 1, sfTag,
+    val path = graft.functions.CacheKey.path("invidx", version = 2, sfTag,
       Seq("doc_id", "text"), fp)
     graft.functions.CacheKey.publishDir(path) { tmp =>
       val built = graft.functions.InvertedIndex.build(docs, "doc_id", "text")
@@ -4019,7 +4019,7 @@ object Queries {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
     val fp = lineitemStoreFp(li, dir)
     val mode = if (portableMode) "p" else "x"
-    val path = graft.functions.CacheKey.path("kmvstore", version = 1, sfTag,
+    val path = graft.functions.CacheKey.path("kmvstore", version = 2, sfTag,
       Seq(mode, k), fp)
     graft.functions.CacheKey.publishDir(path) { tmp =>
       graft.functions.SketchStore.init(s, tmp, k, portable = portableMode)
@@ -4183,7 +4183,7 @@ object Queries {
     val bins = 256
     val lo = 900.0
     val hi = 105000.0
-    val path = graft.functions.CacheKey.path("histstore", version = 1, sfTag,
+    val path = graft.functions.CacheKey.path("histstore", version = 2, sfTag,
       Seq(bins, lo, hi), fp)
     graft.functions.CacheKey.publishDir(path) { tmp =>
       graft.functions.HistStore.init(s, tmp, bins = bins, lo = lo, hi = hi)
@@ -5951,7 +5951,12 @@ object Queries {
     }
     val nlist = 8
     val kmeansIters = 2
-    val path = graft.functions.CacheKey.path("ivf", version = 1, sfTag,
+    // version 2: the fp FORMULA changed (md5-prefix-sum -> xxhash64
+    // contentFp, wider column coverage), so old- and new-formula caches
+    // must be disjoint by construction — the path shape was otherwise
+    // identical and only the hash-sum half distinguished them (same bump
+    // at the invidx/kmvstore/histstore sites, whose formulas also changed)
+    val path = graft.functions.CacheKey.path("ivf", version = 2, sfTag,
       Seq(nlist, kmeansIters), fp)
     graft.functions.CacheKey.publishDir(path) { tmp =>
       graft.functions.IvfIndex.save(

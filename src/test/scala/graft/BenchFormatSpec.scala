@@ -28,10 +28,12 @@ class BenchFormatSpec extends AnyFunSuite {
     // Bench.main's interpolation exactly
     val qs = Bench.headline.map(k => "\"" + k + "\":999.999")
       .mkString("{", ",", "}")
+    val cells = Bench.controls.map("\"" + _ + "\"").mkString("[", ",", "]")
     val vsPrev =
       """"vs_prev_round":{"common_keys":9999,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999,""" +
         """"ratio_drift_adjusted":99.999,""" +
-        """"controls":{"cells":9,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999}}"""
+        s""""controls":{"cells":$cells,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999},""" +
+        """"baseline":{"file":"BENCH_BASELINE_r99.json","round":99,"git":"0123456789ab"}}"""
     val line =
       s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"failed":999,$vsPrev,"full":"BENCH_FULL.json"}"""
     // 2000-char capture minus ~100 chars of sbt/Spark epilogue printed after
@@ -61,14 +63,67 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("ratio_drift_adjusted divides out the control panel's drift") {
-    // total ratio 2.5, control (q_hits) ratio 2.0 → a host that drifted
+    // total ratio 2.5, control (q_pagerank) ratio 2.0 → a host that drifted
     // 2× accounts for most of the spread; adjusted = 2.5/2.0 = 1.25
-    val prev = Map("a" -> 1.0, "q_hits" -> 1.0)
-    val cur = Seq("a" -> 3.0, "q_hits" -> 2.0)
+    val prev = Map("a" -> 1.0, "q_pagerank" -> 1.0)
+    val cur = Seq("a" -> 3.0, "q_pagerank" -> 2.0)
     val (full, _, _) =
       Bench.renderArtifacts(cur, 1, "0.1", "BENCH_FULL.json", prev)
     assert(full.contains(""""ratio_drift_adjusted":1.250"""), full)
-    assert(full.contains(""""controls":{"cells":1,"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""), full)
+    // the panel members are listed by NAME in-artifact, so a panel edit is
+    // visible in the artifact's round diff (r15 verdict #2)
+    assert(full.contains(""""controls":{"cells":["q_pagerank"],"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""), full)
+  }
+
+  test("controls panel members resolve to catalog queries and none is /tmp-cache-backed") {
+    val missing = Bench.controls.filterNot(Queries.all.contains)
+    assert(missing.isEmpty, s"control cells not in the catalog: $missing")
+    // the selection rule, pinned: the known /tmp-cache-backed cells (they
+    // read CacheKey-pathed disk stores whose rebuild cost lands inside a
+    // timed window on a cold host) must never re-enter the panel — q_bpe
+    // did exactly that in r15 and dragged the adjustment to 0.853
+    val cacheBacked = Set("q_copurchase", "q_hits", "q_related_items",
+      "q_bpe", "q_wordcount_file", "q_distinct_kmv", "q_heavy_hitters",
+      "q_value_hist", "q_inverted_index", "q_bm25", "q_ann_ivf_persist",
+      "q_digest_persist")
+    val violations = Bench.controls.filter(cacheBacked.contains)
+    assert(violations.isEmpty, s"cache-backed cells in the panel: $violations")
+  }
+
+  test("resolvePrev prefers the newest BENCH_BASELINE snapshot and names it") {
+    // run in a temp cwd-independent way: baselineIdentity reads the file
+    // directly, so exercise it on a synthetic snapshot
+    val tmp = java.nio.file.Files.createTempFile("BENCH_BASELINE_r15", ".json")
+    java.nio.file.Files.write(tmp,
+      """{"baseline_round":15,"baseline_git":"edd405c","metric":"total","queries":{"q_a":1.0},"sf":"0.1"}"""
+        .getBytes("UTF-8"))
+    val id = Bench.baselineIdentity(tmp.toString)
+    assert(id.contains(""""round":15"""), id)
+    assert(id.contains(""""git":"edd405c""""), id)
+    assert(id.contains(tmp.getFileName.toString), id)
+    // a legacy BENCH_FULL baseline still gets named by file
+    val legacy = java.nio.file.Files.createTempFile("bench_legacy", ".json")
+    java.nio.file.Files.write(legacy,
+      """{"metric":"total","queries":{"q_a":1.0},"sf":"0.1"}""".getBytes("UTF-8"))
+    val lid = Bench.baselineIdentity(legacy.toString)
+    assert(lid.contains(legacy.getFileName.toString) && !lid.contains("round"),
+      lid)
+    // the identity fragment lands inside vs_prev_round verbatim
+    val (full, _, _) = Bench.renderArtifacts(Seq("q_a" -> 2.0), 1, "0.1",
+      "x.json", Map("q_a" -> 1.0), id)
+    assert(full.contains(""""baseline":{"file":""""), full)
+    assert(full.contains(""""round":15"""), full)
+    java.nio.file.Files.delete(tmp); java.nio.file.Files.delete(legacy)
+    // the repo itself carries the r15 snapshot: resolvePrev from the repo
+    // root must pick a BENCH_BASELINE_r*.json, never the overwritable
+    // BENCH_FULL.json convention path (the r14/r15 intra-round bug)
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get("BENCH_BASELINE_r15.json"))) {
+      val (path, qs, ident) = Bench.resolvePrev("0.1")
+      assert(path.startsWith("BENCH_BASELINE_r"), path)
+      assert(qs.nonEmpty, "snapshot must parse")
+      assert(ident.contains(""""round":"""), ident)
+    }
   }
 
   test("readPrevQueries parses our own BENCH_FULL format and misses safely") {
