@@ -1806,17 +1806,25 @@ object Queries {
     val path = s"$dir/$table.parquet"
     val raw = s.read.parquet(path)
     val nBatches = math.max(1, sys.env.getOrElse("GRAFT_STREAM_BATCHES", "3").toInt)
-    // TWO sentinel batches: the max-ts event pushed 30 then 60 days
-    // forward, tagged '__flush', each its own replay file. Two because the
-    // watermark computed at the END of batch N gates emissions in batch
-    // N+1 (the StreamingSpec "second advance commits" discipline): the
-    // first sentinel advances the watermark past every real window's
-    // close; the second triggers the batch in which they all emit. Built
-    // from a real row so every column keeps the exact on-disk dtype (the
-    // streaming reader reuses raw.schema verbatim).
+    // ONE sentinel batch: the max-ts event pushed 30 days forward, tagged
+    // '__flush', its own replay file. The watermark computed at the END of
+    // batch N gates emissions in batch N+1 (the StreamingSpec "second
+    // advance commits" discipline) — but the batch AFTER the advance does
+    // not need input rows: Spark's no-data micro-batch (on by default,
+    // spark.sql.streaming.noDataMicroBatches.enabled) fires exactly when
+    // the watermark moved, and AvailableNow runs it before terminating, so
+    // the single advance still commits every trailing window. Rounds 12-15
+    // shipped TWO sentinel files (a second +60d advance to force a fed
+    // batch); the r16 per-batch A/B (StreamAb, min-of-3 at sf0.1) measured
+    // each sentinel trigger at ~0.3-0.4 s of q_stream_session's ~2.9 s
+    // trigger total and the no-data batch emitting identically, so the
+    // second file bought nothing — oracle re-verified green at sf0.01 and
+    // sf0.1 on the one-sentinel scheme. Built from a real row so every
+    // column keeps the exact on-disk dtype (the streaming reader reuses
+    // raw.schema verbatim).
     def writeSentinels(into: java.nio.file.Path, mtime0Ms: Long): Unit = {
       val tsType = raw.schema("ts").dataType
-      Seq((30L, "a"), (60L, "b")).zipWithIndex.foreach {
+      Seq((30L, "a")).zipWithIndex.foreach {
         case ((days, tag), i) =>
           val shifted = (tsType match {
             case org.apache.spark.sql.types.LongType =>
@@ -1884,9 +1892,12 @@ object Queries {
           s"streamsplit|$dir|$table|$fresh") {
         graft.functions.CacheKey.contentFp(raw, raw.columns.map(col): _*)
       }
+      // 'flush1' = the one-sentinel scheme (r16): the token is part of the
+      // cache key, so split dirs written under the old two-sentinel scheme
+      // ('flush') can never be replayed against the new expectations
       val base = java.nio.file.Paths.get(graft.functions.CacheKey.path(
         "streamsplit", version = 1, sfTag,
-        Seq(table, nBatches) ++ (if (flush) Seq("flush") else Nil), fp))
+        Seq(table, nBatches) ++ (if (flush) Seq("flush1") else Nil), fp))
       if (!java.nio.file.Files.isDirectory(base)) {
         // range-split on event time (events) / stable key (other tables)
         // into nBatches ascending part files — partition i of

@@ -14,6 +14,22 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.Soak /tmp/soak_sf1"     # 10× generated tables
   */
 object Soak {
+  /** The round-16 soak growth set (r15 verdict task 4): decade-2 catalog
+    * cells ≥~3× sf1→sf10 growth not already in the hand-picked sweep,
+    * catalog-keyed, production mode. A val (not inline in the sweep) so a
+    * spec can assert every name resolves against SparkEntry.queries. */
+  val r16Cells: Seq[String] = Seq(
+    "q_range_join", "q_stream_nx1", "q_stream_sessionize",
+    "q_stream_columnar", "q_stream_foldfirst", "q_stream_ngram_lm",
+    "q_reduce_scan_keyed", "q_cosine_topk", "q_ann_int8",
+    "q_stream_compact", "q_ann_pq", "q_join_bloom", "q_embed_int8",
+    "q_stream_nx5", "q_stream_funnel", "q_rich_map", "q_tpch4",
+    "q_tpch18", "q_corr_matrix", "q_join_bucketed", "q_ann_ivf",
+    "q_shuffle_shards", "q_stream_nx8", "q_topk_group", "q_data_quality",
+    "q_diversity_sample", "q_interval_join", "q_token_mixture",
+    "q_join_salted", "q_stream_tumbling", "q_decontaminate",
+    "q_stream_nx2", "q_char_lm", "q_token_shards")
+
   private final class ShuffleAcc extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -160,6 +176,17 @@ object Soak {
     // (provisional/tombstone reconcile) and a stream-stream self-join
     run("stream_nx4_txn")(Queries.q_stream_nx4(spark, dir).count())
     run("stream_nx3_join")(Queries.q_stream_nx3(spark, dir).count())
+    // round-16 additions (r15 verdict task 4): every production-mode
+    // catalog cell that grew ≥~3× in the sf1→sf10 decade sweep
+    // (SCALING_r15_decade2.json) and was not already above — the cells
+    // whose growth most deserves a THREE-point exponent instead of one
+    // ratio. Named by their catalog keys verbatim so scale_fit's --attr
+    // reasons (tools/scaling_attr.json) join mechanically. Portable-mode
+    // variants are excluded: the soak runs production hashing, and the
+    // portable twins' plans differ only in hash expressions (their one
+    // by-construction quadratic, q_semantic_dedup_portable's nlist=1
+    // oracle mode, is attributed in-artifact wherever it appears).
+    r16Cells.foreach(n => run(n)(SparkEntry.queries(n)(spark, dir).count()))
     }
 
     for (_ <- 1 to repeat) sweep()
