@@ -193,11 +193,28 @@ object KMeans extends Serializable {
     finally pts.unpersist()
   }
 
+  /** Two-level assignments PLUS both codebooks. The IVF query side needs
+    * the codebooks to select probe lists at the same ~2√k per-point cost
+    * the assignment paid — recomputing "nearest cell" against k composed
+    * centroids would reintroduce the n×k term [[assignTwoLevel]] exists to
+    * remove. `cluster = coarse·kf + fine`, so a probe candidate's list id
+    * is recomposable from the two codebook indices. */
+  final case class TwoLevelModel(assignments: DataFrame,
+      coarse: Array[Array[Double]], fine: Array[Array[Double]]) {
+    def kf: Int = fine.length
+  }
+
   /** [[assignTwoLevel]] over an already-prepped (persisted) points dataset —
     * the caller owns `pts`' lifecycle. */
   private[graft] def assignTwoLevelPrepped(
       pts: org.apache.spark.sql.Dataset[(Long, Array[Double])], k: Int,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    assignTwoLevelPreppedModel(pts, k, iterations).assignments
+
+  /** [[assignTwoLevelPrepped]], returning the codebooks too. */
+  private[graft] def assignTwoLevelPreppedModel(
+      pts: org.apache.spark.sql.Dataset[(Long, Array[Double])], k: Int,
+      iterations: Int): TwoLevelModel = {
     val spark = pts.sparkSession
     import spark.implicits._
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
@@ -232,9 +249,10 @@ object KMeans extends Serializable {
     out.count()
     // labels are materialized; free the codebook executor copies eagerly
     // (unpersist, not destroy — cache recomputation can still re-fetch)
+    val model = TwoLevelModel(out, bcC.value, bcF.value)
     bcC.unpersist()
     bcF.unpersist()
     resid.unpersist()
-    out
+    model
   }
 }

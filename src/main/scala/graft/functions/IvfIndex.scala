@@ -24,11 +24,32 @@ object IvfIndex {
   /** An in-memory handle: cluster-assigned corpus + the quantizer. */
   final case class Built(lists: DataFrame, centroids: Array[Array[Double]])
 
-  /** Train the coarse quantizer and assign every vector to its list. */
+  /** Train the coarse quantizer and assign every vector to its list.
+    *
+    * `nlist <= 0` → corpus-adaptive sizing (Similarity.autoNlist, floor
+    * 16): list population is held ~1024 so a probe's scan cost stays
+    * constant as the corpus grows — a fixed nlist makes every list grow
+    * linearly with n. The persisted format keeps ONE flat codebook (the
+    * append/probe/PQ equivalence contract pins every path to the same
+    * KMeans.nearest rule over it), so build assignment and probe selection
+    * are n×k / k-per-query against the flat table; that caps one index at
+    * k ≲ a few thousand lists (~millions of vectors). Past that, shard:
+    * one index per corpus partition (time bucket, source, tenant) — the
+    * operational reality of a 100 TB vector store anyway — and fan the
+    * query across shards; the per-call [[Similarity.ivfTopK]] auto mode
+    * additionally routes through the two-level quantizer (2√k) when no
+    * persisted index is involved. */
   def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int = 16,
       kmeansIters: Int = 5): Built = {
+    val effNlist =
+      if (nlist > 0) nlist
+      else {
+        val chosen = Similarity.autoNlist(df.count())
+        System.err.println(s"[graft-scale] IvfIndex auto nlist=$chosen")
+        chosen
+      }
     val assigned = graft.algorithms.KMeans.assignWithCentroids(
-      df, idCol, vecCol, nlist, kmeansIters)
+      df, idCol, vecCol, effNlist, kmeansIters)
     // hand GC-managed localCheckpoint blocks to the lazy lists plan and
     // release the KMeans cache (the Similarity.ivfTopK discipline):
     // repeated build/save cycles must not accumulate session-lifetime

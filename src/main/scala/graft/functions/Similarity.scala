@@ -286,30 +286,49 @@ object Similarity {
       kmeansIters: Int = 5, roundTo: Int = 6): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import graft.algorithms.KMeans
 
-    // coarse quantizer: train on the corpus (deterministic init)
-    val assigned = graft.algorithms.KMeans.assignWithCentroids(
-      df, idCol, vecCol, nlist, kmeansIters)
-    val centroidsB = spark.sparkContext.broadcast(assigned.centroids)
+    // nlist <= 0 → corpus-adaptive (the semanticDedupPairs discipline):
+    // hold list population ~1024 so per-probe scan cost stays CONSTANT as
+    // the corpus grows — a fixed nlist makes every probed list grow
+    // linearly with n, and with query count also ~n the total goes
+    // quadratic, the exact failure mode the r14 100× sweep caught in
+    // q_semantic_dedup. The adaptive cluster count then makes BOTH n×k
+    // terms super-linear (assignment and per-query probe selection), so
+    // past the 64-list routing threshold auto mode trains a two-level
+    // residual quantizer: assignment at n×2√k (KMeans.assignTwoLevel) and
+    // probe selection at √k + nprobe·√k per query (nearest coarse cells,
+    // then fine ranking only inside them). Explicit-nlist callers keep the
+    // flat path and its exact probe ranking bit-for-bit.
+    val pts = KMeans.prep(df, idCol, vecCol)
+    val effNlist =
+      if (nlist > 0) nlist
+      else {
+        val chosen = autoNlist(pts.count())
+        System.err.println(s"[graft-scale] ivfTopK auto nlist=$chosen")
+        chosen
+      }
+    val twoLevel = nlist <= 0 && effNlist > 64
+
     // the returned top-k plan references the assignment table lazily, so
     // hand the GC-managed localCheckpoint blocks to the plan and release
-    // the persist assignWithCentroids made — repeated ANN calls must not
+    // the persist the trainer made — repeated ANN calls must not
     // accumulate session-lifetime cached tables (semanticDedupPairs'
     // explicit-unpersist discipline, adapted for a lazy return value)
-    val asg = assigned.assignments.localCheckpoint()
-    assigned.assignments.unpersist()
-
     val v = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val lists = v.join(asg.withColumnRenamed("id", "c_id0"),
-        col("id") === col("c_id0"))
-      .select(col("id").as("c_id"), col("vec").as("c_vec"),
-        norm(col("vec")).as("c_norm"), col("cluster"))
-
-    // per-query probe set: nprobe nearest centroids (tiny loop over nlist)
-    val queries = v.filter(col("id") < maxQueryId)
+    val queries0 = v.filter(col("id") < maxQueryId)
       .as[(Long, Array[Double])]
-      .flatMap { case (id, vec) =>
+
+    val (asg, queries) = if (!twoLevel) {
+      // flat quantizer: train on the corpus (deterministic init)
+      val assigned =
+        KMeans.assignWithCentroidsPrepped(pts, effNlist, kmeansIters)
+      val centroidsB = spark.sparkContext.broadcast(assigned.centroids)
+      val a = assigned.assignments.localCheckpoint()
+      assigned.assignments.unpersist()
+      // per-query probe set: nprobe nearest centroids (tiny loop over nlist)
+      val q = queries0.flatMap { case (id, vec) =>
         val ctr = centroidsB.value
         val dists = ctr.indices.map { c =>
           var d = 0.0; var i = 0
@@ -320,10 +339,62 @@ object Similarity {
         dists.sortBy(t => (t._2, t._1)).take(nprobe)
           .map { case (c, _) => (id, vec, c) }
       }
+      (a, q)
+    } else {
+      val model =
+        KMeans.assignTwoLevelPreppedModel(pts, effNlist, kmeansIters)
+      val coarseB = spark.sparkContext.broadcast(model.coarse)
+      val fineB = spark.sparkContext.broadcast(model.fine)
+      val kf = model.kf
+      val a = model.assignments.localCheckpoint()
+      model.assignments.unpersist()
+      // two-level probe: rank the nprobe nearest COARSE cells, then rank
+      // fine residual cells only within them — √k + nprobe·√k distances
+      // per query instead of k. Distances to a composed cell (C_c + F_f)
+      // are computed on the round6-snapped residual, the SAME snapping the
+      // assignment used, so a query lands first on its own vector's list.
+      val q = queries0.flatMap { case (id, vec) =>
+        val coarse = coarseB.value
+        val fine = fineB.value
+        val dc = coarse.indices.map { c =>
+          var d = 0.0; var i = 0
+          val cc = coarse(c)
+          while (i < vec.length) { val t = vec(i) - cc(i); d += t * t; i += 1 }
+          (c, d)
+        }
+        val topCoarse =
+          dc.sortBy(t => (t._2, t._1)).take(math.min(nprobe, coarse.length))
+        val cells = topCoarse.flatMap { case (c, _) =>
+          val cc = coarse(c)
+          val r = new Array[Double](vec.length)
+          var i = 0
+          while (i < vec.length) {
+            r(i) = KMeans.round6(vec(i) - cc(i)); i += 1
+          }
+          fine.indices.map { f =>
+            var d = 0.0; var j = 0
+            val ff = fine(f)
+            while (j < r.length) { val t = r(j) - ff(j); d += t * t; j += 1 }
+            (c.toLong * kf + f, d)
+          }
+        }
+        cells.sortBy(t => (t._2, t._1)).take(nprobe)
+          .map { case (cell, _) => (id, vec, cell) }
+      }
+      (a, q)
+    }
+    pts.unpersist()
+
+    val lists = v.join(asg.withColumnRenamed("id", "c_id0"),
+        col("id") === col("c_id0"))
+      .select(col("id").as("c_id"), col("vec").as("c_vec"),
+        norm(col("vec")).as("c_norm"), col("cluster"))
+
+    val queriesDf = queries
       .toDF("q_id", "q_vec", "cluster")
       .withColumn("q_norm", norm(col("q_vec")))
 
-    val scored = queries.join(lists, Seq("cluster"))
+    val scored = queriesDf.join(lists, Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosineOf(dotFast(col("q_vec"), col("c_vec")),

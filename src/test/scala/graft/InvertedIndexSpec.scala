@@ -90,4 +90,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.query(built, Seq("q"), k = 5).count() == 0L)
     built.release()
   }
+
+  test("autoTermBuckets: floor keeps sf layouts, growth holds per-bucket volume, cap bounds dirs") {
+    import graft.functions.InvertedIndex.{autoTermBuckets, TermBuckets, MaxTermBuckets}
+    // every sf-test corpus sits under the floor → historical 64 layout
+    assert(autoTermBuckets(0L) == TermBuckets)
+    assert(autoTermBuckets(25000000L) == TermBuckets) // sf0.1 ≈ 25M tokens
+    // growth: per-bucket volume ~2M rows until the cap
+    assert(autoTermBuckets(2097152L * 640) == 640)
+    assert(autoTermBuckets(2097152L * 640) * 2097152L >= 2097152L * 640)
+    // monotone, and capped at the directory-count bound
+    assert(autoTermBuckets(1L << 50) == MaxTermBuckets)
+    assert(autoTermBuckets(2097152L * 200) <= autoTermBuckets(2097152L * 2000))
+  }
+
+  test("bucket count is frozen per saved index and results are count-invariant") {
+    // build the SAME corpus under two explicit layouts: query results must
+    // be identical (bucketing is I/O layout, never semantics), and a saved
+    // index must read back its own count rather than the compile-time
+    // default — a reader pruning with the wrong count would silently miss
+    // postings
+    val terms = Seq("the", "of")
+    val a = InvertedIndex.build(docs, "doc_id", "text", buckets = 7)
+    val b = InvertedIndex.build(docs, "doc_id", "text", buckets = 64)
+    assert(a.buckets == 7 && b.buckets == 64)
+    val ra = rows(InvertedIndex.query(a, terms, k = 10))
+    val rb = rows(InvertedIndex.query(b, terms, k = 10))
+    assert(ra == rb && ra.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("invidx_b7").toString
+    InvertedIndex.save(a, dir)
+    val loaded = InvertedIndex.load(spark, dir)
+    assert(loaded.buckets == 7, "persisted bucket count must read back")
+    assert(rows(InvertedIndex.query(loaded, terms, k = 10)) == ra)
+    a.release(); b.release()
+  }
 }

@@ -130,4 +130,44 @@ class IvfIndexSpec extends AnyFunSuite {
       nprobe = 4).collect()
     assert(self.forall(_.getLong(1) != 3L))
   }
+
+  test("build nlist<=0 sizes the quantizer from the corpus (autoNlist floor)") {
+    // the sf-test corpus resolves to the autoNlist floor, so committed
+    // plans are unchanged; the sizing rule itself is pinned in NearDupSpec
+    val built = IvfIndex.build(emb, "vec_id", "embedding", nlist = 0,
+      kmeansIters = 2)
+    assert(built.centroids.length == Similarity.autoNlist(emb.count()))
+    assert(built.centroids.length == 16)
+  }
+
+  test("ivfTopK auto mode routes two-level past 64 lists: deterministic, recall holds, population bounded") {
+    import spark.implicits._
+    // 80k clustered vectors around 200 centers: autoNlist(80000) = 79 > 64
+    // exercises the two-level probe branch end to end on data where a
+    // correct ANN must find its neighbors (each point's nearest live in
+    // its own center's cloud)
+    val n = 80000
+    val centers = 200
+    val df = spark.range(n.toLong).map { i =>
+      val c = (i % centers).toInt
+      val r = new java.util.Random(i) // deterministic per id
+      val base = Array.tabulate(4)(d => ((c * 31 + d * 7) % 97).toDouble)
+      (i, base.map(x => x + r.nextDouble() * 0.01))
+    }.toDF("vec_id", "embedding")
+    val eff = Similarity.autoNlist(n.toLong)
+    assert(eff > 64, s"test must exercise the two-level branch, nlist=$eff")
+    def run() = Similarity.ivfTopK(df, "vec_id", "embedding",
+        maxQueryId = 40, k = 3, nlist = 0, nprobe = 4, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = run()
+    assert(got == run(), "two-level auto ANN must be deterministic")
+    // recall vs exact brute-force cosine top-3 on the same queries
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        maxQueryId = 40, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(t => (t._1, t._2))
+    val recall = exact.count(gotPairs.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"two-level IVF recall@3 = $recall")
+  }
 }
