@@ -931,14 +931,15 @@ object Dedup {
     * 100 TB shape: the naive formulation anti-joins increment × history on
     * digest, shuffling the corpus-sized history every crawl cycle. Here a
     * Bloom filter built over the history digests (one scan, a driver-side
-    * bitset sized by `expectedItems`/`fpp`) is broadcast and prefilters the
+    * bitset sized to the history cardinality, or `expectedItems` when the
+    * caller pins it) is broadcast and prefilters the
     * increment to PROBABLE dups — a (dup rate + fpp)-sized subset. Only
     * those digests are then broadcast against one more history scan for
     * exact confirmation: the history is scanned twice but never shuffled,
     * and nothing corpus-sized crosses the network. */
   def exactIncremental(newDocs: DataFrame, history: DataFrame, idCol: String,
       textCol: String, historyDigestCol: String = "digest",
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     // within-increment exact dedup: one increment-sized shuffle
     val inc = exact(newDocs, idCol, textCol)
     val hist = history.select(col(historyDigestCol).as("digest"))
@@ -965,10 +966,22 @@ object Dedup {
     // is released before returning; the result comes back persisted
     // (callers release it when consumed). Measured flat at sf0.1.
     val incP = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // expectedItems <= 0 → size the Bloom to the ACTUAL history (a
+    // parquet count is metadata-only for a stored digest table): the
+    // r16 fixed-constant audit found the old fixed 2^20 default silently
+    // degrading — the history grows without bound across crawl cycles,
+    // and once it exceeds the sizing the fpp decays toward 1, so the
+    // "prefilter" passes everything and every cycle broadcasts a
+    // near-increment-sized probe set. Correctness never depended on it
+    // (the confirmation join is exact); the SIZING did. An explicit
+    // expectedItems remains the knob for callers whose history table is
+    // expensive to count (e.g. a view over raw logs).
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(1L, hist.count())
     // native codegen'd Bloom build + probe (plans.BloomExpressions): the
     // isEmpty guard above means the aggregate always sees >=1 row here
     val bloom = graft.plans.BloomExpressions
-      .buildBloom(hist, col("digest"), expectedItems, fpp).get
+      .buildBloom(hist, col("digest"), items, fpp).get
     val probable = incP.filter(
       graft.plans.BloomExpressions.mightContain(bloom, col("digest")))
     // exact confirmation: history-side scan, dup-bound broadcast joins

@@ -52,7 +52,7 @@ object DigestStore {
     * this accumulates one result cache per cycle. */
   def dedupCycle(spark: SparkSession, path: String, inc: Int,
       newDocs: DataFrame, idCol: String, textCol: String,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     // monotonic-increment guard (the SketchStore/HistStore discipline): a
     // retried driver that reran an already-written inc would find its own
     // docs in the history, get an EMPTY result, and overwrite that inc's
