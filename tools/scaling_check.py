@@ -22,6 +22,18 @@ t_large / t_small; the interesting classification is against rows_ratio:
   SCALE.md (output growth that is genuinely super-linear in the input,
   e.g. a self-join whose result set is quadratic by definition).
 
+`--prev <prior SCALING_r*.json>` adds a mechanical round-over-round
+comparison ON THE RATIOS (r15 verdict task 9): a cell's scaling ratio is
+host-drift-resistant (both legs run in the same window, so drift
+cancels), which makes ratio regressions machine-flaggable the way
+BENCH_FULL's vs_prev_round made wall regressions flaggable. The report
+gains `vs_prev_round` with the prior artifact's name, the per-cell
+ratio-of-ratios for every common cell, and a `ratio_regressions` list of
+cells whose scaling ratio grew by more than `--prev-flag` (default 1.5×)
+AND whose current ratio exceeds half the flag threshold (a 0.2→0.4
+ratio jump on an overhead-dominated sub-second cell is noise, not a
+plan bend).
+
 Failed cells (-1.0) on either side are reported separately and never
 ratio'd. A flagged cell whose growth is quadratic BY CONSTRUCTION (an
 oracle-mode configuration that deliberately runs the provable exact
@@ -51,6 +63,15 @@ def main():
         i = argv.index("--attr")
         with open(argv[i + 1]) as f:
             attr = json.load(f)
+        del argv[i:i + 2]
+    prev_path, prev_flag = None, 1.5
+    if "--prev" in argv:
+        i = argv.index("--prev")
+        prev_path = argv[i + 1]
+        del argv[i:i + 2]
+    if "--prev-flag" in argv:
+        i = argv.index("--prev-flag")
+        prev_flag = float(argv[i + 1])
         del argv[i:i + 2]
     if len(argv) < 4:
         sys.exit(__doc__)
@@ -101,6 +122,32 @@ def main():
     ts, tl = sum(qs_small[k] for k in lin), sum(qs_large[k] for k in lin)
     report["aggregate_ratio_excl_attributed"] = (
         round(tl / ts, 2) if ts else None)
+    if prev_path:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        pq = prev.get("queries", {})
+        ror = {}   # ratio-of-ratios per common cell
+        regressions = {}
+        for k, c in cells.items():
+            p = pq.get(k, {}).get("ratio")
+            if p is None or c["ratio"] is None or p <= 0:
+                continue
+            rr = round(c["ratio"] / p, 2)
+            ror[k] = rr
+            # a real bend: the scaling ratio grew AND the cell now sits in
+            # super-linear territory (> half the flag line) — overhead-
+            # dominated sub-linear cells jitter freely below it
+            if rr > prev_flag and c["ratio"] > flag_factor * rows_ratio / 2:
+                regressions[k] = {"prev_ratio": p, "ratio": c["ratio"],
+                                  "ratio_of_ratios": rr}
+        report["vs_prev_round"] = {
+            "prev": prev_path,
+            "prev_flag": prev_flag,
+            "n_common": len(ror),
+            "n_ratio_regressions": len(regressions),
+            "ratio_regressions": regressions,
+            "ratio_of_ratios": ror,
+        }
     with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=False)
     print(f"{len(common)} common keys, {len(failed)} failed, "
@@ -111,6 +158,14 @@ def main():
         tag = "ATTRIBUTED" if k in attr else "OPEN"
         print(f"  FLAG [{tag}] {k}: {c['small_sec']}s -> {c['large_sec']}s "
               f"= {c['ratio']}x")
+    vp = report.get("vs_prev_round")
+    if vp:
+        print(f"vs {vp['prev']}: {vp['n_common']} common ratios, "
+              f"{vp['n_ratio_regressions']} ratio regressions "
+              f"(> {prev_flag}x ratio-of-ratios AND super-linear-adjacent)")
+        for k, r in vp["ratio_regressions"].items():
+            print(f"  RATIO-REGRESSION {k}: {r['prev_ratio']}x -> "
+                  f"{r['ratio']}x ({r['ratio_of_ratios']}x)")
     sys.exit(0)
 
 
