@@ -5993,6 +5993,68 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
       |WHERE rn <= 5""".stripMargin
 
+  /** SHARDED persistent IVF retrieval — the past-a-few-thousand-lists scale
+    * shape (one flat index caps at ~few·10³ lists; beyond that the corpus
+    * splits into N independent per-shard indexes, query fanned across
+    * shards, one tiny global top-k re-rank). Run at full probe per shard
+    * (nprobe = per-shard nlist): shard id spaces are disjoint and
+    * within-shard scoring is the flat path bit-for-bit, so the sharded
+    * answer provably equals exact brute force — the same q_ann_ivf oracle —
+    * regardless of how any shard's quantizer trained. shards=3 exercises
+    * real routing (manifest, per-shard quantizers, cross-shard re-rank);
+    * IvfIndexSpec additionally pins shards=1 ≡ flat and frozen-quantizer
+    * sharded append. Same content-fingerprint disk cache discipline as
+    * q_ann_ivf_persist. */
+  def q_ann_ivf_sharded(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val fp = graft.functions.CacheKey.memoFp(s"ivfshard|$dir") {
+      graft.functions.CacheKey.contentFp(emb, col("vec_id"), col("embedding"))
+    }
+    val shards = 3
+    val nlist = 4
+    val kmeansIters = 2
+    val path = graft.functions.CacheKey.path("ivfshard", version = 1, sfTag,
+      Seq(shards, nlist, kmeansIters), fp)
+    graft.functions.CacheKey.publishDir(path) { tmp =>
+      graft.functions.IvfIndex.shardedSave(emb, "vec_id", "embedding", tmp,
+        shards = shards, nlist = nlist, kmeansIters = kmeansIters)
+    }
+    graft.functions.IvfIndex.shardedTopK(s, path,
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5,
+      nprobe = nlist)
+  }
+
+  /** IVF ANN through the CORPUS-ADAPTIVE sizing path (`nlist <= 0`) — the
+    * configuration a 100 TB caller actually hits (autoNlist holds list
+    * population ~1024; past 64 lists auto mode routes through the
+    * two-level residual quantizer). Run at probe-all (nprobe ≥ every flat
+    * list / every composed two-level cell): every candidate is scored, so
+    * the result provably equals the exact top-k oracle at ANY corpus size
+    * on EITHER branch — the quantizer cannot change a full scan.
+    * IvfIndexSpec pins the two-level branch's full-probe exactness on an
+    * 80k-vector corpus where autoNlist lands past the routing threshold;
+    * the sf catalog corpora resolve to the flat branch. k=4/maxQueryId=40
+    * keep the cell distinct from q_ann_ivf. */
+  def q_ann_ivf_auto(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.ivfTopK(tbl(s, dir, "embeddings"),
+      "vec_id", "embedding", maxQueryId = 40, k = 4, nlist = 0,
+      nprobe = Int.MaxValue, kmeansIters = 2)
+
+  private val q_ann_ivf_auto_sql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings),
+      |e AS (SELECT vec_id, unnest(vec) AS x, generate_subscripts(vec, 1) AS i FROM v),
+      |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.x * b.x) AS dp
+      |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 40 AND a.vec_id <> b.vec_id
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT q_id, c_id, round(dp / (na.nrm * nb.nrm), 6) AS sim
+      |      FROM d JOIN n na ON na.vec_id = q_id JOIN n nb ON nb.vec_id = c_id)
+      |SELECT q_id, c_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sc)
+      |WHERE rn <= 4""".stripMargin
+
   /** PQ/ADC ANN (ProductQuantizer): the FAISS memory-compression path —
     * 64-dim vectors encode to 8 one-byte codes, queries score candidates by
     * table lookup. Run at the provable configuration (codebook = the 4
@@ -7093,6 +7155,8 @@ object Queries {
     "q_ann_multiprobe" -> (q_ann_multiprobe _),
     "q_ann_ivf" -> (q_ann_ivf _),
     "q_ann_ivf_persist" -> (q_ann_ivf_persist _),
+    "q_ann_ivf_sharded" -> (q_ann_ivf_sharded _),
+    "q_ann_ivf_auto" -> (q_ann_ivf_auto _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_ann_ivfpq" -> (q_ann_ivfpq _),
     "q_embedding_neardup" -> (q_embedding_neardup _),
@@ -7327,6 +7391,8 @@ object Queries {
     "q_ann_multiprobe" -> q_ann_multiprobe_sql,
     "q_ann_ivf" -> q_ann_ivf_sql,
     "q_ann_ivf_persist" -> q_ann_ivf_sql,
+    "q_ann_ivf_sharded" -> q_ann_ivf_sql,
+    "q_ann_ivf_auto" -> q_ann_ivf_auto_sql,
     "q_ann_pq" -> q_ann_pq_sql,
     "q_ann_ivfpq" -> q_ann_pq_sql,
     "q_embedding_neardup" -> q_embedding_neardup_sql,

@@ -189,4 +189,99 @@ object IvfIndex {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // Sharded index — the past-a-few-thousand-lists scale shape.
+  //
+  // ONE flat index caps at k ≲ a few·10³ lists (the flat-codebook
+  // assignment/probe is n×k / k-per-query — see build's scaladoc), i.e.
+  // a few million vectors per index at the ~1024-rows-per-list target.
+  // Past that the layout is N INDEPENDENT per-shard indexes under one
+  // root: each shard trains its own quantizer over its own slice, so
+  // list population (and therefore probe cost) stays constant as the
+  // corpus grows by adding shards, never by growing lists. Shard
+  // membership is `pmod(id, shards)` — deterministic, rebuild-stable,
+  // and a stand-in for the natural corpus partition (time bucket,
+  // source, tenant) a 100 TB vector store is already split by.
+  //
+  // Query = per-shard [[query]] (probe nprobe lists, partition-pruned
+  // scan, per-shard top-k) → union → ONE global top-k re-rank. The
+  // re-rank exchange carries only |queries| × shards × k rows — tiny.
+  // Correctness: shard id spaces are disjoint, within-shard scoring is
+  // identical to the flat path, and the global top-k is contained in
+  // the union of per-shard top-k's — so at full probe the sharded
+  // answer provably equals exact brute force for ANY shard count
+  // (pinned by the q_ann_ivf_sharded oracle row at shards=3 and by
+  // IvfIndexSpec shards=1 ≡ flat).
+  // ------------------------------------------------------------------
+
+  /** One row per shard: layout params + shard row count (observability). */
+  private def shardDirs(path: String, shards: Int): IndexedSeq[String] =
+    (0 until shards).map(sIdx => s"$path/shards/shard=$sIdx")
+
+  private def shardFilter(idCol: String, shards: Int, sIdx: Int) =
+    pmod(col(idCol).cast("long"), lit(shards.toLong)) === sIdx.toLong
+
+  /** Build and persist a SHARDED index: `shards` independent IVF indexes
+    * (each its own quantizer + cluster-partitioned lists) under
+    * `<path>/shards/shard=<i>/`, plus `<path>/manifest/` recording the
+    * layout. Shard builds are independent jobs — on a cluster they
+    * parallelize trivially and a single shard rebuild never touches its
+    * siblings. `nlist <= 0` → per-shard corpus-adaptive sizing. */
+  def shardedSave(df: DataFrame, idCol: String, vecCol: String, path: String,
+      shards: Int, nlist: Int = 16, kmeansIters: Int = 5): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = shardDirs(path, shards).zipWithIndex.map { case (dir, sIdx) =>
+      val slice = df.filter(shardFilter(idCol, shards, sIdx))
+      val built = build(slice, idCol, vecCol, nlist, kmeansIters)
+      save(built, dir)
+      (sIdx.toLong, spark.read.parquet(s"$dir/lists").count(),
+        built.centroids.length)
+    }
+    rows.toDF("shard", "rows", "shard_nlist")
+      .withColumn("shards", lit(shards))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Shard count from a sharded index's manifest. */
+  def shardedManifest(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/manifest")
+      .select(max(col("shards"))).head().getInt(0)
+
+  /** Append a new batch to a SAVED sharded index: each row routes to its
+    * shard by the same `pmod(id, shards)` rule the build used, then the
+    * standard frozen-quantizer [[appendSave]] grows that shard's lists
+    * (parquet append — no sibling shard is read or written). */
+  def shardedAppendSave(spark: SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val shards = shardedManifest(spark, path)
+    shardDirs(path, shards).zipWithIndex.foreach { case (dir, sIdx) =>
+      val slice = newVecs.filter(shardFilter(idCol, shards, sIdx))
+      if (!slice.isEmpty) appendSave(spark, dir, slice, idCol, vecCol)
+    }
+  }
+
+  /** Top-k cosine neighbors against a SAVED sharded index: fan the query
+    * set across every shard (each an independent probe-pruned [[query]]),
+    * union the per-shard top-k's, and re-rank globally — one final
+    * exchange over |queries| × shards × k rows. Scoring, rounding and
+    * (sim desc, c_id asc) tie-breaks are identical to the flat path, so
+    * shards=1 reproduces [[query]] exactly and full probe reproduces
+    * exact brute force at any shard count. */
+  def shardedTopK(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      roundTo: Int = 6, excludeSelfId: Boolean = true): DataFrame = {
+    val shards = shardedManifest(spark, path)
+    val perShard = shardDirs(path, shards).map { dir =>
+      query(load(spark, dir), queries, idCol, vecCol, k, nprobe, roundTo,
+        excludeSelfId).select(col("q_id"), col("c_id"), col("sim"))
+    }
+    val unioned = perShard.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    unioned.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

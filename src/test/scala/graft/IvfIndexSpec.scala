@@ -170,4 +170,108 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = exact.count(gotPairs.contains).toDouble / exact.size
     assert(recall >= 0.9, s"two-level IVF recall@3 = $recall")
   }
+
+  test("auto-nlist two-level branch at probe-all equals exact brute force") {
+    import spark.implicits._
+    // same 80k clustered corpus as the recall test: autoNlist(80000) = 79
+    // > 64 routes through the two-level residual quantizer; nprobe =
+    // Int.MaxValue scores every composed cell, so the quantizer cannot
+    // change the answer — the q_ann_ivf_auto provable configuration on
+    // the branch the catalog corpora are too small to reach
+    val n = 80000
+    val centers = 200
+    val df = spark.range(n.toLong).map { i =>
+      val c = (i % centers).toInt
+      val r = new java.util.Random(i)
+      val base = Array.tabulate(4)(d => ((c * 31 + d * 7) % 97).toDouble)
+      (i, base.map(x => x + r.nextDouble() * 0.01))
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.autoNlist(n.toLong) > 64)
+    val got = Similarity.ivfTopK(df, "vec_id", "embedding",
+        maxQueryId = 10, k = 3, nlist = 0, nprobe = Int.MaxValue,
+        kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val brute = asSet(Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      maxQueryId = 10, k = 3).select(col("q_id"), col("c_id"), col("sim"),
+      col("rank").cast("long").as("rank")))
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("sharded index with shards=1 equals the flat index exactly") {
+    val flatDir = java.nio.file.Files.createTempDirectory("ivf_flat1").toString
+    val shDir = java.nio.file.Files.createTempDirectory("ivf_sh1").toString
+    IvfIndex.save(IvfIndex.build(emb, "vec_id", "embedding", nlist = 8,
+      kmeansIters = 3), flatDir)
+    IvfIndex.shardedSave(emb, "vec_id", "embedding", shDir, shards = 1,
+      nlist = 8, kmeansIters = 3)
+    val queries = emb.filter(col("vec_id") < 20)
+    // same corpus, same quantizer params, shard 0 = the whole corpus ⇒
+    // identical training input ⇒ identical centroids ⇒ identical answer,
+    // at an APPROXIMATE operating point (nprobe < nlist)
+    val flat = asSet(IvfIndex.query(IvfIndex.load(spark, flatDir), queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val sharded = asSet(IvfIndex.shardedTopK(spark, shDir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(sharded == flat)
+    assert(sharded.nonEmpty)
+  }
+
+  test("sharded index at full probe equals brute force for any shard count") {
+    val queries = emb.filter(col("vec_id") < 15)
+    val brute = asSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      maxQueryId = 15, k = 4).select(col("q_id"), col("c_id"), col("sim"),
+      col("rank").cast("long").as("rank")))
+    for (shards <- Seq(2, 3)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ivf_shfp$shards").toString
+      IvfIndex.shardedSave(emb, "vec_id", "embedding", dir, shards = shards,
+        nlist = 4, kmeansIters = 2)
+      val got = asSet(IvfIndex.shardedTopK(spark, dir, queries,
+        "vec_id", "embedding", k = 4, nprobe = 4))
+      assert(got == brute, s"shards=$shards full-probe must be exact")
+    }
+  }
+
+  test("sharded manifest records the layout and routes rows by pmod(id, shards)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_shman").toString
+    IvfIndex.shardedSave(emb, "vec_id", "embedding", dir, shards = 3,
+      nlist = 4, kmeansIters = 2)
+    assert(IvfIndex.shardedManifest(spark, dir) == 3)
+    val man = spark.read.parquet(s"$dir/manifest").collect()
+    assert(man.length == 3, "one manifest row per shard")
+    var total = 0L
+    for (sIdx <- 0 until 3) {
+      val shard = IvfIndex.load(spark, s"$dir/shards/shard=$sIdx")
+      assert(shard.centroids.length == 4, "each shard trains its OWN quantizer")
+      val ids = shard.lists.select("c_id").collect().map(_.getLong(0))
+      assert(ids.forall(id => java.lang.Math.floorMod(id, 3L) == sIdx),
+        s"shard $sIdx holds a row that belongs elsewhere")
+      total += ids.length
+      val manRow = man.find(_.getLong(0) == sIdx).get
+      assert(manRow.getLong(1) == ids.length, "manifest row count per shard")
+    }
+    assert(total == emb.count(), "shards partition the corpus exactly")
+  }
+
+  test("shardedAppendSave grows each shard under its frozen quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_shapp").toString
+    val first = emb.filter(col("vec_id") < 75)
+    val second = emb.filter(col("vec_id") >= 75)
+    IvfIndex.shardedSave(first, "vec_id", "embedding", dir, shards = 2,
+      nlist = 4, kmeansIters = 3)
+    val centroidsBefore = (0 until 2).map(sIdx =>
+      IvfIndex.load(spark, s"$dir/shards/shard=$sIdx").centroids.map(_.toSeq).toSeq)
+    IvfIndex.shardedAppendSave(spark, dir, second, "vec_id", "embedding")
+    val centroidsAfter = (0 until 2).map(sIdx =>
+      IvfIndex.load(spark, s"$dir/shards/shard=$sIdx").centroids.map(_.toSeq).toSeq)
+    assert(centroidsAfter == centroidsBefore, "append must never retrain")
+    // the grown index covers the whole corpus; full probe ⇒ exact
+    val got = asSet(IvfIndex.shardedTopK(spark, dir,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3, nprobe = 4))
+    val brute = asSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      maxQueryId = 10, k = 3).select(col("q_id"), col("c_id"), col("sim"),
+      col("rank").cast("long").as("rank")))
+    assert(got == brute)
+  }
 }
