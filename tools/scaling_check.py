@@ -32,7 +32,10 @@ ratio-of-ratios for every common cell, and a `ratio_regressions` list of
 cells whose scaling ratio grew by more than `--prev-flag` (default 1.5×)
 AND whose current ratio exceeds half the flag threshold (a 0.2→0.4
 ratio jump on an overhead-dominated sub-second cell is noise, not a
-plan bend).
+plan bend), OR whose ratio-of-ratios exceeds RR_HARD (3×) regardless of
+the absolute-ratio floor — a multiplicative bend that large is
+structural at any absolute ratio (the r16 q_stream_histogram gap: rr
+5.01 ducked under the half-threshold gate because 5.81 < 6).
 
 Failed cells (-1.0) on either side are reported separately and never
 ratio'd. A flagged cell whose growth is quadratic BY CONSTRUCTION (an
@@ -47,6 +50,12 @@ never imports this.
 """
 import json
 import sys
+
+# Secondary ratio-regression trigger: a cell whose scaling ratio grew by
+# more than this factor round-over-round is flagged even when its absolute
+# ratio sits under the half-threshold floor (see the inline comment at the
+# gate). Tested by tools/test_scaling_check.py.
+RR_HARD = 3.0
 
 
 def load(path):
@@ -136,8 +145,16 @@ def main():
             ror[k] = rr
             # a real bend: the scaling ratio grew AND the cell now sits in
             # super-linear territory (> half the flag line) — overhead-
-            # dominated sub-linear cells jitter freely below it
-            if rr > prev_flag and c["ratio"] > flag_factor * rows_ratio / 2:
+            # dominated sub-linear cells jitter freely below it.
+            # SECONDARY trigger (r16 verdict): rr > RR_HARD flags
+            # REGARDLESS of the absolute-ratio floor — r16's
+            # q_stream_histogram bent 1.16→5.81×/decade (rr 5.01, the
+            # artifact's largest movement) yet ducked under the half-
+            # threshold gate because 5.81 < 6; a >3× multiplicative bend
+            # is structural at any absolute ratio and must be adjudicated.
+            if ((rr > prev_flag and
+                 c["ratio"] > flag_factor * rows_ratio / 2) or
+                    rr > RR_HARD):
                 regressions[k] = {"prev_ratio": p, "ratio": c["ratio"],
                                   "ratio_of_ratios": rr}
         report["vs_prev_round"] = {
