@@ -1943,6 +1943,15 @@ object Queries {
       }
       base
     }
+    // ENFORCE the invariant the one-sentinel flush scheme rests on (the
+    // r16 scheme change): append-mode trailing windows commit via the
+    // no-data micro-batch that fires after the sentinel advances the
+    // watermark. That batch is on by DEFAULT, but a session/config or
+    // Spark-version change flipping it would silently drop every trailing
+    // window — the redundancy the removed second sentinel used to provide
+    // (r16 advice). Pinned here, where every twin's query starts, so both
+    // the plain and the resumable path inherit it.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val resume = streamResumeOverride
       .getOrElse(sys.env.get("GRAFT_STREAM_RESUME").contains("1")) && nBatches > 1
     if (resume)

@@ -9,11 +9,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * Runs one catalog streaming query N times (min-of-N per batch position)
   * and prints each micro-batch's trigger-execution time and input rows,
   * captured via a StreamingQueryListener. With the standard 3-batch
-  * replay plus the two 1-row `__flush` sentinel files, batch positions
-  * 0-2 are data batches, 3-4 are the sentinel batches, and a trailing
-  * no-data batch may follow — so the sentinel's share of the twin's wall
-  * time is read directly off the output instead of inferred from an
-  * end-to-end subtraction.
+  * replay plus the ONE 1-row `__flush` sentinel file (the r16 scheme —
+  * this same tool's per-batch readings killed the second sentinel), batch
+  * positions 0-2 are data batches, 3 is the sentinel batch, and a
+  * trailing no-data batch may follow (it commits the trailing windows the
+  * sentinel's watermark advance unlocked) — so the sentinel's share of
+  * the twin's wall time is read directly off the output instead of
+  * inferred from an end-to-end subtraction.
   *
   *   sbt "runMain graft.StreamAb /root/testdata/sf0.1 q_stream_session 3"
   */

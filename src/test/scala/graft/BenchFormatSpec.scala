@@ -92,8 +92,14 @@ class BenchFormatSpec extends AnyFunSuite {
     val cacheBacked = Set("q_copurchase", "q_hits", "q_related_items",
       "q_bpe", "q_wordcount_file", "q_distinct_kmv", "q_heavy_hitters",
       "q_value_hist", "q_inverted_index", "q_bm25", "q_ann_ivf_persist",
-      "q_digest_persist")
-    val violations = Bench.controls.filter(cacheBacked.contains)
+      "q_ann_ivf_sharded", "q_digest_persist")
+    // EVERY streaming twin is cache-backed too: runStream builds/reads
+    // the content-fingerprinted 'streamsplit' store under /tmp, so a
+    // cold-/tmp or SPARK_GRAFT_ONLY window pays the split rebuild inside
+    // the timed cell — r16 shipped q_stream_tumbling in the panel and
+    // this set's omission of stream cells is why the spec missed it
+    def violates(n: String) = cacheBacked.contains(n) || n.startsWith("q_stream_")
+    val violations = Bench.controls.filter(violates)
     assert(violations.isEmpty, s"cache-backed cells in the panel: $violations")
   }
 
@@ -127,7 +133,11 @@ class BenchFormatSpec extends AnyFunSuite {
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get("BENCH_BASELINE_r15.json"))) {
       val (path, qs, ident) = Bench.resolvePrev("0.1")
-      assert(path.startsWith("BENCH_BASELINE_r"), path)
+      // r17: the snapshot search anchors at the repo root (cwd-upward
+      // walk), so the resolved path may be absolute — the NAME proves the
+      // snapshot tier was chosen over the convention path
+      assert(java.nio.file.Paths.get(path).getFileName.toString
+        .startsWith("BENCH_BASELINE_r"), path)
       assert(qs.nonEmpty, "snapshot must parse")
       assert(ident.contains(""""round":"""), ident)
     }
