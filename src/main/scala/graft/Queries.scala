@@ -6549,8 +6549,14 @@ object Queries {
     graft.functions.QualityClassifier.score(docs, "doc_id", "text", model)
   }
 
-  private def q_quality_classifier_sql: String = {
-    val iters = 3
+  /** The classifier oracle as a composable CTE fragment: the unrolled-GD
+    * training trajectory plus a `scored (doc_id, score)` CTE, reading
+    * (doc_id, text) from `src` — shared verbatim by the standalone
+    * q_quality_classifier cell (src = documents) and the e2e curation
+    * composition (src = the gated+deduped survivor set). Returns the
+    * CTE list (no WITH, no final SELECT) ending in `scored`, for callers
+    * to splice into their own WITH chain. */
+  private def classifierSqlParts(src: String, iters: Int): String = {
     // z replicates the Scala foldLeft chain:
     // ((((w0 + x0*w1) + x1*w2) + x2*w3) + x3*w4) — addition order is part
     // of the contract, both engines evaluate the identical double tree
@@ -6561,10 +6567,10 @@ object Queries {
     def grad(xij: String) =
       s"(CAST(sum(CAST((pi - yi) * $xij AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(*))"
     val sb = new StringBuilder
-    sb ++= s"""WITH base AS (
+    sb ++= s"""base AS (
       |  SELECT doc_id, text,
       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
-      |  FROM documents),
+      |  FROM $src),
       |d AS (
       |  SELECT doc_id, len(w) AS nw,
       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
@@ -6617,14 +6623,18 @@ object Queries {
         |  FROM i$t),
         |""".stripMargin
     }
-    sb.setLength(sb.length - 2)
-    sb ++= s"""
-      |SELECT f.doc_id, ${sig("w")} AS score,
-      |  CASE WHEN ${sig("w")} >= CAST(0.5 AS DOUBLE)
-      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
-      |FROM f CROSS JOIN w$iters w""".stripMargin
+    sb ++= s"""scored AS (
+      |  SELECT f.doc_id, ${sig("w")} AS score
+      |  FROM f CROSS JOIN w$iters w)""".stripMargin
     sb.toString
   }
+
+  private def q_quality_classifier_sql: String =
+    s"""WITH ${classifierSqlParts("documents", 3)}
+      |SELECT doc_id, score,
+      |  CASE WHEN score >= CAST(0.5 AS DOUBLE)
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+      |FROM scored""".stripMargin
 
   /** Deterministic train/val/test assignment (Sampling.hashSplit, portable
     * hash so the oracle recomputes the same buckets). */
@@ -6851,6 +6861,76 @@ object Queries {
       |  CAST(least(c0 + cost, (r + 1) * 2048) - greatest(c0, r * 2048) AS BIGINT) AS len
       |FROM c, UNNEST(range(c0 // 2048, (c0 + cost - 1) // 2048 + 1)) AS u(r)""".stripMargin
 
+  /** FULL end-to-end curation pipeline, oracle-checked at every seam:
+    * clean (profile + quality gate) → exact dedup (lowest id per
+    * bag-of-words fingerprint) → trained quality classifier (3-step GD on
+    * the SURVIVOR corpus, seed labels from the heuristic gate, keep
+    * score ≥ 0.5) → per-language token-budget mixture → fixed-length
+    * sequence packing. The composition a 100 TB training-data run
+    * actually executes, as ONE driver-verified cell — cross-operator
+    * interactions (the gate changing the classifier's training set, the
+    * mixture re-weighting the packer's input) are exactly what
+    * per-operator cells cannot catch. Every stage reuses the library
+    * operator verbatim; the oracle splices the stages' own CTE chains
+    * (classifierSqlParts over the deduped survivor set). Plan shape:
+    * one profiling scan, one dedup exchange, 3 driver-bounded gradient
+    * aggregates, the two-pass prefix-sum mixture/packer — no stage is
+    * corpus-quadratic. */
+  def q_e2e_curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val profiled = graft.functions.TextAnalysis.profile(docs, "doc_id", "text")
+    val gated = profiled.filter(col("quality") >= 0.5)
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val deduped = gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // classifier AFTER dedup: duplicated pages must not bias the gradients
+    val cdocs = docs.select(col("doc_id"), col("text"))
+      .join(deduped.select(col("doc_id")), Seq("doc_id"))
+    val label = when(graft.functions.TextAnalysis
+      .qualityScore(col("text")) >= 0.75, 1.0).otherwise(0.0)
+    val model = graft.functions.QualityClassifier.train(
+      cdocs, "text", label, iters = 3, lr = 0.5)
+    val kept = graft.functions.QualityClassifier
+      .score(cdocs, "doc_id", "text", model)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val mixIn = deduped.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
+    val mixture = graft.functions.Sampling.tokenBudgetMixture(mixIn,
+      "lang_guess", "doc_id", col("n_tokens"),
+      budgets = Map("en" -> 10000L, "es" -> 4000L),
+      partitions = Some(8), portable = true)
+    graft.functions.Sampling.packSequences(mixture, "doc_id", col("cost"),
+      seqLen = 2048L, partitions = Some(8))
+  }
+
+  private def q_e2e_curation_sql: String =
+    s"""WITH profiled AS ($q_text_profile_sql),
+      |gated AS (SELECT * FROM profiled WHERE quality >= CAST(0.5 AS DOUBLE)),
+      |deduped AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      |                 FROM gated) WHERE rn = 1),
+      |cdocs AS (SELECT doc.doc_id, doc.text FROM documents doc JOIN deduped USING (doc_id)),
+      |${classifierSqlParts("cdocs", 3)},
+      |ckept AS (SELECT doc_id FROM scored WHERE score >= CAST(0.5 AS DOUBLE)),
+      |mt AS (SELECT d.doc_id, d.lang_guess AS stratum, d.n_tokens AS cost,
+      |    ('0x' || substr(md5('42_' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+      |  FROM deduped d JOIN ckept USING (doc_id)),
+      |mc AS (SELECT doc_id, stratum, cost,
+      |    COALESCE(sum(cost) OVER (PARTITION BY stratum ORDER BY sk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok FROM mt),
+      |mkept AS (SELECT doc_id, cost FROM mc
+      |  WHERE prev_tok < CASE stratum WHEN 'en' THEN 10000 WHEN 'es' THEN 4000
+      |        ELSE 9223372036854775807 END),
+      |pc AS (SELECT doc_id, cost,
+      |    CAST(COALESCE(sum(cost) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c0
+      |  FROM mkept WHERE cost > 0)
+      |SELECT doc_id, cost, CAST(r AS BIGINT) AS row_id,
+      |  CAST(greatest(c0, r * 2048) - c0 AS BIGINT) AS doc_off,
+      |  CAST(greatest(c0, r * 2048) - r * 2048 AS BIGINT) AS row_off,
+      |  CAST(least(c0 + cost, (r + 1) * 2048) - greatest(c0, r * 2048) AS BIGINT) AS len
+      |FROM pc, UNNEST(range(c0 // 2048, (c0 + cost - 1) // 2048 + 1)) AS u(r)""".stripMargin
+
   /** Token-budget sharding over a SEEDED SHUFFLE of the corpus (shuffleKey
     * seed 42, portable hash): the shuffle-before-sharding step that makes
     * shards ~IID instead of reflecting crawl order. The oracle recomputes
@@ -7048,6 +7128,7 @@ object Queries {
     "q_bpe" -> (q_bpe _),
     "q_chunk" -> (q_chunk _),
     "q_token_mixture" -> (q_token_mixture _),
+    "q_e2e_curation" -> (q_e2e_curation _),
     "q_temperature_mixture" -> (q_temperature_mixture _),
     "q_epoch_mixture" -> (q_epoch_mixture _),
     "q_topk_group" -> (q_topk_group _),
@@ -7284,6 +7365,7 @@ object Queries {
     "q_bpe" -> q_bpe_sql,
     "q_chunk" -> q_chunk_sql,
     "q_token_mixture" -> q_token_mixture_sql,
+    "q_e2e_curation" -> q_e2e_curation_sql,
     "q_temperature_mixture" -> q_temperature_mixture_sql,
     "q_epoch_mixture" -> q_epoch_mixture_sql,
     "q_topk_group" -> q_topk_group_sql,

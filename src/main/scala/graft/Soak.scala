@@ -30,6 +30,15 @@ object Soak {
     "q_join_salted", "q_stream_tumbling", "q_decontaminate",
     "q_stream_nx2", "q_char_lm", "q_token_shards")
 
+  /** Round-17 additions: the sharded vector index (the new past-flat-cap
+    * scale shape), the corpus-adaptive auto-nlist ANN path, and the
+    * composed end-to-end curation pipeline (clean → dedup → classify →
+    * mixture → pack) — the e2e cell exists precisely to surface
+    * cross-operator interactions (cache pressure, cumulative skew) that
+    * per-operator cells cannot (r16 verdict task 8). */
+  val r17Cells: Seq[String] = Seq(
+    "q_ann_ivf_sharded", "q_ann_ivf_auto", "q_e2e_curation")
+
   private final class ShuffleAcc extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -187,6 +196,7 @@ object Soak {
     // by-construction quadratic, q_semantic_dedup_portable's nlist=1
     // oracle mode, is attributed in-artifact wherever it appears).
     r16Cells.foreach(n => run(n)(SparkEntry.queries(n)(spark, dir).count()))
+    r17Cells.foreach(n => run(n)(SparkEntry.queries(n)(spark, dir).count()))
     }
 
     for (_ <- 1 to repeat) sweep()

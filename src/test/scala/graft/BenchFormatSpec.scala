@@ -17,11 +17,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"headline names not in the catalog: $unknown")
   }
 
-  test("soak r16 growth cells resolve to catalog queries") {
-    val missing = Soak.r16Cells.filterNot(SparkEntry.queries.contains)
+  test("soak r16/r17 growth cells resolve to catalog queries") {
+    val cells = Soak.r16Cells ++ Soak.r17Cells
+    val missing = cells.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"soak cells not in the catalog: $missing")
     // production-mode sweep: no portable-variant keys belong here
-    assert(Soak.r16Cells.forall(!_.endsWith("_portable")))
+    assert(cells.forall(!_.endsWith("_portable")))
   }
 
   test("portable-bench keys exist in the catalog") {
