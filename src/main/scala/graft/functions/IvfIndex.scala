@@ -227,7 +227,17 @@ object IvfIndex {
     * `<path>/shards/shard=<i>/`, plus `<path>/manifest/` recording the
     * layout. Shard builds are independent jobs — on a cluster they
     * parallelize trivially and a single shard rebuild never touches its
-    * siblings. `nlist <= 0` → per-shard corpus-adaptive sizing. */
+    * siblings. `nlist <= 0` → per-shard corpus-adaptive sizing.
+    *
+    * Scan strategy: each shard build filters the source on
+    * `pmod(id, shards)` — N column-pruned scans (id + vector only). When
+    * the corpus is already stored partitioned/bucketed by the shard key
+    * (the operational case this layout models: time bucket / source /
+    * tenant), that filter prunes to one partition per build; for an
+    * unpartitioned corpus at large N, stage one pass first
+    * (`df.write.partitionBy(<shard>)`) and build each shard from its
+    * directory — the build contract only needs each slice to be exactly
+    * the `pmod` class, however it is produced. */
   def shardedSave(df: DataFrame, idCol: String, vecCol: String, path: String,
       shards: Int, nlist: Int = 16, kmeansIters: Int = 5): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
