@@ -237,19 +237,45 @@ object IvfIndex {
     * unpartitioned corpus at large N, stage one pass first
     * (`df.write.partitionBy(<shard>)`) and build each shard from its
     * directory — the build contract only needs each slice to be exactly
-    * the `pmod` class, however it is produced. */
+    * the `pmod` class, however it is produced.
+    *
+    * `buildConcurrency` > 1 submits that many shard builds at once from
+    * the driver (a bounded thread pool; Spark's scheduler interleaves
+    * their jobs across the cluster). Each build is an independent
+    * deterministic job chain writing its own directory, so the result is
+    * byte-identical to the sequential default at any concurrency
+    * (IvfIndexSpec pins it) — the win is packing the per-build scheduling
+    * gaps and small stages, which dominate when shards are many and
+    * individually smaller than the cluster. */
   def shardedSave(df: DataFrame, idCol: String, vecCol: String, path: String,
-      shards: Int, nlist: Int = 16, kmeansIters: Int = 5): Unit = {
+      shards: Int, nlist: Int = 16, kmeansIters: Int = 5,
+      buildConcurrency: Int = 1): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(buildConcurrency >= 1,
+      s"buildConcurrency must be >= 1, got $buildConcurrency")
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = shardDirs(path, shards).zipWithIndex.map { case (dir, sIdx) =>
+    def buildOne(dir: String, sIdx: Int): (Long, Long, Int) = {
       val slice = df.filter(shardFilter(idCol, shards, sIdx))
       val built = build(slice, idCol, vecCol, nlist, kmeansIters)
       save(built, dir)
       (sIdx.toLong, spark.read.parquet(s"$dir/lists").count(),
         built.centroids.length)
     }
+    val dirs = shardDirs(path, shards).zipWithIndex
+    val rows =
+      if (buildConcurrency == 1) dirs.map { case (d, i) => buildOne(d, i) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(buildConcurrency min shards)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val fs = dirs.map { case (d, i) => Future(buildOne(d, i)) }
+          fs.map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      }
     rows.toDF("shard", "rows", "shard_nlist")
       .withColumn("shards", lit(shards))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")

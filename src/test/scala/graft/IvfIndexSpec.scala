@@ -233,6 +233,40 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent shard builds equal the sequential default exactly") {
+    val seqDir = java.nio.file.Files.createTempDirectory("ivf_shseq").toString
+    val conDir = java.nio.file.Files.createTempDirectory("ivf_shcon").toString
+    IvfIndex.shardedSave(emb, "vec_id", "embedding", seqDir, shards = 3,
+      nlist = 4, kmeansIters = 2)
+    IvfIndex.shardedSave(emb, "vec_id", "embedding", conDir, shards = 3,
+      nlist = 4, kmeansIters = 2, buildConcurrency = 3)
+    // each shard build is an independent deterministic job chain, so
+    // concurrency must not change ANY persisted state: quantizers,
+    // list assignments, manifest rows — or the query answer
+    for (sIdx <- 0 until 3) {
+      val a = IvfIndex.load(spark, s"$seqDir/shards/shard=$sIdx")
+      val b = IvfIndex.load(spark, s"$conDir/shards/shard=$sIdx")
+      assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+        s"shard $sIdx quantizer must be concurrency-independent")
+      assert(a.lists.select("c_id", "cluster").collect().map(r =>
+          (r.getLong(0), r.get(1).toString)).toSet ==
+        b.lists.select("c_id", "cluster").collect().map(r =>
+          (r.getLong(0), r.get(1).toString)).toSet,
+        s"shard $sIdx list assignment must be concurrency-independent")
+    }
+    val aman = spark.read.parquet(s"$seqDir/manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bman = spark.read.parquet(s"$conDir/manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aman == bman, "manifest must be concurrency-independent")
+    val queries = emb.filter(col("vec_id") < 15)
+    assert(
+      asSet(IvfIndex.shardedTopK(spark, conDir, queries, "vec_id",
+        "embedding", k = 4, nprobe = 2)) ==
+      asSet(IvfIndex.shardedTopK(spark, seqDir, queries, "vec_id",
+        "embedding", k = 4, nprobe = 2)))
+  }
+
   test("sharded manifest records the layout and routes rows by pmod(id, shards)") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_shman").toString
     IvfIndex.shardedSave(emb, "vec_id", "embedding", dir, shards = 3,
