@@ -6875,7 +6875,14 @@ object Queries {
     * (classifierSqlParts over the deduped survivor set). Plan shape:
     * one profiling scan, one dedup exchange, 3 driver-bounded gradient
     * aggregates, the two-pass prefix-sum mixture/packer — no stage is
-    * corpus-quadratic. */
+    * corpus-quadratic. The survivor set (3 narrow columns — corpus-sized
+    * rows but a sliver of corpus bytes) is PERSISTED across the stages:
+    * the classifier's feature pass, the scoring pass, and the mixture
+    * would otherwise each recompute the regex-heavy profile + dedup
+    * exchange from the raw scan — at 100 TB, re-running the curation
+    * prefix per downstream stage is the real cost, and a production run
+    * would checkpoint this exact boundary. Released after the (tiny)
+    * packed output materializes, the q_dedup_incremental discipline. */
   def q_e2e_curation(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val profiled = graft.functions.TextAnalysis.profile(docs, "doc_id", "text")
@@ -6883,9 +6890,12 @@ object Queries {
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
     val deduped = gated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+    val survivors = deduped
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // classifier AFTER dedup: duplicated pages must not bias the gradients
     val cdocs = docs.select(col("doc_id"), col("text"))
-      .join(deduped.select(col("doc_id")), Seq("doc_id"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"))
     val label = when(graft.functions.TextAnalysis
       .qualityScore(col("text")) >= 0.75, 1.0).otherwise(0.0)
     val model = graft.functions.QualityClassifier.train(
@@ -6893,14 +6903,17 @@ object Queries {
     val kept = graft.functions.QualityClassifier
       .score(cdocs, "doc_id", "text", model)
       .filter(col("keep") === 1).select(col("doc_id"))
-    val mixIn = deduped.join(kept, Seq("doc_id"))
+    val mixIn = survivors.join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("lang_guess"), col("n_tokens"))
     val mixture = graft.functions.Sampling.tokenBudgetMixture(mixIn,
       "lang_guess", "doc_id", col("n_tokens"),
       budgets = Map("en" -> 10000L, "es" -> 4000L),
       partitions = Some(8), portable = true)
-    graft.functions.Sampling.packSequences(mixture, "doc_id", col("cost"),
-      seqLen = 2048L, partitions = Some(8))
+    val out = graft.functions.Sampling.packSequences(mixture, "doc_id",
+      col("cost"), seqLen = 2048L, partitions = Some(8)).persist()
+    out.count()
+    survivors.unpersist()
+    out
   }
 
   private def q_e2e_curation_sql: String =
