@@ -40,7 +40,7 @@ object StreamAb {
     // one accumulating listener; each run's batches are appended as
     // (batchId, inputRows, triggerMs) — the listener bus is async, so each
     // run drains via spark.streams.resetTerminated + a settle sleep
-    final case class B(id: Long, rows: Long, ms: Long)
+    final case class B(id: Long, rows: Long, ms: Long, parts: String)
     val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[B]]
     val cur = new java.util.concurrent.ConcurrentLinkedQueue[B]()
     spark.streams.addListener(new StreamingQueryListener {
@@ -49,9 +49,15 @@ object StreamAb {
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
+        // the full phase breakdown (addBatch / queryPlanning / walCommit /
+        // commitOffsets / getBatch / latestOffset / ...) so "where does a
+        // trigger's time go" is read off the output, not inferred
+        import scala.jdk.CollectionConverters._
+        val parts = p.durationMs.asScala.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         cur.add(B(p.batchId, p.numInputRows,
           Option(p.durationMs.get("triggerExecution")).map(_.toLong)
-            .getOrElse(-1L)))
+            .getOrElse(-1L), parts))
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -78,7 +84,7 @@ object StreamAb {
     val n = runs.map(_.size).min
     val mins = (0 until n).map { i =>
       val b = runs.map(_(i)).minBy(_.ms)
-      s"""{"batch":${b.id},"rows":${b.rows},"ms":${b.ms}}"""
+      s"""{"batch":${b.id},"rows":${b.rows},"ms":${b.ms},"phases":${b.parts}}"""
     }
     val perRun = runs.map(r =>
       "[" + r.map(b => s"${b.ms}").mkString(",") + "]").mkString("[", ",", "]")
