@@ -24,6 +24,18 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-optimize CACHED plan materialization too (off by default
+      // for partitioning-compat only): catalog queries persist intermediates
+      // (signature tables, occurrence caches, loop inputs), and without this
+      // every persist materializes at the session width regardless of size —
+      // q_perplexity_tiers 496→29 tasks, q_digest_persist 468→32 at sf0.1,
+      // and at 100 TB the same flag sizes cached partitions to AQE's
+      // advisory bytes instead of a fixed width (guide §2.2/§6). Loop inputs
+      // whose co-partitioning must survive caching pin it explicitly
+      // (Graph.scala repartition(width, col) notes). Oracle re-verified
+      // 252/252 with the flag on (r17 optimization round).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,8 +43,16 @@ object Bench {
       // A/B lever for the narrow-input rebalance (operators.Scale.fanOut);
       // unset = library default (on)
       .config("graft.fanout.enabled", sys.env.getOrElse("GRAFT_FANOUT", "true"))
+    // GRAFT_CONF="k=v;k2=v2": extra session conf for same-window config
+    // A/Bs (the guide §1 discipline: measure a candidate config against
+    // the unset default in one window, then bake the winner into the code
+    // where the driver's own runs pick it up). The driver never sets it.
+    val builder1 = sys.env.get("GRAFT_CONF").map(_.split(";").toSeq)
+      .getOrElse(Nil)
+      .map(_.split("=", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
     val spark = sys.env.get("GRAFT_JARS")
-      .fold(builder0)(j => builder0.config("spark.jars", j))
+      .fold(builder1)(j => builder1.config("spark.jars", j))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -31,12 +31,22 @@ object Profile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true") // cached-plan AQE, the Bench session default (note there)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("graft.fanout.enabled", sys.env.getOrElse("GRAFT_FANOUT", "true"))
       .getOrCreate()
+    // GRAFT_CONF="k=v;k2=v2" extra conf, the Bench A/B lever — applied via
+    // runtime conf here (Profile owns no builder-time-only keys)
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new AtomicInteger(0)

@@ -42,6 +42,11 @@ object Verify {
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // cached-plan AQE, same as the Bench session (see the note there):
+      // correctness runs under the exact config the bench times, so the
+      // oracle sweep proves the flag result-neutral
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     // GRAFT_STATE_STORE=rocksdb runs every streaming twin on the RocksDB
     // state store (the production provider for state that outgrows the
     // executor heap — the 100 TB shape); default is Spark's HDFS-backed

@@ -86,8 +86,16 @@ object Graph {
     // pin for the loop; then pre-partition on the join key: the cached
     // relation keeps this partitioning, so the per-round join shuffles only
     // the labels side
+    // width pinned EXPLICITLY (repartition(width, col), not the advisory
+    // repartition(col)): the cached relation's hash partitioning is what
+    // lets every round shuffle only the labels side, and with
+    // canChangeCachedPlanOutputPartitioning=true (session default as of
+    // r17 — the cached-materialization coalescing win) AQE may coalesce an
+    // advisory keyed repartition inside a cached plan, downgrading its
+    // reported partitioning and re-shuffling the edges EVERY round
+    // (measured +12% on this cell when left advisory)
     val undirected = undirectedBoth(src.repartition(width), dedupeEdges)
-      .repartition(col("dst"))
+      .repartition(width, col("dst"))
       .persist()
     if (autoSize) {
       undirected.count() // materialize before releasing the sized input
@@ -154,8 +162,10 @@ object Graph {
     val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
     withShuffleWidth(edges.sparkSession, Some(width)) {
       // pre-partition on the join key at loop width: the cached relation
-      // keeps this partitioning, so each round shuffles only the labels side
-      val undirected = undirected0.repartition(col("dst")).persist()
+      // keeps this partitioning, so each round shuffles only the labels
+      // side (width EXPLICIT — see connectedComponents' note on advisory
+      // keyed repartitions under cached-plan AQE)
+      val undirected = undirected0.repartition(width, col("dst")).persist()
       val init = undirected.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
       val folded = Iteration.loop(init, rounds, materialize = false) { (labels, _) =>
@@ -204,8 +214,16 @@ object Graph {
     // build, count once (materialize + width), never rerun the upstream
     val undirected0 = undirectedBoth(edges, dedupeEdges).persist()
     val width = parallelism.getOrElse(Iteration.sizedWidth(undirected0.count()))
+    // AQE off for the peeling loop (Iteration.withLoopConf — the same
+    // driver-loop discipline Iteration.loop applies): each peel round is a
+    // shape-stable width-`width` job, and AQE's per-stage re-planning turns
+    // every round into a cascade of stage-jobs whose scheduling overhead
+    // dominates at any bench scale (measured on q_kcore: 30+ jobs → ~8;
+    // see the r17 optimization notes)
+    Iteration.withLoopConf(edges.sparkSession) {
     withShuffleWidth(edges.sparkSession, Some(width)) {
-      val undirected = undirected0.repartition(col("src")).persist()
+      // width explicit, same rationale as connectedComponents
+      val undirected = undirected0.repartition(width, col("src")).persist()
       def degrees(active: DataFrame): DataFrame =
         undirected
           .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -238,6 +256,7 @@ object Graph {
       undirected.unpersist()
       undirected0.unpersist()
       out
+    }
     }
   }
 
@@ -359,6 +378,8 @@ object Graph {
         s"(dN=$dN, dD=$dD) — rescale weights or use a coarser damping " +
         "rational")
     val width = parallelism.getOrElse(Iteration.sizedWidth(edgeCount))
+    // AQE off for the fixed-point rounds, the hits/kCore rationale
+    Iteration.withLoopConf(edges.sparkSession) {
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
@@ -384,6 +405,7 @@ object Graph {
       nodes.unpersist(); wOut.unpersist(); e.unpersist()
       out
     }
+    }
   }
 
   /** HITS hubs-and-authorities, UNNORMALIZED fixed-round form: h₀ ≡ 1,
@@ -404,6 +426,11 @@ object Graph {
     val e0 = edges.select(col("src"), col("dst"))
     val e = (if (dedupeEdges) e0.distinct() else e0).persist()
     val width = parallelism.getOrElse(Iteration.sizedWidth(e.count()))
+    // AQE off (Iteration.withLoopConf): the final checkpoint evaluates the
+    // whole 2·rounds-deep join/agg lineage, and AQE materializes each of
+    // its exchanges as a separate stage-job — 38 scheduler round-trips for
+    // a width-2 graph (measured on q_hits; ~8 jobs with it off, −30% wall)
+    Iteration.withLoopConf(edges.sparkSession) {
     withShuffleWidth(edges.sparkSession, Some(width)) {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
@@ -430,6 +457,7 @@ object Graph {
         .select(col("node"), col("hub"), col("auth")).localCheckpoint()
       nodes.unpersist(); e.unpersist()
       out
+    }
     }
   }
 
