@@ -368,15 +368,28 @@ object Bench {
     * Session-local persist/unpersist within a query is fine because
     * clearCache() resets it between cells anyway.
     *
+    * Second selection rule (r17, the optimization round): **no
+    * persist/localCheckpoint in the cell's path** — a drift control must
+    * be insensitive to CODE/CONFIG changes, and the r17 cached-plan-AQE
+    * session default (canChangeCachedPlanOutputPartitioning) structurally
+    * sped up every persisting cell. The r16 panel held five such cells
+    * (q_char_lm, q_ngram_lm, q_cluster_split, q_pagerank all persist),
+    * so across the r17 boundary the old panel measured the OPTIMIZATION
+    * instead of the host and `ratio_drift_adjusted` over-penalized the
+    * total. All current members were verified structurally neutral to the
+    * flag (identical jobs/stages/tasks/shuffle bytes under both settings,
+    * graft.Profile, r17 notes).
+    *
     * Shape diversity, so the panel moves with the host across regimes
     * rather than with any one subsystem:
-    *   nx_q1            — codegen scan→project floor (physically cannot
-    *                      regress from a plan change; pure host signal)
-    *   q_char_lm        — wide text aggregation throughput
-    *   q_ngram_lm       — heavier text/agg with a shuffle
-    *   q_cluster_split  — sampling + connected-components mix
-    *   q_pagerank       — iteration / per-job scheduler latency
-    *   q_triangles      — shuffle-heavy self-join
+    *   nx_q1        — codegen scan→project floor (physically cannot
+    *                  regress from a plan change; pure host signal)
+    *   q1_agg       — scan + hash-aggregate exchange
+    *   q_sort       — global sort (range exchange)
+    *   q_join_inner — shuffle equi-join
+    *   q_tpch1      — decimal-heavy wide aggregation (ALU throughput)
+    *   q_multimodal — per-row binary decode (narrow executor compute)
+    *   q_triangles  — shuffle-heavy self-join
     * (No streaming member: the micro-batch lifecycle regime is
     * structurally /tmp-cache-backed here, so it cannot serve as a drift
     * control.)
@@ -385,8 +398,8 @@ object Bench {
     * `vs_prev_round.controls.cells`, so a future panel edit is visible
     * in the round diff of the artifact itself. */
   val controls: Seq[String] = Seq(
-    "nx_q1", "q_char_lm", "q_ngram_lm", "q_cluster_split",
-    "q_pagerank", "q_triangles")
+    "nx_q1", "q1_agg", "q_sort", "q_join_inner", "q_tpch1",
+    "q_multimodal", "q_triangles")
 
   /** Stdout headline set — a pinned, stable subset (the expensive and
     * family-representative queries) so the driver's bounded tail capture

@@ -71,16 +71,16 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("ratio_drift_adjusted divides out the control panel's drift") {
-    // total ratio 2.5, control (q_pagerank) ratio 2.0 → a host that drifted
-    // 2× accounts for most of the spread; adjusted = 2.5/2.0 = 1.25
-    val prev = Map("a" -> 1.0, "q_pagerank" -> 1.0)
-    val cur = Seq("a" -> 3.0, "q_pagerank" -> 2.0)
+    // total ratio 2.5, control (q_triangles) ratio 2.0 → a host that
+    // drifted 2× accounts for most of the spread; adjusted = 2.5/2.0 = 1.25
+    val prev = Map("a" -> 1.0, "q_triangles" -> 1.0)
+    val cur = Seq("a" -> 3.0, "q_triangles" -> 2.0)
     val (full, _, _) =
       Bench.renderArtifacts(cur, 1, "0.1", "BENCH_FULL.json", prev)
     assert(full.contains(""""ratio_drift_adjusted":1.250"""), full)
     // the panel members are listed by NAME in-artifact, so a panel edit is
     // visible in the artifact's round diff (r15 verdict #2)
-    assert(full.contains(""""controls":{"cells":["q_pagerank"],"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""), full)
+    assert(full.contains(""""controls":{"cells":["q_triangles"],"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""), full)
   }
 
   test("controls panel members resolve to catalog queries and none is /tmp-cache-backed") {
@@ -102,6 +102,22 @@ class BenchFormatSpec extends AnyFunSuite {
     def violates(n: String) = cacheBacked.contains(n) || n.startsWith("q_stream_")
     val violations = Bench.controls.filter(violates)
     assert(violations.isEmpty, s"cache-backed cells in the panel: $violations")
+    // second selection rule (r17): no persist/localCheckpoint in a control
+    // cell's path — a session-level caching/AQE change (e.g. the r17
+    // cached-plan-AQE default) structurally moves every persisting cell,
+    // so such a cell measures the code change, not the host, and corrupts
+    // ratio_drift_adjusted across that round's boundary. Known persisting
+    // cells pinned here; panel edits must keep clear of them.
+    val persisting = Set("q_char_lm", "q_ngram_lm", "q_cluster_split",
+      "q_pagerank", "q_pagerank_weighted", "q_pagerank_delta", "q_kmeans",
+      "q_connected_components", "q_transitive_closure", "q_label_prop",
+      "q_kcore", "q_fuzzy_join", "q_perplexity_tiers", "q_e2e_curation",
+      "q_dedup_incremental", "q_semantic_dedup", "q_iterate", "q_sssp",
+      "q_ppr", "q_er_clusters", "q_dedup_clusters", "q_link_predict",
+      "q_quality_classifier", "q_dsir")
+    val persistViolations = Bench.controls.filter(persisting.contains)
+    assert(persistViolations.isEmpty,
+      s"persisting cells in the panel: $persistViolations")
   }
 
   test("resolvePrev prefers the newest BENCH_BASELINE snapshot and names it") {
