@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger: the logger prefixes every line with "[info] ",
+// which broke the driver's bench-line extractor two rounds running
+// (BENCH_r16/r17 "parsed": null — the one-line JSON contract line was
+// present but prefixed). Bench also writes the same line to
+// BENCH_LINE.json so the contract no longer depends on log formatting.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

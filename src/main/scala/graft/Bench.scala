@@ -47,9 +47,7 @@ object Bench {
     // A/Bs (the guide §1 discipline: measure a candidate config against
     // the unset default in one window, then bake the winner into the code
     // where the driver's own runs pick it up). The driver never sets it.
-    val builder1 = sys.env.get("GRAFT_CONF").map(_.split(";").toSeq)
-      .getOrElse(Nil)
-      .map(_.split("=", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
+    val builder1 = parseGraftConf(sys.env.get("GRAFT_CONF"))
       .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
     val spark = sys.env.get("GRAFT_JARS")
       .fold(builder1)(j => builder1.config("spark.jars", j))
@@ -157,9 +155,38 @@ object Bench {
     if (failedNames.nonEmpty)
       System.err.println(
         s"[bench] ${failedNames.size} queries FAILED: ${failedNames.mkString(", ")}")
+    // the one-line contract JSON, twice: stdout (now unprefixed —
+    // run/outputStrategy in build.sbt bypasses sbt's "[info] " logger,
+    // which made the driver's extractor read "parsed": null two rounds
+    // running) and a file next to BENCH_FULL.json, so the extractor no
+    // longer depends on log formatting at all. The file inherits fullOut's
+    // subset/scale redirection: a SPARK_GRAFT_ONLY or off-scale run must
+    // not overwrite the committed full-catalog line either.
+    val lineOut =
+      if (fullOut.contains("BENCH_FULL")) fullOut.replace("BENCH_FULL", "BENCH_LINE")
+      else fullOut + ".line.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(lineOut),
+      (stdoutLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(stdoutLine)
     spark.stop()
   }
+
+  /** GRAFT_CONF="k=v;k2=v2" → pairs; malformed tokens (no '=') are warned
+    * about LOUDLY instead of silently dropped — a typo'd A/B lever would
+    * otherwise measure the default config while the operator believes the
+    * candidate applied (r17 advice). Shared by Profile/PlanDump. */
+  def parseGraftConf(env: Option[String]): Seq[(String, String)] =
+    env.map(_.split(";").toSeq).getOrElse(Nil).filter(_.trim.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => Some((k.trim, v.trim))
+        case _ =>
+          System.err.println(
+            s"[graft] WARNING: GRAFT_CONF token '$kv' is not k=v — IGNORED " +
+              "(the A/B would silently measure the default config)")
+          None
+      }
+    }
 
   /** Renders both bench artifacts from the timing results; pure so the
     * failure-accounting contract is unit-testable (GatesSpec).

@@ -35,9 +35,7 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("graft.fanout.enabled", sys.env.getOrElse("GRAFT_FANOUT", "true"))
-    val builder = sys.env.get("GRAFT_CONF").map(_.split(";").toSeq)
-      .getOrElse(Nil)
-      .map(_.split("=", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
+    val builder = Bench.parseGraftConf(sys.env.get("GRAFT_CONF"))
       .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

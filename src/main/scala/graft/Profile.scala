@@ -40,13 +40,10 @@ object Profile {
       .config("graft.fanout.enabled", sys.env.getOrElse("GRAFT_FANOUT", "true"))
       .getOrCreate()
     // GRAFT_CONF="k=v;k2=v2" extra conf, the Bench A/B lever — applied via
-    // runtime conf here (Profile owns no builder-time-only keys)
-    sys.env.get("GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => spark.conf.set(k.trim, v.trim)
-        case _ => ()
-      }
-    })
+    // runtime conf here (Profile owns no builder-time-only keys); malformed
+    // tokens warn loudly via the shared parser (r17 advice)
+    Bench.parseGraftConf(sys.env.get("GRAFT_CONF"))
+      .foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new AtomicInteger(0)
@@ -89,9 +86,18 @@ object Profile {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; give the bus a moment so the
-      // counts belong to this query
-      Thread.sleep(200)
+      // listener events drain asynchronously; poll until the counters are
+      // stable across two consecutive reads (a fixed sleep undercounted
+      // large-backlog cells — the 400+-task before-runs this tool exists
+      // to measure; r17 advice), bounded so a dead bus cannot hang us
+      var prev = (-1, -1, -1L)
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val now = (jobs.get + stages.get, tasks.get, taskTimeMs.get)
+        if (now == prev) same += 1 else { same = 0; prev = now }
+      }
       println(f"$name%-28s $wall%8.3f ${jobs.get}%5d ${stages.get}%6d " +
         f"${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.3f " +
         f"${shufRead.get / 1e6}%7.2f ${shufWrite.get / 1e6}%7.2f")

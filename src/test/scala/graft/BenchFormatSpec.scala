@@ -92,7 +92,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // did exactly that in r15 and dragged the adjustment to 0.853
     val cacheBacked = Set("q_copurchase", "q_hits", "q_related_items",
       "q_bpe", "q_wordcount_file", "q_distinct_kmv", "q_heavy_hitters",
-      "q_value_hist", "q_inverted_index", "q_bm25", "q_ann_ivf_persist",
+      "q_hist_persist", "q_inverted_index", "q_bm25", "q_ann_ivf_persist",
       "q_ann_ivf_sharded", "q_digest_persist")
     // EVERY streaming twin is cache-backed too: runStream builds/reads
     // the content-fingerprinted 'streamsplit' store under /tmp, so a
@@ -118,6 +118,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val persistViolations = Bench.controls.filter(persisting.contains)
     assert(persistViolations.isEmpty,
       s"persisting cells in the panel: $persistViolations")
+    // STALENESS RISK (r17 advice): both denylists above are hand-maintained
+    // — a NEW catalog query that persists or caches but is absent here
+    // passes silently, so the guard is only as fresh as the last audit.
+    // Keep them at least rename-consistent with the catalog, so a renamed
+    // or deleted cell can't linger and give false confidence:
+    val staleDeny = (cacheBacked ++ persisting).filterNot(Queries.all.contains)
+    assert(staleDeny.isEmpty, s"denylist names not in the catalog: $staleDeny")
+  }
+
+  test("parseGraftConf keeps k=v pairs and drops malformed tokens loudly") {
+    assert(Bench.parseGraftConf(None) == Nil)
+    assert(Bench.parseGraftConf(Some("a=1;b = x=y ;;oops;=v")) ==
+      Seq(("a", "1"), ("b", "x=y")))
   }
 
   test("resolvePrev prefers the newest BENCH_BASELINE snapshot and names it") {
