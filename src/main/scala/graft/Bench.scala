@@ -343,22 +343,37 @@ object Bench {
         // their ratio moves with the total, the spread is host drift, not
         // code — a genuine regression moves changed cells but not controls
         val controlPanel = controls.filter(common.contains)
-        val controlRatio = if (controlPanel.isEmpty) -1.0 else {
-          val cp = controlPanel.map(prevQueries).sum
-          if (cp > 0) controlPanel.map(byName).sum / cp else -1.0
-        }
+        // Per-cell control ratios, aggregated as the MEDIAN rather than the
+        // sum-ratio: the r17/r18 adjudication of the nx_* "regressions"
+        // proved this host's contention is NON-uniform at minute scale
+        // (identical jobs/stages/tasks/shuffle-bytes cells swung 1.3×–2.6×
+        // leg-to-leg within one A/B/B/A window), so one inflated member
+        // could drag a sum-ratio panel and taint every adjusted reading;
+        // the median ignores outlier members by construction. The sum-based
+        // "ratio" stays in the artifact for cross-round continuity.
+        val perCellRatios = controlPanel
+          .filter(k => prevQueries(k) > 0)
+          .map(k => byName(k) / prevQueries(k)).sorted
+        val controlRatio =
+          if (perCellRatios.isEmpty) -1.0
+          else {
+            val n = perCellRatios.size
+            if (n % 2 == 1) perCellRatios(n / 2)
+            else (perCellRatios(n / 2 - 1) + perCellRatios(n / 2)) / 2.0
+          }
         val ctl =
           if (controlPanel.isEmpty) """"controls":null"""
           else {
             val cp = controlPanel.map(prevQueries).sum
             val cc = controlPanel.map(byName).sum
+            val sumRatio = if (cp > 0) cc / cp else -1.0
             val names = controlPanel.map("\"" + _ + "\"")
               .mkString("[", ",", "]")
-            s""""controls":{"cells":$names,"prev_sec":${fmt(cp)},"cur_sec":${fmt(cc)},"ratio":${fmt(controlRatio)}}"""
+            s""""controls":{"cells":$names,"prev_sec":${fmt(cp)},"cur_sec":${fmt(cc)},"ratio":${fmt(sumRatio)},"ratio_median":${fmt(controlRatio)}}"""
           }
         // drift-NORMALIZED ratio: total ratio divided by the control
-        // panel's ratio, so host drift (which moves both alike) cancels
-        // and a machine threshold on this one field flags real
+        // panel's (median) ratio, so host drift (which moves both alike)
+        // cancels and a machine threshold on this one field flags real
         // regressions even on a drifting host (r13 verdict #7)
         val adj =
           if (controlRatio > 0 && ratio > 0)

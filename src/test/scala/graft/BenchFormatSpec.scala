@@ -40,7 +40,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val vsPrev =
       """"vs_prev_round":{"common_keys":9999,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999,""" +
         """"ratio_drift_adjusted":99.999,""" +
-        s""""controls":{"cells":$cells,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999},""" +
+        s""""controls":{"cells":$cells,"prev_sec":9999.999,"cur_sec":9999.999,"ratio":99.999,"ratio_median":99.999},""" +
         """"baseline":{"file":"BENCH_BASELINE_r99.json","round":99,"git":"0123456789ab"}}"""
     val line =
       s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$qs,"sf":"0.01","queries_run":9999,"failed":999,$vsPrev,"full":"BENCH_FULL.json"}"""
@@ -80,7 +80,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full.contains(""""ratio_drift_adjusted":1.250"""), full)
     // the panel members are listed by NAME in-artifact, so a panel edit is
     // visible in the artifact's round diff (r15 verdict #2)
-    assert(full.contains(""""controls":{"cells":["q_triangles"],"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000}"""), full)
+    assert(full.contains(""""controls":{"cells":["q_triangles"],"prev_sec":1.000,"cur_sec":2.000,"ratio":2.000,"ratio_median":2.000}"""), full)
+  }
+
+  test("control aggregation is the MEDIAN of per-cell ratios, not the sum-ratio") {
+    // three controls: two flat (1.0×), one inflated 10× by a contention
+    // burst. Sum-ratio would read (1+1+10)/3 = 4.0 and taint the adjusted
+    // total; the median reads 1.0 and the adjustment survives the outlier.
+    val prev = Map("a" -> 8.0,
+      "q_sort" -> 1.0, "q_join_inner" -> 1.0, "q_triangles" -> 1.0)
+    val cur = Seq("a" -> 16.0,
+      "q_sort" -> 1.0, "q_join_inner" -> 10.0, "q_triangles" -> 1.0)
+    val (full, _, _) =
+      Bench.renderArtifacts(cur, 1, "0.1", "BENCH_FULL.json", prev)
+    assert(full.contains(""""ratio_median":1.000"""), full)
+    // total ratio 28/11 = 2.545; adjusted by the median (1.0), not the
+    // sum-ratio (12/3): the real 2× regression of "a" stays visible
+    assert(full.contains(""""ratio_drift_adjusted":2.545"""), full)
   }
 
   test("controls panel members resolve to catalog queries and none is /tmp-cache-backed") {
